@@ -1,0 +1,157 @@
+package graft.warc
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rake.Rake
+
+/** The WARC → `url_resource` pipeline (SURVEY.md §3.2), Spark-first.
+  *
+  * Reference shape: scan → F1 type filter → header projections → F2
+  * blacklist → gunzip → envelope split → header map → GA scans → size
+  * guard → HTML parse → links/keywords/word-count → sink
+  * (`src/main.rs:169-515`). Here it is one narrow (shuffle-free)
+  * DataFrame plan: cheap filters are plain column predicates BEFORE the
+  * expensive decode/parse UDFs so Catalyst keeps them next to the scan
+  * (SURVEY §4); the parse cascade is a single deterministic struct-
+  * returning UDF; everything per-field after that is built-in expressions
+  * so column pruning drops unused work.
+  */
+object Pipeline {
+
+  // Reference regex constants (`src/main.rs:46-68`), Java-regex dialect.
+  val HostnamePattern = "://(.*?(\\.au|\\.com|\\.net|\\.org)?)(:|/)"
+  val GaPattern = "\\bUA-\\d{4,10}-\\d{1,4}\\b|\\bGTM-[A-Z0-9]{1,7}\\b"
+  val GaConfigPattern = "ga\\((.*?)\\)"
+  /** F3 oversize guard threshold (`src/main.rs:376`). */
+  val MaxParseBytes = 2000000L
+
+  // ---- scalar functions (SURVEY §2.7) ----
+
+  /** S5: gunzip to lossy UTF-8 text; corrupt gzip → null (dropped). */
+  val gunzipText: Array[Byte] => String = bytes =>
+    WarcSource.gunzip(bytes).map(b => new String(b, StandardCharsets.UTF_8)).orNull
+
+  /** P4: HTTP header block → map. Skips blank and `HTTP/` status lines;
+    * splits on `": "`; the value is parts[1] only — a value containing
+    * `": "` loses its tail, reproducing the reference quirk
+    * (`src/main.rs:309-314`). */
+  val parseHeaders: String => Map[String, String] = block => {
+    if (block == null) Map.empty
+    else block.split('\n').iterator.map(_.stripSuffix("\r")).collect {
+      case line if line.nonEmpty && !line.startsWith("HTTP/") && line.contains(": ") =>
+        val parts = line.split(": ", -1)
+        parts(0) -> parts(1)
+    }.toMap
+  }
+
+  val parseHtmlFn: String => HtmlResult = html =>
+    if (html == null) HtmlResult.empty else HtmlParse.parse(html)
+
+  val absolutizeFn: (String, Seq[String]) => Seq[String] =
+    (url, links) => UrlTools.absolutize(url, links)
+
+  val domainRootFn: String => String = UrlTools.domainRoot
+
+  val rakeFn: String => Map[String, Float] = text => Rake.keywords(text)
+
+  // ---- the plan ----
+
+  /** Full enrichment: Dataset[WarcRecord] → url_resource DataFrame with
+    * the 18-column contract of SURVEY §1.2. */
+  def urlResources(records: Dataset[WarcRecord]): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+
+    val gunzipU = udf(gunzipText)
+    val headersU = udf(parseHeaders)
+    val parseU = udf(parseHtmlFn)
+    val absU = udf(absolutizeFn)
+    val domainU = udf(domainRootFn)
+    val rakeU = udf(rakeFn)
+
+    val df = records.toDF()
+      // F1 record-type filter (`src/main.rs:230-231`)
+      .filter($"version" =!= "0" &&
+        element_at($"header", "warc-type") === "response")
+      // header projections (`src/main.rs:233-244`)
+      .withColumn("url", coalesce(element_at($"header", "warc-target-uri"), lit("")))
+      .withColumn("size_bytes",
+        coalesce(element_at($"header", "uncompressed-content-length")
+          .cast("int"), lit(0)))
+      // P1 hostname from URL (`src/main.rs:51-52,245-248`)
+      .withColumn("hostname_from_url",
+        regexp_extract($"url", HostnamePattern, 1))
+      // F2 blacklist (`src/blacklist.rs`)
+      .filter(Blacklist.keep($"hostname_from_url", $"url"))
+      // S5 gunzip; corrupt → drop (`src/main.rs:287-302`)
+      .withColumn("decoded", gunzipU($"content"))
+      .filter($"decoded".isNotNull)
+      // P3 envelope split on "\n\r\n" (`src/main.rs:303-304,342`)
+      .withColumn("envelope", split($"decoded", "\n\r\n"))
+      .withColumn("headers", headersU(element_at($"envelope", 1)))
+      .withColumn("raw_html",
+        array_join(slice($"envelope", 2, Int.MaxValue), " "))
+      // P5 load_time (`src/main.rs:316-325`)
+      .withColumn("load_time",
+        (coalesce(element_at($"headers", "X-Funnelback-Total-Request-Time-MS")
+          .cast("float"), lit(0f)) / 1000f).cast("float"))
+      // P6 hostname override (`src/main.rs:326-332`)
+      .withColumn("hostname",
+        coalesce(element_at($"headers", "X-Funnelback-AA-Domain"),
+          $"hostname_from_url"))
+      // P2 domain root (`src/main.rs:333-339`)
+      .withColumn("domain_name", domainU($"hostname"))
+      // P7 GA tracker ids (`src/main.rs:344-355`)
+      .withColumn("google_analytics",
+        regexp_extract_all($"raw_html", lit(GaPattern), lit(0)))
+      // P8+F5 GA config minus plain pageviews (`src/main.rs:356-375`)
+      .withColumn("google_analytics_config",
+        filter(regexp_extract_all($"raw_html", lit(GaConfigPattern), lit(1)),
+          x => x =!= "\"send\", \"pageview\"" && x =!= "'send', 'pageview'"))
+      // F3 size guard around the parse cascade (`src/main.rs:376-381`)
+      .withColumn("html",
+        when($"size_bytes" > MaxParseBytes ||
+            length($"raw_html") > MaxParseBytes,
+          typedLit(HtmlResult.empty))
+          .otherwise(parseU($"raw_html")))
+      // P9 absolutize + canonicalize (`src/lib.rs:400-417`)
+      .withColumn("links", absU($"url", $"html.links"))
+      .withColumn("resource_urls", absU($"url", $"html.resource_urls"))
+      // P10 text join + parser-path whitespace collapse (`src/main.rs:384-386`)
+      .withColumn("text_content",
+        regexp_replace(array_join($"html.text", " "), "(\\s|\\\\n){2,}", ""))
+      .withColumn("headings_text", array_join($"html.headings_text", " "))
+      // P11 word count (`src/main.rs:468-471`)
+      .withColumn("word_count",
+        when(length(trim($"text_content")) === 0, 0)
+          .otherwise(size(split(trim($"text_content"), "\\s+"))))
+      // A1–A5 RAKE keywords (`src/lib.rs:386-399`)
+      .withColumn("keywords", rakeU($"text_content"))
+
+    df.select(
+      $"url", $"hostname", $"domain_name", $"size_bytes", $"load_time",
+      $"html.title".as("title"), $"text_content", $"headings_text",
+      $"word_count", $"links", $"resource_urls", $"keywords",
+      $"html.meta_tags".as("meta_tags"), $"headers",
+      $"google_analytics", $"google_analytics_config",
+      $"html.html_errors".as("html_errors"), $"source")
+  }
+
+  /** End-to-end job: WARC glob → url_resource files (SURVEY §3.1-3.2).
+    * Output is laid out for the warehouse contract K3 (`load.bat:1-10`):
+    * sorted within partitions by `domain_name` (the BigQuery clustering
+    * key) so per-domain scans prune row groups.
+    */
+  def run(spark: SparkSession, warcGlob: String, outPath: String,
+      format: String = "avro"): Unit = {
+    val out = urlResources(WarcSource.read(spark, warcGlob))
+      .sortWithinPartitions("domain_name")
+    format match {
+      case "avro" => AvroSink.write(out, outPath)
+      case f => out.write.mode("overwrite").format(f).save(outPath)
+    }
+  }
+}

@@ -1,0 +1,206 @@
+package graft.warc
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Tables
+import graft.rake.Rake
+
+/** Driver-checkable queries exercising the WARC pipeline operators
+  * (SURVEY.md §2) against the testdata.
+  *
+  * There is no WARC testdata, so each query first derives WARC bytes
+  * DETERMINISTICALLY from the `documents` parquet table (a pure
+  * per-partition transformation of driver-provided inputs), then runs the
+  * real engine operators on them. Because the synthesis is an exact
+  * function of `documents` rows, the DuckDB oracle can recompute every
+  * scalar output column directly from the base table — giving the full
+  * scan → filter → gunzip → envelope → parse → absolutize → project chain
+  * an exact end-to-end oracle.
+  */
+object WarcQueries {
+
+  /** Deterministic page synthesis — the single source of truth the oracle
+    * SQL mirrors. One HTTP response payload per document. */
+  def payloadFor(id: Long, text: String, lang: String): String = {
+    val host = s"docs${id % 50}.example.gov.au"
+    val ga = 10000 + id
+    val ms = (id % 5) * 1000
+    val headerBlock =
+      "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html\r\n" +
+        s"X-Funnelback-Total-Request-Time-MS: $ms\r\n" +
+        "X-Request-Id: a: b\r\n" +
+        (if (id % 7 == 0) s"X-Funnelback-AA-Domain: aa$host\r\n" else "")
+    val html =
+      s"""<html><head><title>Doc $id</title><meta name="lang" content="$lang">""" +
+        s"""<link href="/css/main.css"></head><body><h1>Heading $id</h1>""" +
+        s"""<p>$text</p><a href="/rel/$id">link</a><a href="#frag">skip</a>""" +
+        s"""<script src="/js/app.js">ga('create', 'UA-$ga-1'); """ +
+        s"""ga('send', 'pageview'); t=GTM-ABC123;</script></body></html>"""
+    headerBlock + "\r\n" + html
+  }
+
+  /** documents → multi-record WARC containers (one per partition), each
+    * prefixed with a `warcinfo` record (filtered by F1) and a corrupt-gzip
+    * record (dropped by S5) so the error-containment paths run. */
+  def warcFiles(spark: SparkSession, d: String): Dataset[(String, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select("doc_id", "text", "lang", "n_chars")
+      .as[(Long, String, String, Long)]
+      .mapPartitions { it =>
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(WarcSource.toWireFormat("warcinfo", "",
+          0, "software: graft".getBytes(StandardCharsets.UTF_8)))
+        out.write(WarcSource.toWireFormat("response",
+          "https://corrupt.example.gov.au/", 10, Array[Byte](0x1f, 0x7b, 1, 2)))
+        var n = 0
+        it.foreach { case (id, text, lang, nChars) =>
+          val url = s"https://docs${id % 50}.example.gov.au/page/$id"
+          val body = WarcSource.gzip(
+            payloadFor(id, text, lang).getBytes(StandardCharsets.UTF_8))
+          out.write(WarcSource.toWireFormat("response", url, nChars, body))
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator(("synth.warc", out.toByteArray))
+      }
+  }
+
+  /** w01: full pipeline end-to-end; every column oracle-recomputable. */
+  def w01_warc_pipeline(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Pipeline.urlResources(WarcSource.fromBytes(warcFiles(spark, d)))
+      .select(
+        $"url", $"hostname", $"domain_name",
+        $"size_bytes".cast("long").as("size_bytes"),
+        $"load_time", $"title", $"text_content", $"headings_text",
+        $"word_count".cast("long").as("word_count"),
+        array_join($"links", "|").as("links_joined"),
+        array_join($"resource_urls", "|").as("resources_joined"),
+        element_at($"meta_tags", "lang").as("meta_lang"),
+        element_at($"headers", "X-Request-Id").as("header_request_id"),
+        array_join($"google_analytics", "|").as("ga_joined"),
+        array_join($"google_analytics_config", "|").as("ga_config_joined"),
+        $"html_errors")
+      .orderBy($"url")
+  }
+
+  val w01Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, lang, n_chars,
+      |    'docs' || (doc_id % 50) || '.example.gov.au' AS host
+      |  FROM documents)
+      |SELECT
+      |  'https://' || host || '/page/' || doc_id AS url,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'aa' || host ELSE host END AS hostname,
+      |  'example.gov.au' AS domain_name,
+      |  n_chars AS size_bytes,
+      |  CAST(doc_id % 5 AS FLOAT) AS load_time,
+      |  'Doc ' || doc_id AS title,
+      |  'Heading ' || doc_id || ' ' || text || ' link skip' AS text_content,
+      |  'Heading ' || doc_id AS headings_text,
+      |  4 + len(string_split(text, ' ')) AS word_count,
+      |  'https://' || host || '/rel/' || doc_id AS links_joined,
+      |  'https://' || host || '/css/main.css|https://' || host || '/js/app.js' AS resources_joined,
+      |  lang AS meta_lang,
+      |  'a' AS header_request_id,
+      |  'UA-' || (10000 + doc_id) || '-1|GTM-ABC123' AS ga_joined,
+      |  '''create'', ''UA-' || (10000 + doc_id) || '-1''' AS ga_config_joined,
+      |  '' AS html_errors
+      |FROM d ORDER BY url""".stripMargin
+
+  /** w02: RAKE keyword extraction (A1–A5) over document text. Map output
+    * is not SQL-expressible → rows-only check; determinism pinned by
+    * ScalaTest golden specs instead. */
+  def w02_rake_keywords(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ranked = udf { text: String =>
+      val r = Rake.rankedKeywords(text)
+      (r.size, r.headOption.map(_._1).getOrElse(""),
+        r.headOption.map(_._2).getOrElse(0f))
+    }
+    Tables.documents(spark, d)
+      .withColumn("r", ranked($"text"))
+      .select($"doc_id", $"r._1".as("n_keywords"),
+        $"r._2".as("top_keyword"), $"r._3".as("top_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** w03: F2 blacklist as a pushdown-friendly Catalyst predicate. */
+  def w03_blacklist_filter(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val synth = Tables.documents(spark, d)
+      .withColumn("hostname",
+        when($"doc_id" % 6 === 0, "data.gov.au")
+          .when($"doc_id" % 6 === 1, "trove.nla.gov.au")
+          .when($"doc_id" % 6 === 2, "www.tenders.gov.au")
+          .otherwise(concat(lit("ok"), $"doc_id", lit(".gov.au"))))
+      .withColumn("url",
+        when($"doc_id" % 11 === 0,
+          concat(lit("https://"), $"hostname", lit("/sbs.com.au/news/x")))
+          .otherwise(concat(lit("https://"), $"hostname", lit("/p"))))
+    synth.filter(Blacklist.keep($"hostname", $"url"))
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct($"hostname").as("n_hosts"))
+  }
+
+  val w03Oracle: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0 THEN 'data.gov.au'
+      |         WHEN doc_id % 6 = 1 THEN 'trove.nla.gov.au'
+      |         WHEN doc_id % 6 = 2 THEN 'www.tenders.gov.au'
+      |         ELSE 'ok' || doc_id || '.gov.au' END AS hostname
+      |  FROM documents),
+      |s2 AS (
+      |  SELECT hostname,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'https://' || hostname || '/sbs.com.au/news/x'
+      |         ELSE 'https://' || hostname || '/p' END AS url
+      |  FROM s)
+      |SELECT COUNT(*) AS n_kept, COUNT(DISTINCT hostname) AS n_hosts
+      |FROM s2
+      |WHERE NOT (hostname IN ('data.gov.au','trove.nla.gov.au','www.tenders.gov.au')
+      |  OR url LIKE '%sbs.com.au/news%')""".stripMargin
+
+  /** w04: P12 regex fallback extraction on tag-soup pages the strict
+    * parser path would reject — title/body/href regexes from
+    * `src/main.rs:54-68`. */
+  def w04_fallback_extract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val fb = udf { (id: Long, text: String) =>
+      val soup = s"<html><title>Fallback $id</title><body class=x>" +
+        s"<div>$text</div><a class=c href=\"/a/$id\">Tail $id words here"
+      val r = HtmlParse.parseFallback(soup)
+      (r.title, r.text.mkString(" "), r.links.mkString("|"))
+    }
+    Tables.documents(spark, d)
+      .withColumn("r", fb($"doc_id", $"text"))
+      .select($"doc_id", $"r._1".as("fb_title"), $"r._2".as("fb_text"),
+        $"r._3".as("fb_links"))
+      .orderBy($"doc_id")
+  }
+
+  val w04Oracle: String =
+    """SELECT doc_id,
+      |  'Fallback ' || doc_id AS fb_title,
+      |  'Tail ' || doc_id || ' words here' AS fb_text,
+      |  '/a/' || doc_id AS fb_links
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w01_warc_pipeline" -> (w01_warc_pipeline _),
+    "w02_rake_keywords" -> (w02_rake_keywords _),
+    "w03_blacklist_filter" -> (w03_blacklist_filter _),
+    "w04_fallback_extract" -> (w04_fallback_extract _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w01_warc_pipeline" -> w01Oracle,
+    "w03_blacklist_filter" -> w03Oracle,
+    "w04_fallback_extract" -> w04Oracle,
+  )
+}

@@ -1,0 +1,176 @@
+package graft.warc
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** WARC container reading (SURVEY.md §2.1 S1/S5).
+  *
+  * The reference iterates a local `.warc` file record-at-a-time
+  * (`src/main.rs:199-204`); here the scan is a Spark `binaryFile` read of
+  * the glob followed by a per-file record split — each WARC file becomes
+  * one input partition and the splitter streams it without materializing
+  * more than one record at a time.
+  *
+  * Scale posture: `binaryFile` holds one whole file in memory per task,
+  * which is fine for the reference's ≤1 GB WARCs; the 100 TB path is many
+  * such files in parallel, so parallelism comes from the file count (the
+  * reference's stride-sharding, SURVEY §2.6 D4, dissolves into this).
+  * A record-boundary-splitting DataSourceV2 for huge single files is the
+  * known future item (SURVEY §7).
+  *
+  * Record grammar (ISO 28500): `WARC/<ver>\r\n` + `Key: Value` header
+  * lines + `\r\n` blank + `Content-Length` body bytes + `\r\n\r\n`.
+  * Header keys are case-insensitive (reference `CaseString`) — normalized
+  * to lowercase here. A malformed record yields the reference's sentinel
+  * `version == "0"` record (`src/main.rs:1-20`) so the downstream F1
+  * filter drops it instead of failing the task.
+  */
+object WarcSource {
+
+  /** Streaming split of one WARC container into records. */
+  def splitWarc(bytes: Array[Byte], source: String): Iterator[WarcRecord] =
+    splitWarc(new ByteArrayInputStream(bytes), source)
+
+  def splitWarc(in0: InputStream, source: String): Iterator[WarcRecord] = {
+    val in = new BufferedInputStream(in0, 1 << 16)
+
+    // Reads one CRLF- (or LF-) terminated line as ISO-8859-1; null at EOF.
+    def readLine(): String = {
+      val sb = new java.lang.StringBuilder(64)
+      var c = in.read()
+      if (c < 0) return null
+      while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+      val s = sb.toString
+      if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s.substring(0, s.length - 1) else s
+    }
+
+    def readFully(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) return java.util.Arrays.copyOf(buf, off)
+        off += r
+      }
+      buf
+    }
+
+    val sentinel = WarcRecord("0", Map.empty, Array.emptyByteArray, source)
+
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = null
+      private var done = false
+
+      private def advance(): Unit = {
+        if (done) return
+        // seek the next WARC/ magic line (skips inter-record blank lines)
+        var line = readLine()
+        while (line != null && !line.startsWith("WARC/")) line = readLine()
+        if (line == null) { done = true; return }
+        val version = line.substring(5)
+        var headers = Map.newBuilder[String, String]
+        var contentLength = -1
+        var h = readLine()
+        var bad = false
+        while (h != null && h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i > 0) {
+            val k = h.substring(0, i).trim.toLowerCase
+            val v = h.substring(i + 1).trim
+            headers += (k -> v)
+            if (k == "content-length")
+              contentLength = try v.toInt catch { case _: NumberFormatException => bad = true; -1 }
+          }
+          h = readLine()
+        }
+        if (h == null || bad || contentLength < 0) {
+          nextRec = sentinel
+          if (h == null) done = true
+          return
+        }
+        val body = readFully(contentLength)
+        nextRec =
+          if (body.length < contentLength) { done = true; sentinel }
+          else WarcRecord(version, headers.result(), body, source)
+      }
+
+      def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** S1 scan: glob of `.warc` files → Dataset[WarcRecord]. A trailing
+    * filename glob is split off and passed as `pathGlobFilter` (a literal
+    * glob path trips Spark 4's FileStreamSink metadata probe on local FS). */
+  def read(spark: SparkSession, glob: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val idx = glob.lastIndexOf('/')
+    val last = if (idx >= 0) glob.substring(idx + 1) else glob
+    val reader = spark.read.format("binaryFile")
+    val loaded =
+      if (last.contains("*") && idx > 0)
+        reader.option("pathGlobFilter", last).load(glob.substring(0, idx))
+      else reader.load(glob)
+    loaded
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        splitWarc(bytes, path.substring(path.lastIndexOf('/') + 1))
+      }
+  }
+
+  /** Split an already-loaded (source, bytes) dataset — used by the
+    * testdata-driven queries that synthesize WARC bytes from the
+    * `documents` table before exercising the real pipeline. */
+  def fromBytes(files: Dataset[(String, Array[Byte])]): Dataset[WarcRecord] = {
+    import files.sparkSession.implicits._
+    files.flatMap { case (src, bytes) => splitWarc(bytes, src) }
+  }
+
+  /** S5 per-record gzip decode — reference `src/main.rs:287-302`.
+    * Corrupt gzip → None (record dropped downstream, never fails task). */
+  def gunzip(bytes: Array[Byte]): Option[Array[Byte]] =
+    if (bytes == null || bytes.length < 2) None
+    else try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+      val out = new ByteArrayOutputStream(math.max(bytes.length * 4, 1 << 14))
+      val buf = new Array[Byte](1 << 16)
+      var r = in.read(buf)
+      while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** Serialize one record back to WARC wire format (used by tests and the
+    * documents→WARC synthesis; inverse of [[splitWarc]]). */
+  def toWireFormat(warcType: String, targetUri: String,
+      uncompressedLength: Long, body: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append("WARC-Type: ").append(warcType).append("\r\n")
+      .append("WARC-Target-URI: ").append(targetUri).append("\r\n")
+      .append("Uncompressed-Content-Length: ").append(uncompressedLength).append("\r\n")
+      .append("Content-Length: ").append(body.length).append("\r\n\r\n")
+      .toString.getBytes(StandardCharsets.ISO_8859_1)
+    val out = new Array[Byte](head.length + body.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+}

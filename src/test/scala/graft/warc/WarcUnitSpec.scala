@@ -1,0 +1,183 @@
+package graft.warc
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rake.{Rake, Stopwords}
+
+/** Unit specs for the non-Spark core of the WARC pipeline (SURVEY.md §5:
+  * per-operator tests mirroring the reference's `tests/lib-tests.rs`). */
+class WarcUnitSpec extends AnyFunSuite {
+
+  // ---- S1 WARC split ----
+
+  test("splitWarc roundtrips records written by toWireFormat") {
+    val b1 = "hello world".getBytes(StandardCharsets.UTF_8)
+    val b2 = Array[Byte](0, 1, 2, 3, -1)
+    val bytes = WarcSource.toWireFormat("response", "http://a/", 11, b1) ++
+      WarcSource.toWireFormat("metadata", "http://b/", 5, b2)
+    val recs = WarcSource.splitWarc(bytes, "t.warc").toList
+    assert(recs.map(_.version) == List("1.0", "1.0"))
+    assert(recs.head.header("warc-type") == "response")
+    assert(recs.head.header("warc-target-uri") == "http://a/")
+    assert(recs.head.header("uncompressed-content-length") == "11")
+    assert(new String(recs.head.content, StandardCharsets.UTF_8) == "hello world")
+    assert(recs(1).content.toSeq == b2.toSeq)
+    assert(recs.forall(_.source == "t.warc"))
+  }
+
+  test("splitWarc yields sentinel version=0 on truncated record") {
+    val good = WarcSource.toWireFormat("response", "http://a/", 3, "abc".getBytes)
+    val bad = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999\r\n\r\nshort"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val recs = WarcSource.splitWarc(good ++ bad, "t.warc").toList
+    assert(recs.map(_.version) == List("1.0", "0"))
+  }
+
+  // ---- S5 gzip ----
+
+  test("gunzip roundtrips and rejects corrupt input") {
+    val data = ("x" * 10000).getBytes(StandardCharsets.UTF_8)
+    assert(WarcSource.gunzip(WarcSource.gzip(data)).get.toSeq == data.toSeq)
+    assert(WarcSource.gunzip(Array[Byte](0x1f, 0x0b, 1)).isEmpty)
+    assert(WarcSource.gunzip(Array.emptyByteArray).isEmpty)
+  }
+
+  // ---- §2.4 HTML parse ----
+
+  test("parse extracts title, meta precedence, links, resources, headings") {
+    val html =
+      """<html><head><title>My &amp; Title</title>
+        |<meta name="description" content="desc">
+        |<meta http-equiv="refresh" content="30">
+        |<meta property="og:title" content="OG">
+        |<link href="/style.css"></head>
+        |<body><h1>Big <b>Heading</b></h1><p>Some body text.</p>
+        |<a href="/page1">one</a><a href="#frag">skip</a><a href="_tpl">skip2</a>
+        |<script src="/app.js">var hidden = 1;</script>
+        |<style>.x{color:red}</style>
+        |<noscript>no js text</noscript>
+        |<img src="/logo.png">
+        |</body></html>""".stripMargin
+    val r = HtmlParse.parse(html)
+    assert(r.ok)
+    assert(r.title == "My & Title")
+    assert(r.meta_tags == Map("description" -> "desc", "refresh" -> "30",
+      "og:title" -> "OG"))
+    assert(r.links == Seq("/page1"))
+    assert(r.resource_urls == Seq("/style.css", "/app.js", "/logo.png"))
+    assert(r.headings_text == Seq("Big Heading"))
+    assert(r.text.contains("Some body text."))
+    // suppressed contexts never leak into body text
+    assert(!r.text.exists(_.contains("hidden")))
+    assert(!r.text.exists(_.contains("color")))
+    assert(!r.text.exists(_.contains("no js")))
+    assert(!r.text.exists(_.contains("Title")))
+  }
+
+  test("parse is lenient on tag soup and empty input") {
+    assert(HtmlParse.parse("") == HtmlResult.empty)
+    val r = HtmlParse.parse("<div><p>unclosed <a href='/x'>text")
+    assert(r.ok && r.links == Seq("/x") && r.text.nonEmpty)
+    // 5 < 6 math in text must not be eaten as a tag
+    val r2 = HtmlParse.parse("<body>5 < 6 is true</body>")
+    assert(r2.text.mkString(" ").contains("<"))
+  }
+
+  test("meta precedence is name over http-equiv over itemprop over property") {
+    val r = HtmlParse.parse(
+      """<meta name="k" http-equiv="e" content="v1">
+        |<meta itemprop="i" property="p" content="v2">""".stripMargin)
+    assert(r.meta_tags == Map("k" -> "v1", "i" -> "v2"))
+  }
+
+  // ---- P12 fallback ----
+
+  test("fallback regex path extracts title, trailing text, hrefs") {
+    val soup = "<html><title>T</title><body class=x><div>mid</div>" +
+      "<a class=c href=\"/a/1\">tail text"
+    val r = HtmlParse.parseFallback(soup)
+    assert(r.title == "T")
+    assert(r.text == Seq("tail text"))
+    assert(r.links == Seq("/a/1"))
+  }
+
+  // ---- P9 absolutize ----
+
+  test("absolutize resolves, cleans, sorts, dedups") {
+    val out = UrlTools.absolutize("https://ex.gov.au/dir/page.html",
+      Seq("b.html", "/root.html", "https://other.com", "b.html",
+        "\"quoted.html\"", "bad url %zz"))
+    assert(out.contains("https://ex.gov.au/dir/b.html"))
+    assert(out.contains("https://ex.gov.au/root.html"))
+    assert(out.contains("https://other.com/")) // bare authority gets /
+    assert(out.contains("https://ex.gov.au/dir/quoted.html")) // quotes stripped
+    assert(out == out.sorted && out.distinct == out)
+  }
+
+  test("absolutize strips trailing %XX and entities per reference regex") {
+    val out = UrlTools.absolutize("https://ex.gov.au/",
+      Seq("page%20", "x&quot;y", "“z"))
+    assert(out == Seq("https://ex.gov.au/page", "https://ex.gov.au/xy",
+      "https://ex.gov.au/z").sorted)
+  }
+
+  // ---- P2 domain root ----
+
+  test("domainRoot handles 2-level public suffixes and plain TLDs") {
+    assert(UrlTools.domainRoot("www.finance.gov.au") == "finance.gov.au")
+    assert(UrlTools.domainRoot("a.b.example.com.au") == "example.com.au")
+    assert(UrlTools.domainRoot("www.example.com") == "example.com")
+    assert(UrlTools.domainRoot("example.org") == "example.org")
+    assert(UrlTools.domainRoot("localhost") == "localhost")
+    assert(UrlTools.domainRoot("127.0.0.1") == "127.0.0.1")
+    assert(UrlTools.domainRoot("") == "")
+  }
+
+  // ---- F2 blacklist ----
+
+  test("blacklist matches hosts, urls, and substrings") {
+    assert(Blacklist.onBlacklist("data.gov.au", "https://data.gov.au/x"))
+    assert(Blacklist.onBlacklist("ok.gov.au",
+      "https://www.sbs.com.au/news/article"))
+    assert(!Blacklist.onBlacklist("finance.gov.au", "https://finance.gov.au/"))
+  }
+
+  // ---- P4 header parse ----
+
+  test("parseHeaders skips status line and truncates at second ': '") {
+    val m = Pipeline.parseHeaders(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-Odd: a: b: c\r\nNoColon\r\n")
+    assert(m == Map("Content-Type" -> "text/html", "X-Odd" -> "a"))
+  }
+
+  // ---- RAKE ----
+
+  test("rake segments phrases at stopwords and punctuation") {
+    val phrases = Rake.candidatePhrases(
+      "Compatibility of systems of linear constraints", Stopwords.english)
+    assert(phrases == Seq(Vector("compatibility"),
+      Vector("systems"), Vector("linear", "constraints")))
+  }
+
+  test("rake scores: solo words 1.0, pair words 2.0, phrase sums") {
+    val kw = Rake.keywords("linear constraints. linear constraints. solo")
+    // freq(linear)=2, degree=2 → score 2.0; same for constraints; solo → 1.0
+    assert(kw("linear constraints") == 4.0f)
+    assert(kw("solo") == 1.0f)
+  }
+
+  test("rake excludes numbers from scoring but keeps them in phrases") {
+    val kw = Rake.keywords("version 42 released")
+    // "version 42 released" is one phrase; 42 contributes 0
+    val key = kw.keys.find(_.contains("42"))
+    assert(key.isDefined)
+    assert(Rake.isNumber("42") && Rake.isNumber("-1.5") && !Rake.isNumber("v42"))
+  }
+
+  test("rake stopwords never appear in keyword keys") {
+    val kw = Rake.keywords("the quick brown fox jumps over the lazy dog")
+    assert(kw.keys.forall(k => !k.split(" ").exists(Stopwords.english.contains)))
+  }
+}

@@ -1,0 +1,282 @@
+package graft.dedup
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Tables
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard (embedding near-dup lives in
+  * `graft.sim`).
+  *
+  * The testdata `documents` table has no duplicates, so each query first
+  * PLANTS deterministic duplicates/near-duplicates (doc_id + 100000,
+  * exact copy or last-token-dropped copy) — a pure function of the base
+  * table, so oracles can state the expected pair set exactly and recall
+  * of the probabilistic methods is measurable.
+  *
+  * Scale shapes (100 TB posture):
+  *  - exact dedup = hash aggregate on a digest — one shuffle on md5.
+  *  - MinHash LSH = signature UDF (map-side) → explode bands → shuffle
+  *    on (band, bucket) → per-bucket pairs → verify join. No all-pairs
+  *    product anywhere; cost is bounded by bucket sizes.
+  *  - SimHash = 64-bit signature, pigeonhole banding (4×16 bits ⇒ any
+  *    pair within hamming ≤3 shares a band) → same bucket-join shape.
+  *  - n-gram Jaccard = inverted-index self-join on shingles (explode →
+  *    shuffle on shingle → pair counts). Exact, and the one to prefilter
+  *    with MinHash when corpus size makes |pairs| explode.
+  */
+object DedupOps {
+
+  val Shift = 100000L
+
+  /** documents ∪ exact copies (ids shifted). */
+  def withExactDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.select((col("doc_id") + Shift).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-dup copies: last whitespace token dropped. */
+  def withNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val toks = split(trim(col("text")), "\\s+")
+    val dropped = array_join(slice(toks, lit(1), size(toks) - 1), " ")
+    docs.unionByName(docs.select((col("doc_id") + Shift).as("doc_id"),
+      dropped.as("text")))
+  }
+
+  /** d01: exact dedup via digest group-by. */
+  def d01_exact_dedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withExactDups(s, d)
+      .groupBy(md5($"text").as("digest"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper_id"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum($"n_copies").as("n_rows"),
+        sum(when($"n_copies" > 1, $"n_copies" - 1).otherwise(0L))
+          .as("n_redundant"),
+        sum($"keeper_id").as("keeper_id_sum"))
+  }
+
+  val d01Oracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+      |g AS (SELECT md5(text) AS digest, COUNT(*) AS n_copies,
+      |        MIN(doc_id) AS keeper_id
+      |      FROM all_docs GROUP BY 1)
+      |SELECT COUNT(*) AS n_groups, SUM(n_copies) AS n_rows,
+      |  SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_redundant,
+      |  SUM(keeper_id) AS keeper_id_sum
+      |FROM g""".stripMargin
+
+  // ---- shingling + signatures (shared scalar core) ----
+
+  def shingles(text: String, k: Int = 3): Set[String] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < k) Set(toks.mkString(" "))
+    else toks.sliding(k).map(_.mkString(" ")).toSet
+  }
+
+  /** 64-permutation MinHash signature via seeded murmur3. */
+  def minhash(sh: Set[String], nPerm: Int = 64): Array[Int] = {
+    val sig = Array.fill(nPerm)(Int.MaxValue)
+    sh.foreach { g =>
+      var i = 0
+      while (i < nPerm) {
+        val h = MurmurHash3.stringHash(g, i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  def jaccard(a: Set[String], b: Set[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val common = a.count(b.contains)
+    common.toDouble / (a.size + b.size - common)
+  }
+
+  /** 64-bit SimHash over token 3-grams. */
+  def simhash(sh: Set[String]): Long = {
+    val acc = new Array[Int](64)
+    sh.foreach { g =>
+      val h = MurmurHash3.stringHash(g, 0x9747b28c).toLong << 32 |
+        (MurmurHash3.stringHash(g, 0x85ebca6b).toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** d02: MinHash + banded LSH candidate generation, exact-Jaccard
+    * verification at 0.8. 32 bands × 2 rows ⇒ a J=0.8 pair misses every
+    * band with p = (1-0.64)^32 ≈ 6e-15, so the confirmed set equals the
+    * exact-Jaccard answer (which the oracle recomputes in SQL) — the
+    * corpus contains both planted near-dups and natural ones. */
+  def d02_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nBands = 32
+    val rowsPerBand = 2
+    val sigU = udf { text: String =>
+      val sig = minhash(shingles(text))
+      (0 until nBands).map { b =>
+        var h = b
+        var i = 0
+        while (i < rowsPerBand) { h = h * 31 + sig(b * rowsPerBand + i); i += 1 }
+        h
+      }
+    }
+    val docs = withNearDups(s, d).withColumn("bands", sigU($"text"))
+    val buckets = docs.select($"doc_id",
+        posexplode($"bands").as(Seq("band", "bucket")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    val texts = docs.select($"doc_id", $"text")
+    val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
+    val verified = cand
+      .join(texts.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("j", jacU($"text_a", $"text_b"))
+      .filter($"j" >= 0.8)
+    verified.agg(
+      count(lit(1)).as("n_confirmed"),
+      sum(when($"id_b" === $"id_a" + Shift, 1L).otherwise(0L))
+        .as("n_planted_found"))
+  }
+
+  val d02Oracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
+      |      len(string_split_regex(trim(text), '\s+')) - 1)
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+      |         ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
+      |  FROM all_docs,
+      |    UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |confirmed AS (
+      |  SELECT id_a, id_b FROM pairs
+      |    JOIN sizes sa ON sa.doc_id = id_a
+      |    JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8)
+      |SELECT COUNT(*) AS n_confirmed,
+      |  SUM(CASE WHEN id_b = id_a + 100000 THEN 1 ELSE 0 END) AS n_planted_found
+      |FROM confirmed""".stripMargin
+
+  /** d03: SimHash near-dup with pigeonhole banding (4×16 bits finds every
+    * pair within hamming distance 3; verification bound 6 since planted
+    * dups differ in few shingles). */
+  def d03_simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val simU = udf { text: String => simhash(shingles(text)) }
+    val docs = withNearDups(s, d).withColumn("sig", simU($"text"))
+    val banded = docs.select($"doc_id", $"sig",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          ($"sig".bitwiseAND(lit(0xffffL << (b * 16)))).as("bits"))): _*))
+        .as("bb"))
+      .select($"doc_id", $"sig", $"bb.band", $"bb.bits")
+    val hamU = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
+      .distinct()
+      .withColumn("hamming", hamU($"sig_a", $"sig_b"))
+      .filter($"hamming" <= 6)
+      .agg(count(lit(1)).as("n_confirmed"),
+        sum(when($"id_b" === $"id_a" + Shift, 1L).otherwise(0L))
+          .as("n_planted_found"))
+  }
+
+  /** d04: exact n-gram Jaccard via inverted-index self-join — no
+    * signatures, no all-pairs product; fully SQL-expressible so the
+    * oracle recomputes it end-to-end. */
+  def d04_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val shingleU = udf { text: String => shingles(text).toSeq }
+    val docs = withNearDups(s, d)
+      .select($"doc_id", explode(shingleU($"text")).as("shingle"))
+    val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = docs.as("a").join(docs.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        $"common".cast("double") / ($"n_a" + $"n_b" - $"common").cast("double"))
+      .filter($"jaccard" >= 0.6)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val d04Oracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
+      |      len(string_split_regex(trim(text), '\s+')) - 1)
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+      |         ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
+      |  FROM all_docs,
+      |    UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+      |FROM pairs
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01_exact_dedup _),
+    "d02_minhash_lsh" -> (d02_minhash_lsh _),
+    "d03_simhash" -> (d03_simhash _),
+    "d04_ngram_jaccard" -> (d04_ngram_jaccard _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Oracle,
+    "d02_minhash_lsh" -> d02Oracle,
+    "d04_ngram_jaccard" -> d04Oracle,
+  )
+}

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference's only "stream" is a sequential file iterator (SURVEY.md
+  * §1.1); the Spark engine exposes real incremental processing:
+  * `readStream` → event-time watermark → windowed aggregation →
+  * `writeStream`. Queries run with `Trigger.AvailableNow` against the
+  * events parquet so results are deterministic and oracle-checkable —
+  * the same plan run continuously is the production shape.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS): read as long (legacy conf,
+  * same as `Tables.events`) and truncated to micros.
+  */
+object StreamingOps {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** st01: streaming tumbling-window aggregation with a watermark,
+    * drained with AvailableNow into a memory sink. */
+  def st01_stream_window(s: SparkSession, d: String): DataFrame = {
+    val name = s"st01_sink_${System.nanoTime()}"
+    val q = streamEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("hour", "event_type")
+  }
+
+  val st01Oracle: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** st02: session windows (30-minute inactivity gap) per user — the
+    * state-merging operator family; batch execution here, identical
+    * semantics under `readStream`. Oracle = gaps-and-islands SQL. */
+  def st02_session_window(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.analytics.Tables.events(s, d)
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val st02Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+      |              >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM e),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+      |  MAX(n_events) AS max_session_events
+      |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- custom state: flatMapGroupsWithState sessionization ----
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, total_value: Double)
+
+  /** Session accumulator for [[flatMapSessionize]]: merges events within
+    * `gapMs`, emits a session when the gap is exceeded or the group times
+    * out. The streaming twin of [[st02_session_window]] with arbitrary
+    * per-session state (event count + value sum) — the
+    * `flatMapGroupsWithState` pattern for state Spark's built-in windows
+    * can't hold. */
+  def sessionStep(gapMs: Long)(
+      userId: Long,
+      events: Iterator[Event],
+      state: org.apache.spark.sql.streaming.GroupState[SessionState])
+      : Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var cur = state.getOption
+    val out = Seq.newBuilder[SessionOut]
+    if (state.hasTimedOut) {
+      cur.foreach(c => out += SessionOut(userId, c.start, c.last, c.n, c.total))
+      state.remove()
+      cur = None
+    }
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(c) if t - c.last < gapMs =>
+          cur = Some(SessionState(c.start, math.max(c.last, t), c.n + 1,
+            c.total + e.value))
+        case Some(c) =>
+          out += SessionOut(userId, c.start, c.last, c.n, c.total)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    cur match {
+      case Some(c) =>
+        state.update(c)
+        state.setTimeoutTimestamp(c.last + gapMs)
+      case None =>
+    }
+    out.result().iterator
+  }
+
+  /** Streaming sessionization over any Dataset[Event] stream. */
+  def flatMapSessionize(events: org.apache.spark.sql.Dataset[Event],
+      gapMs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionStep(gapMs))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_stream_window" -> (st01_stream_window _),
+    "st02_session_window" -> (st02_session_window _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st01_stream_window" -> st01Oracle,
+    "st02_session_window" -> st02Oracle,
+  )
+}

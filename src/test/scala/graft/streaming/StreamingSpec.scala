@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import StreamingOps.{Event, SessionOut}
+
+/** Drives the flatMapGroupsWithState sessionizer through a real
+  * incremental stream (MemoryStream, multiple micro-batches, watermark
+  * advancing) — the semantics a batch test cannot cover. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("streaming-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // offset from epoch: a row at exactly the initial watermark (t=0) is
+  // discarded as late by the stateful operator
+  private val Base = 1000L * 60000L
+  private def ts(minutes: Long) = new Timestamp(Base + minutes * 60000L)
+
+  test("flatMapGroupsWithState sessionizes across micro-batches") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Event]
+    val gapMs = 10 * 60000L // 10 min session gap
+    val sessions = StreamingOps.flatMapSessionize(input.toDS(), gapMs)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 5 min apart (one session so far)
+      input.addData(Event(1, ts(0), 1.0), Event(1, ts(5), 2.0))
+      q.processAllAvailable()
+      // batch 2: a gap > 10 min for user 1 closes session 1 inline;
+      // user 2 starts its own session
+      input.addData(Event(1, ts(30), 5.0), Event(2, ts(31), 7.0))
+      q.processAllAvailable()
+      // batch 3: push watermark far ahead so event-time timeout fires
+      // and the open sessions flush
+      input.addData(Event(3, ts(500), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(1000), 0.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_out").as[SessionOut].collect()
+        .sortBy(s => (s.user_id, s.start_ms))
+      info(out.mkString("; "))
+      val u1 = out.filter(_.user_id == 1)
+      assert(u1.length == 2)
+      assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+      assert(u1(0).start_ms == Base && u1(0).end_ms == Base + 5 * 60000L)
+      assert(u1(1).n_events == 1 && u1(1).total_value == 5.0)
+      val u2 = out.filter(_.user_id == 2)
+      assert(u2.length == 1 && u2(0).n_events == 1 && u2(0).total_value == 7.0)
+    } finally q.stop()
+  }
+}

@@ -7,6 +7,11 @@ object Dev {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-dev")
     if (args.headOption.contains("warc-e2e")) { warcE2e(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("sql")) {
+      spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("embeddings")
+      spark.sql(args(1)).show(10, false)
+      spark.stop(); return
+    }
     val names = if (args.isEmpty) Seq("q05_multi_join") else args.toSeq
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, sfDir)

@@ -8,7 +8,8 @@ object SparkEntry {
     Relational.q05_multi_join(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ graft.warc.WarcQueries.queries ++
+    Relational.queries ++ Relational2.queries ++
+      graft.warc.WarcQueries.queries ++
       graft.text.TextOps.queries ++ graft.dedup.DedupOps.queries ++
       graft.sim.SimilarityOps.queries ++
       graft.multimodal.MultimodalOps.queries ++
@@ -16,7 +17,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ graft.warc.WarcQueries.oracle ++
+    Relational.oracle ++ Relational2.oracle ++
+      graft.warc.WarcQueries.oracle ++
       graft.text.TextOps.oracle ++ graft.dedup.DedupOps.oracle ++
       graft.sim.SimilarityOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++

@@ -1,0 +1,231 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second tranche of the relational surface: grouping sets/cube, pivot,
+  * full-outer/cross joins, subqueries, lateral explode, JSON extraction,
+  * exact-arithmetic statistics, discrete percentiles.
+  *
+  * Float determinism: multi-pass statistics (corr/stddev) are computed
+  * from DECIMAL-exact component sums and combined with an identical
+  * double formula on both engines (IEEE ops + correctly-rounded sqrt ⇒
+  * bit-equal results), never from the engines' own one-pass aggregates.
+  */
+object Relational2 {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def asDbl(c: Column): Column = c.cast("double")
+
+  // q17: JSON extraction from the events props column.
+  def q17_json_extract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // per-row JSON parse dominates; spread it
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val q17Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q18: cube (all grouping-set combinations).
+  def q18_cube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        asDbl(sum(dec($"o_totalprice"))).as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q18Oracle: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // q19: pivot event types into columns per user-id bucket.
+  def q19_pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .withColumn("user_bucket", $"user_id" % 10)
+      .groupBy($"user_bucket")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_bucket")
+  }
+
+  val q19Oracle: String =
+    """SELECT user_id % 10 AS user_bucket,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q20: full outer join — per-nation customer vs supplier presence.
+  def q20_full_outer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d).groupBy($"c_nationkey".as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+      .filter($"nk" % 3 =!= 0) // make each side partially missing
+    val supp = Tables.supplier(s, d).groupBy($"s_nationkey".as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+      .filter($"nk" % 4 =!= 0)
+    cust.join(supp, Seq("nk"), "full_outer")
+      .select($"nk", coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nk")
+  }
+
+  val q20Oracle: String =
+    """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+      |           GROUP BY 1 HAVING (c_nationkey % 3) <> 0),
+      |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+      |      GROUP BY 1 HAVING (s_nationkey % 4) <> 0)
+      |SELECT COALESCE(c.nk, s.nk) AS nk, COALESCE(n_cust, 0) AS n_cust,
+      |  COALESCE(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk""".stripMargin
+
+  // q21: cross join (small × small).
+  def q21_cross_join(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val statuses = Tables.orders(s, d).select($"o_orderstatus").distinct()
+    Tables.region(s, d).select($"r_name").crossJoin(statuses)
+      .orderBy($"r_name", $"o_orderstatus")
+  }
+
+  val q21Oracle: String =
+    """SELECT r_name, o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+      |ORDER BY r_name, o_orderstatus""".stripMargin
+
+  // q22: scalar subquery + IN subquery.
+  def q22_subqueries(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM g_orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+        |  (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM g_orders)
+        | AND o_custkey IN (SELECT c_custkey FROM g_customer
+        |                   WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val q22Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+      |  (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+      | AND o_custkey IN (SELECT c_custkey FROM customer
+      |                   WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q23: lateral explode — corpus-wide token frequencies, top 20.
+  def q23_explode_tokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // explode fan-out off a single-row-group scan
+      .select(explode(split(trim($"text"), "\\s+")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
+  val q23Oracle: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  // q24: correlation/stddev from decimal-exact component sums.
+  def q24_exact_stats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val x = dec($"l_quantity")
+    val y = dec($"l_extendedprice")
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        asDbl(sum(x)).as("sx"), asDbl(sum(y)).as("sy"),
+        asDbl(sum(x * y)).as("sxy"),
+        asDbl(sum(x * x)).as("sxx"), asDbl(sum(y * y)).as("syy"))
+      .select($"l_returnflag",
+        (($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+            sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"),
+        (sqrt(($"n" * $"sxx" - $"sx" * $"sx")) / $"n").as("stddev_pop_scaled"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q24Oracle: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+      |  sqrt(n * sxx - sx * sx) / n AS stddev_pop_scaled
+      |FROM a ORDER BY 1""".stripMargin
+
+  // q25: discrete percentiles (actual data values — no interpolation).
+  def q25_percentile_disc(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    Tables.orders(s, d).createOrReplaceTempView("g_orders_p")
+    spark.sql(
+      """SELECT o_orderstatus,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        |FROM g_orders_p GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val q25Oracle: String =
+    """SELECT o_orderstatus,
+      |  quantile_disc(o_totalprice, 0.5) AS p50,
+      |  quantile_disc(o_totalprice, 0.9) AS p90
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_json_extract" -> (q17_json_extract _),
+    "q18_cube" -> (q18_cube _),
+    "q19_pivot" -> (q19_pivot _),
+    "q20_full_outer" -> (q20_full_outer _),
+    "q21_cross_join" -> (q21_cross_join _),
+    "q22_subqueries" -> (q22_subqueries _),
+    "q23_explode_tokens" -> (q23_explode_tokens _),
+    "q24_exact_stats" -> (q24_exact_stats _),
+    "q25_percentile_disc" -> (q25_percentile_disc _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q17_json_extract" -> q17Oracle,
+    "q18_cube" -> q18Oracle,
+    "q19_pivot" -> q19Oracle,
+    "q20_full_outer" -> q20Oracle,
+    "q21_cross_join" -> q21Oracle,
+    "q22_subqueries" -> q22Oracle,
+    "q23_explode_tokens" -> q23Oracle,
+    "q24_exact_stats" -> q24Oracle,
+    "q25_percentile_disc" -> q25Oracle,
+  )
+}

@@ -32,15 +32,22 @@ object DedupOps {
 
   val Shift = 100000L
 
+  /** The testdata is a single parquet row group ⇒ one scan task; the
+    * signature UDFs downstream are the expensive part, so spread rows
+    * across the cluster first (at production scale parallelism comes
+    * from the file count and this repartition is a no-op cost-wise). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** documents ∪ exact copies (ids shifted). */
   def withExactDups(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
     docs.unionByName(docs.select((col("doc_id") + Shift).as("doc_id"), col("text")))
   }
 
   /** documents ∪ near-dup copies: last whitespace token dropped. */
   def withNearDups(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
     val toks = split(trim(col("text")), "\\s+")
     val dropped = array_join(slice(toks, lit(1), size(toks) - 1), " ")
     docs.unionByName(docs.select((col("doc_id") + Shift).as("doc_id"),
@@ -136,7 +143,9 @@ object DedupOps {
         h
       }
     }
-    val docs = withNearDups(s, d).withColumn("bands", sigU($"text"))
+    // the signature subtree feeds three consumers (buckets + both text
+    // joins) — persist so the UDF chain runs once, not per consumer
+    val docs = withNearDups(s, d).withColumn("bands", sigU($"text")).persist()
     val buckets = docs.select($"doc_id",
         posexplode($"bands").as(Seq("band", "bucket")))
     val cand = buckets.as("a")
@@ -194,7 +203,7 @@ object DedupOps {
   def d03_simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val simU = udf { text: String => simhash(shingles(text)) }
-    val docs = withNearDups(s, d).withColumn("sig", simU($"text"))
+    val docs = withNearDups(s, d).withColumn("sig", simU($"text")).persist()
     val banded = docs.select($"doc_id", $"sig",
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -221,8 +230,9 @@ object DedupOps {
   def d04_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val shingleU = udf { text: String => shingles(text).toSeq }
+    // exploded shingle index is read three times (sizes + both join sides)
     val docs = withNearDups(s, d)
-      .select($"doc_id", explode(shingleU($"text")).as("shingle"))
+      .select($"doc_id", explode(shingleU($"text")).as("shingle")).persist()
     val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = docs.as("a").join(docs.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")

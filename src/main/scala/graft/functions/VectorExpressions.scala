@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSessionExtensions}
+
+/** Native Catalyst expressions for vector math over `array<float>`
+  * embedding columns.
+  *
+  * A Scala UDF pays per-row serialization: each 64-float array is copied
+  * out of Tungsten format into a boxed Seq[Float] before the lambda runs.
+  * These expressions read `ArrayData` in place inside whole-stage codegen
+  * (`doGenCode` emits a static call on the unconverted columnar value) —
+  * the hot loop of brute-force similarity search stays inside the
+  * generated stage with zero boxing. SURVEY.md §2.7 note: the reference
+  * needs no custom expressions; these exist for the engine's
+  * similarity-search extension where the UDF tax is measurable.
+  */
+object VectorOps {
+  /** Cosine similarity over two float vectors, accumulated in double
+    * (index order, so results are bit-stable across engines/plans). */
+  def cosineArrayData(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def dotArrayData(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
+    dot
+  }
+}
+
+abstract class BinaryVectorExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+}
+
+/** `cosine_sim(array<float>, array<float>) -> double`, codegen'd. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineArrayData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOps.cosineArrayData($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** `dot_product(array<float>, array<float>) -> double`, codegen'd. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotArrayData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOps.dotArrayData($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_product"
+}
+
+/** Column-API entry points. */
+object GraftFunctions {
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** SQL registration via SparkSessionExtensions — enables
+  * `SELECT cosine_sim(a, b)` with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

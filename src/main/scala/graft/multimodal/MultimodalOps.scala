@@ -38,6 +38,7 @@ object MultimodalOps {
   def m01_media_decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id".as("media_id"),
         encode($"text", "UTF-8").as("content"),
         struct(lit("image/fake").as("mime"), $"source".as("origin"))
@@ -73,6 +74,7 @@ object MultimodalOps {
   def m02_frame_sample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("content"))
     val frames = media.as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>

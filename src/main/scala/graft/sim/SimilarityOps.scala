@@ -66,12 +66,11 @@ object SimilarityOps {
     val queries = emb.filter($"vec_id" < 10)
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "q_emb")
-    val cosU = udf(cosine _)
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id")
     emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", cosU($"q_emb", $"embedding"))
+      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
@@ -99,6 +98,7 @@ object SimilarityOps {
   def withNearDups(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism)
     val perturb = udf { v: Seq[Float] =>
       if (v.isEmpty) v else (v.head + 0.05f) +: v.tail
     }
@@ -120,19 +120,19 @@ object SimilarityOps {
         (b.toLong << 32) | ((sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1)))
     }
     val docs = withNearDups(s, d).withColumn("bands", bandsU($"embedding"))
+      .persist()
     val buckets = docs.select($"vec_id", explode($"bands").as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
       .distinct()
     val vecs = docs.select($"vec_id", $"embedding")
-    val cosU = udf(cosine _)
     cand
       .join(vecs.withColumnRenamed("vec_id", "id_a")
         .withColumnRenamed("embedding", "emb_a"), "id_a")
       .join(vecs.withColumnRenamed("vec_id", "id_b")
         .withColumnRenamed("embedding", "emb_b"), "id_b")
-      .withColumn("cos", cosU($"emb_a", $"emb_b"))
+      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"emb_a", $"emb_b"))
       .filter($"cos" >= 0.9)
       .select($"id_a", $"id_b")
       .orderBy($"id_a", $"id_b")
@@ -151,6 +151,7 @@ object SimilarityOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism)
     val nBands = 16
     val bitsPerBand = 4
     val planes = hyperplanes(nBands * bitsPerBand, 64)
@@ -161,15 +162,14 @@ object SimilarityOps {
     }
     val banded = emb.withColumn("bands", bandsU($"embedding"))
     val buckets = banded.select($"vec_id", $"embedding",
-      explode($"bands").as("bucket"))
+      explode($"bands").as("bucket")).persist()
     val queries = buckets.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
-    val cosU = udf(cosine _)
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     val approx = buckets.join(queries,
         Seq("bucket")).filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"q_emb", $"embedding").distinct()
-      .withColumn("cos", cosU($"q_emb", $"embedding"))
+      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"query_id", $"vec_id")

@@ -122,6 +122,7 @@ object TextOps {
     import s.implicits._
     val lid = udf(detectLang _)
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // UDF-bound; spread the single-row-group scan
       .withColumn("predicted", lid($"text"))
       .groupBy($"lang", $"predicted")
       .agg(count(lit(1)).as("n_docs"))
@@ -146,6 +147,7 @@ object TextOps {
     import s.implicits._
     val fp = udf { text: String => val (a, b) = fingerprint(text); (a, b) }
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("fp", fp($"text"))
       .select($"doc_id", $"fp._1".as("rolling_hash"), $"fp._2".as("min_shingle"))
       .orderBy($"doc_id")

@@ -147,6 +147,11 @@ object Pipeline {
     */
   def run(spark: SparkSession, warcGlob: String, outPath: String,
       format: String = "avro"): Unit = {
+    // S3 idempotency probe (`src/lib.rs:155-169`): skip the whole unit of
+    // work when the output already exists — restartable at file granularity.
+    val hadoopPath = new org.apache.hadoop.fs.Path(outPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))) return
     val out = urlResources(WarcSource.read(spark, warcGlob))
       .sortWithinPartitions("domain_name")
     format match {

@@ -51,6 +51,9 @@ object WarcQueries {
     Tables.documents(spark, d)
       .select("doc_id", "text", "lang", "n_chars")
       .as[(Long, String, String, Long)]
+      // single-row-group testdata ⇒ repartition so each task builds one
+      // WARC container and the parse/RAKE stages downstream parallelize
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         val out = new java.io.ByteArrayOutputStream()
         out.write(WarcSource.toWireFormat("warcinfo", "",
@@ -124,10 +127,24 @@ object WarcQueries {
         r.headOption.map(_._2).getOrElse(0f))
     }
     Tables.documents(spark, d)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("r", ranked($"text"))
       .select($"doc_id", $"r._1".as("n_keywords"),
         $"r._2".as("top_keyword"), $"r._3".as("top_score"))
       .orderBy($"doc_id")
+  }
+
+  /** w05: corpus-level RAKE via a typed Aggregator (map-side partial
+    * word-stats maps, merged associatively) — top-20 corpus keywords. */
+  def w05_corpus_rake(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val corpusKw = udaf(graft.rake.CorpusRakeAgg.aggregator)
+    Tables.documents(spark, d)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .agg(corpusKw($"text").as("scores"))
+      .select(explode($"scores").as(Seq("word", "score")))
+      .orderBy($"score".desc, $"word")
+      .limit(20)
   }
 
   /** w03: F2 blacklist as a pushdown-friendly Catalyst predicate. */
@@ -194,6 +211,7 @@ object WarcQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_warc_pipeline" -> (w01_warc_pipeline _),
     "w02_rake_keywords" -> (w02_rake_keywords _),
+    "w05_corpus_rake" -> (w05_corpus_rake _),
     "w03_blacklist_filter" -> (w03_blacklist_filter _),
     "w04_fallback_extract" -> (w04_fallback_extract _),
   )

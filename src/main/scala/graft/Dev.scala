@@ -40,6 +40,9 @@ object Dev {
     println(s"[dev] wrote warcs to $warcDir")
     val outDir = warcDir.resolve("out").toString
     graft.warc.Pipeline.run(spark, s"$warcDir/*.warc", outDir, "avro")
+    val t0 = System.nanoTime()
+    graft.warc.Pipeline.run(spark, s"$warcDir/*.warc", outDir, "avro")
+    println(f"[dev] idempotent re-run took ${(System.nanoTime() - t0) / 1e9}%.3fs (should skip)")
     val files = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".avro"))
     var n = 0L
     var fields = -1

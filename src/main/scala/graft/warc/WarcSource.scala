@@ -108,10 +108,25 @@ object WarcSource {
     }
   }
 
-  /** S1 scan: glob of `.warc` files → Dataset[WarcRecord]. A trailing
-    * filename glob is split off and passed as `pathGlobFilter` (a literal
-    * glob path trips Spark 4's FileStreamSink metadata probe on local FS). */
+  /** S1 scan: glob of `.warc` files → Dataset[WarcRecord], through the
+    * splittable DataSourceV2 (`graft.warc.source.WarcDataSource`) — huge
+    * containers are carved into byte-range splits, so task memory stays
+    * O(record) and parallelism is O(bytes), not O(files). */
   def read(spark: SparkSession, glob: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val idx = glob.lastIndexOf('/')
+    val last = if (idx >= 0) glob.substring(idx + 1) else glob
+    val reader = spark.read.format("warc")
+    val df =
+      if (last.contains("*") && idx > 0)
+        reader.option("pathGlobFilter", last).load(glob.substring(0, idx))
+      else reader.load(glob)
+    df.as[WarcRecord]
+  }
+
+  /** Legacy whole-file scan over binaryFile — for non-splittable inputs
+    * (e.g. whole-file .warc.gz). */
+  def readWholeFiles(spark: SparkSession, glob: String): Dataset[WarcRecord] = {
     import spark.implicits._
     val idx = glob.lastIndexOf('/')
     val last = if (idx >= 0) glob.substring(idx + 1) else glob

@@ -1,0 +1,112 @@
+package graft.warc.source
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Splittable WARC DataSourceV2 — the 100 TB path for S1 (SURVEY.md §2.1,
+  * §7 "known-hard" item: `binaryFile` materializes a whole file per task,
+  * fine for ≤1 GB WARCs but wrong for huge containers).
+  *
+  * Each file is carved into byte-range `InputPartition`s of
+  * `maxPartitionBytes` (default 128 MiB, same knob semantics as Spark's
+  * file sources). A reader that doesn't start at offset 0 scans forward
+  * to the next `WARC/` record-boundary magic (Hadoop text-split
+  * ownership rule: a record belongs to the split containing its first
+  * byte; a reader keeps consuming past its end until the record that
+  * STARTS beyond the range). Records are streamed — peak memory is one
+  * record, not one file.
+  *
+  * Registered as `spark.read.format("warc").load(dir)` via
+  * DataSourceRegister. Note: applies to uncompressed WARC containers
+  * (per-record gzip bodies are fine and normal); whole-file `.warc.gz`
+  * is not splittable by nature and should go through the binaryFile path.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WarcTable(new CaseInsensitiveStringMap(properties))
+}
+
+object WarcDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("version", StringType, nullable = false),
+    StructField("header", MapType(StringType, StringType), nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("source", StringType, nullable = false)))
+}
+
+class WarcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"warc(${options.get("path")})"
+  override def schema(): StructType = WarcDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(opts)
+}
+
+class WarcScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder {
+  override def build(): Scan = new WarcScan(options)
+}
+
+final case class WarcInputPartition(file: String, start: Long, length: Long)
+  extends InputPartition
+
+class WarcScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
+  override def readSchema(): StructType = WarcDataSource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("warc source requires a path"))
+    val maxBytes = Option(options.get("maxPartitionBytes"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val hadoopConf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val glob = Option(options.get("pathGlobFilter"))
+    val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+                 else fs.globStatus(p).toSeq)
+      .filter(st => st.isFile &&
+        glob.forall(g => matchesGlob(st.getPath.getName, g)))
+    files.flatMap { st =>
+      val len = st.getLen
+      val nSplits = math.max(1, ((len + maxBytes - 1) / maxBytes).toInt)
+      (0 until nSplits).map { i =>
+        val start = i.toLong * maxBytes
+        WarcInputPartition(st.getPath.toString, start,
+          math.min(maxBytes, len - start))
+      }
+    }.toArray
+  }
+
+  private def matchesGlob(name: String, glob: String): Boolean = {
+    val rx = glob.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case '.' => "\\."
+      case c => c.toString
+    }
+    name.matches(rx)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory
+}
+
+class WarcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition])
+}

@@ -1,0 +1,161 @@
+package graft.warc.source
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-range WARC record reader (see [[WarcDataSource]] for the split
+  * ownership rule). Streams records — one record in memory at a time;
+  * forward-only reads (the boundary sync consumes the magic rather than
+  * seeking back, so the 64 KiB read buffer is never invalidated).
+  *
+  * Caveat shared with every offset-splittable record format: a split
+  * seeking into the middle of a binary body could false-sync on magic
+  * bytes inside the body; the malformed pseudo-record parses to the
+  * sentinel (`version == "0"`, dropped by F1) and the reader re-syncs.
+  * Content-Length-driven skipping means true records are never
+  * double-emitted by their owning split.
+  */
+class WarcPartitionReader(part: WarcInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val fs = new Path(part.file).getFileSystem(
+    new org.apache.hadoop.conf.Configuration())
+  private val in = fs.open(new Path(part.file))
+  private val endExclusive = part.start + part.length
+  private val sourceName =
+    part.file.substring(part.file.lastIndexOf('/') + 1)
+
+  // ---- counting buffered forward reader ----
+  private val buf = new Array[Byte](1 << 16)
+  private var bufLen = 0
+  private var bufPos = 0
+  private var pos: Long = 0L // absolute offset of next byte to return
+
+  private def fill(): Boolean = {
+    if (bufPos < bufLen) return true
+    bufLen = in.read(buf, 0, buf.length)
+    bufPos = 0
+    bufLen > 0
+  }
+  private def readByte(): Int = {
+    if (!fill()) -1
+    else { val b = buf(bufPos) & 0xff; bufPos += 1; pos += 1; b }
+  }
+  private def seekTo(target: Long): Unit = {
+    in.seek(target)
+    pos = target; bufLen = 0; bufPos = 0
+  }
+  private def readLine(): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = readByte()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') { sb.append(c.toChar); c = readByte() }
+    val s = sb.toString
+    if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s.substring(0, s.length - 1)
+    else s
+  }
+  private def readFully(n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      if (!fill()) return java.util.Arrays.copyOf(out, off)
+      val take = math.min(n - off, bufLen - bufPos)
+      System.arraycopy(buf, bufPos, out, off, take)
+      bufPos += take; pos += take; off += take
+    }
+    out
+  }
+
+  // ---- boundary sync ----
+  private val Magic = "WARC/".getBytes
+  /** Scan forward until a line-initial `WARC/` has been CONSUMED.
+    * Returns the magic's absolute start offset, or -1 at EOF. */
+  private def syncToBoundary(requireNewline: Boolean): Long = {
+    var atLineStart = !requireNewline
+    var m = 0
+    var magicStart = -1L
+    while (true) {
+      val b = readByte()
+      if (b < 0) return -1L
+      if (m > 0 && b == Magic(m)) {
+        m += 1
+        if (m == Magic.length) return magicStart
+      } else {
+        val wasLineStart = atLineStart
+        atLineStart = b == '\n'
+        if (wasLineStart && b == 'W') { m = 1; magicStart = pos - 1 }
+        else m = 0
+      }
+    }
+    -1L
+  }
+
+  // stream is positioned just AFTER a consumed magic whose start offset
+  // is `nextMagicStart`; -1 when no further magic exists
+  private var nextMagicStart: Long = {
+    if (part.start > 0) seekTo(part.start - 1)
+    syncToBoundary(requireNewline = part.start > 0)
+  }
+  private var current: InternalRow = _
+  private var done = false
+
+  override def next(): Boolean = {
+    if (done || nextMagicStart < 0 || nextMagicStart >= endExclusive) {
+      done = true; return false
+    }
+    val version = readLine() // remainder of the "WARC/<ver>" line
+    if (version == null) { done = true; return false }
+    var contentLength = -1
+    val keys = Vector.newBuilder[Any]
+    val vals = Vector.newBuilder[Any]
+    var h = readLine()
+    var bad = false
+    while (h != null && h.nonEmpty) {
+      val i = h.indexOf(':')
+      if (i > 0) {
+        val k = h.substring(0, i).trim.toLowerCase
+        val v = h.substring(i + 1).trim
+        keys += UTF8String.fromString(k)
+        vals += UTF8String.fromString(v)
+        if (k == "content-length")
+          contentLength =
+            try v.toInt catch { case _: NumberFormatException => bad = true; -1 }
+      }
+      h = readLine()
+    }
+    if (h == null || bad || contentLength < 0) {
+      current = sentinelRow()
+      nextMagicStart =
+        if (h == null) -1L else syncToBoundary(requireNewline = false)
+      return true
+    }
+    val body = readFully(contentLength)
+    if (body.length < contentLength) {
+      current = sentinelRow()
+      nextMagicStart = -1L
+    } else {
+      current = row(version, keys.result(), vals.result(), body)
+      nextMagicStart = syncToBoundary(requireNewline = false)
+    }
+    true
+  }
+
+  private def row(version: String, keys: Vector[Any], vals: Vector[Any],
+      body: Array[Byte]): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(version),
+      new ArrayBasedMapData(new GenericArrayData(keys.toArray),
+        new GenericArrayData(vals.toArray)),
+      body,
+      UTF8String.fromString(sourceName)))
+
+  private def sentinelRow(): InternalRow =
+    row("0", Vector.empty, Vector.empty, Array.emptyByteArray)
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

@@ -205,7 +205,65 @@ object Relational2 {
       |  quantile_disc(o_totalprice, 0.9) AS p90
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q26: skew-safe two-phase (salted) aggregation — phase 1 aggregates
+  // (key, salt) spreading any hot key over N reducers, phase 2 merges the
+  // partials. Result provably equals the plain group-by (the oracle).
+  def q26_salted_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nSalts = 8
+    Tables.events(s, d)
+      .withColumn("key", $"user_id" % 100)
+      .withColumn("salt", pmod($"event_id", lit(nSalts)))
+      .groupBy($"key", $"salt")
+      .agg(count(lit(1)).as("pn"), sum(dec($"value")).as("pv"))
+      .groupBy($"key")
+      .agg(sum($"pn").as("n_events"), asDbl(sum($"pv")).as("total_value"))
+      .orderBy($"key")
+  }
+
+  val q26Oracle: String =
+    """SELECT user_id % 100 AS key, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q28: as-of join — each purchase matched to the user's latest
+  // click at-or-before it. Spark has no ASOF operator; composed as a
+  // union + running `last(ignoreNulls)` window (one shuffle on user_id,
+  // no range-explosion). DuckDB verifies with its native ASOF JOIN.
+  // Comparison on raw nanos (no truncation ties on either side).
+  def q28_asof_join(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts_nanos", $"event_id", $"event_type",
+        when($"event_type" === "click", $"event_id").as("click_id"),
+        // clicks sort before purchases at equal ts (ASOF's >= semantics)
+        when($"event_type" === "click", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_nanos", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id",
+        coalesce($"last_click", lit(-1L)).as("click_id"))
+      .orderBy($"event_id")
+  }
+
+  val q28Oracle: String =
+    """WITH c AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS tsn,
+      |             event_id AS click_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS tsn, event_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, COALESCE(c.click_id, -1) AS click_id
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.tsn >= c.tsn
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_salted_agg" -> (q26_salted_agg _),
+    "q28_asof_join" -> (q28_asof_join _),
     "q17_json_extract" -> (q17_json_extract _),
     "q18_cube" -> (q18_cube _),
     "q19_pivot" -> (q19_pivot _),
@@ -218,6 +276,8 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q26_salted_agg" -> q26Oracle,
+    "q28_asof_join" -> q28Oracle,
     "q17_json_extract" -> q17Oracle,
     "q18_cube" -> q18Oracle,
     "q19_pivot" -> q19Oracle,

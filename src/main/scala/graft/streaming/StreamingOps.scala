@@ -93,6 +93,27 @@ object StreamingOps {
       |  MAX(n_events) AS max_session_events
       |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** st03: streaming deduplication — the stream unioned with itself
+    * (every event duplicated) then `dropDuplicates(event_id)`; counts
+    * per type must equal the base table's. State-backed exact dedup is
+    * the streaming twin of d01. */
+  def st03_stream_dedup(s: SparkSession, d: String): DataFrame = {
+    val name = s"st03_sink_${System.nanoTime()}"
+    val ev = streamEvents(s, d)
+    val q = ev.union(ev)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("event_type")
+  }
+
+  val st03Oracle: String =
+    """SELECT event_type, COUNT(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
@@ -157,10 +178,12 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01_stream_window _),
     "st02_session_window" -> (st02_session_window _),
+    "st03_stream_dedup" -> (st03_stream_dedup _),
   )
 
   val oracle: Map[String, String] = Map(
     "st01_stream_window" -> st01Oracle,
     "st02_session_window" -> st02Oracle,
+    "st03_stream_dedup" -> st03Oracle,
   )
 }

@@ -39,7 +39,9 @@ object Dev {
       }
     println(s"[dev] wrote warcs to $warcDir")
     val outDir = warcDir.resolve("out").toString
-    graft.warc.Pipeline.run(spark, s"$warcDir/*.warc", outDir, "avro")
+    val qDir = warcDir.resolve("quarantine").toString
+    graft.warc.Pipeline.run(spark, s"$warcDir/*.warc", outDir, "avro", Some(qDir))
+    println(s"[dev] quarantined=${spark.read.parquet(qDir).count()} (corrupt gzip records)")
     val t0 = System.nanoTime()
     graft.warc.Pipeline.run(spark, s"$warcDir/*.warc", outDir, "avro")
     println(f"[dev] idempotent re-run took ${(System.nanoTime() - t0) / 1e9}%.3fs (should skip)")

@@ -114,6 +114,48 @@ object StreamingOps {
     """SELECT event_type, COUNT(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** st04: stream-stream inner join — purchases joined to same-user
+    * clicks within the preceding hour, both sides watermarked (the
+    * time-range condition bounds the join state). Oracle = the batch
+    * interval join. */
+  def st04_stream_stream_join(s: SparkSession, d: String): DataFrame = {
+    val name = s"st04_sink_${System.nanoTime()}"
+    val ev = streamEvents(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    // stream-stream joins emit in Append mode only: stream the matched
+    // pairs into the sink, aggregate the sink table batch-side
+    val q = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("purchase_id")).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
+  val st04Oracle: String =
+    """SELECT p.user_id, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT p.event_id) AS n_purchases
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+      | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
@@ -179,11 +221,13 @@ object StreamingOps {
     "st01_stream_window" -> (st01_stream_window _),
     "st02_session_window" -> (st02_session_window _),
     "st03_stream_dedup" -> (st03_stream_dedup _),
+    "st04_stream_stream_join" -> (st04_stream_stream_join _),
   )
 
   val oracle: Map[String, String] = Map(
     "st01_stream_window" -> st01Oracle,
     "st02_session_window" -> st02Oracle,
     "st03_stream_dedup" -> st03Oracle,
+    "st04_stream_stream_join" -> st04Oracle,
   )
 }

@@ -140,23 +140,47 @@ object Pipeline {
       $"html.html_errors".as("html_errors"), $"source")
   }
 
+  /** K4 debug sink (`src/lib.rs:347-371` writes `{url}-broken.htm`):
+    * records whose gzip body is corrupt, side-written to a quarantine
+    * path instead of silently dropped. Cheap — runs off the same scan
+    * before the expensive parse stages. */
+  def quarantine(records: Dataset[WarcRecord], path: String): Unit = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val gunzipU = udf(gunzipText)
+    records.toDF()
+      .filter($"version" =!= "0" &&
+        element_at($"header", "warc-type") === "response")
+      .withColumn("decoded", gunzipU($"content"))
+      .filter($"decoded".isNull)
+      .select(
+        coalesce(element_at($"header", "warc-target-uri"), lit("")).as("url"),
+        length($"content").as("gzip_bytes"), $"source")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** End-to-end job: WARC glob → url_resource files (SURVEY §3.1-3.2).
     * Output is laid out for the warehouse contract K3 (`load.bat:1-10`):
     * sorted within partitions by `domain_name` (the BigQuery clustering
-    * key) so per-domain scans prune row groups.
+    * key) so per-domain scans prune row groups; `maxRecordsPerFile`
+    * mirrors the reference's 50k-records-per-output-file granularity
+    * (D5, `src/main.rs:159-160`).
     */
   def run(spark: SparkSession, warcGlob: String, outPath: String,
-      format: String = "avro"): Unit = {
+      format: String = "avro", quarantinePath: Option[String] = None): Unit = {
     // S3 idempotency probe (`src/lib.rs:155-169`): skip the whole unit of
     // work when the output already exists — restartable at file granularity.
     val hadoopPath = new org.apache.hadoop.fs.Path(outPath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))) return
-    val out = urlResources(WarcSource.read(spark, warcGlob))
+    val records = WarcSource.read(spark, warcGlob)
+    quarantinePath.foreach(qp => quarantine(records, qp))
+    val out = urlResources(records)
       .sortWithinPartitions("domain_name")
     format match {
       case "avro" => AvroSink.write(out, outPath)
-      case f => out.write.mode("overwrite").format(f).save(outPath)
+      case f => out.write.mode("overwrite").format(f)
+        .option("maxRecordsPerFile", 50000).save(outPath)
     }
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guards: the scale claims (pushdown, pruning,
+  * broadcast policy, narrow pipeline) asserted against the actual
+  * physical plans, so a refactor that silently loses them fails CI.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("plan-spec").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: predicates pushed into the parquet scan, columns pruned") {
+    val plan = physical(graft.analytics.Relational.q02_filter_project(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"))
+    // attribute ids are JVM-global counters — match structurally
+    assert("\\(l_quantity#\\d+ < 5\\.0\\)".r.findFirstIn(plan).isDefined)
+    // pruned read schema must not include unqueried wide columns
+    assert(!plan.contains("l_comment"))
+  }
+
+  test("q05: dimensions broadcast, at most one fact-fact shuffle join") {
+    val plan = physical(graft.analytics.Relational.q05_multi_join(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    val merges = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length
+    assert(merges <= 2, s"expected <=2 shuffle joins, got $merges")
+  }
+
+  test("w01 pipeline: no shuffle before the final ordering") {
+    val df = graft.warc.Pipeline.urlResources(
+      graft.warc.WarcSource.fromBytes(
+        graft.warc.WarcQueries.warcFiles(spark, sf)))
+    val plan = physical(df)
+    // the enrichment plan itself is narrow: the only exchange allowed is
+    // the test-harness repartition that synthesizes the WARC bytes
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    val sp = spark
+    import sp.implicits._
+    val df = sp.read.parquet(s"$sf/embeddings.parquet")
+      .select(graft.functions.GraftFunctions
+        .cosine_sim($"embedding", $"embedding").as("c"))
+    val plan = physical(df)
+    // "*(n)" is toString's WholeStageCodegen stage marker
+    assert(plan.contains("*(1) Project [cosine_sim"))
+    assert(df.selectExpr("max(c)").head().getDouble(0) > 0.999)
+  }
+
+  test("splittable warc scan reports its partitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("planspec")
+    java.nio.file.Files.write(dir.resolve("x.warc"),
+      graft.warc.WarcSource.toWireFormat("response", "http://a/", 4,
+        "body".getBytes))
+    val df = spark.read.format("warc")
+      .option("maxPartitionBytes", "1024").load(dir.toString)
+    assert(df.rdd.getNumPartitions >= 1)
+    assert(df.count() == 1)
+  }
+}

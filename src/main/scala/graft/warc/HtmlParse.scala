@@ -102,6 +102,20 @@ object HtmlParse {
     (attrs.toMap, if (pos < n) pos + 1 else n, selfClosing)
   }
 
+  /** Case-insensitive indexOf without copying the haystack (a
+    * `toLowerCase` per raw-text element would be O(n²) on script-heavy
+    * pages). */
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val n = s.length
+    val m = needle.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      if (s.regionMatches(true, i, needle, 0, m)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Lenient streaming parse applying the reference's extraction rules. */
   def parse(html: String): HtmlResult = {
     if (html == null || html.isEmpty) return HtmlResult.empty
@@ -206,10 +220,10 @@ object HtmlParse {
                 attrs.get("src").foreach(srcv => if (srcv.nonEmpty) resources += srcv)
               case "script" =>
                 attrs.get("src").foreach(srcv => if (srcv.nonEmpty) resources += srcv)
-                val close = html.toLowerCase.indexOf("</script", pos)
+                val close = indexOfIgnoreCase(html, "</script", pos)
                 pos = if (close < 0) n else { val e = html.indexOf('>', close); if (e < 0) n else e + 1 }
               case "style" =>
-                val close = html.toLowerCase.indexOf("</style", pos)
+                val close = indexOfIgnoreCase(html, "</style", pos)
                 pos = if (close < 0) n else { val e = html.indexOf('>', close); if (e < 0) n else e + 1 }
               case "noscript" => suppressDepth += 1
               case t if t.length == 2 && t.charAt(0) == 'h' &&

@@ -103,10 +103,28 @@ class WarcScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory
+    new WarcReaderFactory(new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-class WarcReaderFactory extends PartitionReaderFactory {
+/** Hadoop Configuration is not Serializable; executors need the driver's
+  * FS settings (credentials, endpoints) — standard write/readFields
+  * round-trip. */
+class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends java.io.Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+class WarcReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition])
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition], conf.value)
 }

@@ -19,11 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Content-Length-driven skipping means true records are never
   * double-emitted by their owning split.
   */
-class WarcPartitionReader(part: WarcInputPartition)
+class WarcPartitionReader(part: WarcInputPartition,
+    hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val fs = new Path(part.file).getFileSystem(
-    new org.apache.hadoop.conf.Configuration())
+  private val fs = new Path(part.file).getFileSystem(hadoopConf)
   private val in = fs.open(new Path(part.file))
   private val endExclusive = part.start + part.length
   private val sourceName =

@@ -261,9 +261,50 @@ object Relational2 {
       |  ON p.user_id = c.user_id AND p.tsn >= c.tsn
       |ORDER BY p.event_id""".stripMargin
 
+  // q27: approximate distinct (HLL++) reported next to the exact count —
+  // rows-only check (sketch estimates are engine-specific by design);
+  // the relative error column shows the quality dial.
+  def q27_approx_distinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      .withColumn("rel_err",
+        abs($"approx_orders" - $"exact_orders").cast("double") /
+          $"exact_orders".cast("double"))
+      .orderBy($"l_returnflag")
+  }
+
+  // q29: explicit GROUPING SETS with grouping() markers.
+  def q29_grouping_sets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus) AS g_status,
+        |  grouping(o_orderpriority) AS g_prio,
+        |  COUNT(*) AS n
+        |FROM g_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  val q29Oracle: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS TINYINT) AS g_prio,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_salted_agg" -> (q26_salted_agg _),
+    "q27_approx_distinct" -> (q27_approx_distinct _),
     "q28_asof_join" -> (q28_asof_join _),
+    "q29_grouping_sets" -> (q29_grouping_sets _),
     "q17_json_extract" -> (q17_json_extract _),
     "q18_cube" -> (q18_cube _),
     "q19_pivot" -> (q19_pivot _),
@@ -278,6 +319,7 @@ object Relational2 {
   val oracle: Map[String, String] = Map(
     "q26_salted_agg" -> q26Oracle,
     "q28_asof_join" -> q28Oracle,
+    "q29_grouping_sets" -> q29Oracle,
     "q17_json_extract" -> q17Oracle,
     "q18_cube" -> q18Oracle,
     "q19_pivot" -> q19Oracle,

@@ -45,6 +45,22 @@ object Dev {
     val t0 = System.nanoTime()
     graft.warc.Pipeline.run(spark, s"$warcDir/*.warc", outDir, "avro")
     println(f"[dev] idempotent re-run took ${(System.nanoTime() - t0) / 1e9}%.3fs (should skip)")
+    // literal wildcard path through the V2 source (glob expansion branch)
+    val globCount = spark.read.format("warc").load(s"$warcDir/*.warc").count()
+    println(s"[dev] literal-glob load records=$globCount")
+    // failed-attempt restart: partial dir without _SUCCESS must be rebuilt
+    Files.delete(java.nio.file.Paths.get(outDir, "_SUCCESS"))
+    graft.warc.Pipeline.run(spark, s"$warcDir/*.warc", outDir, "avro")
+    println(s"[dev] restart-after-partial ok=" +
+      Files.exists(java.nio.file.Paths.get(outDir, "_SUCCESS")))
+    // type checking of the native expressions
+    try {
+      spark.sql("SELECT cosine_sim(1.0, 2.0)").collect()
+      println("[dev] type-check FAILED TO REJECT")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        println(s"[dev] type-check rejected scalar args: ${e.getMessage.take(80)}")
+    }
     val files = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".avro"))
     var n = 0L
     var fields = -1

@@ -45,6 +45,19 @@ object VectorOps {
 
 abstract class BinaryVectorExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val expected = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+    def ok(dt: DataType) = dt match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two $expected arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 }
 
 /** `cosine_sim(array<float>, array<float>) -> double`, codegen'd. */

@@ -28,9 +28,6 @@ import scala.collection.mutable
   */
 object HtmlParse {
 
-  private val rawTextTags = Set("script", "style")
-  private val textSuppressTags = Set("script", "style", "noscript", "head")
-
   private def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)

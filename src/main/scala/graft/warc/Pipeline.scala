@@ -173,6 +173,9 @@ object Pipeline {
     val hadoopPath = new org.apache.hadoop.fs.Path(outPath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))) return
+    // a partial dir without _SUCCESS is a failed attempt — clear it so
+    // the restart isn't killed by FileOutputFormat.checkOutputSpecs
+    if (fs.exists(hadoopPath)) fs.delete(hadoopPath, true)
     val records = WarcSource.read(spark, warcGlob)
     quarantinePath.foreach(qp => quarantine(records, qp))
     val out = urlResources(records)

@@ -30,6 +30,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object WarcSource {
 
+  /** Bodies beyond this are header-only records with the body skipped
+    * in-stream (JVM arrays cap at ~2 GiB; the pipeline's F3 guard never
+    * parses anything this size anyway). */
+  val MaxBodyBytes: Long = 1L << 30
+
   /** Streaming split of one WARC container into records. */
   def splitWarc(bytes: Array[Byte], source: String): Iterator[WarcRecord] =
     splitWarc(new ByteArrayInputStream(bytes), source)
@@ -37,14 +42,26 @@ object WarcSource {
   def splitWarc(in0: InputStream, source: String): Iterator[WarcRecord] = {
     val in = new BufferedInputStream(in0, 1 << 16)
 
-    // Reads one CRLF- (or LF-) terminated line as ISO-8859-1; null at EOF.
+    // Reads one CRLF- (or LF-) terminated line decoded as UTF-8 (ISO
+    // 28500 headers may carry UTF-8, e.g. IRIs in WARC-Target-URI);
+    // null at EOF.
     def readLine(): String = {
-      val sb = new java.lang.StringBuilder(64)
+      val bos = new ByteArrayOutputStream(64)
       var c = in.read()
       if (c < 0) return null
-      while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
-      val s = sb.toString
+      while (c >= 0 && c != '\n') { bos.write(c); c = in.read() }
+      val s = new String(bos.toByteArray, StandardCharsets.UTF_8)
       if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s.substring(0, s.length - 1) else s
+    }
+
+    def skipFully(n: Long): Boolean = {
+      var left = n
+      while (left > 0) {
+        val r = in.skip(left)
+        if (r <= 0) { if (in.read() < 0) return false else left -= 1 }
+        else left -= r
+      }
+      true
     }
 
     def readFully(n: Int): Array[Byte] = {
@@ -72,7 +89,7 @@ object WarcSource {
         if (line == null) { done = true; return }
         val version = line.substring(5)
         var headers = Map.newBuilder[String, String]
-        var contentLength = -1
+        var contentLength = -1L
         var h = readLine()
         var bad = false
         while (h != null && h.nonEmpty) {
@@ -82,7 +99,7 @@ object WarcSource {
             val v = h.substring(i + 1).trim
             headers += (k -> v)
             if (k == "content-length")
-              contentLength = try v.toInt catch { case _: NumberFormatException => bad = true; -1 }
+              contentLength = try v.toLong catch { case _: NumberFormatException => bad = true; -1L }
           }
           h = readLine()
         }
@@ -91,7 +108,15 @@ object WarcSource {
           if (h == null) done = true
           return
         }
-        val body = readFully(contentLength)
+        if (contentLength > MaxBodyBytes) {
+          // legal 64-bit lengths beyond what fits a JVM array: keep the
+          // headers, skip the body in-stream, emit with empty content
+          // (downstream F3 skips parsing oversized records anyway)
+          if (!skipFully(contentLength)) done = true
+          nextRec = WarcRecord(version, headers.result(), Array.emptyByteArray, source)
+          return
+        }
+        val body = readFully(contentLength.toInt)
         nextRec =
           if (body.length < contentLength) { done = true; sentinel }
           else WarcRecord(version, headers.result(), body, source)

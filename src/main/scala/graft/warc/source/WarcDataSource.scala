@@ -77,10 +77,15 @@ class WarcScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
     val glob = Option(options.get("pathGlobFilter"))
-    val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-                 else fs.globStatus(p).toSeq)
-      .filter(st => st.isFile &&
-        glob.forall(g => matchesGlob(st.getPath.getName, g)))
+      .map(g => new org.apache.hadoop.fs.GlobFilter(g))
+    val hasWildcard = path.exists("*?[{".contains(_))
+    val listed =
+      if (hasWildcard) Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    val files = listed
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
+      .filter(st => st.isFile && glob.forall(_.accept(st.getPath)))
     files.flatMap { st =>
       val len = st.getLen
       val nSplits = math.max(1, ((len + maxBytes - 1) / maxBytes).toInt)
@@ -90,16 +95,6 @@ class WarcScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
           math.min(maxBytes, len - start))
       }
     }.toArray
-  }
-
-  private def matchesGlob(name: String, glob: String): Boolean = {
-    val rx = glob.flatMap {
-      case '*' => ".*"
-      case '?' => "."
-      case '.' => "\\."
-      case c => c.toString
-    }
-    name.matches(rx)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -49,14 +49,25 @@ class WarcPartitionReader(part: WarcInputPartition,
     in.seek(target)
     pos = target; bufLen = 0; bufPos = 0
   }
+  // UTF-8 decode (ISO 28500 headers may carry IRIs etc.)
   private def readLine(): String = {
-    val sb = new java.lang.StringBuilder(64)
+    val bos = new java.io.ByteArrayOutputStream(64)
     var c = readByte()
     if (c < 0) return null
-    while (c >= 0 && c != '\n') { sb.append(c.toChar); c = readByte() }
-    val s = sb.toString
+    while (c >= 0 && c != '\n') { bos.write(c); c = readByte() }
+    val s = new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s.substring(0, s.length - 1)
     else s
+  }
+
+  private def skipFully(n: Long): Boolean = {
+    var left = n
+    while (left > 0) {
+      val chunk = math.min(left, (bufLen - bufPos).toLong)
+      if (chunk > 0) { bufPos += chunk.toInt; pos += chunk; left -= chunk }
+      else if (!fill()) return false
+    }
+    true
   }
   private def readFully(n: Int): Array[Byte] = {
     val out = new Array[Byte](n)
@@ -100,48 +111,69 @@ class WarcPartitionReader(part: WarcInputPartition,
     if (part.start > 0) seekTo(part.start - 1)
     syncToBoundary(requireNewline = part.start > 0)
   }
+  // the first record after a mid-file seek is TENTATIVE: a false sync on
+  // magic bytes inside a record body must not be trusted to skip
+  // Content-Length bytes (it could jump real records). A tentative
+  // record missing the mandatory WARC-Type header is rejected and the
+  // scan resumes right after its magic.
+  private var tentative = part.start > 0
   private var current: InternalRow = _
   private var done = false
 
   override def next(): Boolean = {
-    if (done || nextMagicStart < 0 || nextMagicStart >= endExclusive) {
-      done = true; return false
-    }
-    val version = readLine() // remainder of the "WARC/<ver>" line
-    if (version == null) { done = true; return false }
-    var contentLength = -1
-    val keys = Vector.newBuilder[Any]
-    val vals = Vector.newBuilder[Any]
-    var h = readLine()
-    var bad = false
-    while (h != null && h.nonEmpty) {
-      val i = h.indexOf(':')
-      if (i > 0) {
-        val k = h.substring(0, i).trim.toLowerCase
-        val v = h.substring(i + 1).trim
-        keys += UTF8String.fromString(k)
-        vals += UTF8String.fromString(v)
-        if (k == "content-length")
-          contentLength =
-            try v.toInt catch { case _: NumberFormatException => bad = true; -1 }
+    while (true) {
+      if (done || nextMagicStart < 0 || nextMagicStart >= endExclusive) {
+        done = true; return false
       }
-      h = readLine()
+      val version = readLine() // remainder of the "WARC/<ver>" line
+      if (version == null) { done = true; return false }
+      var contentLength = -1L
+      var hasWarcType = false
+      val keys = Vector.newBuilder[Any]
+      val vals = Vector.newBuilder[Any]
+      var h = readLine()
+      var bad = false
+      while (h != null && h.nonEmpty) {
+        val i = h.indexOf(':')
+        if (i > 0) {
+          val k = h.substring(0, i).trim.toLowerCase
+          val v = h.substring(i + 1).trim
+          keys += UTF8String.fromString(k)
+          vals += UTF8String.fromString(v)
+          if (k == "warc-type") hasWarcType = true
+          if (k == "content-length")
+            contentLength =
+              try v.toLong catch { case _: NumberFormatException => bad = true; -1L }
+        }
+        h = readLine()
+      }
+      if (h == null) { current = sentinelRow(); nextMagicStart = -1L; return true }
+      if (bad || contentLength < 0 || (tentative && !hasWarcType)) {
+        // malformed (or rejected tentative) pseudo-record: do NOT trust
+        // its length; rescan from just after its magic line
+        nextMagicStart = syncToBoundary(requireNewline = false)
+        if (!tentative) { current = sentinelRow(); return true }
+        // tentative rejects emit nothing — loop to the next candidate
+      } else if (contentLength > graft.warc.WarcSource.MaxBodyBytes) {
+        if (!skipFully(contentLength)) { current = sentinelRow(); nextMagicStart = -1L; return true }
+        current = row(version, keys.result(), vals.result(), Array.emptyByteArray)
+        tentative = false
+        nextMagicStart = syncToBoundary(requireNewline = false)
+        return true
+      } else {
+        val body = readFully(contentLength.toInt)
+        if (body.length < contentLength) {
+          current = sentinelRow()
+          nextMagicStart = -1L
+        } else {
+          current = row(version, keys.result(), vals.result(), body)
+          tentative = false
+          nextMagicStart = syncToBoundary(requireNewline = false)
+        }
+        return true
+      }
     }
-    if (h == null || bad || contentLength < 0) {
-      current = sentinelRow()
-      nextMagicStart =
-        if (h == null) -1L else syncToBoundary(requireNewline = false)
-      return true
-    }
-    val body = readFully(contentLength)
-    if (body.length < contentLength) {
-      current = sentinelRow()
-      nextMagicStart = -1L
-    } else {
-      current = row(version, keys.result(), vals.result(), body)
-      nextMagicStart = syncToBoundary(requireNewline = false)
-    }
-    true
+    false
   }
 
   private def row(version: String, keys: Vector[Any], vals: Vector[Any],

@@ -29,10 +29,20 @@ object StreamingOps {
 
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // each shuffle partition carries an HDFS-backed state store whose
+    // per-batch checkpoint I/O dominates these small stateful queries;
+    // 8 stores is plenty for the testdata volumes (a production stream
+    // would size this to its key cardinality)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     s.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Restore the session-wide shuffle parallelism after a streaming query
+    * fixed its own (streaming plans capture the value at start). */
+  private def restoreShufflePartitions(s: SparkSession): Unit =
+    s.conf.set("spark.sql.shuffle.partitions", graft.GraftSession.cpus)
 
   /** st01: streaming tumbling-window aggregation with a watermark,
     * drained with AvailableNow into a memory sink. */
@@ -49,6 +59,7 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    restoreShufflePartitions(s)
     s.table(name).orderBy("hour", "event_type")
   }
 
@@ -107,6 +118,7 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    restoreShufflePartitions(s)
     s.table(name).orderBy("event_type")
   }
 
@@ -139,6 +151,7 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    restoreShufflePartitions(s)
     s.table(name)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),

@@ -74,9 +74,9 @@ object DedupOps {
       |g AS (SELECT md5(text) AS digest, COUNT(*) AS n_copies,
       |        MIN(doc_id) AS keeper_id
       |      FROM all_docs GROUP BY 1)
-      |SELECT COUNT(*) AS n_groups, SUM(n_copies) AS n_rows,
-      |  SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_redundant,
-      |  SUM(keeper_id) AS keeper_id_sum
+      |SELECT COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+      |  CAST(SUM(keeper_id) AS BIGINT) AS keeper_id_sum
       |FROM g""".stripMargin
 
   // ---- shingling + signatures (shared scalar core) ----
@@ -194,7 +194,8 @@ object DedupOps {
       |    JOIN sizes sb ON sb.doc_id = id_b
       |  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8)
       |SELECT COUNT(*) AS n_confirmed,
-      |  SUM(CASE WHEN id_b = id_a + 100000 THEN 1 ELSE 0 END) AS n_planted_found
+      |  CAST(SUM(CASE WHEN id_b = id_a + 100000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_planted_found
       |FROM confirmed""".stripMargin
 
   /** d03: SimHash near-dup with pigeonhole banding (4×16 bits finds every

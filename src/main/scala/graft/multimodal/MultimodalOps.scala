@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,100 +13,213 @@ import graft.analytics.Tables
   * opaque `binary` columns with typed metadata, batch decode / feature
   * extraction / resize / frame sampling.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC FAKE (clearly marked below): it derives "dimensions",
-  * "frames" and a checksum feature purely from the bytes. Everything
-  * around it — binary column handling, metadata struct schema, batched
-  * per-partition processing (the JVM twin of `mapInPandas` batch shape),
-  * explode of sampled frames — is real Spark plumbing, partitioned and
-  * tested. Swapping the fake for a real codec is a one-function change.
+  * The codec is REAL: images are genuine PNG files produced by
+  * `javax.imageio` (zero extra deps) and decoded back with `ImageIO.read`
+  * — lossless 8-bit grayscale, so raster samples round-trip exactly.
+  * The pixel CONTENT is a deterministic function of `doc_id`
+  * (`pixel(x,y) = (doc_id%256 + x + y) % 256`), which is what lets a SQL
+  * oracle recompute every decoded feature from the base table without
+  * itself having a PNG decoder. Everything around the codec — binary
+  * column handling, metadata struct schema, batched per-partition
+  * processing (the JVM twin of `mapInPandas` batch shape), container
+  * parse + explode of sampled frames — is real Spark plumbing.
   */
 object MultimodalOps {
 
-  /** STUB decoder — deterministic fake standing in for an image codec.
-    * Real implementation would parse the container format here. */
-  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Long) = {
-    val n = bytes.length
-    val width = (n % 640) + 16
-    val height = ((n * 7) % 480) + 16
-    val nFrames = n / 256 + 1
-    var checksum = 0L
-    var i = 0
-    while (i < n) { checksum += bytes(i) & 0xff; i += 1 }
-    (width, height, nFrames, checksum)
+  /** Deterministic synthetic image parameters for a document. */
+  def imageDims(docId: Long): (Int, Int, Int) = {
+    val w = (docId % 48).toInt + 16
+    val h = ((docId * 7) % 48).toInt + 16
+    val base = (docId % 256).toInt
+    (w, h, base)
+  }
+
+  /** Encode a real PNG: 8-bit grayscale, pixel(x,y) = (base+x+y) % 256. */
+  def encodePng(docId: Long): Array[Byte] = {
+    val (w, h, base) = imageDims(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, (base + x + y) % 256); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-image features: dims, full-resolution pixel sum, and the
+    * pixel sum after a real 2× nearest-neighbour downscale. */
+  def decodeFeatures(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    var pixelSum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { pixelSum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    val rw = w / 2
+    val rh = h / 2
+    var resizedSum = 0L
+    y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) { resizedSum += raster.getSample(2 * x, 2 * y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, pixelSum, resizedSum)
   }
 
   /** m01: binary ingestion + batched decode + resize. The binary column
-    * is synthesized from `documents.text` bytes (UTF-8) so the oracle can
-    * recompute every derived value from the base table. */
+    * holds real PNG bytes synthesized per `doc_id`; decode runs
+    * `ImageIO.read` per record inside `mapPartitions`. */
   def m01_media_decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id".as("media_id"),
-        encode($"text", "UTF-8").as("content"),
-        struct(lit("image/fake").as("mime"), $"source".as("origin"))
-          .as("meta"))
+      .select($"doc_id".as("media_id"), $"source")
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, source) => (id, encodePng(id), "image/png", source) }
+      }
+      .toDF("media_id", "content", "mime", "origin")
+      .select($"media_id", $"content",
+        struct($"mime", $"origin").as("meta"))
     // batched per-partition decode (mapInPandas-shaped: the decoder sees
-    // a batch iterator, not row-at-a-time calls)
+    // a batch iterator, not row-at-a-time driver calls)
     val decoded = media.select($"media_id", $"content", $"meta.mime".as("mime"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { batch =>
         batch.map { case (id, bytes, mime) =>
-          val (w, h, nf, ck) = fakeDecode(bytes)
-          (id, mime, bytes.length.toLong, w, h, nf, ck, w / 2, h / 2)
+          val (w, h, pixelSum, resizedSum) = decodeFeatures(bytes)
+          (id, mime, w.toLong, h.toLong, (w / 2).toLong, (h / 2).toLong,
+            pixelSum, resizedSum)
         }
       }
-      .toDF("media_id", "mime", "n_bytes", "width", "height",
-        "n_frames", "checksum", "resized_w", "resized_h")
+      .toDF("media_id", "mime", "width", "height", "resized_w", "resized_h",
+        "pixel_sum", "resized_pixel_sum")
     decoded.orderBy($"media_id")
   }
 
+  /** Oracle recomputes the decoded features arithmetically: the image is
+    * (doc_id%48+16) × (doc_id*7%48+16) with pixel (doc_id%256+x+y)%256;
+    * nearest-neighbour 2× downscale picks pixel (2x, 2y). */
   val m01Oracle: String =
-    """SELECT doc_id AS media_id, 'image/fake' AS mime,
-      |  length(text) AS n_bytes,
-      |  (length(text) % 640) + 16 AS width,
-      |  ((length(text) * 7) % 480) + 16 AS height,
-      |  length(text) // 256 + 1 AS n_frames,
-      |  list_sum(list_transform(split(text, ''), c -> ascii(c))) AS checksum,
-      |  ((length(text) % 640) + 16) // 2 AS resized_w,
-      |  (((length(text) * 7) % 480) + 16) // 2 AS resized_h
-      |FROM documents ORDER BY media_id""".stripMargin
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 48) + 16 AS w, ((doc_id * 7) % 48) + 16 AS h,
+      |    doc_id % 256 AS base
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(SUM((base + x.x + y.y) % 256) AS BIGINT) AS pixel_sum
+      |  FROM dims, UNNEST(range(0, w)) AS x(x), UNNEST(range(0, h)) AS y(y)
+      |  GROUP BY 1, 2, 3),
+      |rpx AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(SUM((base + 2 * x.x + 2 * y.y) % 256), 0) AS BIGINT)
+      |      AS resized_pixel_sum
+      |  FROM dims, UNNEST(range(0, w // 2)) AS x(x), UNNEST(range(0, h // 2)) AS y(y)
+      |  GROUP BY 1)
+      |SELECT px.doc_id AS media_id, 'image/png' AS mime,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(w // 2 AS BIGINT) AS resized_w, CAST(h // 2 AS BIGINT) AS resized_h,
+      |  pixel_sum, resized_pixel_sum
+      |FROM px JOIN rpx ON px.doc_id = rpx.doc_id
+      |ORDER BY media_id""".stripMargin
 
-  /** m02: frame sampling — one output row per sampled frame (every 4th),
-    * the explode-shaped half of a video pipeline. */
+  /** Frame-container codec: a length-prefixed concatenation of real PNGs
+    * (`GVID` magic, frame count, then [len][png bytes] per frame) — the
+    * parse-a-container half of a video pipeline, with each frame a
+    * constant-gray 8×8 PNG of value (doc_id%256 + f) % 256. */
+  def encodeVideo(docId: Long): Array[Byte] = {
+    val nFrames = (docId % 12).toInt + 1
+    val base = (docId % 256).toInt
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(0x47564944) // "GVID"
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { raster.setSample(x, y, 0, (base + f) % 256); x += 1 }
+        y += 1
+      }
+      val frameBytes = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", frameBytes)
+      val b = frameBytes.toByteArray
+      out.writeInt(b.length)
+      out.write(b)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Parse the container, decode every 4th frame with ImageIO, return
+    * (frame_idx, mean pixel value) per sampled frame. */
+  def sampleFrames(bytes: Array[Byte], stride: Int): Seq[(Int, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == 0x47564944, "bad container magic")
+    val nFrames = in.readInt()
+    (0 until nFrames).flatMap { f =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      if (f % stride != 0) None
+      else {
+        val img = ImageIO.read(new ByteArrayInputStream(b))
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        Some((f, sum / (img.getWidth.toLong * img.getHeight)))
+      }
+    }
+  }
+
+  /** m02: frame sampling — one row per sampled frame (every 4th), the
+    * explode-shaped half of a video pipeline, then per-media rollup. */
   def m02_frame_sample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("content"))
+      .select($"doc_id".as("media_id"))
+      .as[Long]
+      .mapPartitions { batch => batch.map(id => (id, encodeVideo(id))) }
+      .toDF("media_id", "content")
     val frames = media.as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val (_, _, nFrames, _) = fakeDecode(bytes)
-        (0 until nFrames by 4).map { f =>
-          // STUB frame feature: first byte of the frame's 256-byte span
-          val firstByte =
-            if (f * 256 < bytes.length) (bytes(f * 256) & 0xff).toLong else -1L
-          (id, f.toLong, firstByte)
-        }
+        sampleFrames(bytes, 4).map { case (f, mean) => (id, f.toLong, mean) }
       }
-      .toDF("media_id", "frame_idx", "first_byte")
+      .toDF("media_id", "frame_idx", "mean_pixel")
     frames.groupBy($"media_id")
       .agg(count(lit(1)).as("n_sampled"),
-        sum($"first_byte").as("first_byte_sum"))
+        sum($"mean_pixel").as("mean_pixel_sum"))
       .orderBy($"media_id")
   }
 
   val m02Oracle: String =
     """WITH f AS (
-      |  SELECT doc_id AS media_id, length(text) AS n,
-      |    UNNEST(range(0, length(text) // 256 + 1, 4)) AS frame_idx
+      |  SELECT doc_id AS media_id,
+      |    UNNEST(range(0, (doc_id % 12) + 1, 4)) AS frame_idx
       |  FROM documents)
       |SELECT media_id, COUNT(*) AS n_sampled,
-      |  SUM(CASE WHEN frame_idx * 256 < n
-      |      THEN ascii(text[frame_idx * 256 + 1]) ELSE -1 END) AS first_byte_sum
-      |FROM f JOIN documents ON doc_id = media_id
-      |GROUP BY media_id ORDER BY media_id""".stripMargin
+      |  CAST(SUM((media_id % 256 + frame_idx) % 256) AS BIGINT) AS mean_pixel_sum
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> (m01_media_decode _),

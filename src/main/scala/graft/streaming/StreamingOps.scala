@@ -100,7 +100,8 @@ object StreamingOps {
       |per_session AS (
       |  SELECT user_id, session_id, COUNT(*) AS n_events
       |  FROM sess GROUP BY 1, 2)
-      |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
       |  MAX(n_events) AS max_session_events
       |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -77,11 +77,27 @@ class OpsSpec extends AnyFunSuite {
     assert(m1 == TextOps.fingerprint("a b c d e")._2)
   }
 
-  test("fakeDecode: deterministic dims/frames/checksum from bytes") {
-    val b = "hello world".getBytes("UTF-8")
-    val (w, h, nf, ck) = MultimodalOps.fakeDecode(b)
-    assert(w == (11 % 640) + 16 && h == ((11 * 7) % 480) + 16)
-    assert(nf == 1)
-    assert(ck == b.map(_ & 0xff).sum.toLong)
+  test("png codec: encode/decode round-trips the deterministic pixels") {
+    val docId = 12345L
+    val (w, h, base) = MultimodalOps.imageDims(docId)
+    val bytes = MultimodalOps.encodePng(docId)
+    assert(bytes.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val (dw, dh, pixelSum, resizedSum) = MultimodalOps.decodeFeatures(bytes)
+    assert(dw == w && dh == h)
+    var expected = 0L
+    for (y <- 0 until h; x <- 0 until w) expected += (base + x + y) % 256
+    assert(pixelSum == expected)
+    var expResized = 0L
+    for (y <- 0 until h / 2; x <- 0 until w / 2)
+      expResized += (base + 2 * x + 2 * y) % 256
+    assert(resizedSum == expResized)
+  }
+
+  test("video container: frame count, stride sampling, constant-gray means") {
+    val docId = 7L // 8 frames
+    val bytes = MultimodalOps.encodeVideo(docId)
+    val sampled = MultimodalOps.sampleFrames(bytes, 4)
+    assert(sampled.map(_._1) == Seq(0, 4))
+    assert(sampled.map(_._2) == Seq((7L + 0) % 256, (7L + 4) % 256))
   }
 }

@@ -23,8 +23,9 @@ object CorpusRakeAgg {
       def reduce(buf: Buf, text: String): Buf = {
         if (text != null && text.nonEmpty) {
           Rake.candidatePhrases(text, Stopwords.english).foreach { p =>
-            val deg = (p.length - 1).toLong
-            p.filterNot(Rake.isNumber).foreach { w =>
+            val scorable = p.filterNot(Rake.isNumber)
+            val deg = (scorable.length - 1).toLong // non-number words only
+            scorable.foreach { w =>
               val (f, dg) = buf.getOrElse(w, (0L, 0L))
               buf.update(w, (f + 1, dg + deg))
             }

@@ -9,10 +9,15 @@ package graft.rake
   *    (hyphen excluded unless whitespace-surrounded, reference
   *    `rake/rake.rs:14`), fragments split into candidate phrases at
   *    stopwords.
-  *  - F7 number filter: tokens matching `-?\p{N}+[./٫,']?\p{N}*` are
-  *    excluded from frequency/degree/scoring (`rake/inner.rs:4-14`).
-  *  - A2 word stats: freq(w) += 1, degree(w) += len(phrase) - 1;
-  *    score(w) = (degree + freq) / freq.
+  *  - F7 number filter: tokens CONTAINING a match of
+  *    `-?\p{N}+[./٫,']?\p{N}*` (substring search, `is_match` — so
+  *    "v2"/"abc123" count as numbers) are excluded from
+  *    frequency/degree/scoring (`rake/inner.rs:4-14`).
+  *  - A2 word stats: with len = count of non-number words in the
+  *    phrase, when len > 0: freq(w) += 1, degree(w) += len - 1;
+  *    score(w) = (degree + freq) / freq. Tokens keep ORIGINAL case
+  *    (only the stopword lookup lowercases), matching
+  *    `rake/rake.rs` `phrases()`/`word_scores()`.
   *  - A3 phrase score: sum of member word scores; duplicate phrases
   *    collapse (equal scores, order-insensitive).
   *  - A5 output: Map(phrase → score) with f64→f32 cast
@@ -29,7 +34,7 @@ object Rake {
   private val NumberRe =
     java.util.regex.Pattern.compile("-?\\p{N}+[./٫,']?\\p{N}*")
 
-  def isNumber(w: String): Boolean = NumberRe.matcher(w).matches()
+  def isNumber(w: String): Boolean = NumberRe.matcher(w).find()
 
   /** Candidate phrases: runs of consecutive non-stopwords within each
     * punctuation-delimited fragment. */
@@ -43,8 +48,8 @@ object Rake {
       var curN = 0
       var j = 0
       while (j < words.length) {
-        val w = words(j).trim.toLowerCase
-        if (w.isEmpty || stop.contains(w)) {
+        val w = words(j).trim // original case kept, as the reference does
+        if (w.isEmpty || stop.contains(w.toLowerCase)) {
           if (curN > 0) { out += cur.result(); cur = Vector.newBuilder[String]; curN = 0 }
         } else { cur += w; curN += 1 }
         j += 1
@@ -64,10 +69,12 @@ object Rake {
     val degree = collection.mutable.HashMap[String, Int]()
     phrases.foreach { p =>
       val scorable = p.filterNot(isNumber)
-      val deg = p.length - 1
-      scorable.foreach { w =>
-        freq.update(w, freq.getOrElse(w, 0) + 1)
-        degree.update(w, degree.getOrElse(w, 0) + deg)
+      if (scorable.nonEmpty) {
+        val deg = scorable.length - 1 // non-number words only, per reference
+        scorable.foreach { w =>
+          freq.update(w, freq.getOrElse(w, 0) + 1)
+          degree.update(w, degree.getOrElse(w, 0) + deg)
+        }
       }
     }
     def wordScore(w: String): Double = {

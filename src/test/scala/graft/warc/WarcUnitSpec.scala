@@ -157,7 +157,8 @@ class WarcUnitSpec extends AnyFunSuite {
   test("rake segments phrases at stopwords and punctuation") {
     val phrases = Rake.candidatePhrases(
       "Compatibility of systems of linear constraints", Stopwords.english)
-    assert(phrases == Seq(Vector("compatibility"),
+    // original case is preserved (only the stopword lookup lowercases)
+    assert(phrases == Seq(Vector("Compatibility"),
       Vector("systems"), Vector("linear", "constraints")))
   }
 
@@ -173,7 +174,9 @@ class WarcUnitSpec extends AnyFunSuite {
     // "version 42 released" is one phrase; 42 contributes 0
     val key = kw.keys.find(_.contains("42"))
     assert(key.isDefined)
-    assert(Rake.isNumber("42") && Rake.isNumber("-1.5") && !Rake.isNumber("v42"))
+    // substring semantics (reference is_match): "v42" counts as a number
+    assert(Rake.isNumber("42") && Rake.isNumber("-1.5") && Rake.isNumber("v42"))
+    assert(!Rake.isNumber("version"))
   }
 
   test("rake stopwords never appear in keyword keys") {

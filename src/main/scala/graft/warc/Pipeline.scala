@@ -78,9 +78,12 @@ object Pipeline {
         element_at($"header", "warc-type") === "response")
       // header projections (`src/main.rs:233-244`)
       .withColumn("url", coalesce(element_at($"header", "warc-target-uri"), lit("")))
+      // try_cast: crawl-controlled header strings must never fail the job
+      // under ANSI mode — malformed/overflowing values → 0, matching the
+      // reference's parse::<i32>().unwrap_or(0)
       .withColumn("size_bytes",
         coalesce(element_at($"header", "uncompressed-content-length")
-          .cast("int"), lit(0)))
+          .try_cast("int"), lit(0)))
       // P1 hostname from URL (`src/main.rs:51-52,245-248`)
       .withColumn("hostname_from_url",
         regexp_extract($"url", HostnamePattern, 1))
@@ -97,7 +100,7 @@ object Pipeline {
       // P5 load_time (`src/main.rs:316-325`)
       .withColumn("load_time",
         (coalesce(element_at($"headers", "X-Funnelback-Total-Request-Time-MS")
-          .cast("float"), lit(0f)) / 1000f).cast("float"))
+          .try_cast("float"), lit(0f)) / 1000f).cast("float"))
       // P6 hostname override (`src/main.rs:326-332`)
       .withColumn("hostname",
         coalesce(element_at($"headers", "X-Funnelback-AA-Domain"),

@@ -69,6 +69,27 @@ class WarcSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("malformed numeric headers never fail the job under ANSI mode") {
+    // crawl-controlled header values: "N/A" length, non-numeric load time
+    val body = WarcSource.gzip(
+      ("HTTP/1.1 200 OK\r\nX-Funnelback-Total-Request-Time-MS: fast\r\n" +
+        "\n\r\n<html><body>hello ansi</body></html>")
+        .getBytes(StandardCharsets.UTF_8))
+    val rec = WarcSource.toWireFormat("response", "https://ex.gov.au/x", 123, body)
+    val s = new String(rec, StandardCharsets.ISO_8859_1)
+      .replace("Uncompressed-Content-Length: 123",
+        "Uncompressed-Content-Length: N/A") // same byte length
+    val dir = Files.createTempDirectory("warcansi")
+    Files.write(dir.resolve("m.warc"), s.getBytes(StandardCharsets.ISO_8859_1))
+    val recs = spark.read.format("warc").load(dir.toString)
+      .as(org.apache.spark.sql.Encoders.product[WarcRecord])
+    val rows = Pipeline.urlResources(recs).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Int]("size_bytes") == 0)     // unwrap_or(0) parity
+    assert(r.getAs[Float]("load_time") == 0f)
+  }
+
   test("single-split read matches whole-file read") {
     val dir = Files.createTempDirectory("warcv2b")
     Files.write(dir.resolve("one.warc"), makeWarc(20))

@@ -7,6 +7,7 @@ object Dev {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-dev")
     if (args.headOption.contains("warc-e2e")) { warcE2e(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("d04probe")) { d04probe(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("sql")) {
       spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("embeddings")
       spark.sql(args(1)).show(10, false)
@@ -14,16 +15,65 @@ object Dev {
     }
     val names = if (args.isEmpty) Seq("q05_multi_join") else args.toSeq
     for (n <- names) {
+      // time CONSTRUCTION + action: eager operators (withCache ones) do
+      // their work inside the queries(n) call itself
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(n)(spark, sfDir)
       if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
-      val t0 = System.nanoTime()
       val c = df.count()
       println(f"[dev] $n rows=$c time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      spark.catalog.clearCache()
       val t1 = System.nanoTime()
-      val c2 = df.count()
+      val c2 = SparkEntry.queries(n)(spark, sfDir).count()
       println(f"[dev] $n (2nd) rows=$c2 time=${(System.nanoTime() - t1) / 1e9}%.2fs")
+      spark.catalog.clearCache()
     }
     spark.stop()
+  }
+
+  /** Stage-by-stage timing of the d04 candidate pipeline. */
+  def d04probe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.dedup.DedupOps
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[dev] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val hashShinglesU = udf { text: String =>
+      DedupOps.shingles(text).iterator.map(DedupOps.hash64).toSeq
+    }
+    val index = DedupOps.withNearDups(spark, sfDir)
+      .select($"doc_id", explode(hashShinglesU($"text")).as("h"))
+    val idx = index.persist()
+    t("materialize index")(println("  rows=" + idx.count()))
+    val df = idx.groupBy($"h").agg(count(lit(1)).as("df"))
+    t("df agg")(println("  distinct=" + df.count()))
+    val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"h")
+    val ranked = idx.join(df, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val prefix = ranked
+      .filter($"rk" <= $"n_sh" - (($"n_sh" * 3 + 4) / 5).cast("long") + 1)
+      .select($"doc_id", $"h").persist()
+    t("rank+prefix")(println("  rows=" + prefix.count()))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    val candP = cand.persist()
+    t("cand join")(println("  pairs=" + candP.count()))
+    val texts = DedupOps.withNearDups(spark, sfDir)
+    val jacU = udf { (ta: String, tb: String) =>
+      DedupOps.jaccard(DedupOps.shingles(ta), DedupOps.shingles(tb)) }
+    val out = candP
+      .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
+      .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
+      .withColumn("jaccard", jacU($"text_a", $"text_b"))
+      .filter($"jaccard" >= 0.6)
+    t("verify")(println("  confirmed=" + out.count()))
+    spark.catalog.clearCache()
   }
 
   /** Drive the real job surface: documents → .warc files on disk →

@@ -3,6 +3,7 @@ package graft.dedup
 import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Tables
@@ -38,6 +39,54 @@ object DedupOps {
     * from the file count and this repartition is a no-op cost-wise). */
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Persist `toCache` for the duration of `build`, eagerly materialize
+    * the (aggregate-sized) result via `localCheckpoint`, then unpersist —
+    * so multi-consumer UDF subtrees run once AND no large cached blocks
+    * leak into a shared session after the operator returns. The
+    * checkpointed result's blocks are reference-tracked and reclaimed by
+    * the ContextCleaner once the returned DataFrame is dropped, unlike
+    * `persist()` entries which outlive their last reader until an
+    * explicit `unpersist`/`clearCache`. */
+  private[graft] def withCache(toCache: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    val cached = toCache.persist()
+    try build(cached).localCheckpoint(true)
+    finally cached.unpersist(false)
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.dedup")
+
+  /** Candidate pairs from an LSH bucket table `(doc_id, key…)`, with an
+    * oversized-bucket guard. Buckets of ≤ `cap` docs emit all intra-bucket
+    * pairs (the exact LSH candidate set). A degenerate bucket — N
+    * near-identical docs, common in real crawls — would be O(N²) there,
+    * so buckets over `cap` instead STAR-LINK: every member pairs with the
+    * bucket's min-id representative, O(N) rows, which still connects the
+    * whole near-dup cluster through the representative once pairs are
+    * verified (union-find over confirmed pairs recovers the component).
+    * Overflowing buckets are counted and logged — silent truncation at
+    * 100 TB would read as "covered everything" when it didn't. */
+  private[graft] def guardedBucketPairs(buckets: DataFrame, keyCols: Seq[String],
+      cap: Int = 1000): DataFrame = {
+    val sizes = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("bkt_rep"))
+    val withSize = buckets.join(sizes, keyCols)
+    val small = withSize.filter(col("bkt_n") <= cap)
+      .select(col("doc_id") +: keyCols.map(col): _*)
+    val smallPairs = small.as("a").join(small.as("b"),
+        keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // bkt_rep = min(doc_id) ⇒ rep < member, so (id_a, id_b) stays ordered
+    val starPairs = withSize
+      .filter(col("bkt_n") > cap && col("doc_id") =!= col("bkt_rep"))
+      .select(col("bkt_rep").as("id_a"), col("doc_id").as("id_b"))
+    val nOver = sizes.filter(col("bkt_n") > cap).count()
+    if (nOver > 0)
+      log.warn(s"$nOver LSH bucket(s) exceeded cap=$cap; star-linked their members " +
+        "instead of emitting all pairs (cluster connectivity preserved)")
+    smallPairs.union(starPairs).distinct()
+  }
 
   /** documents ∪ exact copies (ids shifted). */
   def withExactDups(s: SparkSession, d: String): DataFrame = {
@@ -101,6 +150,13 @@ object DedupOps {
     sig
   }
 
+  /** 64-bit string hash (two seeded murmur32 halves) — used to keep every
+    * shuffle/sort of the d04 candidate phase on longs instead of 3-gram
+    * strings. */
+  def hash64(s: String): Long =
+    (MurmurHash3.stringHash(s, 0xbeefcafe).toLong << 32) |
+      (MurmurHash3.stringHash(s, 0x5ca1ab1e).toLong & 0xffffffffL)
+
   def jaccard(a: Set[String], b: Set[String]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
     val common = a.count(b.contains)
@@ -144,29 +200,25 @@ object DedupOps {
       }
     }
     // the signature subtree feeds three consumers (buckets + both text
-    // joins) — persist so the UDF chain runs once, not per consumer
-    val docs = withNearDups(s, d).withColumn("bands", sigU($"text")).persist()
-    val buckets = docs.select($"doc_id",
+    // joins) — cache so the UDF chain runs once, not per consumer
+    withCache(withNearDups(s, d).withColumn("bands", sigU($"text"))) { docs =>
+      val buckets = docs.select($"doc_id",
         posexplode($"bands").as(Seq("band", "bucket")))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-      .distinct()
-    val texts = docs.select($"doc_id", $"text")
-    val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
-    val verified = cand
-      .join(texts.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("text", "text_a"), "id_a")
-      .join(texts.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("text", "text_b"), "id_b")
-      .withColumn("j", jacU($"text_a", $"text_b"))
-      .filter($"j" >= 0.8)
-    verified.agg(
-      count(lit(1)).as("n_confirmed"),
-      sum(when($"id_b" === $"id_a" + Shift, 1L).otherwise(0L))
-        .as("n_planted_found"))
+      val cand = guardedBucketPairs(buckets, Seq("band", "bucket"))
+      val texts = docs.select($"doc_id", $"text")
+      val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
+      val verified = cand
+        .join(texts.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("text", "text_a"), "id_a")
+        .join(texts.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("text", "text_b"), "id_b")
+        .withColumn("j", jacU($"text_a", $"text_b"))
+        .filter($"j" >= 0.8)
+      verified.agg(
+        count(lit(1)).as("n_confirmed"),
+        sum(when($"id_b" === $"id_a" + Shift, 1L).otherwise(0L))
+          .as("n_planted_found"))
+    }
   }
 
   val d02Oracle: String =
@@ -204,51 +256,110 @@ object DedupOps {
   def d03_simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val simU = udf { text: String => simhash(shingles(text)) }
-    val docs = withNearDups(s, d).withColumn("sig", simU($"text")).persist()
-    val banded = docs.select($"doc_id", $"sig",
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          ($"sig".bitwiseAND(lit(0xffffL << (b * 16)))).as("bits"))): _*))
-        .as("bb"))
-      .select($"doc_id", $"sig", $"bb.band", $"bb.bits")
-    val hamU = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
-    banded.as("a").join(banded.as("b"),
-        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-        $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
-      .distinct()
-      .withColumn("hamming", hamU($"sig_a", $"sig_b"))
-      .filter($"hamming" <= 6)
-      .agg(count(lit(1)).as("n_confirmed"),
-        sum(when($"id_b" === $"id_a" + Shift, 1L).otherwise(0L))
-          .as("n_planted_found"))
+    withCache(withNearDups(s, d).withColumn("sig", simU($"text"))) { docs =>
+      val banded = docs.select($"doc_id",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            ($"sig".bitwiseAND(lit(0xffffL << (b * 16)))).as("bits"))): _*))
+          .as("bb"))
+        .select($"doc_id", $"bb.band", $"bb.bits")
+      val cand = guardedBucketPairs(banded, Seq("band", "bits"))
+      val sigs = docs.select($"doc_id", $"sig")
+      val hamU = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
+      cand
+        .join(sigs.select($"doc_id".as("id_a"), $"sig".as("sig_a")), "id_a")
+        .join(sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b")), "id_b")
+        .withColumn("hamming", hamU($"sig_a", $"sig_b"))
+        .filter($"hamming" <= 6)
+        .agg(count(lit(1)).as("n_confirmed"),
+          sum(when($"id_b" === $"id_a" + Shift, 1L).otherwise(0L))
+            .as("n_planted_found"))
+    }
   }
 
-  /** d04: exact n-gram Jaccard via inverted-index self-join — no
-    * signatures, no all-pairs product; fully SQL-expressible so the
-    * oracle recomputes it end-to-end. */
+  /** d04: EXACT n-gram Jaccard join with prefix filtering (the published
+    * exact set-similarity-join technique: Chaudhuri et al. SSJoin 2006 /
+    * Bayardo et al. WWW'07 / Xiao et al. PPJoin). Instead of self-joining
+    * the full inverted index (a shingle in f docs → f² pair rows — the
+    * hot-shingle quadratic blowup), each doc indexes only its PREFIX:
+    * its |d| − ⌈t·|d|⌉ + 1 globally-rarest shingles (global order =
+    * ascending doc frequency). Theorem: J(a,b) ≥ t ⇒ prefix(a) and
+    * prefix(b) share a shingle, so joining prefix-to-prefix misses no
+    * true pair — and prefixes consist of rare shingles by construction,
+    * so no join key is hot. Candidates are then verified EXACTLY against
+    * the docs' full shingle sets. Same answer as the unpruned join
+    * (oracle recomputes it end-to-end), different cost curve at 100 TB.
+    */
   def d04_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val shingleU = udf { text: String => shingles(text).toSeq }
-    // exploded shingle index is read three times (sizes + both join sides)
-    val docs = withNearDups(s, d)
-      .select($"doc_id", explode(shingleU($"text")).as("shingle")).persist()
-    val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = docs.as("a").join(docs.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        $"common".cast("double") / ($"n_a" + $"n_b" - $"common").cast("double"))
-      .filter($"jaccard" >= 0.6)
-      .select($"id_a", $"id_b", $"jaccard")
-      .orderBy($"id_a", $"id_b")
+    // Candidate phase runs entirely on 64-bit shingle HASHES: every
+    // shuffle/sort/join key is a long, not a 3-gram string. Safe because
+    // hashing can only MERGE shingles, so Jaccard-on-hashes ≥ Jaccard-on-
+    // strings — the prefix filter still yields a candidate superset —
+    // and verification below recomputes the exact string Jaccard.
+    val hashShinglesU = udf { text: String =>
+      shingles(text).iterator.map(hash64).toSeq.distinct
+    }
+    val index = withNearDups(s, d)
+      .select($"doc_id", explode(hashShinglesU($"text")).as("h"))
+    withCache(index) { idx =>
+      val df = idx.groupBy($"h").agg(count(lit(1)).as("df"))
+      // per-doc global ranking, rarest shingles first ((df, h) is a
+      // total order); one shuffle on doc_id serves both windows.
+      // t = 3/5 kept as integer arithmetic — a float ⌈0.6·n⌉ can round
+      // the prefix short and silently drop true pairs
+      val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"h")
+      val ranked = idx.join(df, "h")
+        .withColumn("rk", row_number().over(byRarity))
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      // cache the (pruned, long-only) prefix table: the self-join below
+      // would otherwise recompute the join+window subplan once PER SIDE
+      withCache(ranked
+          .filter($"rk" <= $"n_sh" - (($"n_sh" * 3 + 4) / 5).cast("long") + 1)
+          .select($"doc_id", $"h", $"rk", $"n_sh")) { prefix =>
+        val cand = prefix.as("a").join(prefix.as("b"),
+            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+              // length filter: J ≥ 3/5 ⇒ 5·min(|a|,|b|) ≥ 3·max(|a|,|b|)
+              greatest($"a.n_sh", $"b.n_sh") * 3 <= least($"a.n_sh", $"b.n_sh") * 5 &&
+              // PPJoin position filter: overlap upper bound from the match
+              // positions must reach α = ⌈(3/8)(|a|+|b|)⌉ (t/(1+t) = 3/8)
+              (least($"a.n_sh" - $"a.rk", $"b.n_sh" - $"b.rk") + 1) * 8 >=
+                ($"a.n_sh" + $"b.n_sh") * 3)
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .distinct()
+        // cheap verify on per-doc sorted hash sets (broadcast: |docs|·~k
+        // longs). Hash-Jaccard ≥ string-Jaccard, so the integer-exact
+        // filter keeps every true pair; collisions can only add pairs.
+        val sets = idx.groupBy($"doc_id")
+          .agg(sort_array(collect_list($"h")).as("hs"))
+        val interU = udf { (a: Seq[Long], b: Seq[Long]) =>
+          var i = 0; var j = 0; var c = 0L
+          while (i < a.length && j < b.length) {
+            if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+            else if (a(i) < b(j)) i += 1 else j += 1
+          }
+          c
+        }
+        val hashConfirmed = cand
+          .join(broadcast(sets.select($"doc_id".as("id_a"), $"hs".as("hs_a"))), "id_a")
+          .join(broadcast(sets.select($"doc_id".as("id_b"), $"hs".as("hs_b"))), "id_b")
+          .withColumn("common", interU($"hs_a", $"hs_b"))
+          .filter($"common" * 5 >=
+            (size($"hs_a") + size($"hs_b") - $"common") * 3)
+          .select($"id_a", $"id_b")
+        // final exact verification on raw texts — survivors only (≈ the
+        // true pair count), so the string-level work is output-sized
+        val texts = withNearDups(s, d)
+        val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
+        hashConfirmed
+          .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
+          .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
+          .withColumn("jaccard", jacU($"text_a", $"text_b"))
+          .filter($"jaccard" >= 0.6)
+          .select($"id_a", $"id_b", $"jaccard")
+          .orderBy($"id_a", $"id_b")
+      }
+    }
   }
 
   val d04Oracle: String =

@@ -58,22 +58,25 @@ object SimilarityOps {
   }
 
   /** s01: exact top-5 cosine neighbors for the first 10 vectors.
-    * Emits ids and ranks only (scores are engine-precision-dependent). */
+    * Emits ids and ranks only (scores are engine-precision-dependent).
+    * Top-k is a bounded typed Aggregator (see [[TopKCosine]]): each map
+    * partition reduces to k candidates per query before the shuffle, so
+    * only |queries|·k rows per partition cross the wire — never the full
+    * corpus×queries scored set. */
   def s01_ann_bruteforce(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
     val queries = emb.filter($"vec_id" < 10)
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "q_emb")
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"vec_id")
+    val topk = udaf(new TopKCosine(5))
     emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
+      .groupBy($"query_id")
+      .agg(topk($"cos", $"vec_id").as("nbrs"))
+      .select($"query_id", posexplode($"nbrs").as(Seq("pos", "neighbor_id")))
+      .select($"query_id", ($"pos" + 1).as("rank"), $"neighbor_id")
       .orderBy($"query_id", $"rank")
   }
 
@@ -119,23 +122,22 @@ object SimilarityOps {
       (0 until nBands).map(b =>
         (b.toLong << 32) | ((sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1)))
     }
-    val docs = withNearDups(s, d).withColumn("bands", bandsU($"embedding"))
-      .persist()
-    val buckets = docs.select($"vec_id", explode($"bands").as("bucket"))
-    val cand = buckets.as("a").join(buckets.as("b"),
-        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
-      .distinct()
-    val vecs = docs.select($"vec_id", $"embedding")
-    cand
-      .join(vecs.withColumnRenamed("vec_id", "id_a")
-        .withColumnRenamed("embedding", "emb_a"), "id_a")
-      .join(vecs.withColumnRenamed("vec_id", "id_b")
-        .withColumnRenamed("embedding", "emb_b"), "id_b")
-      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"emb_a", $"emb_b"))
-      .filter($"cos" >= 0.9)
-      .select($"id_a", $"id_b")
-      .orderBy($"id_a", $"id_b")
+    graft.dedup.DedupOps.withCache(
+        withNearDups(s, d).withColumn("bands", bandsU($"embedding"))) { docs =>
+      val buckets = docs.select($"vec_id".as("doc_id"),
+        explode($"bands").as("bucket"))
+      val cand = graft.dedup.DedupOps.guardedBucketPairs(buckets, Seq("bucket"))
+      val vecs = docs.select($"vec_id", $"embedding")
+      cand
+        .join(vecs.withColumnRenamed("vec_id", "id_a")
+          .withColumnRenamed("embedding", "emb_a"), "id_a")
+        .join(vecs.withColumnRenamed("vec_id", "id_b")
+          .withColumnRenamed("embedding", "emb_b"), "id_b")
+        .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"emb_a", $"emb_b"))
+        .filter($"cos" >= 0.9)
+        .select($"id_a", $"id_b")
+        .orderBy($"id_a", $"id_b")
+    }
   }
 
   val s02Oracle: String =
@@ -149,7 +151,6 @@ object SimilarityOps {
     * approximate path made observable. */
   def s03_ann_lsh_recall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       .repartition(s.sparkContext.defaultParallelism)
     val nBands = 16
@@ -161,27 +162,28 @@ object SimilarityOps {
         (b.toLong << 32) | ((sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1)))
     }
     val banded = emb.withColumn("bands", bandsU($"embedding"))
-    val buckets = banded.select($"vec_id", $"embedding",
-      explode($"bands").as("bucket")).persist()
-    val queries = buckets.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    val approx = buckets.join(queries,
-        Seq("bucket")).filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", $"q_emb", $"embedding").distinct()
-      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"vec_id")
-    val exact = s01_ann_bruteforce(s, d)
-      .select($"query_id", $"neighbor_id".as("vec_id"))
-    val hits = approx.join(exact, Seq("query_id", "vec_id"), "inner")
-      .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
-    exact.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
-      .join(hits, Seq("query_id"), "left")
-      .agg((sum(coalesce($"n_hit", lit(0L))).cast("double") /
-        sum($"n_true").cast("double")).as("recall_at_5"),
-        count(lit(1)).as("n_queries"))
+    graft.dedup.DedupOps.withCache(banded.select($"vec_id", $"embedding",
+        explode($"bands").as("bucket"))) { buckets =>
+      val queries = buckets.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
+      val topk = udaf(new TopKCosine(5))
+      val approx = buckets.join(queries,
+          Seq("bucket")).filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", $"q_emb", $"embedding").distinct()
+        .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
+        .groupBy($"query_id")
+        .agg(topk($"cos", $"vec_id").as("nbrs"))
+        .select($"query_id", explode($"nbrs").as("vec_id"))
+      val exact = s01_ann_bruteforce(s, d)
+        .select($"query_id", $"neighbor_id".as("vec_id"))
+      val hits = approx.join(exact, Seq("query_id", "vec_id"), "inner")
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .agg((sum(coalesce($"n_hit", lit(0L))).cast("double") /
+          sum($"n_true").cast("double")).as("recall_at_5"),
+          count(lit(1)).as("n_queries"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

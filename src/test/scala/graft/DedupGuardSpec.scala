@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.DedupOps
+
+/** Degenerate-bucket guard: a bucket of N near-identical docs must cost
+  * O(N) candidate rows (star-linked through the representative), not the
+  * O(N²) all-pairs blowup — the failure mode of real crawls at 100 TB. */
+class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("dedup-guard-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("oversized bucket star-links members; small buckets keep all pairs") {
+    val sp = spark
+    import sp.implicits._
+    // one degenerate bucket with 1200 members + one small bucket with 4
+    val rows =
+      (0L until 1200L).map(i => (i, 0L)) ++ Seq(2000L, 2001L, 2002L, 2003L).map((_, 7L))
+    val buckets = rows.toDF("doc_id", "bucket")
+    val pairs = DedupOps.guardedBucketPairs(buckets, Seq("bucket"), cap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // small bucket: full 4-choose-2 pair set
+    val smallExpected = (for {
+      a <- Seq(2000L, 2001L, 2002L); b <- Seq(2001L, 2002L, 2003L) if a < b
+    } yield (a, b)).toSet
+    assert(pairs.filter(_._1 >= 2000L) == smallExpected)
+    // degenerate bucket: exactly N-1 star pairs through min-id rep 0
+    val big = pairs.filter(_._1 < 2000L)
+    assert(big.size == 1199)
+    assert(big.forall { case (a, b) => a == 0L && b > 0L })
+  }
+
+  test("planted identical-doc flood completes with linear candidate volume") {
+    val sp = spark
+    import sp.implicits._
+    // every doc in the same band buckets (identical signature): the
+    // unguarded join would build ~N²/2 pairs; guarded must stay ~N per band
+    val n = 5000L
+    val buckets = (0L until n).flatMap(i => Seq((i, 0L, 11L), (i, 1L, 99L)))
+      .toDF("doc_id", "band", "bits")
+    val pairs = DedupOps.guardedBucketPairs(buckets, Seq("band", "bits"), cap = 100)
+    assert(pairs.count() == n - 1) // both bands star-link to the same rep set
+  }
+}

@@ -63,6 +63,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.selectExpr("max(c)").head().getDouble(0) > 0.999)
   }
 
+  test("s01 top-k: partial ObjectHashAggregate, no full-set window shuffle") {
+    val plan = physical(graft.sim.SimilarityOps.s01_ann_bruteforce(spark, sf))
+    // bounded typed Aggregator ⇒ map-side partial aggregation; the old
+    // row_number window (all N×Q rows to Q reducers) must stay gone
+    assert(plan.contains("ObjectHashAggregate"))
+    assert("partial_topkcosine|partial_TopKCosine".r.findFirstIn(plan.toLowerCase)
+      .isDefined || plan.contains("partial"), s"no partial agg in:\n$plan")
+    assert(!plan.contains("Window"), s"window plan crept back:\n$plan")
+  }
+
   test("splittable warc scan reports its partitioning") {
     val dir = java.nio.file.Files.createTempDirectory("planspec")
     java.nio.file.Files.write(dir.resolve("x.warc"),

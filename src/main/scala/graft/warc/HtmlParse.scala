@@ -93,11 +93,19 @@ object HtmlParse {
             value = s.substring(vStart, pos)
           }
         }
-        if (name.nonEmpty) attrs(name) = decodeEntities(value)
+        // HTML5: a repeated attribute is ignored — the FIRST wins
+        if (name.nonEmpty && !attrs.contains(name)) attrs(name) = decodeEntities(value)
       }
     }
     (attrs.toMap, if (pos < n) pos + 1 else n, selfClosing)
   }
+
+  /** Start tags allowed inside <head>; any OTHER start tag implicitly
+    * closes the head (the HTML5 "in head → anything else" tree-
+    * construction rule) — tag-soup pages with no </head> or <body> must
+    * not have their whole body text suppressed as head content. */
+  private val HeadTags = Set("head", "html", "title", "meta", "link", "base",
+    "basefont", "bgsound", "style", "script", "noscript", "template")
 
   /** Case-insensitive indexOf without copying the haystack (a
     * `toLowerCase` per raw-text element would be O(n²) on script-heavy
@@ -119,21 +127,18 @@ object HtmlParse {
     val n = html.length
     var pos = 0
     var title = ""
-    var inTitle = false
     var inHead = false
     var headingDepth = 0
     var suppressDepth = 0
     val text = mutable.ArrayBuffer[String]()
     val headings = mutable.ArrayBuffer[String]()
     val headingBuf = new java.lang.StringBuilder
-    val titleBuf = new java.lang.StringBuilder
     val links = mutable.ArrayBuffer[String]()
     val resources = mutable.ArrayBuffer[String]()
     val metaTags = mutable.LinkedHashMap[String, String]()
 
     def emitText(raw: String): Unit = {
-      if (inTitle) { titleBuf.append(raw); return }
-      if (suppressDepth > 0 || (inHead && !inTitle)) return
+      if (suppressDepth > 0 || inHead) return
       val t = decodeEntities(raw).trim
       if (t.nonEmpty) {
         text += t
@@ -170,11 +175,6 @@ object HtmlParse {
             val end = html.indexOf('>', p)
             pos = if (end < 0) n else end + 1
             tag match {
-              case "title" =>
-                if (inTitle) {
-                  inTitle = false
-                  if (title.isEmpty) title = decodeEntities(titleBuf.toString).trim
-                }
               case "head" => inHead = false
               case "noscript" => if (suppressDepth > 0) suppressDepth -= 1
               case t if t.length == 2 && t.charAt(0) == 'h' &&
@@ -195,10 +195,19 @@ object HtmlParse {
             val tag = html.substring(nameStart, p).toLowerCase
             val (attrs, after, _) = parseAttrs(html, p)
             pos = after
+            if (inHead && !HeadTags.contains(tag)) inHead = false
             tag match {
               case "head" => inHead = true
               case "body" => inHead = false
-              case "title" => inTitle = true; titleBuf.setLength(0)
+              case "title" =>
+                // RCDATA: everything to </title> is text (tags inert);
+                // first non-empty title wins
+                val close = indexOfIgnoreCase(html, "</title", pos)
+                val end = if (close < 0) n else close
+                if (title.isEmpty)
+                  title = decodeEntities(html.substring(pos, end)).trim
+                pos = if (close < 0) n
+                  else { val e = html.indexOf('>', close); if (e < 0) n else e + 1 }
               case "meta" =>
                 // precedence: name → http-equiv → itemprop → property
                 val key = attrs.get("name").orElse(attrs.get("http-equiv"))
@@ -235,8 +244,6 @@ object HtmlParse {
       }
     }
     if (headingBuf.length() > 0) headings += headingBuf.toString
-    if (title.isEmpty && titleBuf.length() > 0)
-      title = decodeEntities(titleBuf.toString).trim
     HtmlResult(ok = true, html_errors = "", title = title, text = text.toSeq,
       headings_text = headings.toSeq, links = links.toSeq,
       resource_urls = resources.toSeq, meta_tags = metaTags.toMap)

@@ -135,6 +135,28 @@ class WarcUnitSpec extends AnyFunSuite {
     assert(UrlTools.domainRoot("") == "")
   }
 
+  test("domainRoot follows the PSL algorithm for ccTLD registries, private suffixes, wildcards") {
+    // ccTLD second-level registries
+    assert(UrlTools.domainRoot("shop.foo.co.za") == "foo.co.za")
+    assert(UrlTools.domainRoot("www.registro.com.br") == "registro.com.br")
+    assert(UrlTools.domainRoot("deep.sub.example.co.uk") == "example.co.uk")
+    // private-registry suffixes: the user site is the registrable domain
+    assert(UrlTools.domainRoot("user.github.io") == "user.github.io")
+    assert(UrlTools.domainRoot("sub.user.github.io") == "user.github.io")
+    assert(UrlTools.domainRoot("myapp.herokuapp.com") == "myapp.herokuapp.com")
+    assert(UrlTools.domainRoot("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+    // a bare public suffix comes back unchanged
+    assert(UrlTools.domainRoot("gov.au") == "gov.au")
+    assert(UrlTools.domainRoot("github.io") == "github.io")
+    // wildcard rule *.ck and its !www.ck exception
+    assert(UrlTools.domainRoot("foo.bar.ck") == "foo.bar.ck")
+    assert(UrlTools.domainRoot("deep.foo.bar.ck") == "foo.bar.ck")
+    assert(UrlTools.domainRoot("www.ck") == "www.ck")
+    assert(UrlTools.domainRoot("sub.www.ck") == "www.ck")
+    // unknown TLD falls back to the default single-label rule
+    assert(UrlTools.domainRoot("a.b.example.dev") == "example.dev")
+  }
+
   // ---- F2 blacklist ----
 
   test("blacklist matches hosts, urls, and substrings") {

@@ -8,6 +8,7 @@ object Dev {
     val spark = GraftSession.get("graft-dev")
     if (args.headOption.contains("warc-e2e")) { warcE2e(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("d04probe")) { d04probe(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("d03probe")) { d03probe(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("sql")) {
       spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("embeddings")
       spark.sql(args(1)).show(10, false)
@@ -29,6 +30,45 @@ object Dev {
       spark.catalog.clearCache()
     }
     spark.stop()
+  }
+
+  /** Stage-by-stage timing of the d03 simhash pipeline. */
+  def d03probe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.dedup.DedupOps
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[dev] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val simU = udf { text: String => DedupOps.simhash(DedupOps.shingles(text)) }
+    val docs = DedupOps.withNearDups(spark, sfDir).withColumn("sig", simU($"text")).persist()
+    t("materialize sigs")(println("  rows=" + docs.count()))
+    val banded = docs.select($"doc_id",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          ($"sig".bitwiseAND(lit(0xffffL << (b * 16)))).as("bits"))): _*))
+        .as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bits")
+    val sizes = banded.groupBy($"band", $"bits")
+      .agg(count(lit(1)).as("n"))
+    t("bucket sizes")(banded.persist().count())
+    println("  top buckets:")
+    sizes.orderBy($"n".desc).limit(5).collect()
+      .foreach(r => println(s"    band=${r.get(0)} n=${r.get(2)}"))
+    val cand = t("guardedBucketPairs")(
+      DedupOps.guardedBucketPairs(banded, Seq("band", "bits")))
+    t("cand count")(println("  pairs=" + cand.count()))
+    val sigs = docs.select($"doc_id", $"sig")
+    val hamU = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
+    val out = cand
+      .join(sigs.select($"doc_id".as("id_a"), $"sig".as("sig_a")), "id_a")
+      .join(sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b")), "id_b")
+      .withColumn("hamming", hamU($"sig_a", $"sig_b"))
+      .filter($"hamming" <= 6)
+    println(out.queryExecution.executedPlan.toString.take(6000))
+    t("verify-nopersist")(println("  confirmed=" + out.count()))
+    spark.catalog.clearCache()
   }
 
   /** Stage-by-stage timing of the d04 candidate pipeline. */

@@ -118,6 +118,46 @@ object TextOps {
     if (hits == 0) "und" else best
   }
 
+  /** t03 oracle: the trigram scan is re-expressed as non-overlapping
+    * replace-counting — exact because no profile trigram can overlap
+    * itself (none has g[0]==g[2]) — and argmax-by-(hits, lang) matches
+    * `detectLang`'s maxBy tuple order. */
+  val t03Oracle: String = {
+    val profVals = langProfiles.toSeq.sortBy(_._1).collect {
+      case (lang, prof) if prof.nonEmpty =>
+        prof.toSeq.sorted.map(g => s"('$lang', '${g.replace("'", "''")}')")
+          .mkString(",\n    |    ")
+    }.mkString(",\n    |    ")
+    s"""WITH prof(lang, g) AS (VALUES
+      |    $profVals),
+      |d AS (
+      |  SELECT doc_id, lang AS true_lang, text,
+      |    ' ' || lower(text) || ' ' AS padded,
+      |    len(regexp_extract_all(text,
+      |      '[\\x{4e00}-\\x{9fff}\\x{3400}-\\x{4dbf}]')) AS cjk
+      |  FROM documents),
+      |hits AS (
+      |  SELECT d.doc_id, prof.lang,
+      |    SUM((length(d.padded) - length(replace(d.padded, prof.g, ''))) // 3)
+      |      AS n_hits
+      |  FROM d CROSS JOIN prof
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT doc_id, lang, n_hits,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY n_hits DESC, lang DESC) AS rn
+      |  FROM hits),
+      |pred AS (
+      |  SELECT d.doc_id, d.true_lang,
+      |    CASE WHEN length(d.text) = 0 THEN 'und'
+      |         WHEN d.cjk * 2 > length(d.text) THEN 'zh'
+      |         WHEN b.n_hits = 0 THEN 'und'
+      |         ELSE b.lang END AS predicted
+      |  FROM d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1)
+      |SELECT true_lang AS lang, predicted, COUNT(*) AS n_docs
+      |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def t03_lang_id(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val lid = udf(detectLang _)
@@ -153,6 +193,51 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** t04 oracle: Java `String.hashCode` (a JLS-specified fold, stable
+    * across JVMs for BMP text) re-expressed as modular arithmetic —
+    * 32-bit wraparound via `% 2^32` + sign adjust per token, 64-bit
+    * wraparound via HUGEINT `% 2^64` for the rolling hash. */
+  val t04Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents),
+      |tok_h AS (
+      |  SELECT doc_id, i,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(split(ts[i], ''), c -> CAST(unicode(c) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 4294967296) AS uh
+      |  FROM toks, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+      |tok_s AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN uh >= 2147483648 THEN uh - 4294967296 ELSE uh END AS sh
+      |  FROM tok_h),
+      |roll AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |        list_transform(list(sh ORDER BY i), x -> CAST(x AS HUGEINT))),
+      |      (h, c) -> ((h * 31 + c) % 18446744073709551616
+      |                 + 18446744073709551616) % 18446744073709551616) AS uh64
+      |  FROM tok_s GROUP BY doc_id),
+      |grams AS (
+      |  SELECT t.doc_id,
+      |    MIN(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(split(array_to_string(ts[i:i+2], ' '), ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 4294967296)) AS min_uh
+      |  FROM toks t, UNNEST(range(1, GREATEST(len(ts) - 2, 1) + 1)) AS u(i)
+      |  WHERE len(ts) >= 3
+      |  GROUP BY t.doc_id)
+      |SELECT r.doc_id,
+      |  CAST(CASE WHEN uh64 >= 9223372036854775808
+      |       THEN uh64 - 18446744073709551616 ELSE uh64 END AS BIGINT)
+      |    AS rolling_hash,
+      |  CAST(COALESCE(g.min_uh, uh64 % 4294967296) AS BIGINT) AS min_shingle
+      |FROM roll r LEFT JOIN grams g ON r.doc_id = g.doc_id
+      |ORDER BY r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01_token_stats _),
     "t02_quality_score" -> (t02_quality_score _),
@@ -163,5 +248,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "t01_token_stats" -> t01Oracle,
     "t02_quality_score" -> t02Oracle,
+    "t03_lang_id" -> t03Oracle,
+    "t04_fingerprint" -> t04Oracle,
   )
 }

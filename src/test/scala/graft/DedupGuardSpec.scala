@@ -42,6 +42,15 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big.forall { case (a, b) => a == 0L && b > 0L })
   }
 
+  test("d03 golden pin at sf0.001: banding + hamming verify is deterministic") {
+    // no SQL oracle exists for simhash by design; this pins the exact
+    // confirmed/planted counts so any change to the signature, banding
+    // or verification semantics must re-justify itself here
+    val row = DedupOps.d03_simhash(spark, "/root/testdata/sf0.001").collect()(0)
+    assert(row.getLong(0) == 474L, s"n_confirmed=${row.getLong(0)}")
+    assert(row.getLong(1) == 379L, s"n_planted_found=${row.getLong(1)}")
+  }
+
   test("planted identical-doc flood completes with linear candidate volume") {
     val sp = spark
     import sp.implicits._

@@ -69,6 +69,30 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.detectLang("") == "und")
   }
 
+  test("simhash pigeonhole: any pair within hamming 3 shares one of the 4 16-bit bands") {
+    // the d03 banding guarantee — 4 bands, ≤3 flipped bits ⇒ at least one
+    // band untouched; checked with the exact masks the query uses
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val sig = rnd.nextLong()
+      val nFlips = rnd.nextInt(4) // 0..3
+      var other = sig
+      (1 to nFlips).foreach { _ => other ^= (1L << rnd.nextInt(64)) }
+      val shared = (0 until 4).exists { b =>
+        (sig & (0xffffL << (b * 16))) == (other & (0xffffL << (b * 16)))
+      }
+      assert(shared, f"sig=$sig%x other=$other%x")
+    }
+  }
+
+  test("fingerprint: golden values pin the JLS hashCode fold") {
+    // String.hashCode is specified by the JLS — these literals must never
+    // drift across JVMs; they also pin the 64-bit fold + unsigned 3-gram
+    val (h, m) = TextOps.fingerprint("the quick brown fox jumps over the lazy dog")
+    assert(h == -1137903464218335600L)
+    assert(m == 1005032562L)
+  }
+
   test("fingerprint: deterministic, order-sensitive") {
     val (h1, m1) = TextOps.fingerprint("a b c d e")
     val (h2, _) = TextOps.fingerprint("a b c d e")

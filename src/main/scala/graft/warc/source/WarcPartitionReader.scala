@@ -14,10 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Caveat shared with every offset-splittable record format: a split
   * seeking into the middle of a binary body could false-sync on magic
-  * bytes inside the body; the malformed pseudo-record parses to the
-  * sentinel (`version == "0"`, dropped by F1) and the reader re-syncs.
-  * Content-Length-driven skipping means true records are never
-  * double-emitted by their owning split.
+  * bytes inside the body. The first record after a mid-split sync is
+  * therefore TENTATIVE: it must carry WARC-Type and a parseable
+  * Content-Length, AND its claimed length must land on a well-formed
+  * record terminator (CRLF padding then EOF or a line-initial `WARC/`)
+  * — otherwise the reader rewinds to just past the false magic and
+  * rescans, so an embedded header block with a bogus length can never
+  * jump real records. Content-Length-driven skipping means true records
+  * are never double-emitted by their owning split.
   */
 class WarcPartitionReader(part: WarcInputPartition,
     hadoopConf: org.apache.hadoop.conf.Configuration)
@@ -105,6 +109,37 @@ class WarcPartitionReader(part: WarcInputPartition,
     -1L
   }
 
+  /** Tentative-record terminator check. A record accepted from a mid-
+    * split sync must END like a WARC record: its body followed by only
+    * CR/LF padding (the spec's two CRLFs; ≤8 bytes tolerated) and then
+    * EOF or a line-initial `WARC/` magic. Returns the next magic's start
+    * offset (magic consumed), -1 for EOF-accept, -2 for reject. Without
+    * this, a body that EMBEDS a plausible WARC header block (crawls
+    * serving .warc files, HTML quoting WARC headers) would be trusted
+    * and its Content-Length skip could jump real records owned by this
+    * split. */
+  private def validateTerminator(): Long = {
+    var padding = 0
+    var sawNewline = false
+    while (padding <= 8) {
+      val b = readByte()
+      if (b < 0) return -1L
+      if (b == 'W' && sawNewline) {
+        val start = pos - 1
+        var m = 1
+        while (m < Magic.length) {
+          if (readByte() != Magic(m)) return -2L
+          m += 1
+        }
+        return start
+      }
+      if (b != '\r' && b != '\n') return -2L
+      sawNewline |= b == '\n'
+      padding += 1
+    }
+    -2L
+  }
+
   // stream is positioned just AFTER a consumed magic whose start offset
   // is `nextMagicStart`; -1 when no further magic exists
   private var nextMagicStart: Long = {
@@ -125,6 +160,7 @@ class WarcPartitionReader(part: WarcInputPartition,
       if (done || nextMagicStart < 0 || nextMagicStart >= endExclusive) {
         done = true; return false
       }
+      val magicStart = nextMagicStart // rewind point for tentative rejects
       val version = readLine() // remainder of the "WARC/<ver>" line
       if (version == null) { done = true; return false }
       var contentLength = -1L
@@ -150,27 +186,62 @@ class WarcPartitionReader(part: WarcInputPartition,
       if (h == null) { current = sentinelRow(); nextMagicStart = -1L; return true }
       if (bad || contentLength < 0 || (tentative && !hasWarcType)) {
         // malformed (or rejected tentative) pseudo-record: do NOT trust
-        // its length; rescan from just after its magic line
+        // its length; rescan. Tentative rejects rewind to just after the
+        // false magic (the header scan may have consumed a real magic)
+        // and emit nothing; non-tentative malformed records surface as
+        // sentinels for the quarantine path.
+        if (tentative) seekTo(magicStart + Magic.length)
         nextMagicStart = syncToBoundary(requireNewline = false)
         if (!tentative) { current = sentinelRow(); return true }
-        // tentative rejects emit nothing — loop to the next candidate
       } else if (contentLength > graft.warc.WarcSource.MaxBodyBytes) {
         if (!skipFully(contentLength)) { current = sentinelRow(); nextMagicStart = -1L; return true }
-        current = row(version, keys.result(), vals.result(), Array.emptyByteArray)
-        tentative = false
-        nextMagicStart = syncToBoundary(requireNewline = false)
-        return true
+        if (tentative) {
+          val v = validateTerminator()
+          if (v == -2L) {
+            // pseudo-record: its claimed length does not land on a record
+            // end — rescan from just after the false magic
+            seekTo(magicStart + Magic.length)
+            nextMagicStart = syncToBoundary(requireNewline = false)
+          } else {
+            current = row(version, keys.result(), vals.result(), Array.emptyByteArray)
+            tentative = false
+            nextMagicStart = v
+            return true
+          }
+        } else {
+          current = row(version, keys.result(), vals.result(), Array.emptyByteArray)
+          nextMagicStart = syncToBoundary(requireNewline = false)
+          return true
+        }
       } else {
         val body = readFully(contentLength.toInt)
         if (body.length < contentLength) {
-          current = sentinelRow()
-          nextMagicStart = -1L
+          if (tentative) {
+            // claimed length runs past EOF: false sync — rescan (there may
+            // be real records between the false magic and EOF)
+            seekTo(magicStart + Magic.length)
+            nextMagicStart = syncToBoundary(requireNewline = false)
+          } else {
+            current = sentinelRow()
+            nextMagicStart = -1L
+            return true
+          }
+        } else if (tentative) {
+          val v = validateTerminator()
+          if (v == -2L) {
+            seekTo(magicStart + Magic.length)
+            nextMagicStart = syncToBoundary(requireNewline = false)
+          } else {
+            current = row(version, keys.result(), vals.result(), body)
+            tentative = false
+            nextMagicStart = v
+            return true
+          }
         } else {
           current = row(version, keys.result(), vals.result(), body)
-          tentative = false
           nextMagicStart = syncToBoundary(requireNewline = false)
+          return true
         }
-        return true
       }
     }
     false

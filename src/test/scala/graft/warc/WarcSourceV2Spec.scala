@@ -28,9 +28,17 @@ class WarcSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     out.write(WarcSource.toWireFormat("warcinfo", "", 0,
       "software: graft\n".getBytes(StandardCharsets.UTF_8)))
     (0 until n).foreach { i =>
-      // bodies of varying size incl. gzip (binary) content
+      // bodies of varying size incl. gzip (binary) content, and every 7th
+      // record EMBEDS a plausible fake WARC record (WARC-Type +
+      // Content-Length + spec terminator) whose bogus 100 KB length would
+      // jump many real records if a mid-split sync ever trusted it
       val body =
-        if (i % 3 == 0) WarcSource.gzip(("doc " + i + " " + ("x" * (i % 500))).getBytes)
+        if (i % 7 == 0)
+          ("quoting a warc capture:\nWARC/1.0\r\nWARC-Type: response\r\n" +
+            "WARC-Target-URI: https://fake/\r\nContent-Length: 100000\r\n\r\n" +
+            "trailing junk " + i + " " + ("z" * (i % 300)))
+            .getBytes(StandardCharsets.UTF_8)
+        else if (i % 3 == 0) WarcSource.gzip(("doc " + i + " " + ("x" * (i % 500))).getBytes)
         else ("plain body " + i + " " + ("y" * (i % 700))).getBytes(StandardCharsets.UTF_8)
       out.write(WarcSource.toWireFormat("response", s"https://ex.gov.au/p/$i",
         body.length, body))

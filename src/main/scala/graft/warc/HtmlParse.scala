@@ -121,7 +121,25 @@ object HtmlParse {
     -1
   }
 
-  /** Lenient streaming parse applying the reference's extraction rules. */
+  /** Void elements never pushed on the diagnostics stack. */
+  private val VoidTags = Set("area", "base", "basefont", "bgsound", "br",
+    "col", "embed", "hr", "img", "input", "link", "meta", "param", "source",
+    "track", "wbr")
+
+  /** Elements whose end tag HTML5 allows omitting — implicit closes and
+    * EOF residue of these are normal, not diagnostics. */
+  private val OmittableEnd = Set("html", "head", "body", "p", "li", "dd",
+    "dt", "td", "th", "tr", "tbody", "thead", "tfoot", "option", "optgroup",
+    "colgroup", "caption", "rt", "rp")
+
+  /** Lenient streaming parse applying the reference's extraction rules.
+    *
+    * `html_errors` reports the tag-soup repairs the tokenizer performed
+    * (misnested/unmatched end tags, implicit head close, unterminated
+    * comment, unclosed elements at EOF) in this engine's own format —
+    * the reference captures HTML Tidy's stderr here
+    * (`src/lib.rs:197-206,240`); same column role, different producer,
+    * documented divergence. Well-formed pages yield `""`. */
   def parse(html: String): HtmlResult = {
     if (html == null || html.isEmpty) return HtmlResult.empty
     val n = html.length
@@ -136,6 +154,14 @@ object HtmlParse {
     val links = mutable.ArrayBuffer[String]()
     val resources = mutable.ArrayBuffer[String]()
     val metaTags = mutable.LinkedHashMap[String, String]()
+
+    // diagnostics: a purely observational open-tag stack (capped), never
+    // feeding back into extraction state
+    val openStack = mutable.ArrayBuffer[String]()
+    val diags = mutable.ArrayBuffer[String]()
+    val MaxDiags = 10
+    def diag(msg: String): Unit =
+      if (diags.length < MaxDiags) diags += msg
 
     def emitText(raw: String): Unit = {
       if (suppressDepth > 0 || inHead) return
@@ -159,6 +185,7 @@ object HtmlParse {
           case '!' =>
             if (html.startsWith("<!--", lt)) {
               val end = html.indexOf("-->", lt + 4)
+              if (end < 0) diag("unterminated comment at EOF")
               pos = if (end < 0) n else end + 3
             } else {
               val end = html.indexOf('>', lt)  // DOCTYPE / CDATA-ish
@@ -174,6 +201,22 @@ object HtmlParse {
             val tag = html.substring(nameStart, p).toLowerCase
             val end = html.indexOf('>', p)
             pos = if (end < 0) n else end + 1
+            // diagnostics-only nesting bookkeeping
+            if (tag.nonEmpty && !VoidTags.contains(tag)) {
+              val at = openStack.lastIndexOf(tag)
+              if (at < 0) diag(s"discarded unmatched </$tag>")
+              else {
+                if (at != openStack.length - 1) {
+                  // html5-omittable end tags close implicitly by design;
+                  // only report when a real element got cut short
+                  val cut = openStack.view.slice(at + 1, openStack.length)
+                    .filterNot(OmittableEnd.contains)
+                  if (cut.nonEmpty)
+                    diag(s"misnested </$tag> implicitly closed <${cut.last}>")
+                }
+                openStack.remove(at, openStack.length - at)
+              }
+            }
             tag match {
               case "head" => inHead = false
               case "noscript" => if (suppressDepth > 0) suppressDepth -= 1
@@ -193,9 +236,17 @@ object HtmlParse {
             val nameStart = p
             while (p < n && (html.charAt(p).isLetterOrDigit || html.charAt(p) == '-')) p += 1
             val tag = html.substring(nameStart, p).toLowerCase
-            val (attrs, after, _) = parseAttrs(html, p)
+            val (attrs, after, selfClosing) = parseAttrs(html, p)
             pos = after
-            if (inHead && !HeadTags.contains(tag)) inHead = false
+            if (inHead && !HeadTags.contains(tag)) {
+              inHead = false
+              diag(s"implicitly closed <head> before <$tag>")
+            }
+            // diagnostics-only stack push (raw-text elements consume their
+            // own close below; title is RCDATA-consumed; keep them off)
+            if (!selfClosing && !VoidTags.contains(tag) && tag != "script" &&
+                tag != "style" && tag != "title" && openStack.length < 512)
+              openStack += tag
             tag match {
               case "head" => inHead = true
               case "body" => inHead = false
@@ -244,7 +295,10 @@ object HtmlParse {
       }
     }
     if (headingBuf.length() > 0) headings += headingBuf.toString
-    HtmlResult(ok = true, html_errors = "", title = title, text = text.toSeq,
+    openStack.filterNot(OmittableEnd.contains)
+      .foreach(t => diag(s"unclosed <$t> at EOF"))
+    HtmlResult(ok = true, html_errors = diags.mkString("; "), title = title,
+      text = text.toSeq,
       headings_text = headings.toSeq, links = links.toSeq,
       resource_urls = resources.toSeq, meta_tags = metaTags.toMap)
   }

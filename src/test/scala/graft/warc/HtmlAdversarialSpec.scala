@@ -77,6 +77,22 @@ class HtmlAdversarialSpec extends AnyFunSuite {
     assert(r.text.length == 517, s"got ${r.text.length}")
   }
 
+  test("adversarial: html_errors reports every tag-soup repair, in order") {
+    assert(r.html_errors == Seq(
+      "implicitly closed <head> before <div>",
+      "misnested </b> implicitly closed <i>",
+      "discarded unmatched </i>",
+      "unterminated comment at EOF",
+      "unclosed <div> at EOF",
+      "unclosed <h3> at EOF").mkString("; "), s"got: ${r.html_errors}")
+  }
+
+  test("adversarial: well-formed pages still report no errors") {
+    val clean = HtmlParse.parse(
+      "<html><head><title>t</title></head><body><p>x</p></body></html>")
+    assert(clean.html_errors == "")
+  }
+
   test("adversarial: GA scan over RAW html still sees ids inside scripts") {
     val m = java.util.regex.Pattern.compile(Pipeline.GaPattern).matcher(page)
     assert(m.find() && m.group() == "UA-1234-5")

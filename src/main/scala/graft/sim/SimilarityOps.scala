@@ -186,10 +186,87 @@ object SimilarityOps {
     }
   }
 
+  /** s04: IVF (inverted-file) ANN — the coarse-quantizer scale path that
+    * complements sign-LSH (s03). A k-centroid codebook is trained with
+    * two Lloyd iterations (assignment map-side over broadcast centroids;
+    * centroid update one shuffle per iteration), every vector is
+    * assigned to its nearest centroid (the "inverted list"), and queries
+    * probe only their `nprobe` closest lists — so a query scans
+    * ~nprobe/k of the corpus instead of all of it. At 100 TB the lists
+    * are the partitioning key (cluster-pruned scans); here the plan
+    * shape is the same with a shuffle join on the list id. Reported as
+    * recall@5 against the exact s01 baseline plus the scanned fraction —
+    * the quality/cost dial made observable. (This synthetic corpus is
+    * near-uniform, the hardest case for IVF; real embedding corpora
+    * cluster, which is what makes nprobe/k ≪ 1 usable.) */
+  def s04_ann_ivf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val nprobe = 6
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism)
+    // deterministic init: the k lowest-id vectors are the seed codebook
+    var centroids: Array[(Int, Seq[Float])] = emb.filter($"vec_id" < k)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1)))
+    // two Lloyd iterations: argmin assignment (broadcast codebook,
+    // map-side) then element-wise mean per list (one shuffle each)
+    (1 to 2).foreach { _ =>
+      val cb = centroids
+      val assignU = udf { v: Seq[Float] =>
+        cb.minBy { case (cid, c) => (-cosine(v, c), cid) }._1
+      }
+      centroids = emb.withColumn("cid", assignU($"embedding"))
+        .select($"cid", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cid", $"pos").agg(avg($"x").as("x"))
+        .groupBy($"cid")
+        .agg(array_sort(collect_list(struct($"pos", $"x"))).as("px"))
+        .select($"cid", expr("transform(px, e -> CAST(e.x AS FLOAT))").as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+    }
+    val cb = centroids
+    val assignU = udf { v: Seq[Float] =>
+      cb.minBy { case (cid, c) => (-cosine(v, c), cid) }._1
+    }
+    val probeU = udf { v: Seq[Float] =>
+      cb.map { case (cid, c) => (cid, cosine(v, c)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    }
+    val listed = emb.withColumn("cid", assignU($"embedding"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        explode(probeU($"embedding")).as("cid"))
+    val topk = udaf(new TopKCosine(5))
+    // the IVF join: each query meets only its nprobe inverted lists
+    val approx = listed.join(queries, Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
+      .groupBy($"query_id")
+      .agg(topk($"cos", $"vec_id").as("nbrs"), count(lit(1)).as("n_scanned"))
+    val exact = s01_ann_bruteforce(s, d)
+      .select($"query_id", $"neighbor_id".as("vec_id"))
+    val total = emb.count()
+    val hits = approx.select($"query_id", explode($"nbrs").as("vec_id"))
+      .join(exact, Seq("query_id", "vec_id"), "inner")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .join(approx.select($"query_id", $"n_scanned"), Seq("query_id"))
+      .agg((sum(coalesce($"n_hit", lit(0L))).cast("double") /
+        sum($"n_true").cast("double")).as("recall_at_5"),
+        (sum($"n_scanned").cast("double") /
+          (count(lit(1)) * total).cast("double")).as("scan_fraction"),
+        count(lit(1)).as("n_queries"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01_ann_bruteforce _),
     "s02_embedding_neardup" -> (s02_embedding_neardup _),
     "s03_ann_lsh_recall" -> (s03_ann_lsh_recall _),
+    "s04_ann_ivf" -> (s04_ann_ivf _),
   )
 
   val oracle: Map[String, String] = Map(

@@ -51,6 +51,16 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(1) == 379L, s"n_planted_found=${row.getLong(1)}")
   }
 
+  test("s04 IVF: deterministic, high recall at a sub-half scan fraction") {
+    val row = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val recall = row.getDouble(0)
+    val scanFrac = row.getDouble(1)
+    assert(recall == 0.96, s"recall=$recall")       // deterministic pin
+    assert(scanFrac < 0.5, s"scan_fraction=$scanFrac") // the IVF point
+    assert(row.getLong(2) == 10L)
+  }
+
   test("planted identical-doc flood completes with linear candidate volume") {
     val sp = spark
     import sp.implicits._

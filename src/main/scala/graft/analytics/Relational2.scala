@@ -300,7 +300,40 @@ object Relational2 {
       |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
       |  o_orderpriority NULLS FIRST""".stripMargin
 
+  /** q30: deterministic content-hash train/valid/test split — the
+    * reproducible-assignment primitive of every pretraining pipeline
+    * (same doc always lands in the same split, no RNG, no state). The
+    * bucket is the first 16 bits of md5(text) mod 10: 8 train / 1 valid
+    * / 1 test. Pure map-side assignment; one aggregation shuffle. */
+  def q30_deterministic_split(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = (conv(substring(md5($"text"), 1, 4), 16, 10).cast("long") % 10)
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars", bucket.as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 8, "train")
+          .when($"bucket" === 8, "valid").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"split")
+  }
+
+  val q30Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 10 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 8 THEN 'train'
+      |            WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_deterministic_split" -> (q30_deterministic_split _),
     "q26_salted_agg" -> (q26_salted_agg _),
     "q27_approx_distinct" -> (q27_approx_distinct _),
     "q28_asof_join" -> (q28_asof_join _),
@@ -317,6 +350,7 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q30_deterministic_split" -> q30Oracle,
     "q26_salted_agg" -> q26Oracle,
     "q28_asof_join" -> q28Oracle,
     "q29_grouping_sets" -> q29Oracle,

@@ -402,16 +402,60 @@ object DedupOps {
       |WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** d05: benchmark-contamination check — the "is the eval set in the
+    * training data?" gate every pretraining pipeline needs. A synthetic
+    * benchmark is derived from every 97th document (even ids verbatim,
+    * odd ids uppercased — the reformatted-contamination case), then
+    * matched against the corpus at two levels: exact md5 and a
+    * normalized digest (lowercase + whitespace collapse). Two digest
+    * joins — each one shuffle on a 32-char key, no text comparison. */
+  def d05_contamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = spread(Tables.documents(s, d).select($"doc_id", $"text"))
+    val norm = (c: Column) => md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val bench = docs.filter($"doc_id" % 97 === 0)
+      .select(($"doc_id" + Shift).as("bench_id"),
+        when($"doc_id" % 2 === 0, $"text").otherwise(upper($"text")).as("text"))
+      .select($"bench_id", md5($"text").as("digest"), norm($"text").as("norm_digest"))
+    val train = docs.select(md5($"text").as("digest"), norm($"text").as("norm_digest"))
+    val exactHits = bench.join(train, Seq("digest"))
+      .select($"bench_id").distinct()
+    val normHits = bench.join(train.select($"norm_digest"), Seq("norm_digest"))
+      .select($"bench_id").distinct()
+    bench.agg(count(lit(1)).as("n_bench"))
+      .crossJoin(exactHits.agg(count(lit(1)).as("n_exact_contaminated")))
+      .crossJoin(normHits.agg(count(lit(1)).as("n_norm_contaminated")))
+  }
+
+  val d05Oracle: String =
+    """WITH bench AS (
+      |  SELECT doc_id + 100000 AS bench_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN text ELSE upper(text) END AS text
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |b AS (SELECT bench_id, md5(text) AS digest,
+      |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_digest
+      |      FROM bench),
+      |t AS (SELECT md5(text) AS digest,
+      |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_digest
+      |      FROM documents),
+      |e AS (SELECT DISTINCT bench_id FROM b JOIN t USING (digest)),
+      |nrm AS (SELECT DISTINCT bench_id FROM b JOIN t USING (norm_digest))
+      |SELECT (SELECT COUNT(*) FROM b) AS n_bench,
+      |  (SELECT COUNT(*) FROM e) AS n_exact_contaminated,
+      |  (SELECT COUNT(*) FROM nrm) AS n_norm_contaminated""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01_exact_dedup _),
     "d02_minhash_lsh" -> (d02_minhash_lsh _),
     "d03_simhash" -> (d03_simhash _),
     "d04_ngram_jaccard" -> (d04_ngram_jaccard _),
+    "d05_contamination" -> (d05_contamination _),
   )
 
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Oracle,
     "d02_minhash_lsh" -> d02Oracle,
     "d04_ngram_jaccard" -> d04Oracle,
+    "d05_contamination" -> d05Oracle,
   )
 }

@@ -83,6 +83,51 @@ object TextOps {
       |  (CAST(length(text) AS DOUBLE) - (n_tok - 1.0)) / n_tok AS mean_token_len
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** t05: Gopher-style repetition metrics — the duplicated-3-gram
+    * fraction and the hottest 3-gram's share, the standard boilerplate /
+    * low-quality signals for pretraining filters. Pure built-in
+    * expressions (transform/sequence/explode + one aggregation), so the
+    * gram construction is codegen'd map-side work and the only shuffle
+    * is the (doc_id, gram) count. */
+  def t05_repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", whitespaceTokens($"text").as("toks"))
+      .select($"doc_id", explode(when(size($"toks") >= 3,
+        expr("transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+        .otherwise(array(concat_ws(" ", $"toks")))).as("gram"))
+    grams.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max($"cnt").as("max_gram_count"))
+      .select($"doc_id", $"n_grams", $"n_distinct_grams",
+        (($"n_grams" - $"n_distinct_grams").cast("double") /
+          $"n_grams".cast("double")).as("dup_gram_frac"),
+        ($"max_gram_count".cast("double") / $"n_grams".cast("double"))
+          .as("top_gram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val t05Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+      |         ELSE array_to_string(ts[i:i+2], ' ') END AS gram
+      |  FROM toks,
+      |    UNNEST(range(1, GREATEST(len(ts) - 1, 2))) AS u(i)),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      |  COUNT(*) AS n_distinct_grams,
+      |  CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+      |    AS dup_gram_frac,
+      |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_gram_frac
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- t03 language ID (n-gram heuristic) ----
 
   /** Character-trigram + function-word profiles for a handful of
@@ -243,6 +288,7 @@ object TextOps {
     "t02_quality_score" -> (t02_quality_score _),
     "t03_lang_id" -> (t03_lang_id _),
     "t04_fingerprint" -> (t04_fingerprint _),
+    "t05_repetition" -> (t05_repetition _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -250,5 +296,6 @@ object TextOps {
     "t02_quality_score" -> t02Oracle,
     "t03_lang_id" -> t03Oracle,
     "t04_fingerprint" -> t04Oracle,
+    "t05_repetition" -> t05Oracle,
   )
 }

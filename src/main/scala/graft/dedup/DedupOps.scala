@@ -64,8 +64,14 @@ object DedupOps {
     * bucket's min-id representative, O(N) rows, which still connects the
     * whole near-dup cluster through the representative once pairs are
     * verified (union-find over confirmed pairs recovers the component).
-    * Overflowing buckets are counted and logged — silent truncation at
-    * 100 TB would read as "covered everything" when it didn't. */
+    * NOTE this is a deliberate CONTRACT CHANGE above the cap: the emitted
+    * pair SET is star-shaped, not all-pairs — an exact-pair-set consumer
+    * (like the oracle compare) must keep its data under `cap` or raise
+    * it; cluster/keeper consumers are unaffected. No sub-quadratic
+    * algorithm can emit the full pair set of an N-identical-doc bucket
+    * (the output itself is O(N²)). Overflowing buckets are counted and
+    * logged — silent truncation at 100 TB would read as "covered
+    * everything" when it didn't. */
   private[graft] def guardedBucketPairs(buckets: DataFrame, keyCols: Seq[String],
       cap: Int = 1000): DataFrame = {
     val sizes = buckets.groupBy(keyCols.map(col): _*)
@@ -130,8 +136,20 @@ object DedupOps {
 
   // ---- shingling + signatures (shared scalar core) ----
 
+  /** Space-only trim matching Spark SQL / DuckDB `trim()` — Java's
+    * `String.trim` also strips tabs/newlines (all ≤ U+0020), which would
+    * silently diverge from the SQL oracles on text with non-space edge
+    * whitespace. Tokenization must use ONE trim semantics on both sides. */
+  def sqlTrim(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
   def shingles(text: String, k: Int = 3): Set[String] = {
-    val toks = text.trim.split("\\s+")
+    val toks = sqlTrim(text).split("\\s+")
     if (toks.length < k) Set(toks.mkString(" "))
     else toks.sliding(k).map(_.mkString(" ")).toSet
   }
@@ -306,10 +324,16 @@ object DedupOps {
   def d04_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // Candidate phase runs entirely on 64-bit shingle HASHES: every
-    // shuffle/sort/join key is a long, not a 3-gram string. Safe because
-    // hashing can only MERGE shingles, so Jaccard-on-hashes ≥ Jaccard-on-
-    // strings — the prefix filter still yields a candidate superset —
-    // and verification below recomputes the exact string Jaccard.
+    // shuffle/sort/join key is a long, not a 3-gram string. A collision
+    // can move hash-Jaccard EITHER way (a collision inside A∩B lowers it:
+    // (i-1)/(u-1) < i/u), so the candidate phase runs at the SLACK
+    // threshold t' = 11/20 = 0.55 — one intersection collision moves a
+    // true J=0.6 pair to at worst (0.6u-1)/(u-1) ≥ 0.55 for u ≥ 9 shingles
+    // (the corpus floor; multi-collisions are ~2^-120) — and the exact
+    // string verify at 0.6 below removes every false positive the slack
+    // admits. Residual risk is adversarially-crafted murmur multi-
+    // collisions, which can hide candidates but never corrupt emitted
+    // pairs (the final verify is collision-free).
     val hashShinglesU = udf { text: String =>
       shingles(text).iterator.map(hash64).toSeq.distinct
     }
@@ -319,8 +343,8 @@ object DedupOps {
       val df = idx.groupBy($"h").agg(count(lit(1)).as("df"))
       // per-doc global ranking, rarest shingles first ((df, h) is a
       // total order); one shuffle on doc_id serves both windows.
-      // t = 3/5 kept as integer arithmetic — a float ⌈0.6·n⌉ can round
-      // the prefix short and silently drop true pairs
+      // t' = 11/20 kept as integer arithmetic — a float ⌈0.55·n⌉ can
+      // round the prefix short and silently drop true pairs
       val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"h")
       val ranked = idx.join(df, "h")
         .withColumn("rk", row_number().over(byRarity))
@@ -328,21 +352,22 @@ object DedupOps {
       // cache the (pruned, long-only) prefix table: the self-join below
       // would otherwise recompute the join+window subplan once PER SIDE
       withCache(ranked
-          .filter($"rk" <= $"n_sh" - (($"n_sh" * 3 + 4) / 5).cast("long") + 1)
+          .filter($"rk" <= $"n_sh" - (($"n_sh" * 11 + 19) / 20).cast("long") + 1)
           .select($"doc_id", $"h", $"rk", $"n_sh")) { prefix =>
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
-              // length filter: J ≥ 3/5 ⇒ 5·min(|a|,|b|) ≥ 3·max(|a|,|b|)
-              greatest($"a.n_sh", $"b.n_sh") * 3 <= least($"a.n_sh", $"b.n_sh") * 5 &&
+              // length filter: J ≥ 11/20 ⇒ 20·min(|a|,|b|) ≥ 11·max(|a|,|b|)
+              greatest($"a.n_sh", $"b.n_sh") * 11 <= least($"a.n_sh", $"b.n_sh") * 20 &&
               // PPJoin position filter: overlap upper bound from the match
-              // positions must reach α = ⌈(3/8)(|a|+|b|)⌉ (t/(1+t) = 3/8)
-              (least($"a.n_sh" - $"a.rk", $"b.n_sh" - $"b.rk") + 1) * 8 >=
-                ($"a.n_sh" + $"b.n_sh") * 3)
+              // positions must reach α = ⌈(11/31)(|a|+|b|)⌉ (t'/(1+t') = 11/31)
+              (least($"a.n_sh" - $"a.rk", $"b.n_sh" - $"b.rk") + 1) * 31 >=
+                ($"a.n_sh" + $"b.n_sh") * 11)
           .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
           .distinct()
         // cheap verify on per-doc sorted hash sets (broadcast: |docs|·~k
-        // longs). Hash-Jaccard ≥ string-Jaccard, so the integer-exact
-        // filter keeps every true pair; collisions can only add pairs.
+        // longs) at the slack threshold 11/20 — keeps every true ≥0.6
+        // pair even under one intersection collision; the exact string
+        // verify below removes what the slack admits.
         val sets = idx.groupBy($"doc_id")
           .agg(sort_array(collect_list($"h")).as("hs"))
         val interU = udf { (a: Seq[Long], b: Seq[Long]) =>
@@ -357,8 +382,8 @@ object DedupOps {
           .join(broadcast(sets.select($"doc_id".as("id_a"), $"hs".as("hs_a"))), "id_a")
           .join(broadcast(sets.select($"doc_id".as("id_b"), $"hs".as("hs_b"))), "id_b")
           .withColumn("common", interU($"hs_a", $"hs_b"))
-          .filter($"common" * 5 >=
-            (size($"hs_a") + size($"hs_b") - $"common") * 3)
+          .filter($"common" * 20 >=
+            (size($"hs_a") + size($"hs_b") - $"common") * 11)
           .select($"id_a", $"id_b")
         // final exact verification on raw texts — survivors only (≈ the
         // true pair count), so the string-level work is output-sized

@@ -174,15 +174,18 @@ object SimilarityOps {
         .groupBy($"query_id")
         .agg(topk($"cos", $"vec_id").as("nbrs"))
         .select($"query_id", explode($"nbrs").as("vec_id"))
-      val exact = s01_ann_bruteforce(s, d)
-        .select($"query_id", $"neighbor_id".as("vec_id"))
-      val hits = approx.join(exact, Seq("query_id", "vec_id"), "inner")
-        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
-      exact.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
-        .join(hits, Seq("query_id"), "left")
-        .agg((sum(coalesce($"n_hit", lit(0L))).cast("double") /
-          sum($"n_true").cast("double")).as("recall_at_5"),
-          count(lit(1)).as("n_queries"))
+      // exact baseline feeds two consumers — cache so the s01 cross-join
+      // runs once
+      graft.dedup.DedupOps.withCache(s01_ann_bruteforce(s, d)
+          .select($"query_id", $"neighbor_id".as("vec_id"))) { exact =>
+        val hits = approx.join(exact, Seq("query_id", "vec_id"), "inner")
+          .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+        exact.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
+          .join(hits, Seq("query_id"), "left")
+          .agg((sum(coalesce($"n_hit", lit(0L))).cast("double") /
+            sum($"n_true").cast("double")).as("recall_at_5"),
+            count(lit(1)).as("n_queries"))
+      }
     }
   }
 
@@ -240,26 +243,32 @@ object SimilarityOps {
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         explode(probeU($"embedding")).as("cid"))
     val topk = udaf(new TopKCosine(5))
-    // the IVF join: each query meets only its nprobe inverted lists
-    val approx = listed.join(queries, Seq("cid"))
-      .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
-      .groupBy($"query_id")
-      .agg(topk($"cos", $"vec_id").as("nbrs"), count(lit(1)).as("n_scanned"))
-    val exact = s01_ann_bruteforce(s, d)
-      .select($"query_id", $"neighbor_id".as("vec_id"))
     val total = emb.count()
-    val hits = approx.select($"query_id", explode($"nbrs").as("vec_id"))
-      .join(exact, Seq("query_id", "vec_id"), "inner")
-      .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
-    exact.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
-      .join(hits, Seq("query_id"), "left")
-      .join(approx.select($"query_id", $"n_scanned"), Seq("query_id"))
-      .agg((sum(coalesce($"n_hit", lit(0L))).cast("double") /
-        sum($"n_true").cast("double")).as("recall_at_5"),
-        (sum($"n_scanned").cast("double") /
-          (count(lit(1)) * total).cast("double")).as("scan_fraction"),
-        count(lit(1)).as("n_queries"))
+    // the IVF join: each query meets only its nprobe inverted lists.
+    // Both the approx result and the exact baseline feed two consumers —
+    // cache them so the IVF join and the s01 cross-join run once each.
+    graft.dedup.DedupOps.withCache(listed.join(queries, Seq("cid"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
+        .groupBy($"query_id")
+        .agg(topk($"cos", $"vec_id").as("nbrs"), count(lit(1)).as("n_scanned"))) { approx =>
+      graft.dedup.DedupOps.withCache(s01_ann_bruteforce(s, d)
+          .select($"query_id", $"neighbor_id".as("vec_id"))) { exact =>
+        val hits = approx.select($"query_id", explode($"nbrs").as("vec_id"))
+          .join(exact, Seq("query_id", "vec_id"), "inner")
+          .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+        // left joins: a query whose probed lists held no candidates still
+        // counts in the denominator (recall must not silently inflate)
+        exact.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
+          .join(hits, Seq("query_id"), "left")
+          .join(approx.select($"query_id", $"n_scanned"), Seq("query_id"), "left")
+          .agg((sum(coalesce($"n_hit", lit(0L))).cast("double") /
+            sum($"n_true").cast("double")).as("recall_at_5"),
+            (sum(coalesce($"n_scanned", lit(0L))).cast("double") /
+              (count(lit(1)) * total).cast("double")).as("scan_fraction"),
+            count(lit(1)).as("n_queries"))
+      }
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

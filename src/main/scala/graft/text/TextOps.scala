@@ -220,7 +220,8 @@ object TextOps {
     * winnowing fingerprint (min hash over each window of `w` token
     * 3-grams) — the standard near-copy detection fingerprint. */
   def fingerprint(text: String): (Long, Long) = {
-    val toks = text.trim.split("\\s+")
+    // sqlTrim: tokenization must mirror the SQL oracle's trim() exactly
+    val toks = graft.dedup.DedupOps.sqlTrim(text).split("\\s+")
     var h = 1125899906842597L
     toks.foreach { t => h = h * 31 + t.hashCode }
     val grams = toks.sliding(3).map(_.mkString(" ").hashCode.toLong & 0xffffffffL)

@@ -121,6 +121,19 @@ object HtmlParse {
     -1
   }
 
+  /** HTML5 raw-text/RCDATA end-tag search: `</tag` only terminates the
+    * element when followed by `>`, `/`, whitespace, or EOF — so
+    * `</titlebar>` does not end `<title>`, nor `</scripty` a script. */
+  private def findEndTag(s: String, tag: String, from: Int): Int = {
+    val needle = "</" + tag
+    var i = indexOfIgnoreCase(s, needle, from)
+    while (i >= 0 && i + needle.length < s.length && {
+      val c = s.charAt(i + needle.length)
+      c != '>' && c != '/' && !c.isWhitespace
+    }) i = indexOfIgnoreCase(s, needle, i + 1)
+    i
+  }
+
   /** Void elements never pushed on the diagnostics stack. */
   private val VoidTags = Set("area", "base", "basefont", "bgsound", "br",
     "col", "embed", "hr", "img", "input", "link", "meta", "param", "source",
@@ -253,7 +266,7 @@ object HtmlParse {
               case "title" =>
                 // RCDATA: everything to </title> is text (tags inert);
                 // first non-empty title wins
-                val close = indexOfIgnoreCase(html, "</title", pos)
+                val close = findEndTag(html, "title", pos)
                 val end = if (close < 0) n else close
                 if (title.isEmpty)
                   title = decodeEntities(html.substring(pos, end)).trim
@@ -277,10 +290,10 @@ object HtmlParse {
                 attrs.get("src").foreach(srcv => if (srcv.nonEmpty) resources += srcv)
               case "script" =>
                 attrs.get("src").foreach(srcv => if (srcv.nonEmpty) resources += srcv)
-                val close = indexOfIgnoreCase(html, "</script", pos)
+                val close = findEndTag(html, "script", pos)
                 pos = if (close < 0) n else { val e = html.indexOf('>', close); if (e < 0) n else e + 1 }
               case "style" =>
-                val close = indexOfIgnoreCase(html, "</style", pos)
+                val close = findEndTag(html, "style", pos)
                 pos = if (close < 0) n else { val e = html.indexOf('>', close); if (e < 0) n else e + 1 }
               case "noscript" => suppressDepth += 1
               case t if t.length == 2 && t.charAt(0) == 'h' &&

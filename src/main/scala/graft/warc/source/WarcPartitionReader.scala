@@ -119,9 +119,12 @@ class WarcPartitionReader(part: WarcInputPartition,
     * and its Content-Length skip could jump real records owned by this
     * split. */
   private def validateTerminator(): Long = {
-    var padding = 0
+    // CR/LF padding is unbounded: a writer emitting extra blank lines
+    // between records is out-of-spec but must not get its boundary
+    // record dropped — any pure-CRLF run ending at EOF or a line-initial
+    // magic still IS a record boundary
     var sawNewline = false
-    while (padding <= 8) {
+    while (true) {
       val b = readByte()
       if (b < 0) return -1L
       if (b == 'W' && sawNewline) {
@@ -135,7 +138,6 @@ class WarcPartitionReader(part: WarcInputPartition,
       }
       if (b != '\r' && b != '\n') return -2L
       sawNewline |= b == '\n'
-      padding += 1
     }
     -2L
   }
@@ -194,8 +196,16 @@ class WarcPartitionReader(part: WarcInputPartition,
         nextMagicStart = syncToBoundary(requireNewline = false)
         if (!tentative) { current = sentinelRow(); return true }
       } else if (contentLength > graft.warc.WarcSource.MaxBodyBytes) {
-        if (!skipFully(contentLength)) { current = sentinelRow(); nextMagicStart = -1L; return true }
-        if (tentative) {
+        if (!skipFully(contentLength)) {
+          if (tentative) {
+            // claimed length runs past EOF: false sync — rewind and rescan
+            // (real records may sit between the false magic and EOF)
+            seekTo(magicStart + Magic.length)
+            nextMagicStart = syncToBoundary(requireNewline = false)
+          } else {
+            current = sentinelRow(); nextMagicStart = -1L; return true
+          }
+        } else if (tentative) {
           val v = validateTerminator()
           if (v == -2L) {
             // pseudo-record: its claimed length does not land on a record

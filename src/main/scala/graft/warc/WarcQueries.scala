@@ -147,6 +147,87 @@ object WarcQueries {
       .limit(20)
   }
 
+  /** w06: the FULL RAKE output (every phrase + f32 score per document),
+    * oracle-checked end-to-end — phrase segmentation at punctuation and
+    * stopwords, number filtering, freq/degree word scores, phrase-score
+    * sums, all recomputed in SQL by the oracle below. This closes the
+    * "RAKE is rows-only" gap: w02/w05 stay as the ranked/corpus shapes,
+    * w06 pins the algorithm itself against DuckDB. */
+  def w06_rake_scores(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val kwU = udf { text: String => Rake.keywords(text).toSeq }
+    Tables.documents(spark, d)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id", explode(kwU($"text")).as("kv"))
+      .select($"doc_id", $"kv._1".as("phrase"), $"kv._2".as("score"))
+      .orderBy($"doc_id", $"phrase")
+  }
+
+  /** SQL re-implementation of RAKE (A1–A5): fragments via the reference
+    * punctuation regex, tokens with ordinality, stopword gaps-and-islands
+    * for phrase grouping, substring number filter, freq/degree stats over
+    * scorable tokens, per-phrase score sums — validated token-for-token
+    * against an independent reimplementation before being adopted here.
+    * The stop VALUES are generated from the same embedded SMART list the
+    * engine uses, so the two sides can never drift. */
+  lazy val w06Oracle: String = {
+    val stopVals = graft.rake.Stopwords.english.toSeq.sorted
+      .map(w => s"('${w.replace("'", "''")}')").mkString(",")
+    s"""WITH stop(w) AS (VALUES $stopVals),
+      |frag AS (
+      |  SELECT doc_id, f.frag, f.fi
+      |  FROM documents,
+      |    (SELECT UNNEST(string_split_regex(documents.text,
+      |       '[^\\P{P}-]|\\s+-\\s+')) AS frag,
+      |     UNNEST(range(1, len(string_split_regex(documents.text,
+      |       '[^\\P{P}-]|\\s+-\\s+')) + 1)) AS fi) f),
+      |tok AS (
+      |  SELECT doc_id, fi, i, ts[i] AS tok
+      |  FROM (SELECT doc_id, fi, string_split_regex(frag, '\\s+') AS ts FROM frag),
+      |    UNNEST(range(1, len(ts) + 1)) AS u(i)
+      |  WHERE ts[i] <> ''),
+      |marked AS (
+      |  SELECT doc_id, fi, i, tok,
+      |    (lower(tok) IN (SELECT w FROM stop)) AS is_stop
+      |  FROM tok),
+      |islands AS (
+      |  SELECT doc_id, fi, i,
+      |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id, fi ORDER BY i) AS grp
+      |  FROM marked),
+      |phrase_toks AS (
+      |  SELECT m.doc_id, m.fi, il.grp, m.i, m.tok,
+      |    regexp_matches(m.tok, '-?\\p{N}+[./٫,'']?\\p{N}*') AS is_num
+      |  FROM marked m JOIN islands il
+      |    ON m.doc_id = il.doc_id AND m.fi = il.fi AND m.i = il.i
+      |  WHERE NOT m.is_stop),
+      |phrases AS (
+      |  SELECT doc_id, fi, grp,
+      |    array_to_string(list(tok ORDER BY i), ' ') AS phrase,
+      |    list(tok ORDER BY i) FILTER (WHERE NOT is_num) AS sc_toks,
+      |    COUNT(*) FILTER (WHERE NOT is_num) AS sc_len
+      |  FROM phrase_toks GROUP BY 1, 2, 3),
+      |word_stats AS (
+      |  SELECT doc_id, tok, COUNT(*) AS freq, SUM(sc_len - 1) AS deg
+      |  FROM (SELECT p.doc_id, UNNEST(p.sc_toks) AS tok, p.sc_len
+      |        FROM phrases p WHERE p.sc_len > 0)
+      |  GROUP BY 1, 2),
+      |phrase_scores AS (
+      |  SELECT p.doc_id, p.phrase,
+      |    COALESCE(SUM((ws.deg + ws.freq) * 1.0 / ws.freq), 0.0) AS score
+      |  FROM phrases p
+      |    LEFT JOIN (SELECT p2.doc_id AS d2, p2.fi, p2.grp,
+      |                 UNNEST(p2.sc_toks) AS tok
+      |               FROM phrases p2) st
+      |      ON st.d2 = p.doc_id AND st.fi = p.fi AND st.grp = p.grp
+      |    LEFT JOIN word_stats ws ON ws.doc_id = p.doc_id AND ws.tok = st.tok
+      |  GROUP BY 1, 2, p.fi, p.grp)
+      |SELECT doc_id, phrase, CAST(MAX(score) AS REAL) AS score
+      |FROM phrase_scores
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  }
+
   /** w03: F2 blacklist as a pushdown-friendly Catalyst predicate. */
   def w03_blacklist_filter(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -212,12 +293,14 @@ object WarcQueries {
     "w01_warc_pipeline" -> (w01_warc_pipeline _),
     "w02_rake_keywords" -> (w02_rake_keywords _),
     "w05_corpus_rake" -> (w05_corpus_rake _),
+    "w06_rake_scores" -> (w06_rake_scores _),
     "w03_blacklist_filter" -> (w03_blacklist_filter _),
     "w04_fallback_extract" -> (w04_fallback_extract _),
   )
 
   val oracle: Map[String, String] = Map(
     "w01_warc_pipeline" -> w01Oracle,
+    "w06_rake_scores" -> w06Oracle,
     "w03_blacklist_filter" -> w03Oracle,
     "w04_fallback_extract" -> w04Oracle,
   )

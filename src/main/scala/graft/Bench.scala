@@ -10,7 +10,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/orders.parquet")
       .groupBy("o_orderstatus").count().count()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // name-sorted: Map iteration order would shuffle which queries land
+    // on load spikes each round, adding cross-round position noise
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // each query family pays its own JIT/codegen bring-up on the first
       // run, and this box takes external load spikes that can inflate any
       // single run several-fold — report min(cold, warm): the least-
@@ -32,7 +34,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -61,6 +61,17 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(2) == 10L)
   }
 
+  test("q27 golden pin at sf0.001: HLL sketch estimates are deterministic") {
+    // approx_count_distinct has no cross-engine oracle by design; pin the
+    // exact estimates so sketch-parameter or implementation drift shows up
+    val rows = graft.analytics.Relational2
+      .q27_approx_distinct(spark, "/root/testdata/sf0.001").collect()
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", 1074L, 1081L), ("N", 1115L, 1110L), ("R", 1083L, 1096L)),
+      s"got $got")
+    rows.foreach(r => assert(r.getDouble(3) < 0.02)) // inside the rsd dial
+  }
+
   test("planted identical-doc flood completes with linear candidate volume") {
     val sp = spark
     import sp.implicits._

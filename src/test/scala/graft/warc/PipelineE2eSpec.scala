@@ -1,0 +1,89 @@
+package graft.warc
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end job-surface spec: disk .warc files → Pipeline.run → Avro
+  * container sink → read back with the PLAIN Avro reader (cross-impl
+  * check, the reference's test.py shape) — covering the VERDICT's
+  * "untested by oracle" rows: K1 Avro sink, K3 warehouse layout, S3
+  * idempotency probe, K4 quarantine. */
+class PipelineE2eSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("pipeline-e2e-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def page(i: Int): Array[Byte] = WarcSource.gzip(
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "\n\r\n<html><head><title>T" + i + "</title></head><body>" +
+      "<h1>H" + i + "</h1><p>some body text " + i + "</p>" +
+      "<a href=\"/l/" + i + "\">x</a></body></html>")
+      .getBytes(StandardCharsets.UTF_8))
+
+  test("warc files → avro containers → plain-Avro read-back, idempotent re-run") {
+    val dir = Files.createTempDirectory("e2espec")
+    (0 until 3).foreach { f =>
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(WarcSource.toWireFormat("warcinfo", "", 0, "software: x\n".getBytes))
+      // one corrupt-gzip record per file → quarantine path
+      out.write(WarcSource.toWireFormat("response",
+        s"https://corrupt$f.ex.gov.au/", 5, Array[Byte](0x1f, 0x0b, 1)))
+      (0 until 10).foreach { i =>
+        val b = page(f * 10 + i)
+        out.write(WarcSource.toWireFormat("response",
+          s"https://d$f.ex.gov.au/p/$i", b.length, b))
+      }
+      Files.write(dir.resolve(f"part-$f%02d.warc"), out.toByteArray)
+    }
+    val outDir = dir.resolve("out").toString
+    val qDir = dir.resolve("quarantine").toString
+
+    Pipeline.run(spark, s"$dir/*.warc", outDir, "avro", Some(qDir))
+
+    // K4: every planted corrupt record quarantined
+    assert(spark.read.parquet(qDir).count() == 3)
+
+    // S3: second run is a no-op (same _SUCCESS mtime)
+    val success = Paths.get(outDir, "_SUCCESS")
+    assert(Files.exists(success))
+    val mtime = Files.getLastModifiedTime(success)
+    Pipeline.run(spark, s"$dir/*.warc", outDir, "avro", Some(qDir))
+    assert(Files.getLastModifiedTime(success) == mtime, "re-run must skip")
+
+    // K1: containers readable by the plain Avro reader, full 18-field schema
+    val files = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty)
+    var n = 0
+    var fields = -1
+    val urls = Seq.newBuilder[String]
+    files.foreach { f =>
+      val r = new org.apache.avro.file.DataFileReader(f,
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      fields = r.getSchema.getFields.size
+      while (r.hasNext) {
+        val rec = r.next()
+        urls += rec.get("url").toString
+        assert(rec.get("title").toString.startsWith("T"))
+        assert(rec.get("word_count").asInstanceOf[Int] > 0)
+      }
+      r.close()
+      n += 1
+    }
+    assert(fields == 18)
+    val all = urls.result()
+    assert(all.size == 30 && all.distinct.size == 30) // every good record, once
+  }
+}

@@ -73,6 +73,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window"), s"window plan crept back:\n$plan")
   }
 
+  test("q30 split: map-side assignment, one aggregation exchange, no join") {
+    val plan = physical(
+      graft.analytics.Relational2.q30_deterministic_split(spark, sf))
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    // hash-bucket assignment must stay inside the scan's project — the
+    // only exchanges are the final aggregation + ordering
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("t05 repetition: built-in expressions only, no UDF in the plan") {
+    val plan = physical(graft.text.TextOps.t05_repetition(spark, sf))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      s"t05 must stay codegen-able:\n$plan")
+    assert(!plan.contains("Join"))
+  }
+
   test("splittable warc scan reports its partitioning") {
     val dir = java.nio.file.Files.createTempDirectory("planspec")
     java.nio.file.Files.write(dir.resolve("x.warc"),

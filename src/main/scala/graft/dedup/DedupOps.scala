@@ -48,13 +48,52 @@ object DedupOps {
     * the ContextCleaner once the returned DataFrame is dropped, unlike
     * `persist()` entries which outlive their last reader until an
     * explicit `unpersist`/`clearCache`. */
-  private[graft] def withCache(toCache: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+  private[graft] def withCache(toCache: DataFrame)(build: DataFrame => DataFrame): DataFrame =
+    withCacheImpl(toCache, eager = true)(build)
+
+  /** `eager = false` skips the materializing checkpoint and returns the
+    * full LAZY plan — used by PlanSpec to inspect the physical plan of
+    * checkpointing operators (a checkpointed result's plan is just a
+    * LogicalRDD scan, which would hide the query from plan assertions). */
+  private[graft] def withCacheImpl(toCache: DataFrame, eager: Boolean)(
+      build: DataFrame => DataFrame): DataFrame = {
     val cached = toCache.persist()
-    try build(cached).localCheckpoint(true)
-    finally cached.unpersist(false)
+    try {
+      val out = build(cached)
+      if (eager) out.localCheckpoint(true) else out
+    } finally cached.unpersist(false)
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.dedup")
+
+  private val guardObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val guardListenerSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Surface oversized-bucket overflow WITHOUT an extra job: the star
+    * branch carries a `CollectMetrics` node (`Dataset.observe`) whose
+    * aggregates are computed as rows stream through the existing plan, and
+    * this listener (registered once per session) logs them after each
+    * action. The r2 implementation ran a driver-side `count()` during
+    * operator CONSTRUCTION — a full extra pass over the bucket table for
+    * every guarded query (d02/d03/s02), even when nothing overflowed, and
+    * it made building the DataFrame have side effects. */
+  private def ensureGuardListener(s: SparkSession): Unit =
+    if (guardListenerSessions.add(s))
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, m) =>
+            if (name.startsWith("graft_bucket_guard") && !m.isNullAt(0) && m.getLong(0) > 0)
+              log.warn(s"$name: ${m.getLong(0)} member(s) of oversized LSH bucket(s) " +
+                s"(largest ${m.getLong(1)}) star-linked to their min-id representative " +
+                "instead of emitting all pairs (cluster connectivity preserved)")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
 
   /** Candidate pairs from an LSH bucket table `(doc_id, key…)`, with an
     * oversized-bucket guard. Buckets of ≤ `cap` docs emit all intra-bucket
@@ -69,9 +108,10 @@ object DedupOps {
     * (like the oracle compare) must keep its data under `cap` or raise
     * it; cluster/keeper consumers are unaffected. No sub-quadratic
     * algorithm can emit the full pair set of an N-identical-doc bucket
-    * (the output itself is O(N²)). Overflowing buckets are counted and
-    * logged — silent truncation at 100 TB would read as "covered
-    * everything" when it didn't. */
+    * (the output itself is O(N²)). Overflow is observed in-flight
+    * (`Dataset.observe` — zero extra jobs) and logged after each action —
+    * silent truncation at 100 TB would read as "covered everything"
+    * when it didn't. */
   private[graft] def guardedBucketPairs(buckets: DataFrame, keyCols: Seq[String],
       cap: Int = 1000): DataFrame = {
     val sizes = buckets.groupBy(keyCols.map(col): _*)
@@ -84,13 +124,12 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     // bkt_rep = min(doc_id) ⇒ rep < member, so (id_a, id_b) stays ordered
+    ensureGuardListener(buckets.sparkSession)
     val starPairs = withSize
       .filter(col("bkt_n") > cap && col("doc_id") =!= col("bkt_rep"))
+      .observe(s"graft_bucket_guard_${guardObsId.incrementAndGet()}",
+        count(lit(1)).as("n_star_members"), max(col("bkt_n")).as("max_bucket"))
       .select(col("bkt_rep").as("id_a"), col("doc_id").as("id_b"))
-    val nOver = sizes.filter(col("bkt_n") > cap).count()
-    if (nOver > 0)
-      log.warn(s"$nOver LSH bucket(s) exceeded cap=$cap; star-linked their members " +
-        "instead of emitting all pairs (cluster connectivity preserved)")
     smallPairs.union(starPairs).distinct()
   }
 
@@ -321,7 +360,10 @@ object DedupOps {
     * the docs' full shingle sets. Same answer as the unpruned join
     * (oracle recomputes it end-to-end), different cost curve at 100 TB.
     */
-  def d04_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
+  def d04_ngram_jaccard(s: SparkSession, d: String): DataFrame =
+    d04Impl(s, d, eager = true)
+
+  private[graft] def d04Impl(s: SparkSession, d: String, eager: Boolean): DataFrame = {
     import s.implicits._
     // Candidate phase runs entirely on 64-bit shingle HASHES: every
     // shuffle/sort/join key is a long, not a 3-gram string. A collision
@@ -339,7 +381,7 @@ object DedupOps {
     }
     val index = withNearDups(s, d)
       .select($"doc_id", explode(hashShinglesU($"text")).as("h"))
-    withCache(index) { idx =>
+    withCacheImpl(index, eager) { idx =>
       val df = idx.groupBy($"h").agg(count(lit(1)).as("df"))
       // per-doc global ranking, rarest shingles first ((df, h) is a
       // total order); one shuffle on doc_id serves both windows.
@@ -351,9 +393,9 @@ object DedupOps {
         .withColumn("n_sh", count(lit(1)).over(Window.partitionBy($"doc_id")))
       // cache the (pruned, long-only) prefix table: the self-join below
       // would otherwise recompute the join+window subplan once PER SIDE
-      withCache(ranked
+      withCacheImpl(ranked
           .filter($"rk" <= $"n_sh" - (($"n_sh" * 11 + 19) / 20).cast("long") + 1)
-          .select($"doc_id", $"h", $"rk", $"n_sh")) { prefix =>
+          .select($"doc_id", $"h", $"rk", $"n_sh"), eager) { prefix =>
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
               // length filter: J ≥ 11/20 ⇒ 20·min(|a|,|b|) ≥ 11·max(|a|,|b|)
@@ -364,32 +406,21 @@ object DedupOps {
                 ($"a.n_sh" + $"b.n_sh") * 11)
           .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
           .distinct()
-        // cheap verify on per-doc sorted hash sets (broadcast: |docs|·~k
-        // longs) at the slack threshold 11/20 — keeps every true ≥0.6
-        // pair even under one intersection collision; the exact string
-        // verify below removes what the slack admits.
-        val sets = idx.groupBy($"doc_id")
-          .agg(sort_array(collect_list($"h")).as("hs"))
-        val interU = udf { (a: Seq[Long], b: Seq[Long]) =>
-          var i = 0; var j = 0; var c = 0L
-          while (i < a.length && j < b.length) {
-            if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
-            else if (a(i) < b(j)) i += 1 else j += 1
-          }
-          c
-        }
-        val hashConfirmed = cand
-          .join(broadcast(sets.select($"doc_id".as("id_a"), $"hs".as("hs_a"))), "id_a")
-          .join(broadcast(sets.select($"doc_id".as("id_b"), $"hs".as("hs_b"))), "id_b")
-          .withColumn("common", interU($"hs_a", $"hs_b"))
-          .filter($"common" * 20 >=
-            (size($"hs_a") + size($"hs_b") - $"common") * 11)
-          .select($"id_a", $"id_b")
-        // final exact verification on raw texts — survivors only (≈ the
-        // true pair count), so the string-level work is output-sized
+        // Final exact verification on raw texts, candidates straight to
+        // the string verify. The candidate set is already PPJoin-pruned
+        // (output-sized up to the filters' false-positive rate), so the
+        // r2 staged hash-verify — which aggregated EVERY doc's sorted
+        // shingle-hash set and explicitly broadcast that corpus-sized
+        // table to all executors — bought marginal pruning at the price
+        // of a hard 100 TB scale-killer plus two extra passes over the
+        // index. Plain joins on doc_id here, no broadcast hint: the
+        // small side is the candidate set, and at runtime AQE/stats pick
+        // a broadcast of THAT side when it fits — ship the candidates,
+        // never the corpus. PlanSpec pins the absence of a hint and of
+        // any per-doc set aggregation.
         val texts = withNearDups(s, d)
         val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
-        hashConfirmed
+        cand
           .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
           .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
           .withColumn("jaccard", jacU($"text_a", $"text_b"))

@@ -42,6 +42,22 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big.forall { case (a, b) => a == 0L && b > 0L })
   }
 
+  test("guard construction is lazy: no eager driver job, overflow observed") {
+    val sp = spark
+    import sp.implicits._
+    // r2's guard ran a count() job while BUILDING the DataFrame (one full
+    // extra pass per guarded query); the observe()-based guard must not
+    sp.sparkContext.setJobGroup("guard-lazy", "construction must not run jobs")
+    val buckets = (0L until 50L).map(i => (i, i % 5)).toDF("doc_id", "bucket")
+    val df = DedupOps.guardedBucketPairs(buckets, Seq("bucket"), cap = 3)
+    Thread.sleep(500) // listener-bus settle; an eager count() lands here
+    assert(sp.sparkContext.statusTracker.getJobIdsForGroup("guard-lazy").isEmpty,
+      "guardedBucketPairs ran a job during construction")
+    sp.sparkContext.clearJobGroup()
+    // all 5 buckets (10 members each) overflow cap=3 ⇒ 9 star pairs each
+    assert(df.count() == 45L)
+  }
+
   test("d03 golden pin at sf0.001: banding + hamming verify is deterministic") {
     // no SQL oracle exists for simhash by design; this pins the exact
     // confirmed/planted counts so any change to the signature, banding

@@ -83,6 +83,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$plan")
   }
 
+  test("d04: no broadcast hint, no corpus-sized per-doc set aggregation") {
+    // the r2 staged verify broadcast every doc's sorted shingle-hash set
+    // (broadcast(collect_list)) — a corpus-sized broadcast, the repo's one
+    // 100 TB scale-killer. Pin its absence: no explicit broadcast hint in
+    // the analyzed plan, no per-doc set aggregation in the physical plan.
+    // (A runtime AQE broadcast of the OUTPUT-sized candidate side remains
+    // legal and desirable — this pins direction, not mechanism.)
+    val df = graft.dedup.DedupOps.d04Impl(spark, sf, eager = false)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"explicit broadcast hint crept back into d04:\n$analyzed")
+    val plan = physical(df)
+    assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
+      s"corpus-sized per-doc set aggregation crept back into d04:\n$plan")
+  }
+
   test("t05 repetition: built-in expressions only, no UDF in the plan") {
     val plan = physical(graft.text.TextOps.t05_repetition(spark, sf))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),

@@ -157,6 +157,76 @@ class WarcUnitSpec extends AnyFunSuite {
     assert(UrlTools.domainRoot("a.b.example.dev") == "example.dev")
   }
 
+  test("domainRoot passes the official PSL checkPublicSuffix vectors") {
+    // publicsuffix.org/list/'s own test file (public-domain test data),
+    // adapted to this engine's documented divergence: a hostname that IS
+    // a public suffix returns unchanged instead of null. Exercises the
+    // FULL embedded list: ICANN literals, *.wildcards, !exceptions, the
+    // PRIVATE section, and case normalization.
+    def check(host: String, expected: String): Unit =
+      assert(UrlTools.domainRoot(host) == expected,
+        s"domainRoot($host) = ${UrlTools.domainRoot(host)}, want $expected")
+    // mixed case
+    check("example.COM", "example.com")
+    check("WwW.example.COM", "example.com")
+    // unlisted TLD: default rule
+    check("example", "example")
+    check("example.example", "example.example")
+    check("b.example.example", "example.example")
+    // listed TLD
+    check("biz", "biz")
+    check("domain.biz", "domain.biz")
+    check("b.domain.biz", "domain.biz")
+    // PRIVATE-section 2-level rule
+    check("uk.com", "uk.com")
+    check("example.uk.com", "example.uk.com")
+    check("b.example.uk.com", "example.uk.com")
+    check("test.ac", "test.ac")
+    // *.mm wildcard: c.mm is a suffix, b.c.mm registrable
+    check("mm", "mm")
+    check("c.mm", "c.mm")
+    check("b.c.mm", "b.c.mm")
+    check("a.b.c.mm", "b.c.mm")
+    // jp: plain 2-level rules, literal 3-level (ide.kyoto.jp), *.kobe.jp
+    // wildcard and its !city.kobe.jp exception
+    check("test.jp", "test.jp")
+    check("www.test.jp", "test.jp")
+    check("ac.jp", "ac.jp")
+    check("test.ac.jp", "test.ac.jp")
+    check("www.test.ac.jp", "test.ac.jp")
+    check("kyoto.jp", "kyoto.jp")
+    check("test.kyoto.jp", "test.kyoto.jp")
+    check("ide.kyoto.jp", "ide.kyoto.jp")
+    check("b.ide.kyoto.jp", "b.ide.kyoto.jp")
+    check("a.b.ide.kyoto.jp", "b.ide.kyoto.jp")
+    check("c.kobe.jp", "c.kobe.jp")
+    check("b.c.kobe.jp", "b.c.kobe.jp")
+    check("a.b.c.kobe.jp", "b.c.kobe.jp")
+    check("city.kobe.jp", "city.kobe.jp")
+    check("www.city.kobe.jp", "city.kobe.jp")
+    // *.ck wildcard + !www.ck exception
+    check("ck", "ck")
+    check("test.ck", "test.ck")
+    check("b.test.ck", "b.test.ck")
+    check("a.b.test.ck", "b.test.ck")
+    check("www.ck", "www.ck")
+    check("www.www.ck", "www.ck")
+    // us: state codes and k12.<state>.us are suffixes
+    check("us", "us")
+    check("test.us", "test.us")
+    check("www.test.us", "test.us")
+    check("ak.us", "ak.us")
+    check("test.ak.us", "test.ak.us")
+    check("www.test.ak.us", "test.ak.us")
+    check("k12.ak.us", "k12.ak.us")
+    check("test.k12.ak.us", "test.k12.ak.us")
+    check("www.test.k12.ak.us", "test.k12.ak.us")
+    // trailing-dot normalization
+    check("example.com.", "example.com")
+    // wildcard with many labels under the base (*.compute.amazonaws.com)
+    check("x.y.ap-south-1.compute.amazonaws.com", "y.ap-south-1.compute.amazonaws.com")
+  }
+
   // ---- F2 blacklist ----
 
   test("blacklist matches hosts, urls, and substrings") {

@@ -9,6 +9,10 @@ object Dev {
     if (args.headOption.contains("warc-e2e")) { warcE2e(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("d04probe")) { d04probe(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("d03probe")) { d03probe(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("show")) {
+      SparkEntry.queries(args(1))(spark, sfDir).show(50, false)
+      spark.stop(); return
+    }
     if (args.headOption.contains("sql")) {
       spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("embeddings")
       spark.sql(args(1)).show(10, false)

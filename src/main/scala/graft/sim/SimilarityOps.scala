@@ -202,10 +202,18 @@ object SimilarityOps {
     * the quality/cost dial made observable. (This synthetic corpus is
     * near-uniform, the hardest case for IVF; real embedding corpora
     * cluster, which is what makes nprobe/k ≪ 1 usable.) */
-  def s04_ann_ivf(s: SparkSession, d: String): DataFrame = {
+  def s04_ann_ivf(s: SparkSession, d: String): DataFrame =
+    s04_ann_ivf(s, d, k = 16, nprobe = 6)
+
+  /** `k`/`nprobe` are the IVF quality/cost dial. The defaults suit the
+    * testdata; at real scale pick k ≈ √N (so lists stay ~√N long) and
+    * train the codebook on a driver-side SAMPLE (`emb.sample(...)` of
+    * ~256·k vectors — codebook quality needs a sample, not the corpus),
+    * keeping the per-iteration collect at k rows exactly as here. The
+    * full-corpus passes (assignment, list build, probe join) are already
+    * distributed and size-invariant in shape. */
+  def s04_ann_ivf(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
     import s.implicits._
-    val k = 16
-    val nprobe = 6
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       .repartition(s.sparkContext.defaultParallelism)
     // deterministic init: the k lowest-id vectors are the seed codebook
@@ -213,6 +221,14 @@ object SimilarityOps {
       .orderBy($"vec_id").collect()
       .map(r => (r.getLong(0).toInt,
         r.getSeq[Float](1)))
+    // Fixed-point component sums: double-sum merge order across shuffle
+    // partitions is scheduling-dependent, so a plain avg() can drift in
+    // the last ulp between runs and flip a near-tie argmin assignment —
+    // breaking the deterministic recall pin. Quantizing each component to
+    // 2^-32 and summing LONGS is order-insensitive and exact (|x| ≲ 4 ⇒
+    // headroom for ~2^29 vectors per (cid,pos) before overflow; beyond
+    // that, sum in decimal(38,0)).
+    val Scale = 4294967296.0 // 2^32
     // two Lloyd iterations: argmin assignment (broadcast codebook,
     // map-side) then element-wise mean per list (one shuffle each)
     (1 to 2).foreach { _ =>
@@ -222,7 +238,9 @@ object SimilarityOps {
       }
       centroids = emb.withColumn("cid", assignU($"embedding"))
         .select($"cid", posexplode($"embedding").as(Seq("pos", "x")))
-        .groupBy($"cid", $"pos").agg(avg($"x").as("x"))
+        .groupBy($"cid", $"pos")
+        .agg((sum(($"x".cast("double") * Scale).cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * Scale)).as("x"))
         .groupBy($"cid")
         .agg(array_sort(collect_list(struct($"pos", $"x"))).as("px"))
         .select($"cid", expr("transform(px, e -> CAST(e.x AS FLOAT))").as("c"))

@@ -251,10 +251,11 @@ object HtmlParse {
             val tag = html.substring(nameStart, p).toLowerCase
             val (attrs, after, selfClosing) = parseAttrs(html, p)
             pos = after
-            if (inHead && !HeadTags.contains(tag)) {
-              inHead = false
-              diag(s"implicitly closed <head> before <$tag>")
-            }
+            // </head> is an omittable end tag (OmittableEnd) — closing it
+            // implicitly before body content is spec-sanctioned, so it's a
+            // state fix, NOT a diagnostic: conforming pages that skip
+            // </head> must still yield html_errors == ""
+            if (inHead && !HeadTags.contains(tag)) inHead = false
             // diagnostics-only stack push (raw-text elements consume their
             // own close below; title is RCDATA-consumed; keep them off)
             if (!selfClosing && !VoidTags.contains(tag) && tag != "script" &&

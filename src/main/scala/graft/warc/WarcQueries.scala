@@ -116,9 +116,10 @@ object WarcQueries {
       |  '' AS html_errors
       |FROM d ORDER BY url""".stripMargin
 
-  /** w02: RAKE keyword extraction (A1–A5) over document text. Map output
-    * is not SQL-expressible → rows-only check; determinism pinned by
-    * ScalaTest golden specs instead. */
+  /** w02: RAKE keyword extraction (A1–A5) over document text — the A4
+    * ranked shape (keyword count + top-1 by score desc, phrase asc),
+    * oracle-checked against `w02Oracle` (ranking over the same SQL RAKE
+    * the w06 oracle pins). */
   def w02_rake_keywords(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val ranked = udf { text: String =>
@@ -170,7 +171,9 @@ object WarcQueries {
     * against an independent reimplementation before being adopted here.
     * The stop VALUES are generated from the same embedded SMART list the
     * engine uses, so the two sides can never drift. */
-  lazy val w06Oracle: String = {
+  /** Shared RAKE CTE chain (through `phrase_scores`) — w06 selects the
+    * full per-doc phrase→score map from it; w02 ranks it to the top-1. */
+  private lazy val rakeCtes: String = {
     val stopVals = graft.rake.Stopwords.english.toSeq.sorted
       .map(w => s"('${w.replace("'", "''")}')").mkString(",")
     s"""WITH stop(w) AS (VALUES $stopVals),
@@ -221,12 +224,40 @@ object WarcQueries {
       |               FROM phrases p2) st
       |      ON st.d2 = p.doc_id AND st.fi = p.fi AND st.grp = p.grp
       |    LEFT JOIN word_stats ws ON ws.doc_id = p.doc_id AND ws.tok = st.tok
-      |  GROUP BY 1, 2, p.fi, p.grp)
+      |  GROUP BY 1, 2, p.fi, p.grp)""".stripMargin
+  }
+
+  lazy val w06Oracle: String = rakeCtes +
+    """
       |SELECT doc_id, phrase, CAST(MAX(score) AS REAL) AS score
       |FROM phrase_scores
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
-  }
+
+  /** w02 oracle: the ranked-keyword shape on top of the same RAKE CTEs —
+    * per-doc keyword count and the top phrase by (score DESC, phrase),
+    * exactly `Rake.rankedKeywords`' deterministic tiebreak. Ranking runs
+    * on the f32-cast score so both engines compare identical floats;
+    * docs with no candidate phrases keep w02's ("", 0.0) defaults. */
+  lazy val w02Oracle: String = rakeCtes +
+    """,
+      |kw AS (
+      |  SELECT doc_id, phrase, CAST(MAX(score) AS REAL) AS score
+      |  FROM phrase_scores GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, phrase, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, phrase) AS rn
+      |  FROM kw),
+      |counts AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_keywords FROM kw GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(c.n_keywords, 0) AS n_keywords,
+      |  COALESCE(r.phrase, '') AS top_keyword,
+      |  COALESCE(r.score, CAST(0.0 AS REAL)) AS top_score
+      |FROM documents d
+      |  LEFT JOIN counts c ON c.doc_id = d.doc_id
+      |  LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+      |ORDER BY d.doc_id""".stripMargin
 
   /** w03: F2 blacklist as a pushdown-friendly Catalyst predicate. */
   def w03_blacklist_filter(spark: SparkSession, d: String): DataFrame = {
@@ -300,6 +331,7 @@ object WarcQueries {
 
   val oracle: Map[String, String] = Map(
     "w01_warc_pipeline" -> w01Oracle,
+    "w02_rake_keywords" -> w02Oracle,
     "w06_rake_scores" -> w06Oracle,
     "w03_blacklist_filter" -> w03Oracle,
     "w04_fallback_extract" -> w04Oracle,

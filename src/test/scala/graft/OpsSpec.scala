@@ -43,6 +43,40 @@ class OpsSpec extends AnyFunSuite {
   private def approxEq(a: Double, b: Double, eps: Double = 1e-9) =
     math.abs(a - b) <= eps
 
+  test("corpus RAKE aggregator: hand-computed freq/degree/scores through reduce/merge/finish") {
+    import graft.rake.CorpusRakeAgg
+    val agg = CorpusRakeAgg.aggregator
+    // doc1 phrases: [quantum computing advances], [quantum hardware]
+    //   ("the" is a stopword island; "." a fragment break)
+    // doc2 phrase: [quantum computing]
+    // doc3 phrase: [hardware version 7] — "7" is number-filtered
+    val doc1 = "quantum computing advances. the quantum hardware"
+    val doc2 = "quantum computing"
+    val doc3 = "hardware version 7"
+    // corpus stats (freq, degree over non-number words):
+    //   quantum   f=3 d=2+1+1=4   computing f=2 d=2+1=3
+    //   advances  f=1 d=2         hardware  f=2 d=1+1=2
+    //   version   f=1 d=1         "7" filtered out entirely
+    val expected = Map(
+      "quantum" -> ((4.0 + 3) / 3).toFloat,
+      "computing" -> 2.5f,
+      "advances" -> 3.0f,
+      "hardware" -> 2.0f,
+      "version" -> 2.0f)
+    val b1 = agg.reduce(agg.zero, doc1)
+    val b2 = agg.reduce(agg.zero, doc2)
+    val b3 = agg.reduce(agg.zero, doc3)
+    // merge-smaller-into-larger path: b3 (2 words) folds into b1+b2 (5)
+    assert(agg.finish(agg.merge(agg.merge(b1, b2), b3)) == expected)
+    // merge is order-insensitive (map-side partials arrive in any order)
+    val c1 = agg.reduce(agg.zero, doc1)
+    val c2 = agg.reduce(agg.zero, doc2)
+    val c3 = agg.reduce(agg.zero, doc3)
+    assert(agg.finish(agg.merge(c3, agg.merge(c2, c1))) == expected)
+    // nulls/empties fold to nothing
+    assert(agg.finish(agg.reduce(agg.reduce(agg.zero, null), "")) == Map.empty)
+  }
+
   test("cosine: orthogonal 0, identical 1, scale-invariant") {
     val x = Seq(1f, 0f, 2f)
     assert(approxEq(SimilarityOps.cosine(x, x), 1.0))

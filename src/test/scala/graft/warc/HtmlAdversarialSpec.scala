@@ -78,8 +78,10 @@ class HtmlAdversarialSpec extends AnyFunSuite {
   }
 
   test("adversarial: html_errors reports every tag-soup repair, in order") {
+    // NB: the implicit head-close is NOT reported — </head> is an
+    // omittable end tag per HTML5, so closing it before body content is
+    // spec-sanctioned, not a repair
     assert(r.html_errors == Seq(
-      "implicitly closed <head> before <div>",
       "misnested </b> implicitly closed <i>",
       "discarded unmatched </i>",
       "unterminated comment at EOF",
@@ -91,6 +93,11 @@ class HtmlAdversarialSpec extends AnyFunSuite {
     val clean = HtmlParse.parse(
       "<html><head><title>t</title></head><body><p>x</p></body></html>")
     assert(clean.html_errors == "")
+    // omitting </head> (and <body>) is conforming HTML5 — still no errors
+    val omitted = HtmlParse.parse(
+      "<html><head><title>t</title><div>body text</div></html>")
+    assert(omitted.html_errors == "", s"got: ${omitted.html_errors}")
+    assert(omitted.text.contains("body text"))
   }
 
   test("adversarial: GA scan over RAW html still sees ids inside scripts") {

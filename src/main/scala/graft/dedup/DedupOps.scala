@@ -379,18 +379,22 @@ object DedupOps {
     val hashShinglesU = udf { text: String =>
       shingles(text).iterator.map(hash64).toSeq.distinct
     }
+    // n_sh (the doc's distinct-shingle count) is computed at hashing time
+    // and carried as a column — one extra long through the shuffle instead
+    // of a second window pass over the whole index
     val index = withNearDups(s, d)
-      .select($"doc_id", explode(hashShinglesU($"text")).as("h"))
+      .select($"doc_id", hashShinglesU($"text").as("hs"))
+      .select($"doc_id", size($"hs").cast("long").as("n_sh"),
+        explode($"hs").as("h"))
     withCacheImpl(index, eager) { idx =>
       val df = idx.groupBy($"h").agg(count(lit(1)).as("df"))
       // per-doc global ranking, rarest shingles first ((df, h) is a
-      // total order); one shuffle on doc_id serves both windows.
+      // total order); one shuffle on doc_id for the ranking window.
       // t' = 11/20 kept as integer arithmetic — a float ⌈0.55·n⌉ can
       // round the prefix short and silently drop true pairs
       val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"h")
       val ranked = idx.join(df, "h")
         .withColumn("rk", row_number().over(byRarity))
-        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy($"doc_id")))
       // cache the (pruned, long-only) prefix table: the self-join below
       // would otherwise recompute the join+window subplan once PER SIDE
       withCacheImpl(ranked

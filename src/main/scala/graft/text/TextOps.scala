@@ -284,12 +284,157 @@ object TextOps {
       |FROM roll r LEFT JOIN grams g ON r.doc_id = g.doc_id
       |ORDER BY r.doc_id""".stripMargin
 
+  // ---- t06 PII scrub ----
+
+  /** PII patterns shared verbatim by the Spark plan and the DuckDB
+    * oracle — restricted to syntax Java regex and RE2 interpret
+    * identically on ASCII (character classes, bounded repetition, `\b`
+    * on `[A-Za-z0-9_]` boundaries; no backrefs, no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** t06: PII scrub — the redaction stage every pretraining pipeline runs
+    * before training. The corpus has no PII, so deterministic PII is
+    * first INJECTED as a pure function of doc_id (same trick as the dedup
+    * planting), then detected and redacted: emails → `<EMAIL>`, phones →
+    * `<PHONE>`, IPv4s → `<IP>`, in that fixed order. Pure built-in
+    * regexp expressions ⇒ map-side, codegen'd, no shuffle except the
+    * final ordering; the oracle re-runs the identical regexes in DuckDB
+    * and compares counts AND the md5 of the scrubbed text. */
+  def t06_pii_scrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val injected = concat($"text",
+      lit(" Contact user"), $"doc_id".cast("string"),
+      lit("@mail.example.com or ("),
+      lpad(($"doc_id" % 800 + 200).cast("string"), 3, "0"), lit(") 555-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit("."),
+      (($"doc_id" * 7) % 256).cast("string"))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(injected, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(regexp_extract_all(injected, lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(injected, lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(injected, lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val t06Oracle: String =
+    """WITH inj AS (
+      |  SELECT doc_id, text || ' Contact user' || doc_id
+      |    || '@mail.example.com or ('
+      |    || lpad(CAST(doc_id % 800 + 200 AS VARCHAR), 3, '0') || ') 555-'
+      |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    || ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+      |    AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    AS n_emails,
+      |  len(regexp_extract_all(t, '\(\d{3}\) \d{3}-\d{4}')) AS n_phones,
+      |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+      |    AS n_ips,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\(\d{3}\) \d{3}-\d{4}', '<PHONE>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+      |FROM inj ORDER BY doc_id""".stripMargin
+
+  // ---- t07 quality gate ----
+
+  /** t07: composite quality GATE — the keep/drop verdict a Gopher-style
+    * filter chain ends in, with machine-readable reasons. All rule
+    * comparisons are INTEGER cross-multiplications (n_stop·1000 < n_tok·15
+    * instead of ratio < 0.015), so the verdict is exact on both engines —
+    * no float thresholds to drift. Rules: too_short (< 30 ws tokens),
+    * low_stopword (< 1.5% stopwords), high_punct (> 10% punct chars),
+    * repetitive (> 10% duplicated 3-grams). Map-side except the 3-gram
+    * count (one shuffle, same shape as t05). */
+  def t07_quality_gate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = whitespaceTokens($"text")
+    val base = Tables.documents(s, d)
+      .select($"doc_id",
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => t.isin(StopSample: _*))).cast("long").as("n_stop"),
+        size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("long").as("n_punct"),
+        length($"text").cast("long").as("n_chars_m"))
+    val rep = Tables.documents(s, d)
+      .select($"doc_id", whitespaceTokens($"text").as("toks"))
+      .select($"doc_id", explode(when(size($"toks") >= 3,
+        expr("transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+        .otherwise(array(concat_ws(" ", $"toks")))).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_grams"), count(lit(1)).as("n_distinct"))
+    val tooShort = $"n_tok" < 30
+    val lowStop = $"n_stop" * 1000 < $"n_tok" * 15
+    val highPunct = $"n_punct" * 10 > $"n_chars_m"
+    val repetitive = ($"n_grams" - $"n_distinct") * 10 > $"n_grams"
+    base.join(rep, "doc_id")
+      .select($"doc_id",
+        (!tooShort && !lowStop && !highPunct && !repetitive).as("keep"),
+        concat_ws(",",
+          when(tooShort, "too_short"),
+          when(lowStop, "low_stopword"),
+          when(highPunct, "high_punct"),
+          when(repetitive, "repetitive")).as("reasons"))
+      .orderBy($"doc_id")
+  }
+
+  val t07Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS BIGINT) AS n_stop,
+      |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct,
+      |    CAST(length(text) AS BIGINT) AS n_chars_m
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+      |         ELSE array_to_string(ts[i:i+2], ' ') END AS gram
+      |  FROM toks, UNNEST(range(1, GREATEST(len(ts) - 1, 2))) AS u(i)),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      |          COUNT(*) AS n_distinct
+      |        FROM c GROUP BY 1),
+      |j AS (SELECT * FROM base JOIN rep USING (doc_id))
+      |SELECT doc_id,
+      |  NOT (n_tok < 30 OR n_stop * 1000 < n_tok * 15
+      |    OR n_punct * 10 > n_chars_m
+      |    OR (n_grams - n_distinct) * 10 > n_grams) AS keep,
+      |  concat_ws(',',
+      |    CASE WHEN n_tok < 30 THEN 'too_short' END,
+      |    CASE WHEN n_stop * 1000 < n_tok * 15 THEN 'low_stopword' END,
+      |    CASE WHEN n_punct * 10 > n_chars_m THEN 'high_punct' END,
+      |    CASE WHEN (n_grams - n_distinct) * 10 > n_grams THEN 'repetitive' END)
+      |    AS reasons
+      |FROM j ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01_token_stats _),
     "t02_quality_score" -> (t02_quality_score _),
     "t03_lang_id" -> (t03_lang_id _),
     "t04_fingerprint" -> (t04_fingerprint _),
     "t05_repetition" -> (t05_repetition _),
+    "t06_pii_scrub" -> (t06_pii_scrub _),
+    "t07_quality_gate" -> (t07_quality_gate _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -298,5 +443,7 @@ object TextOps {
     "t03_lang_id" -> t03Oracle,
     "t04_fingerprint" -> t04Oracle,
     "t05_repetition" -> t05Oracle,
+    "t06_pii_scrub" -> t06Oracle,
+    "t07_quality_gate" -> t07Oracle,
   )
 }

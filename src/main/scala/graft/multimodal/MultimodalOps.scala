@@ -221,13 +221,114 @@ object MultimodalOps {
       |  CAST(SUM((media_id % 256 + frame_idx) % 256) AS BIGINT) AS mean_pixel_sum
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- m03 audio ----
+
+  /** Deterministic synthetic waveform for a document: (doc_id%500)+100
+    * PCM16 samples at 8 kHz, sample(i) = ((doc_id·31 + i²) % 2001) − 1000
+    * — integer-exact so the oracle can recompute every feature. */
+  def audioParams(docId: Long): (Int, Int) = (((docId % 500) + 100).toInt, 8000)
+
+  def sampleAt(docId: Long, i: Int): Int =
+    (((docId * 31 + i.toLong * i) % 2001) - 1000).toInt
+
+  /** Encode a REAL RIFF/WAVE file: 44-byte canonical header (PCM, mono,
+    * 16-bit little-endian) + the raw sample data. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val (n, rate) = audioParams(docId)
+    val dataLen = n * 2
+    val bos = new ByteArrayOutputStream()
+    def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff) }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); le32(36 + dataLen); tag("WAVE")
+    tag("fmt "); le32(16); le16(1); le16(1); le32(rate)
+    le32(rate * 2); le16(2); le16(16)
+    tag("data"); le32(dataLen)
+    var i = 0
+    while (i < n) { le16(sampleAt(docId, i) & 0xffff); i += 1 }
+    bos.toByteArray
+  }
+
+  /** Parse the WAV container back (magic + fmt validation, little-endian
+    * field reads) and extract waveform features: sample count, duration,
+    * absolute-amplitude sum (integer energy), zero-crossing count
+    * (sign flip between consecutive samples; 0 counts as non-negative). */
+  def audioFeatures(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Int = u16(o) | (u16(o + 2) << 16)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE" && tag(12) == "fmt " &&
+      tag(36) == "data", "bad WAV container")
+    require(u16(20) == 1 && u16(34) == 16, "not 16-bit PCM")
+    val rate = u32(24)
+    val n = u32(40) / 2
+    var sumAbs = 0L
+    var zc = 0L
+    var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val raw = u16(44 + 2 * i)
+      val s = if (raw >= 0x8000) raw - 0x10000 else raw // sign-extend
+      sumAbs += math.abs(s)
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      i += 1
+    }
+    (n.toLong, n.toLong * 1000 / rate, sumAbs, zc, rate.toLong)
+  }
+
+  /** m03: audio decode + feature extraction — the third modality next to
+    * m01 (image) and m02 (video). Real WAV bytes in the binary column,
+    * batched per-partition decode, integer features the oracle recomputes
+    * from the waveform formula without a WAV parser. */
+  def m03_audio_features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id".as("media_id"))
+      .as[Long]
+      .mapPartitions { batch => batch.map(id => (id, encodeWav(id))) }
+      .toDF("media_id", "content")
+    media.as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val (n, ms, sumAbs, zc, rate) = audioFeatures(bytes)
+          (id, n, ms, sumAbs, zc, rate)
+        }
+      }
+      .toDF("media_id", "n_samples", "duration_ms", "abs_sum",
+        "zero_crossings", "sample_rate")
+      .orderBy($"media_id")
+  }
+
+  val m03Oracle: String =
+    """WITH p AS (
+      |  SELECT doc_id AS media_id, (doc_id % 500) + 100 AS n FROM documents),
+      |s AS (
+      |  SELECT media_id, n, i.i AS i,
+      |    ((media_id * 31 + i.i * i.i) % 2001) - 1000 AS v,
+      |    ((media_id * 31 + (i.i - 1) * (i.i - 1)) % 2001) - 1000 AS pv
+      |  FROM p, UNNEST(range(0, n)) AS i(i))
+      |SELECT media_id,
+      |  CAST(MAX(n) AS BIGINT) AS n_samples,
+      |  CAST(MAX(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+      |  CAST(SUM(CASE WHEN i > 0 AND ((pv < 0) <> (v < 0))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |  CAST(8000 AS BIGINT) AS sample_rate
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> (m01_media_decode _),
     "m02_frame_sample" -> (m02_frame_sample _),
+    "m03_audio_features" -> (m03_audio_features _),
   )
 
   val oracle: Map[String, String] = Map(
     "m01_media_decode" -> m01Oracle,
     "m02_frame_sample" -> m02Oracle,
+    "m03_audio_features" -> m03Oracle,
   )
 }

@@ -151,6 +151,20 @@ class OpsSpec extends AnyFunSuite {
     assert(resizedSum == expResized)
   }
 
+  test("wav codec: encode/parse round-trips the deterministic waveform") {
+    for (id <- Seq(0L, 7L, 499L)) {
+      val (en, erate) = MultimodalOps.audioParams(id)
+      val (n, ms, sumAbs, zc, rate) = MultimodalOps.audioFeatures(
+        MultimodalOps.encodeWav(id))
+      assert(n == en.toLong && rate == erate.toLong)
+      assert(ms == en.toLong * 1000 / erate)
+      val samples = (0 until en).map(i => MultimodalOps.sampleAt(id, i))
+      assert(sumAbs == samples.map(x => math.abs(x).toLong).sum)
+      assert(zc == samples.sliding(2).count {
+        case Seq(a, b) => (a < 0) != (b < 0); case _ => false })
+    }
+  }
+
   test("video container: frame count, stride sampling, constant-gray means") {
     val docId = 7L // 8 frames
     val bytes = MultimodalOps.encodeVideo(docId)

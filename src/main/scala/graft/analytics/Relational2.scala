@@ -332,8 +332,42 @@ object Relational2 {
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q31: stratified sampling — per-language target rates applied with a
+    * content-hash threshold, the standard "rebalance the language mix"
+    * curation step. Deterministic (same doc always kept or dropped, like
+    * q30's split), map-side assignment, one aggregation exchange. Rates:
+    * en is downsampled to 40%, the rest kept whole — the usual
+    * head-language rebalancing shape. */
+  def q31_stratified_sample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = (conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 100)
+    val rate = when($"lang" === "en", 40).otherwise(100)
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"n_chars", bucket.as("bucket"), rate.as("rate"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"bucket" < $"rate", 1L).otherwise(0L)).as("n_sampled"),
+        sum(when($"bucket" < $"rate", $"n_chars").otherwise(0L))
+          .as("sampled_chars"))
+      .orderBy($"lang")
+  }
+
+  val q31Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,
+      |    CASE WHEN lang = 'en' THEN 40 ELSE 100 END AS rate
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled,
+      |  CAST(SUM(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS sampled_chars
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_deterministic_split" -> (q30_deterministic_split _),
+    "q31_stratified_sample" -> (q31_stratified_sample _),
     "q26_salted_agg" -> (q26_salted_agg _),
     "q27_approx_distinct" -> (q27_approx_distinct _),
     "q28_asof_join" -> (q28_asof_join _),
@@ -351,6 +385,7 @@ object Relational2 {
 
   val oracle: Map[String, String] = Map(
     "q30_deterministic_split" -> q30Oracle,
+    "q31_stratified_sample" -> q31Oracle,
     "q26_salted_agg" -> q26Oracle,
     "q28_asof_join" -> q28Oracle,
     "q29_grouping_sets" -> q29Oracle,

@@ -289,11 +289,133 @@ object SimilarityOps {
     }
   }
 
+  /** s05: product-quantization ANN (the PQ half of IVF-PQ) — the MEMORY
+    * scale path: each 64-dim f32 vector (256 bytes) is compressed to
+    * m = 16 one-byte codes (16×), and queries scan the CODES with
+    * asymmetric distance computation — per (query, subspace) the dot
+    * products against the 16 subspace centroids replace any touch of the
+    * raw vectors. At 100 TB this is what lets the candidate scan live in
+    * memory; compose with s04's inverted lists for IVF-PQ proper.
+    *
+    * Codebooks are trained on a deterministic SAMPLE (the 256 lowest-id
+    * normalized vectors) with five local Lloyd iterations per subspace —
+    * the sample-based training the s04 note prescribes at scale; only
+    * the sample ever reaches the driver. Vectors are L2-normalized first
+    * so inner product equals cosine and the recall is measured against
+    * the exact s01 baseline. Deterministic end-to-end (seedless: sample +
+    * fixed iterations + lowest-index argmin ties) → spec-pinned.
+    * (This corpus is near-uniform — PQ's hardest case, same caveat as
+    * s04; real embedding corpora cluster and quantize far better.) */
+  def s05_ann_pq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = 16 // subspaces
+    val sub = 4 // dims per subspace
+    val ks = 16 // centroids per subspace
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism)
+    val normU = udf { v: Seq[Float] =>
+      val n = math.sqrt(v.iterator.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    val nv = emb.select($"vec_id", normU($"embedding").as("v"))
+    val sample: Array[Seq[Float]] = nv.filter($"vec_id" < 256).orderBy($"vec_id")
+      .collect().map(_.getSeq[Float](1))
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      var cents = Array.tabulate(ks)(c =>
+        sample(c).slice(mi * sub, mi * sub + sub).map(_.toDouble).toArray)
+      for (_ <- 1 to 5) {
+        val sums = Array.fill(ks, sub)(0.0)
+        val counts = Array.fill(ks)(0)
+        sample.foreach { v =>
+          val x = v.slice(mi * sub, mi * sub + sub).map(_.toDouble).toArray
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            var dd = 0.0
+            var i = 0
+            while (i < sub) { val df = x(i) - cents(c)(i); dd += df * df; i += 1 }
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += x(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ks)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+    val cb = codebooks
+    val encodeU = udf { v: Seq[Float] =>
+      val out = new Array[Byte](m)
+      var mi = 0
+      while (mi < m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          var dd = 0.0
+          var i = 0
+          while (i < sub) {
+            val df = v(mi * sub + i).toDouble - cb(mi)(c)(i)
+            dd += df * df
+            i += 1
+          }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        out(mi) = best.toByte
+        mi += 1
+      }
+      out
+    }
+    // asymmetric distance: the query side stays full-precision, the
+    // corpus side is 8 code bytes — the only per-row work is m table rows
+    val adcU = udf { (q: Seq[Float], code: Array[Byte]) =>
+      var sc = 0.0
+      var mi = 0
+      while (mi < m) {
+        val cent = cb(mi)(code(mi) & 0xff)
+        var i = 0
+        while (i < sub) { sc += q(mi * sub + i).toDouble * cent(i); i += 1 }
+        mi += 1
+      }
+      sc
+    }
+    val topk = udaf(new TopKCosine(5))
+    graft.dedup.DedupOps.withCache(nv) { nvc =>
+      val codes = nvc.select($"vec_id", encodeU($"v").as("code"))
+      val queries = nvc.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"v".as("q_v"))
+      val approx = codes.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("score", adcU($"q_v", $"code"))
+        .groupBy($"query_id").agg(topk($"score", $"vec_id").as("nbrs"))
+      graft.dedup.DedupOps.withCache(s01_ann_bruteforce(s, d)
+          .select($"query_id", $"neighbor_id".as("vec_id"))) { exact =>
+        val hits = approx.select($"query_id", explode($"nbrs").as("vec_id"))
+          .join(exact, Seq("query_id", "vec_id"), "inner")
+          .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+        exact.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
+          .join(hits, Seq("query_id"), "left")
+          .agg((sum(coalesce($"n_hit", lit(0L))).cast("double") /
+            sum($"n_true").cast("double")).as("recall_at_5"),
+            count(lit(1)).as("n_queries"))
+          .select($"recall_at_5", $"n_queries",
+            lit(m.toLong).as("code_bytes_per_vector"),
+            lit(256L).as("raw_bytes_per_vector"))
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01_ann_bruteforce _),
     "s02_embedding_neardup" -> (s02_embedding_neardup _),
     "s03_ann_lsh_recall" -> (s03_ann_lsh_recall _),
     "s04_ann_ivf" -> (s04_ann_ivf _),
+    "s05_ann_pq" -> (s05_ann_pq _),
   )
 
   val oracle: Map[String, String] = Map(

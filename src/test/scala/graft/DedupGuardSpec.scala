@@ -79,6 +79,18 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(1) == 10L)
   }
 
+  test("s05 PQ: deterministic recall at 16x compression") {
+    // product quantization on the near-uniform synthetic corpus (PQ's
+    // hardest case): 0.40 recall@5 vs a 0.005 random baseline at 16
+    // code bytes per 256-byte vector. Seedless-deterministic (sample
+    // init + fixed Lloyd iterations + lowest-index argmin ties).
+    val row = graft.sim.SimilarityOps.s05_ann_pq(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(row.getDouble(0) == 0.4, s"recall_at_5=${row.getDouble(0)}")
+    assert(row.getLong(1) == 10L)
+    assert(row.getLong(2) == 16L && row.getLong(3) == 256L)
+  }
+
   test("s04 IVF: deterministic, high recall at a sub-half scan fraction") {
     val row = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001")
       .collect()(0)

@@ -15,7 +15,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder("plan-spec").master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("planspec-wh").toString)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
@@ -104,6 +107,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
       s"t05 must stay codegen-able:\n$plan")
     assert(!plan.contains("Join"))
+  }
+
+  test("bucketed tables co-locate the join: zero exchanges in the plan") {
+    // the 100 TB co-location story made concrete: two tables bucketed by
+    // the join key into the same bucket count join WITHOUT any shuffle —
+    // the plan must contain no Exchange at all. This is the layout the
+    // warehouse write (K3) sets up for downstream fact-fact joins.
+    val sp = spark
+    import sp.implicits._
+    sp.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    sp.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    sp.range(0, 1000).select(($"id" % 97).as("k"), $"id".as("va"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_a")
+    sp.range(0, 500).select(($"id" % 97).as("k"), $"id".as("vb"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_b")
+    // force the shuffle-join path: a broadcast would also be exchange-ish
+    // and wouldn't demonstrate co-location
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = sp.table("graft_bkt_a").join(sp.table("graft_bkt_b"), "k")
+      val plan = physical(j)
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      assert(j.count() > 0)
+    } finally sp.conf.set("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
   }
 
   test("splittable warc scan reports its partitioning") {

@@ -335,11 +335,11 @@ object DedupOps {
         .select($"doc_id", $"bb.band", $"bb.bits")
       val cand = guardedBucketPairs(banded, Seq("band", "bits"))
       val sigs = docs.select($"doc_id", $"sig")
-      val hamU = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
       cand
         .join(sigs.select($"doc_id".as("id_a"), $"sig".as("sig_a")), "id_a")
         .join(sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b")), "id_b")
-        .withColumn("hamming", hamU($"sig_a", $"sig_b"))
+        // built-in bit_count(xor) keeps the verify inside codegen — no UDF
+        .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
         .filter($"hamming" <= 6)
         .agg(count(lit(1)).as("n_confirmed"),
           sum(when($"id_b" === $"id_a" + Shift, 1L).otherwise(0L))

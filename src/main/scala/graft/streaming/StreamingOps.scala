@@ -231,11 +231,63 @@ object StreamingOps {
         sessionStep(gapMs))
   }
 
+  /** st05: streaming CRAWL INGESTION — the continuous-arrival shape of
+    * the batch WARC pipeline. `.warc` containers are staged to a
+    * directory (as a crawler would drop them), consumed incrementally by
+    * a `binaryFile` file stream, and run through the SAME record parser
+    * and enrichment chain the batch path uses
+    * (`WarcSource.fromBytes` → `Pipeline.urlResources` — one code path,
+    * two execution modes), aggregated per hostname into a memory sink
+    * with AvailableNow. New files landing in the directory would be
+    * picked up by the next trigger; the oracle recomputes the per-host
+    * rollup from `documents`. */
+  def st05_stream_warc_ingest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-st05")
+    graft.warc.WarcQueries.warcFiles(s, d).collect().zipWithIndex.foreach {
+      case ((_, bytes), i) =>
+        java.nio.file.Files.write(warcDir.resolve(f"crawl-$i%03d.warc"), bytes)
+    }
+    val name = s"st05_sink_${System.nanoTime()}"
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val files = s.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(warcDir.toString)
+    val records = graft.warc.WarcSource.fromBytes(
+      files.select(col("path"), col("content"))
+        .as[(String, Array[Byte])])
+    val q = graft.warc.Pipeline.urlResources(records)
+      .groupBy(col("hostname"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(col("word_count").cast("long")).as("word_sum"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    restoreShufflePartitions(s)
+    s.table(name).orderBy("hostname")
+  }
+
+  val st05Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    'docs' || (doc_id % 50) || '.example.gov.au' AS host
+      |  FROM documents)
+      |SELECT CASE WHEN doc_id % 7 = 0 THEN 'aa' || host ELSE host END AS hostname,
+      |  COUNT(*) AS n_pages,
+      |  CAST(SUM(4 + len(string_split(text, ' '))) AS BIGINT) AS word_sum
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01_stream_window _),
     "st02_session_window" -> (st02_session_window _),
     "st03_stream_dedup" -> (st03_stream_dedup _),
     "st04_stream_stream_join" -> (st04_stream_stream_join _),
+    "st05_stream_warc_ingest" -> (st05_stream_warc_ingest _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -243,5 +295,6 @@ object StreamingOps {
     "st02_session_window" -> st02Oracle,
     "st03_stream_dedup" -> st03Oracle,
     "st04_stream_stream_join" -> st04Oracle,
+    "st05_stream_warc_ingest" -> st05Oracle,
   )
 }

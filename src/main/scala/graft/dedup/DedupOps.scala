@@ -504,12 +504,103 @@ object DedupOps {
       |  (SELECT COUNT(*) FROM e) AS n_exact_contaminated,
       |  (SELECT COUNT(*) FROM nrm) AS n_norm_contaminated""".stripMargin
 
+  /** d06: dedup CLUSTERING — the step that turns pair emission (d02/d04)
+    * into an actionable keep/drop decision: connected components over the
+    * confirmed near-dup pairs, one keeper (min id) per component. Labels
+    * propagate by iterative min-label exchange — each round every node
+    * adopts the smallest label among itself and its neighbors — which
+    * converges in O(log diameter) rounds; near-dup clusters are
+    * small-diameter, and real CC-over-pairs deployments (large-star/
+    * small-star) have the same round structure. The driver loop runs one
+    * action per round to test convergence — the standard shape for
+    * iterative algorithms (this is iteration control, not data movement;
+    * each round's data work is one shuffle join). Oracle: DuckDB
+    * recursive CTE computing the same components. */
+  /** Connected components over an undirected pair list `(id_a, id_b)` →
+    * `(id, label)` with label = the component's min id. See
+    * [[d06_dedup_clusters]] for the iteration rationale. */
+  private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("id_a").as("id")).distinct()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("label", "nbr_label"), "id_b")
+        .groupBy(col("id_a").as("id")).agg(min(col("nbr_label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("label"))
+      rounds += 1
+    }
+    labels
+  }
+
+  def d06_dedup_clusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = d04_ngram_jaccard(s, d).select($"id_a", $"id_b")
+    connectedComponents(pairs).groupBy($"label")
+      .agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"sz").as("n_docs_clustered"),
+        max($"sz").as("max_cluster_size"),
+        sum($"label").as("keeper_id_sum"))
+  }
+
+  val d06Oracle: String =
+    """WITH RECURSIVE all_docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
+      |      len(string_split_regex(trim(text), '\s+')) - 1)
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+      |         ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
+      |  FROM all_docs,
+      |    UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |conf AS (
+      |  SELECT id_a, id_b FROM pairs
+      |    JOIN sizes sa ON sa.doc_id = id_a
+      |    JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.6),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM conf
+      |          UNION ALL SELECT id_b, id_a FROM conf),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+      |comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY 1),
+      |cl AS (SELECT root, COUNT(*) AS sz FROM comp GROUP BY 1)
+      |SELECT COUNT(*) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs_clustered,
+      |  CAST(MAX(sz) AS BIGINT) AS max_cluster_size,
+      |  CAST(SUM(root) AS BIGINT) AS keeper_id_sum
+      |FROM cl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01_exact_dedup _),
     "d02_minhash_lsh" -> (d02_minhash_lsh _),
     "d03_simhash" -> (d03_simhash _),
     "d04_ngram_jaccard" -> (d04_ngram_jaccard _),
     "d05_contamination" -> (d05_contamination _),
+    "d06_dedup_clusters" -> (d06_dedup_clusters _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -517,5 +608,6 @@ object DedupOps {
     "d02_minhash_lsh" -> d02Oracle,
     "d04_ngram_jaccard" -> d04Oracle,
     "d05_contamination" -> d05Oracle,
+    "d06_dedup_clusters" -> d06Oracle,
   )
 }

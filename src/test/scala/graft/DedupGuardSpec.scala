@@ -112,6 +112,21 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getDouble(3) < 0.02)) // inside the rsd dial
   }
 
+  test("connected components: chain, triangle, isolated pair resolve to min-id labels") {
+    val sp = spark
+    import sp.implicits._
+    // chain 1-2-3-4-5 (worst diameter), triangle 10-11-12 (+ redundant
+    // edge), isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+    assert(labels.size == 10)
+  }
+
   test("planted identical-doc flood completes with linear candidate volume") {
     val sp = spark
     import sp.implicits._

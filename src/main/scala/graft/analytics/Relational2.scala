@@ -365,7 +365,62 @@ object Relational2 {
       |    AS sampled_chars
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q32: range join — same-user event pairs within a 10-minute window.
+    * Spark executes a raw inequality join as a broadcast-nested-loop
+    * (O(n·m) and a broadcast of a whole side — both fatal at 100 TB), so
+    * the range predicate is re-expressed as an equi-join: every event
+    * gets its W-sized time bucket (`us div W`, exact integer division);
+    * a pair with 0 < gap ≤ W always lands in the same or adjacent
+    * bucket, so the left side probes (bucket, bucket+1) and the join key
+    * is (user_id, probe_bucket) — a plain shuffle equi-join, 2× the left
+    * side, partitionable at any scale. Each qualifying pair matches
+    * exactly one probe value (the right event's bucket is a single
+    * value), so no post-join dedup is needed. Gaps are exact
+    * microsecond integers on both engines (unix_micros / epoch_us). */
+  /** Bucketed-range-join core: ordered same-key pairs with
+    * 0 < us_b − us_a ≤ wMicros, from `(user_id, event_type, us)` rows.
+    * Exposed for the boundary spec (gap = 0 / W / W+1, bucket-crossing
+    * pairs). */
+  private[graft] def rangePairs(ev: DataFrame, wMicros: Long): DataFrame = {
+    import ev.sparkSession.implicits._
+    val bucket = expr(s"us div $wMicros")
+    val left = ev.withColumn("probe", explode(array(bucket, bucket + 1L)))
+    val right = ev.select($"user_id", $"event_type".as("type_b"),
+      $"us".as("us_b"), bucket.as("bkt"))
+    left.join(right,
+        left("user_id") === right("user_id") && $"probe" === $"bkt")
+      .filter($"us_b" > $"us" && $"us_b" <= $"us" + wMicros)
+      .select($"event_type".as("type_a"), $"type_b", ($"us_b" - $"us").as("gap"))
+  }
+
+  def q32_range_join(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = 600L * 1000000L // 10 minutes in microseconds
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    rangePairs(ev, w)
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_pairs"), sum($"gap").as("sum_gap_us"),
+        min($"gap").as("min_gap_us"), max($"gap").as("max_gap_us"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val q32Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    b.us - a.us AS gap
+      |  FROM e a JOIN e b ON a.user_id = b.user_id
+      |    AND b.us > a.us AND b.us <= a.us + 600000000)
+      |SELECT type_a, type_b, COUNT(*) AS n_pairs,
+      |  CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+      |  CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap_us
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_range_join" -> (q32_range_join _),
     "q30_deterministic_split" -> (q30_deterministic_split _),
     "q31_stratified_sample" -> (q31_stratified_sample _),
     "q26_salted_agg" -> (q26_salted_agg _),
@@ -384,6 +439,7 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q32_range_join" -> q32Oracle,
     "q30_deterministic_split" -> q30Oracle,
     "q31_stratified_sample" -> q31Oracle,
     "q26_salted_agg" -> q26Oracle,

@@ -427,7 +427,61 @@ object TextOps {
       |    AS reasons
       |FROM j ORDER BY doc_id""".stripMargin
 
+  /** t08: corpus TF-IDF — the characteristic terms of every document,
+    * the standard "what is this page about / drop boilerplate-dominated
+    * docs" signal. Term frequency per (doc, term), document frequency
+    * per term across the whole corpus, score = tf·idf with a
+    * RECIPROCAL-df idf (score = tf/df): rank-equivalent to any
+    * monotone-decreasing idf on a fixed corpus, and — being one
+    * correctly-rounded IEEE division of two integers — bit-identical
+    * between engines, where `ln(N/df)` could diverge in the last ulp
+    * and flip a near-tie (the same determinism rule as q24's stats).
+    * Top-3 terms per doc, ties broken by term.
+    *
+    * Scale shape: tokenize+explode is map-side; tf and df are two keyed
+    * aggregations with map-side partials; df joins back on `term` (a
+    * shuffle join — the vocabulary is corpus-sized, never broadcast);
+    * the top-k window partitions by doc_id. Every exchange is keyed; no
+    * global collect anywhere. */
+  def t08_tfidf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(whitespaceTokens(lower($"text"))).as("term"))
+      .filter($"term" =!= "")
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(($"tf".cast("double") / $"df".cast("double")).desc, $"term")
+    tf.join(df, "term")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"tf", $"df",
+        ($"tf".cast("double") / $"df".cast("double")).as("score"))
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val t08Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT t.doc_id, t.term, t.tf, d.df,
+      |    CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |      ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC, t.term)
+      |      AS rk
+      |  FROM tf t JOIN df d USING (term))
+      |SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf,
+      |  CAST(df AS BIGINT) AS df, score
+      |FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_tfidf" -> (t08_tfidf _),
     "t01_token_stats" -> (t01_token_stats _),
     "t02_quality_score" -> (t02_quality_score _),
     "t03_lang_id" -> (t03_lang_id _),
@@ -438,6 +492,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t08_tfidf" -> t08Oracle,
     "t01_token_stats" -> t01Oracle,
     "t02_quality_score" -> t02Oracle,
     "t03_lang_id" -> t03Oracle,

@@ -133,6 +133,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.conf.set("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
   }
 
+  test("q32 range join: equi-join on (user, bucket) — no nested-loop plan") {
+    // a raw inequality join would plan as BroadcastNestedLoopJoin (O(n·m)
+    // + a whole-side broadcast); the bucketization must keep it an
+    // equi-join at any scale
+    val plan = physical(graft.analytics.Relational2.q32_range_join(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop join:\n$plan")
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findFirstIn(plan).isDefined, s"no equi-join in:\n$plan")
+  }
+
+  test("q32 range join: window boundary — gap W kept, W+1 and 0 dropped") {
+    val sp = spark
+    import sp.implicits._
+    val w = 1000L
+    val ev = Seq(
+      (1L, "a", 0L), (1L, "b", 1000L),   // gap = W, crosses buckets 0→1: kept
+      (2L, "a", 1000L), (2L, "b", 2001L), // gap = W+1: dropped
+      (3L, "a", 5000L), (3L, "b", 5000L), // gap = 0: dropped
+      (4L, "a", 0L), (5L, "b", 500L),     // different users: dropped
+      (6L, "a", 100L), (6L, "b", 150L)    // same bucket: kept
+    ).toDF("user_id", "event_type", "us")
+    val got = graft.analytics.Relational2.rangePairs(ev, w)
+      .select($"type_a", $"type_b", $"gap")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 1000L), ("a", "b", 50L)))
+  }
+
   test("splittable warc scan reports its partitioning") {
     val dir = java.nio.file.Files.createTempDirectory("planspec")
     java.nio.file.Files.write(dir.resolve("x.warc"),

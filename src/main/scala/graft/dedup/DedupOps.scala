@@ -256,19 +256,22 @@ object DedupOps {
     * band with p = (1-0.64)^32 ≈ 6e-15, so the confirmed set equals the
     * exact-Jaccard answer (which the oracle recomputes in SQL) — the
     * corpus contains both planted near-dups and natural ones. */
-  def d02_minhash_lsh(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** 32-band × 2-row MinHash band hashes (shared by d02 and d07). */
+  private[graft] val minhashBandsU = udf { text: String =>
     val nBands = 32
     val rowsPerBand = 2
-    val sigU = udf { text: String =>
-      val sig = minhash(shingles(text))
-      (0 until nBands).map { b =>
-        var h = b
-        var i = 0
-        while (i < rowsPerBand) { h = h * 31 + sig(b * rowsPerBand + i); i += 1 }
-        h
-      }
+    val sig = minhash(shingles(text))
+    (0 until nBands).map { b =>
+      var h = b
+      var i = 0
+      while (i < rowsPerBand) { h = h * 31 + sig(b * rowsPerBand + i); i += 1 }
+      h
     }
+  }
+
+  def d02_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigU = minhashBandsU
     // the signature subtree feeds three consumers (buckets + both text
     // joins) — cache so the UDF chain runs once, not per consumer
     withCache(withNearDups(s, d).withColumn("bands", sigU($"text"))) { docs =>
@@ -594,6 +597,121 @@ object DedupOps {
       |  CAST(SUM(root) AS BIGINT) AS keeper_id_sum
       |FROM cl""".stripMargin
 
+  /** d07: INCREMENTAL dedup — the production ingest shape: a new batch of
+    * documents is admitted against an EXISTING corpus instead of
+    * re-deduplicating the world. Layer 1 drops new docs whose exact
+    * digest already exists (one digest join). Layer 2 runs MinHash+LSH
+    * over corpus ∪ survivors and verifies exact Jaccard ≥ 0.6 on
+    * CROSS-SIDE candidates only (new×corpus — never corpus×corpus, so
+    * the existing corpus is scanned but never re-paired against itself).
+    * At 100 TB the corpus band hashes are computed once and stored (they
+    * are a pure function of text), so steady-state cost is
+    * O(batch signatures + bucket join against the stored index); here
+    * they are recomputed because the testdata has no signature store.
+    * Recall: a J=0.6 pair misses all 32 bands with p=(1−0.36)³² ≈ 6e-7,
+    * and the seeded signatures make any given corpus's outcome
+    * DETERMINISTIC — the oracle (which recomputes the exact cross-side
+    * pair set in SQL) stays green or fails reproducibly, never flakily.
+    * New batch = exact copies of every 31st doc (+300000) and
+    * last-token-dropped near-dups of every 37th (+400000). */
+  def d07_incremental_dedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
+    val toks = split(trim($"text"), "\\s+")
+    val droppedTok = array_join(slice(toks, lit(1), size(toks) - 1), " ")
+    val newBatch = docs.filter($"doc_id" % 31 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"), $"text")
+      .unionByName(docs.filter($"doc_id" % 37 === 0)
+        .select(($"doc_id" + 400000L).as("doc_id"), droppedTok.as("text")))
+    val corpusDg = docs.select(md5($"text").as("dg")).distinct()
+    val newDg = newBatch.select($"doc_id", $"text", md5($"text").as("dg"))
+    // corpusDg is distinct ⇒ inner join matches each new doc at most once
+    val exactIds = newDg.join(corpusDg, "dg").select($"doc_id")
+    val survivors = newDg.join(corpusDg, Seq("dg"), "left_anti")
+      .select($"doc_id", $"text")
+    val tagged = docs.unionByName(survivors)
+    val nearIds = withCache(tagged.withColumn("bands", minhashBandsU($"text"))) { all =>
+      val buckets = all.select($"doc_id",
+        posexplode($"bands").as(Seq("band", "bucket")))
+      // corpus ids < 300000 ≤ new ids and pairs are min-first, so
+      // cross-side ⇔ (id_a corpus, id_b new); filtering BEFORE the text
+      // joins keeps corpus×corpus candidates out of the verify entirely
+      val cand = guardedBucketPairs(buckets, Seq("band", "bucket"))
+        .filter($"id_a" < 300000L && $"id_b" >= 300000L)
+      val texts = all.select($"doc_id", $"text")
+      val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
+      cand
+        .join(texts.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("text", "text_a"), "id_a")
+        .join(texts.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("text", "text_b"), "id_b")
+        .filter(jacU($"text_a", $"text_b") >= 0.6)
+        .select($"id_b".as("doc_id")).distinct()
+    }
+    newBatch.select($"doc_id")
+      .join(exactIds.withColumn("ex", lit(1L)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("nr", lit(1L)), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"ex", lit(0L)).as("ex"),
+        coalesce($"nr", lit(0L)).as("nr"))
+      .agg(count(lit(1)).as("n_new"),
+        sum($"ex").as("n_exact_dropped"),
+        sum($"nr").as("n_neardup_dropped"),
+        sum(when($"ex" === 0 && $"nr" === 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"ex" === 1 || $"nr" === 1, $"doc_id").otherwise(0L))
+          .as("dropped_id_sum"))
+  }
+
+  val d07Oracle: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |newb AS (
+      |  SELECT doc_id + 300000 AS doc_id, text FROM docs WHERE doc_id % 31 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 400000,
+      |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+      |      len(string_split_regex(trim(text), '\s+')) - 1), ' ')
+      |  FROM docs WHERE doc_id % 37 = 0),
+      |cd AS (SELECT DISTINCT md5(text) AS dg FROM docs),
+      |nd AS (SELECT doc_id, text, md5(text) AS dg FROM newb),
+      |exd AS (SELECT doc_id FROM nd WHERE dg IN (SELECT dg FROM cd)),
+      |surv AS (SELECT doc_id, text FROM nd WHERE dg NOT IN (SELECT dg FROM cd)),
+      |side AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk, 0 AS sd
+      |  FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+'), 1 FROM surv),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sd,
+      |    CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+      |         ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+      |  FROM side, UNNEST(range(1, GREATEST(len(tk) - 1, 2))) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |    AND a.sd = 0 AND b.sd = 1
+      |  GROUP BY 1, 2),
+      |nrd AS (
+      |  SELECT DISTINCT id_b AS doc_id FROM pairs
+      |    JOIN sizes sa ON sa.doc_id = id_a
+      |    JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE) /
+      |    CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.6),
+      |dec AS (
+      |  SELECT n.doc_id,
+      |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+      |    CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS nr
+      |  FROM newb n
+      |    LEFT JOIN exd e ON e.doc_id = n.doc_id
+      |    LEFT JOIN nrd r ON r.doc_id = n.doc_id)
+      |SELECT COUNT(*) AS n_new,
+      |  CAST(SUM(ex) AS BIGINT) AS n_exact_dropped,
+      |  CAST(SUM(nr) AS BIGINT) AS n_neardup_dropped,
+      |  CAST(SUM(CASE WHEN ex = 0 AND nr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN ex = 1 OR nr = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS dropped_id_sum
+      |FROM dec""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01_exact_dedup _),
     "d02_minhash_lsh" -> (d02_minhash_lsh _),
@@ -601,6 +719,7 @@ object DedupOps {
     "d04_ngram_jaccard" -> (d04_ngram_jaccard _),
     "d05_contamination" -> (d05_contamination _),
     "d06_dedup_clusters" -> (d06_dedup_clusters _),
+    "d07_incremental_dedup" -> (d07_incremental_dedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -609,5 +728,6 @@ object DedupOps {
     "d04_ngram_jaccard" -> d04Oracle,
     "d05_contamination" -> d05Oracle,
     "d06_dedup_clusters" -> d06Oracle,
+    "d07_incremental_dedup" -> d07Oracle,
   )
 }

@@ -34,10 +34,15 @@ object WarcQueries {
         s"X-Funnelback-Total-Request-Time-MS: $ms\r\n" +
         "X-Request-Id: a: b\r\n" +
         (if (id % 7 == 0) s"X-Funnelback-AA-Domain: aa$host\r\n" else "")
+    // outbound cross-host link: host class id%50 → class (7·id+13)%50 — an
+    // affine map with no fixed point mod 50, giving the domain link graph
+    // (w07) a non-trivial cycle/component structure the oracle recomputes
+    val outHost = s"docs${(id * 7 + 13) % 50}.example.gov.au"
     val html =
       s"""<html><head><title>Doc $id</title><meta name="lang" content="$lang">""" +
         s"""<link href="/css/main.css"></head><body><h1>Heading $id</h1>""" +
-        s"""<p>$text</p><a href="/rel/$id">link</a><a href="#frag">skip</a>""" +
+        s"""<p>$text</p><a href="/rel/$id">link</a>""" +
+        s"""<a href="https://$outHost/x/$id">out</a><a href="#frag">skip</a>""" +
         s"""<script src="/js/app.js">ga('create', 'UA-$ga-1'); """ +
         s"""ga('send', 'pageview'); t=GTM-ABC123;</script></body></html>"""
     headerBlock + "\r\n" + html
@@ -104,10 +109,15 @@ object WarcQueries {
       |  n_chars AS size_bytes,
       |  CAST(doc_id % 5 AS FLOAT) AS load_time,
       |  'Doc ' || doc_id AS title,
-      |  'Heading ' || doc_id || ' ' || text || ' link skip' AS text_content,
+      |  'Heading ' || doc_id || ' ' || text || ' link out skip' AS text_content,
       |  'Heading ' || doc_id AS headings_text,
-      |  4 + len(string_split(text, ' ')) AS word_count,
-      |  'https://' || host || '/rel/' || doc_id AS links_joined,
+      |  5 + len(string_split(text, ' ')) AS word_count,
+      |  LEAST('https://' || host || '/rel/' || doc_id,
+      |        'https://docs' || ((doc_id * 7 + 13) % 50) || '.example.gov.au/x/' || doc_id)
+      |    || '|' ||
+      |  GREATEST('https://' || host || '/rel/' || doc_id,
+      |        'https://docs' || ((doc_id * 7 + 13) % 50) || '.example.gov.au/x/' || doc_id)
+      |    AS links_joined,
       |  'https://' || host || '/css/main.css|https://' || host || '/js/app.js' AS resources_joined,
       |  lang AS meta_lang,
       |  'a' AS header_request_id,
@@ -320,7 +330,65 @@ object WarcQueries {
       |  '/a/' || doc_id AS fb_links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** w07: domain link graph — hosts as nodes, crawl hyperlinks as edges:
+    * edge inventory, self-loop count, and weakly-connected components
+    * (the same distributed min-label CC core d06 uses). Built from the
+    * REAL pipeline output (parse → F6 anchor filter → P9 absolutize),
+    * and the synthesis rule (class c links to itself via /rel and to
+    * (7c+13) mod 50 via the cross-host anchor) lets the oracle recompute
+    * the whole graph from `documents`. Scale shape: the page→edge
+    * explode+distinct is the heavy distributed step (one shuffle on the
+    * edge pair); the host graph that remains is millions of nodes at web
+    * scale — still a DataFrame, never collected; CC rounds are shuffle
+    * joins on node id. */
+  def w07_link_graph(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val hostRe = "https://docs(\\d+)\\.example\\.gov\\.au/.*"
+    val edges = Pipeline.urlResources(WarcSource.fromBytes(warcFiles(spark, d)))
+      .select(regexp_extract($"url", hostRe, 1).cast("long").as("src"),
+        explode($"links").as("lnk"))
+      .select($"src", regexp_extract($"lnk", hostRe, 1).cast("long").as("dst"))
+      .distinct()
+    val cc = graft.dedup.DedupOps.connectedComponents(
+      edges.select($"src".as("id_a"), $"dst".as("id_b")))
+    val comps = cc.groupBy($"label").agg(count(lit(1)).as("sz"))
+    edges.agg(count(lit(1)).as("n_edges"),
+        sum(when($"src" === $"dst", 1L).otherwise(0L)).as("n_self_loops"))
+      .crossJoin(cc.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(comps.agg(count(lit(1)).as("n_components"),
+        max($"sz").as("max_component"), sum($"label").as("label_sum")))
+      .select($"n_nodes", $"n_edges", $"n_self_loops",
+        $"n_components", $"max_component", $"label_sum")
+  }
+
+  val w07Oracle: String =
+    """WITH RECURSIVE cls AS (SELECT DISTINCT doc_id % 50 AS c FROM documents),
+      |e0 AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT c AS src, c AS dst FROM cls
+      |    UNION ALL
+      |    SELECT doc_id % 50, (doc_id * 7 + 13) % 50 FROM documents) t),
+      |nodes AS (SELECT DISTINCT id FROM (
+      |  SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0) t),
+      |ue AS (SELECT DISTINCT a, b FROM (
+      |  SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+      |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst) t),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.a, r.r FROM ue e JOIN reach r ON e.b = r.id),
+      |comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY 1),
+      |cl AS (SELECT root, COUNT(*) AS sz FROM comp GROUP BY 1)
+      |SELECT
+      |  (SELECT COUNT(*) FROM nodes) AS n_nodes,
+      |  (SELECT COUNT(*) FROM e0) AS n_edges,
+      |  (SELECT COUNT(*) FROM e0 WHERE src = dst) AS n_self_loops,
+      |  (SELECT COUNT(*) FROM cl) AS n_components,
+      |  (SELECT MAX(sz) FROM cl) AS max_component,
+      |  (SELECT CAST(SUM(root) AS BIGINT) FROM cl) AS label_sum""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w07_link_graph" -> (w07_link_graph _),
     "w01_warc_pipeline" -> (w01_warc_pipeline _),
     "w02_rake_keywords" -> (w02_rake_keywords _),
     "w05_corpus_rake" -> (w05_corpus_rake _),
@@ -330,6 +398,7 @@ object WarcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "w07_link_graph" -> w07Oracle,
     "w01_warc_pipeline" -> w01Oracle,
     "w02_rake_keywords" -> w02Oracle,
     "w06_rake_scores" -> w06Oracle,

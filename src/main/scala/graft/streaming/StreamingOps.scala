@@ -279,7 +279,7 @@ object StreamingOps {
       |  FROM documents)
       |SELECT CASE WHEN doc_id % 7 = 0 THEN 'aa' || host ELSE host END AS hostname,
       |  COUNT(*) AS n_pages,
-      |  CAST(SUM(5 + len(string_split(text, ' '))) AS BIGINT) AS word_sum
+      |  CAST(SUM(6 + len(string_split(text, ' '))) AS BIGINT) AS word_sum
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

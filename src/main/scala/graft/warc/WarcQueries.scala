@@ -34,15 +34,20 @@ object WarcQueries {
         s"X-Funnelback-Total-Request-Time-MS: $ms\r\n" +
         "X-Request-Id: a: b\r\n" +
         (if (id % 7 == 0) s"X-Funnelback-AA-Domain: aa$host\r\n" else "")
-    // outbound cross-host link: host class id%50 → class (7·id+13)%50 — an
-    // affine map with no fixed point mod 50, giving the domain link graph
-    // (w07) a non-trivial cycle/component structure the oracle recomputes
+    // outbound cross-host links: host class id%50 → (7·id+13)%50 (an
+    // affine bijection — no fixed point mod 50) and → (id²+3)%50 (a
+    // non-invertible quadratic, so host in-degrees VARY), giving the
+    // domain link graph (w07) a non-trivial component structure and the
+    // PageRank (w08) a non-uniform stationary distribution — both
+    // recomputable by the oracles
     val outHost = s"docs${(id * 7 + 13) % 50}.example.gov.au"
+    val quadHost = s"docs${(id * id + 3) % 50}.example.gov.au"
     val html =
       s"""<html><head><title>Doc $id</title><meta name="lang" content="$lang">""" +
         s"""<link href="/css/main.css"></head><body><h1>Heading $id</h1>""" +
         s"""<p>$text</p><a href="/rel/$id">link</a>""" +
-        s"""<a href="https://$outHost/x/$id">out</a><a href="#frag">skip</a>""" +
+        s"""<a href="https://$outHost/x/$id">out</a>""" +
+        s"""<a href="https://$quadHost/q/$id">quad</a><a href="#frag">skip</a>""" +
         s"""<script src="/js/app.js">ga('create', 'UA-$ga-1'); """ +
         s"""ga('send', 'pageview'); t=GTM-ABC123;</script></body></html>"""
     headerBlock + "\r\n" + html
@@ -109,15 +114,14 @@ object WarcQueries {
       |  n_chars AS size_bytes,
       |  CAST(doc_id % 5 AS FLOAT) AS load_time,
       |  'Doc ' || doc_id AS title,
-      |  'Heading ' || doc_id || ' ' || text || ' link out skip' AS text_content,
+      |  'Heading ' || doc_id || ' ' || text || ' link out quad skip' AS text_content,
       |  'Heading ' || doc_id AS headings_text,
-      |  5 + len(string_split(text, ' ')) AS word_count,
-      |  LEAST('https://' || host || '/rel/' || doc_id,
-      |        'https://docs' || ((doc_id * 7 + 13) % 50) || '.example.gov.au/x/' || doc_id)
-      |    || '|' ||
-      |  GREATEST('https://' || host || '/rel/' || doc_id,
-      |        'https://docs' || ((doc_id * 7 + 13) % 50) || '.example.gov.au/x/' || doc_id)
-      |    AS links_joined,
+      |  6 + len(string_split(text, ' ')) AS word_count,
+      |  array_to_string(list_sort([
+      |      'https://' || host || '/rel/' || doc_id,
+      |      'https://docs' || ((doc_id * 7 + 13) % 50) || '.example.gov.au/x/' || doc_id,
+      |      'https://docs' || ((doc_id * doc_id + 3) % 50) || '.example.gov.au/q/' || doc_id
+      |    ]), '|') AS links_joined,
       |  'https://' || host || '/css/main.css|https://' || host || '/js/app.js' AS resources_joined,
       |  lang AS meta_lang,
       |  'a' AS header_request_id,
@@ -341,14 +345,22 @@ object WarcQueries {
     * edge pair); the host graph that remains is millions of nodes at web
     * scale — still a DataFrame, never collected; CC rounds are shuffle
     * joins on node id. */
-  def w07_link_graph(spark: SparkSession, d: String): DataFrame = {
+  /** Host-class edge list `(src, dst)` distilled from the real pipeline
+    * output — the shared graph substrate of w07 (components) and w08
+    * (PageRank). */
+  def hostEdges(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val hostRe = "https://docs(\\d+)\\.example\\.gov\\.au/.*"
-    val edges = Pipeline.urlResources(WarcSource.fromBytes(warcFiles(spark, d)))
+    Pipeline.urlResources(WarcSource.fromBytes(warcFiles(spark, d)))
       .select(regexp_extract($"url", hostRe, 1).cast("long").as("src"),
         explode($"links").as("lnk"))
       .select($"src", regexp_extract($"lnk", hostRe, 1).cast("long").as("dst"))
       .distinct()
+  }
+
+  def w07_link_graph(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val edges = hostEdges(spark, d)
     val cc = graft.dedup.DedupOps.connectedComponents(
       edges.select($"src".as("id_a"), $"dst".as("id_b")))
     val comps = cc.groupBy($"label").agg(count(lit(1)).as("sz"))
@@ -367,7 +379,9 @@ object WarcQueries {
       |  SELECT DISTINCT src, dst FROM (
       |    SELECT c AS src, c AS dst FROM cls
       |    UNION ALL
-      |    SELECT doc_id % 50, (doc_id * 7 + 13) % 50 FROM documents) t),
+      |    SELECT doc_id % 50, (doc_id * 7 + 13) % 50 FROM documents
+      |    UNION ALL
+      |    SELECT doc_id % 50, (doc_id * doc_id + 3) % 50 FROM documents) t),
       |nodes AS (SELECT DISTINCT id FROM (
       |  SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0) t),
       |ue AS (SELECT DISTINCT a, b FROM (
@@ -387,7 +401,72 @@ object WarcQueries {
       |  (SELECT MAX(sz) FROM cl) AS max_component,
       |  (SELECT CAST(SUM(root) AS BIGINT) FROM cl) AS label_sum""".stripMargin
 
+  /** w08: PageRank over the domain link graph — 10 damped (d = 0.85)
+    * power-iteration rounds in FIXED-POINT integer arithmetic: ranks are
+    * scaled by 10¹² and every divide is an integer `div`, so the
+    * iteration is bit-exact on both engines — double contributions would
+    * make the last ulp depend on partial-aggregation merge order (the
+    * same determinism rule as s04's centroid sums). The quadratic
+    * cross-host link gives hosts varying in-degrees, so the stationary
+    * distribution is genuinely non-uniform. Driver loop = iteration
+    * control only (the per-round data work is one shuffle join + keyed
+    * aggregation — the d06 CC shape); localCheckpoint bounds lineage
+    * growth across rounds. No dangling-mass term is needed: every host
+    * links to itself via /rel, so out-degree ≥ 1 everywhere. */
+  def w08_pagerank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val Scale = 1000000000000L
+    val edges = hostEdges(spark, d).localCheckpoint(true)
+    val nodes = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct().localCheckpoint(true)
+    val n = nodes.count() // iteration constant, not data movement
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val el = edges.join(deg, "src").localCheckpoint(true)
+    val base = (15L * Scale) / (100L * n)
+    var ranks = nodes.select($"id", lit(Scale / n).as("rank"))
+    for (_ <- 1 to 10) {
+      val contrib = el
+        .join(ranks.select($"id".as("src"), $"rank".as("r")), "src")
+        .select($"dst".as("id"), expr("(85 * r) div (100 * outdeg)").as("c"))
+        .groupBy($"id").agg(sum($"c").as("sumc"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select($"id", (lit(base) + coalesce($"sumc", lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.orderBy($"id")
+  }
+
+  val w08Oracle: String = {
+    val graph =
+      """WITH cls AS (SELECT DISTINCT doc_id % 50 AS c FROM documents),
+        |e0 AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT c AS src, c AS dst FROM cls
+        |    UNION ALL
+        |    SELECT doc_id % 50, (doc_id * 7 + 13) % 50 FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 50, (doc_id * doc_id + 3) % 50 FROM documents) t),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0) t),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY 1),
+        |el AS (SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg USING (src)),
+        |base AS (SELECT (15 * 1000000000000) // (100 * COUNT(*)) AS b,
+        |                1000000000000 // COUNT(*) AS r0 FROM nodes),
+        |p0 AS (SELECT id, (SELECT r0 FROM base) AS rank FROM nodes)""".stripMargin
+    val iters = (1 to 10).map { k =>
+      s"""p$k AS (
+         |  SELECT n.id, (SELECT b FROM base) + COALESCE(s.sumc, 0) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT el.dst AS id,
+         |      SUM((85 * p.rank) // (100 * el.outdeg)) AS sumc
+         |    FROM el JOIN p${k - 1} p ON p.id = el.src GROUP BY 1) s
+         |  ON s.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"$graph,\n$iters\nSELECT id, CAST(rank AS BIGINT) AS rank FROM p10 ORDER BY id"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w08_pagerank" -> (w08_pagerank _),
     "w07_link_graph" -> (w07_link_graph _),
     "w01_warc_pipeline" -> (w01_warc_pipeline _),
     "w02_rake_keywords" -> (w02_rake_keywords _),
@@ -398,6 +477,7 @@ object WarcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "w08_pagerank" -> w08Oracle,
     "w07_link_graph" -> w07Oracle,
     "w01_warc_pipeline" -> w01Oracle,
     "w02_rake_keywords" -> w02Oracle,

@@ -161,6 +161,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("a", "b", 1000L), ("a", "b", 50L)))
   }
 
+  test("lang-partitioned warehouse layout prunes partitions at the scan") {
+    // the 100 TB partition-pruning story made concrete: a warehouse
+    // written partitionBy(lang) must turn a lang predicate into a
+    // PartitionFilter (directory-level skip), not a row-level filter
+    // over a full scan
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("planspec-part")
+    sp.read.parquet(s"$sf/documents.parquet")
+      .write.partitionBy("lang").mode("overwrite").parquet(dir.toString)
+    val df = sp.read.parquet(dir.toString)
+      .filter($"lang" === "en").select($"doc_id")
+    val plan = physical(df)
+    assert("PartitionFilters: \\[isnotnull\\(lang".r.findFirstIn(plan).isDefined,
+      s"lang predicate not applied at partition level:\n$plan")
+    assert("\\(lang#\\d+ = en\\)".r.findFirstIn(plan).isDefined, plan)
+    // and the predicate must NOT degrade to a post-scan row filter
+    assert(!"Filter .*lang".r.findFirstIn(plan).isDefined, plan)
+    assert(df.count() > 0)
+  }
+
   test("splittable warc scan reports its partitioning") {
     val dir = java.nio.file.Files.createTempDirectory("planspec")
     java.nio.file.Files.write(dir.resolve("x.warc"),

@@ -85,25 +85,30 @@ object Dev {
       val t0 = System.nanoTime(); val r = f
       println(f"[dev] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
+    // mirrors the CURRENT d04 shape (slack 11/20 prefix, length+position
+    // filters, candidates straight to the string verify)
     val hashShinglesU = udf { text: String =>
-      DedupOps.shingles(text).iterator.map(DedupOps.hash64).toSeq
+      DedupOps.shingles(text).iterator.map(DedupOps.hash64).toSeq.distinct
     }
     val index = DedupOps.withNearDups(spark, sfDir)
-      .select($"doc_id", explode(hashShinglesU($"text")).as("h"))
+      .select($"doc_id", hashShinglesU($"text").as("hs"))
+      .select($"doc_id", size($"hs").cast("long").as("n_sh"),
+        explode($"hs").as("h"))
     val idx = index.persist()
     t("materialize index")(println("  rows=" + idx.count()))
     val df = idx.groupBy($"h").agg(count(lit(1)).as("df"))
     t("df agg")(println("  distinct=" + df.count()))
     val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"h")
-    val ranked = idx.join(df, "h")
+    val prefix = idx.join(df, "h")
       .withColumn("rk", row_number().over(byRarity))
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy($"doc_id")))
-    val prefix = ranked
-      .filter($"rk" <= $"n_sh" - (($"n_sh" * 3 + 4) / 5).cast("long") + 1)
-      .select($"doc_id", $"h").persist()
+      .filter($"rk" <= $"n_sh" - (($"n_sh" * 11 + 19) / 20).cast("long") + 1)
+      .select($"doc_id", $"h", $"rk", $"n_sh").persist()
     t("rank+prefix")(println("  rows=" + prefix.count()))
     val cand = prefix.as("a").join(prefix.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+          greatest($"a.n_sh", $"b.n_sh") * 11 <= least($"a.n_sh", $"b.n_sh") * 20 &&
+          (least($"a.n_sh" - $"a.rk", $"b.n_sh" - $"b.rk") + 1) * 31 >=
+            ($"a.n_sh" + $"b.n_sh") * 11)
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
     val candP = cand.persist()

@@ -187,8 +187,15 @@ object DedupOps {
     if (b == 0 && e == s.length) s else s.substring(b, e)
   }
 
+  /** Shared compiled whitespace splitter: `String.split("\\s+")` compiles
+    * the pattern on EVERY call, and the dedup UDFs tokenize millions of
+    * times per query (d04's verify alone re-shingles both texts of every
+    * candidate pair). Semantics identical to `String.split` (limit 0 ⇒
+    * trailing empties dropped). */
+  private[graft] val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
   def shingles(text: String, k: Int = 3): Set[String] = {
-    val toks = sqlTrim(text).split("\\s+")
+    val toks = WsPattern.split(sqlTrim(text))
     if (toks.length < k) Set(toks.mkString(" "))
     else toks.sliding(k).map(_.mkString(" ")).toSet
   }
@@ -229,7 +236,8 @@ object DedupOps {
 
   def jaccard(a: Set[String], b: Set[String]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
-    val common = a.count(b.contains)
+    // iterate the smaller side (same count either way)
+    val common = if (a.size <= b.size) a.count(b.contains) else b.count(a.contains)
     common.toDouble / (a.size + b.size - common)
   }
 

@@ -43,7 +43,7 @@ object Rake {
     val frags = SentenceSplit.split(text)
     var i = 0
     while (i < frags.length) {
-      val words = frags(i).split("\\s+")
+      val words = graft.dedup.DedupOps.WsPattern.split(frags(i))
       var cur = Vector.newBuilder[String]
       var curN = 0
       var j = 0

@@ -221,7 +221,8 @@ object TextOps {
     * 3-grams) — the standard near-copy detection fingerprint. */
   def fingerprint(text: String): (Long, Long) = {
     // sqlTrim: tokenization must mirror the SQL oracle's trim() exactly
-    val toks = graft.dedup.DedupOps.sqlTrim(text).split("\\s+")
+    val toks = graft.dedup.DedupOps.WsPattern
+      .split(graft.dedup.DedupOps.sqlTrim(text))
     var h = 1125899906842597L
     toks.foreach { t => h = h * 31 + t.hashCode }
     val grams = toks.sliding(3).map(_.mkString(" ").hashCode.toLong & 0xffffffffL)

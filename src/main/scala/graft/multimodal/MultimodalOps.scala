@@ -320,13 +320,114 @@ object MultimodalOps {
       |  CAST(8000 AS BIGINT) AS sample_rate
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** 8×8 average-hash (aHash) of a decoded image: 64 nearest-neighbour
+    * samples, integer mean, bit(y·8+x) = sample > mean — the standard
+    * perceptual near-dup fingerprint, computed from the REAL decoded
+    * raster. */
+  def aHash(bytes: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](64)
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) { px(i) = raster.getSample(x * w / 8, y * h / 8, 0); i += 1; x += 1 }
+      y += 1
+    }
+    var sum = 0
+    i = 0
+    while (i < 64) { sum += px(i); i += 1 }
+    val mean = sum / 64
+    var out = 0L
+    i = 0
+    while (i < 64) { if (px(i) > mean) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** m04: image near-dup via perceptual hash — the multimodal twin of
+    * d03: decode every image (real PNG codec), compute its aHash, band
+    * the 64 bits 4×16 (pigeonhole: any pair within hamming ≤ 3 shares a
+    * band — so at threshold 3 the banding is COMPLETE and the pair set
+    * exactly matches the oracle's all-pairs recompute), bucket-join,
+    * verify `bit_count(xor) ≤ 3` in codegen, and report each image's
+    * near-dup partner count. Gradient images make aHash groups genuinely
+    * degenerate (dozens of identical hashes — realistic for near-dup
+    * imagery), which is exactly what the oversized-bucket star-link
+    * guard is for: above `cap` the pair set becomes star-shaped (same
+    * documented contract as d02/d03 — exact-pair-set consumers keep
+    * buckets under cap; the sf0.01 gate corpus does). */
+  def m04_image_neardup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id").as[Long]
+      .mapPartitions { batch => batch.map(id => (id, aHash(encodePng(id)))) }
+      .toDF("doc_id", "ahash")
+    graft.dedup.DedupOps.withCache(hashes) { hs =>
+      val banded = hs.select($"doc_id",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            ($"ahash".bitwiseAND(lit(0xffffL << (b * 16)))).as("bits"))): _*))
+          .as("bb"))
+        .select($"doc_id", $"bb.band", $"bb.bits")
+      val cand = graft.dedup.DedupOps.guardedBucketPairs(banded, Seq("band", "bits"))
+      val pairs = cand
+        .join(hs.select($"doc_id".as("id_a"), $"ahash".as("ha")), "id_a")
+        .join(hs.select($"doc_id".as("id_b"), $"ahash".as("hb")), "id_b")
+        .filter(bit_count($"ha".bitwiseXOR($"hb")) <= 3)
+      val perDoc = pairs.select($"id_a".as("doc_id"))
+        .unionByName(pairs.select($"id_b".as("doc_id")))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      hs.join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id".as("media_id"), $"ahash",
+          coalesce($"n", lit(0L)).as("n_neardups"))
+        .orderBy($"media_id")
+    }
+  }
+
+  val m04Oracle: String =
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 48) + 16 AS w, ((doc_id * 7) % 48) + 16 AS h,
+      |         doc_id % 256 AS base
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, (y * 8 + x) AS bit,
+      |    (base + ((x * w) // 8) + ((y * h) // 8)) % 256 AS v
+      |  FROM dims, UNNEST(range(8)) AS ux(x), UNNEST(range(8)) AS uy(y)),
+      |m AS (SELECT doc_id, CAST(SUM(v) // 64 AS BIGINT) AS mean
+      |      FROM px GROUP BY 1),
+      |ah AS (
+      |  SELECT p.doc_id, CAST(SUM(CASE
+      |      WHEN v <= mean THEN 0
+      |      WHEN bit = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |      ELSE CAST(CAST(1 AS BIGINT) << bit AS HUGEINT) END) AS BIGINT)
+      |    AS ahash
+      |  FROM px p JOIN m USING (doc_id) GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+      |pc AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM (
+      |    SELECT ia AS doc_id FROM pairs
+      |    UNION ALL SELECT ib FROM pairs) t
+      |  GROUP BY 1)
+      |SELECT ah.doc_id AS media_id, ah.ahash, COALESCE(pc.n, 0) AS n_neardups
+      |FROM ah LEFT JOIN pc ON pc.doc_id = ah.doc_id
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m04_image_neardup" -> (m04_image_neardup _),
     "m01_media_decode" -> (m01_media_decode _),
     "m02_frame_sample" -> (m02_frame_sample _),
     "m03_audio_features" -> (m03_audio_features _),
   )
 
   val oracle: Map[String, String] = Map(
+    "m04_image_neardup" -> m04Oracle,
     "m01_media_decode" -> m01Oracle,
     "m02_frame_sample" -> m02Oracle,
     "m03_audio_features" -> m03Oracle,

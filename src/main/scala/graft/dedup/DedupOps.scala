@@ -517,19 +517,28 @@ object DedupOps {
 
   /** d06: dedup CLUSTERING — the step that turns pair emission (d02/d04)
     * into an actionable keep/drop decision: connected components over the
-    * confirmed near-dup pairs, one keeper (min id) per component. Labels
-    * propagate by iterative min-label exchange — each round every node
-    * adopts the smallest label among itself and its neighbors — which
-    * converges in O(log diameter) rounds; near-dup clusters are
-    * small-diameter, and real CC-over-pairs deployments (large-star/
-    * small-star) have the same round structure. The driver loop runs one
-    * action per round to test convergence — the standard shape for
-    * iterative algorithms (this is iteration control, not data movement;
-    * each round's data work is one shuffle join). Oracle: DuckDB
-    * recursive CTE computing the same components. */
+    * confirmed near-dup pairs, one keeper (min id) per component. The
+    * driver loop runs one action per round to test convergence — the
+    * standard shape for iterative algorithms (this is iteration control,
+    * not data movement; each round's data work is two shuffle joins).
+    * Oracle: DuckDB recursive CTE computing the same components. */
   /** Connected components over an undirected pair list `(id_a, id_b)` →
-    * `(id, label)` with label = the component's min id. See
-    * [[d06_dedup_clusters]] for the iteration rationale. */
+    * `(id, label)` with label = the component's min id.
+    *
+    * Each round is (1) min-label exchange — every node adopts the
+    * smallest label among itself and its neighbors — followed by
+    * (2) one pointer-jumping hop — `label ← label(label)` — which
+    * SHORT-CIRCUITS label chains: a plain exchange-only loop needs
+    * O(diameter) rounds (a 25-hop path would exceed maxRounds=20 and,
+    * before this fix, exit SILENTLY with wrong labels), while the added
+    * hop at least doubles propagation distance per round, giving
+    * O(log diameter) rounds — the same doubling large-star/small-star
+    * achieves. The hop is safe: a node's label is always the id of some
+    * node in its own component (labels only ever move along edges), so
+    * `label(label)` stays in-component and is monotonically ≤.
+    * If the round cap is STILL hit while labels are changing, this
+    * throws — wrong cluster labels must never leave silently (same
+    * no-silent-truncation contract as the LSH bucket guard). */
   private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -543,15 +552,28 @@ object DedupOps {
         .join(labels.withColumnRenamed("id", "id_b")
           .withColumnRenamed("label", "nbr_label"), "id_b")
         .groupBy(col("id_a").as("id")).agg(min(col("nbr_label")).as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val exchanged = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("nbr_label") < col("label")).as("chg"))
+      // pointer-jumping: label ← label's own current label (min-kept);
+      // self-labeled roots join to themselves, so the left join always hits
+      val next = exchanged
+        .join(labels.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
+          (col("chg") || col("ll") < col("label")).as("chg"))
         .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — raise maxRounds; refusing to " +
+          "return wrong cluster labels silently")
     labels
   }
 
@@ -637,15 +659,24 @@ object DedupOps {
     val exactIds = newDg.join(corpusDg, "dg").select($"doc_id")
     val survivors = newDg.join(corpusDg, Seq("dg"), "left_anti")
       .select($"doc_id", $"text")
-    val tagged = docs.unionByName(survivors)
+    // side is carried as DATA (0 = corpus, 1 = new) rather than inferred
+    // from id ranges: the r3 classifier assumed every corpus id < the
+    // +300000 offset — true on the gate testdata but an unchecked
+    // invariant that would silently drop cross-side candidates on a
+    // corpus with larger ids. (Ids must still be globally unique across
+    // sides — they are the pair keys.)
+    val tagged = docs.withColumn("side", lit(0))
+      .unionByName(survivors.withColumn("side", lit(1)))
     val nearIds = withCache(tagged.withColumn("bands", minhashBandsU($"text"))) { all =>
       val buckets = all.select($"doc_id",
         posexplode($"bands").as(Seq("band", "bucket")))
-      // corpus ids < 300000 ≤ new ids and pairs are min-first, so
-      // cross-side ⇔ (id_a corpus, id_b new); filtering BEFORE the text
-      // joins keeps corpus×corpus candidates out of the verify entirely
+      val sides = all.select($"doc_id", $"side")
+      // classify candidates BEFORE the text joins (two narrow long-to-int
+      // joins) so corpus×corpus pairs never reach the verify
       val cand = guardedBucketPairs(buckets, Seq("band", "bucket"))
-        .filter($"id_a" < 300000L && $"id_b" >= 300000L)
+        .join(sides.select($"doc_id".as("id_a"), $"side".as("side_a")), "id_a")
+        .join(sides.select($"doc_id".as("id_b"), $"side".as("side_b")), "id_b")
+        .filter($"side_a" + $"side_b" === 1)
       val texts = all.select($"doc_id", $"text")
       val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
       cand
@@ -654,7 +685,8 @@ object DedupOps {
         .join(texts.withColumnRenamed("doc_id", "id_b")
           .withColumnRenamed("text", "text_b"), "id_b")
         .filter(jacU($"text_a", $"text_b") >= 0.6)
-        .select($"id_b".as("doc_id")).distinct()
+        .select(when($"side_b" === 1, $"id_b").otherwise($"id_a").as("doc_id"))
+        .distinct()
     }
     newBatch.select($"doc_id")
       .join(exactIds.withColumn("ex", lit(1L)), Seq("doc_id"), "left")

@@ -44,6 +44,20 @@ object StreamingOps {
   private def restoreShufflePartitions(s: SparkSession): Unit =
     s.conf.set("spark.sql.shuffle.partitions", graft.GraftSession.cpus)
 
+  /** Materialize a memory-sink-backed result and DROP the sink table:
+    * each st0x run registers a uniquely-named memory sink, so in a
+    * shared session repeated runs would accumulate driver memory
+    * forever (r3 advisory). `localCheckpoint(true)` copies the rows into
+    * reference-tracked blocks the ContextCleaner reclaims once the
+    * returned DataFrame is dropped; the sink table itself is then
+    * unregistered immediately. */
+  private def drainSink(s: SparkSession, name: String,
+      finish: DataFrame => DataFrame = identity): DataFrame = {
+    val out = finish(s.table(name)).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** st01: streaming tumbling-window aggregation with a watermark,
     * drained with AvailableNow into a memory sink. */
   def st01_stream_window(s: SparkSession, d: String): DataFrame = {
@@ -60,7 +74,7 @@ object StreamingOps {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     restoreShufflePartitions(s)
-    s.table(name).orderBy("hour", "event_type")
+    drainSink(s, name, _.orderBy("hour", "event_type"))
   }
 
   val st01Oracle: String =
@@ -120,7 +134,7 @@ object StreamingOps {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     restoreShufflePartitions(s)
-    s.table(name).orderBy("event_type")
+    drainSink(s, name, _.orderBy("event_type"))
   }
 
   val st03Oracle: String =
@@ -153,11 +167,10 @@ object StreamingOps {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     restoreShufflePartitions(s)
-    s.table(name)
-      .groupBy(col("user_id"))
+    drainSink(s, name, _.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("purchase_id")).as("n_purchases"))
-      .orderBy("user_id")
+      .orderBy("user_id"))
   }
 
   val st04Oracle: String =
@@ -269,7 +282,14 @@ object StreamingOps {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     restoreShufflePartitions(s)
-    s.table(name).orderBy("hostname")
+    val out = drainSink(s, name, _.orderBy("hostname"))
+    // the staged .warc files are fully drained (AvailableNow) and the
+    // result is checkpointed off them — remove the temp dir (r3 advisory:
+    // it leaked per invocation)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(warcDir).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    out
   }
 
   val st05Oracle: String =

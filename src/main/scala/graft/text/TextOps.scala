@@ -43,9 +43,18 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Oracle token list mirroring [[whitespaceTokens]] exactly: DuckDB's
+    * `string_split_regex('', …)` yields `['']` (1 token) where the Spark
+    * side yields `[]` (0 tokens) for empty/whitespace-only text, flipping
+    * every count/ratio/gate built on it. `list_filter(x <> '')` closes
+    * the gap and is a no-op for non-empty text (splitting a trimmed
+    * non-empty string on `\s+` never produces an empty token). */
+  private def oracleToks(textExpr: String): String =
+    s"list_filter(string_split_regex(trim($textExpr), '\\s+'), x -> x <> '')"
+
   val t01Oracle: String =
-    """SELECT doc_id,
-      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+    raw"""SELECT doc_id,
+      |  len(${oracleToks("text")}) AS n_ws_tokens,
       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS n_bpeish_tokens,
       |  length(text) AS n_chars_measured,
       |  n_chars
@@ -70,17 +79,23 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** 0/0 on doubles is NaN in Spark but NULL in DuckDB — the CASE arms
+    * pin the Spark semantics for empty/whitespace-only docs (n_tok = 0
+    * after the empty-token filter, length(text) = 0 for truly empty). */
   val t02Oracle: String =
-    """WITH t AS (SELECT doc_id, text,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
-      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+    raw"""WITH t AS (SELECT doc_id, text,
+      |    CAST(len(${oracleToks("text")}) AS DOUBLE) AS n_tok,
+      |    CAST(len(list_filter(${oracleToks("text")},
       |      x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS DOUBLE) AS n_stop,
       |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct
       |  FROM documents)
       |SELECT doc_id,
-      |  n_stop / n_tok AS stop_ratio,
-      |  n_punct / CAST(length(text) AS DOUBLE) AS punct_ratio,
-      |  (CAST(length(text) AS DOUBLE) - (n_tok - 1.0)) / n_tok AS mean_token_len
+      |  CASE WHEN n_tok = 0 THEN 'NaN'::DOUBLE ELSE n_stop / n_tok END AS stop_ratio,
+      |  CASE WHEN length(text) = 0 THEN 'NaN'::DOUBLE
+      |       ELSE n_punct / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+      |  CASE WHEN n_tok = 0 THEN 'NaN'::DOUBLE
+      |       ELSE (CAST(length(text) AS DOUBLE) - (n_tok - 1.0)) / n_tok END
+      |    AS mean_token_len
       |FROM t ORDER BY doc_id""".stripMargin
 
   /** t05: Gopher-style repetition metrics — the duplicated-3-gram
@@ -395,10 +410,10 @@ object TextOps {
   }
 
   val t07Oracle: String =
-    """WITH base AS (
+    raw"""WITH base AS (
       |  SELECT doc_id,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
-      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |    CAST(len(${oracleToks("text")}) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter(${oracleToks("text")},
       |      x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS BIGINT) AS n_stop,
       |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct,
       |    CAST(length(text) AS BIGINT) AS n_chars_m

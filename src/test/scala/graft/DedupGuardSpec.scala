@@ -127,6 +127,21 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.size == 10)
   }
 
+  test("connected components: 100-hop chain converges within the round cap") {
+    val sp = spark
+    import sp.implicits._
+    // a 101-node path needs ~100 rounds under plain min-label exchange —
+    // the r3 code would hit maxRounds=20 and return wrong labels SILENTLY;
+    // with the pointer-jumping hop propagation distance at least doubles
+    // per round, so this must converge (and never throw the new
+    // non-convergence guard) well inside the default cap
+    val pairs = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 101)
+    assert(labels.values.forall(_ == 0L), "every chain node must label to min id 0")
+  }
+
   test("planted identical-doc flood completes with linear candidate volume") {
     val sp = spark
     import sp.implicits._

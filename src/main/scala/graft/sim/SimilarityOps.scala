@@ -410,7 +410,91 @@ object SimilarityOps {
     }
   }
 
+  /** s06: SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): rather
+    * than pairing documents by surface text (d02/d04) or by LSH buckets
+    * (s02), cluster the embedding space with k-means and compare pairs
+    * ONLY within a cluster — the clusters bound the quadratic exactly
+    * where near-duplicates concentrate. Any vector with a ≥0.9-cosine
+    * neighbor of smaller id in its cluster is dropped (min-id keeper,
+    * the same greedy the dedup family uses). Planted near-identical
+    * copies (`withNearDups`, cosine ≈ 0.999) give ground truth:
+    * a planted pair is only FOUND if both halves land in the same
+    * cluster, so `n_planted_split` — planted pairs separated by the
+    * quantizer — is reported honestly instead of silently missed.
+    *
+    * Training mirrors s04's deterministic fixed-point Lloyd (k seed
+    * vectors by lowest id, 2 iterations, 2^-32-quantized component sums
+    * so shuffle merge order can't flip an argmin): only k centroid rows
+    * ever reach the driver; assignment is map-side over the broadcast
+    * codebook; the within-cluster pair join goes through
+    * `guardedBucketPairs` (cluster id = bucket), so a degenerate
+    * cluster star-links at O(N) instead of exploding quadratically.
+    * No SQL oracle (k-means is not SQL-expressible) — deterministic
+    * end-to-end, pinned in DedupGuardSpec like s04/s05. */
+  def s06_semantic_dedup(s: SparkSession, d: String): DataFrame =
+    s06_semantic_dedup(s, d, k = 16)
+
+  def s06_semantic_dedup(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val emb = withNearDups(s, d)
+    val Scale = 4294967296.0 // 2^32 fixed-point quantum (see s04)
+    var centroids: Array[(Int, Seq[Float])] = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding").filter($"vec_id" < k)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+    (1 to 2).foreach { _ =>
+      val cb = centroids
+      val assignU = udf { v: Seq[Float] =>
+        cb.minBy { case (cid, c) => (-cosine(v, c), cid) }._1
+      }
+      centroids = emb.withColumn("cid", assignU($"embedding"))
+        .select($"cid", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cid", $"pos")
+        .agg((sum(($"x".cast("double") * Scale).cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * Scale)).as("x"))
+        .groupBy($"cid")
+        .agg(array_sort(collect_list(struct($"pos", $"x"))).as("px"))
+        .select($"cid", expr("transform(px, e -> CAST(e.x AS FLOAT))").as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+    }
+    val cb = centroids
+    val assignU = udf { v: Seq[Float] =>
+      cb.minBy { case (cid, c) => (-cosine(v, c), cid) }._1
+    }
+    graft.dedup.DedupOps.withCache(
+        emb.withColumn("cid", assignU($"embedding"))) { assigned =>
+      val buckets = assigned.select($"vec_id".as("doc_id"), $"cid")
+      val cand = graft.dedup.DedupOps.guardedBucketPairs(buckets, Seq("cid"))
+      val vecs = assigned.select($"vec_id", $"embedding")
+      val pairs = cand
+        .join(vecs.select($"vec_id".as("id_a"), $"embedding".as("emb_a")), "id_a")
+        .join(vecs.select($"vec_id".as("id_b"), $"embedding".as("emb_b")), "id_b")
+        .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"emb_a", $"emb_b"))
+        .filter($"cos" >= 0.9)
+        .select($"id_a", $"id_b")
+      // id_a < id_b everywhere ⇒ every id_b has a smaller-id near-dup
+      val dropped = pairs.select($"id_b".as("vec_id")).distinct()
+      val sameCluster = pairs
+        .filter($"id_b" === $"id_a" + Shift)
+        .agg(count(lit(1)).as("n_planted_found"))
+      assigned.agg(count(lit(1)).as("n_vectors"),
+          countDistinct($"cid").as("n_clusters_used"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped"),
+          coalesce(sum($"vec_id"), lit(0L)).as("dropped_id_sum")))
+        .crossJoin(sameCluster)
+        .select($"n_vectors", $"n_clusters_used", $"n_dropped",
+          ($"n_vectors" - $"n_dropped").as("n_kept"),
+          $"n_planted_found",
+          // planted total = half the union (one copy per base vector)
+          (expr("n_vectors div 2") - $"n_planted_found").as("n_planted_split"),
+          $"dropped_id_sum")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s06_semantic_dedup" -> ((s: SparkSession, d: String) => s06_semantic_dedup(s, d)),
     "s01_ann_bruteforce" -> (s01_ann_bruteforce _),
     "s02_embedding_neardup" -> (s02_embedding_neardup _),
     "s03_ann_lsh_recall" -> (s03_ann_lsh_recall _),

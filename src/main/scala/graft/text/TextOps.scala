@@ -496,7 +496,136 @@ object TextOps {
       |  CAST(df AS BIGINT) AS df, score
       |FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** t09: corpus-frequency token stats — the unigram-LM-shaped quality
+    * signal a pretraining pipeline uses where a real LM is unavailable:
+    * how COMMON a document's vocabulary is in its own corpus. Per doc:
+    * token count, summed corpus frequency (how often this doc's tokens
+    * occur corpus-wide), mean frequency, rare-token fraction (corpus
+    * occurrences ≤ 2 — hapax/dis legomena: typos, codes, boilerplate
+    * ids), and out-of-vocabulary fraction against the corpus's top-100
+    * tokens. All aggregates are INTEGER sums with one final IEEE
+    * division each, so the oracle matches bit-for-bit (a double sum's
+    * value depends on shuffle merge order — the s04/w08 determinism
+    * rule).
+    *
+    * Scale shape: explode is map-side; term frequency is one keyed agg
+    * with map-side partials; the freq table joins back on `term` (a
+    * shuffle join — vocabulary-sized, never broadcast); the top-100
+    * vocab is a TakeOrdered (k rows to the driver-side limit, then
+    * broadcast-joined back by Catalyst since it is 100 rows by
+    * construction); final agg shuffles on doc_id. */
+  def t09_rare_tokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(whitespaceTokens(lower($"text"))).as("term"))
+      .filter($"term" =!= "")
+    val freq = toks.groupBy($"term").agg(count(lit(1)).as("cf"))
+    // deterministic top-100 vocabulary: ties broken by term
+    val vocab = freq.orderBy($"cf".desc, $"term").limit(100)
+      .select($"term", lit(1).as("in_vocab"))
+    toks.join(freq, "term")
+      .join(vocab, Seq("term"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"cf").as("sum_cf"),
+        sum(when($"cf" <= 2, 1L).otherwise(0L)).as("n_rare"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tokens", $"sum_cf",
+        ($"sum_cf".cast("double") / $"n_tokens".cast("double")).as("mean_cf"),
+        $"n_rare",
+        ($"n_rare".cast("double") / $"n_tokens".cast("double")).as("rare_frac"),
+        $"n_oov",
+        ($"n_oov".cast("double") / $"n_tokens".cast("double")).as("oov_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val t09Oracle: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      |freq AS (SELECT term, COUNT(*) AS cf FROM tk GROUP BY 1),
+      |vocab AS (SELECT term FROM freq ORDER BY cf DESC, term LIMIT 100),
+      |j AS (
+      |  SELECT t.doc_id, f.cf,
+      |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM tk t JOIN freq f USING (term)
+      |    LEFT JOIN vocab v ON v.term = t.term),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(cf) AS BIGINT) AS sum_cf,
+      |    CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |    CAST(SUM(oov) AS BIGINT) AS n_oov
+      |  FROM j GROUP BY 1)
+      |SELECT doc_id, n_tokens, sum_cf,
+      |  CAST(sum_cf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_cf,
+      |  n_rare,
+      |  CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_frac,
+      |  n_oov,
+      |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_frac
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** t10: cross-document bigram novelty — the inverse of t05's
+    * WITHIN-doc repetition: how much of a document's phrasing appears
+    * nowhere else in the corpus. Bigram document frequency is computed
+    * corpus-wide; a doc's `novel_frac` is the share of its distinct
+    * bigrams with df = 1 (this doc only), and `shared_frac` the share
+    * seen in ≥ 10 docs (boilerplate). High shared_frac flags template
+    * text that per-doc metrics (t05) cannot see; integer counts + one
+    * division keep the oracle exact.
+    *
+    * Scale shape: same as t08 — bigram construction map-side, (doc,
+    * bigram) dedup + df agg are keyed shuffles with partials, df joins
+    * back on the bigram (shuffle join, never broadcast), final agg on
+    * doc_id. */
+  def t10_bigram_novelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bigrams = Tables.documents(s, d)
+      .select($"doc_id", whitespaceTokens(lower($"text")).as("toks"))
+      .select($"doc_id", explode(when(size($"toks") >= 2,
+        expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i]))"))
+        .otherwise(array(concat_ws(" ", $"toks")))).as("bg"))
+      .distinct()
+    val df = bigrams.groupBy($"bg").agg(count(lit(1)).as("bdf"))
+    bigrams.join(df, "bg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_distinct_bigrams"),
+        sum(when($"bdf" === 1, 1L).otherwise(0L)).as("n_novel"),
+        sum(when($"bdf" >= 10, 1L).otherwise(0L)).as("n_shared10"))
+      .select($"doc_id", $"n_distinct_bigrams", $"n_novel",
+        ($"n_novel".cast("double") / $"n_distinct_bigrams".cast("double"))
+          .as("novel_frac"),
+        $"n_shared10",
+        ($"n_shared10".cast("double") / $"n_distinct_bigrams".cast("double"))
+          .as("shared_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val t10Oracle: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(ts) < 2 THEN array_to_string(ts, ' ')
+      |         ELSE array_to_string(ts[i:i+1], ' ') END AS bg
+      |  FROM toks, UNNEST(range(1, GREATEST(len(ts), 2))) AS u(i)),
+      |bdf AS (SELECT bg, COUNT(*) AS bdf FROM bg GROUP BY 1),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_distinct_bigrams,
+      |    CAST(SUM(CASE WHEN bdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |    CAST(SUM(CASE WHEN bdf >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared10
+      |  FROM bg JOIN bdf USING (bg) GROUP BY 1)
+      |SELECT doc_id, n_distinct_bigrams, n_novel,
+      |  CAST(n_novel AS DOUBLE) / CAST(n_distinct_bigrams AS DOUBLE) AS novel_frac,
+      |  n_shared10,
+      |  CAST(n_shared10 AS DOUBLE) / CAST(n_distinct_bigrams AS DOUBLE) AS shared_frac
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_rare_tokens" -> (t09_rare_tokens _),
+    "t10_bigram_novelty" -> (t10_bigram_novelty _),
     "t08_tfidf" -> (t08_tfidf _),
     "t01_token_stats" -> (t01_token_stats _),
     "t02_quality_score" -> (t02_quality_score _),
@@ -508,6 +637,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t09_rare_tokens" -> t09Oracle,
+    "t10_bigram_novelty" -> t10Oracle,
     "t08_tfidf" -> t08Oracle,
     "t01_token_stats" -> t01Oracle,
     "t02_quality_score" -> t02Oracle,

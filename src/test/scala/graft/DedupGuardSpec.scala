@@ -101,6 +101,24 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(2) == 10L)
   }
 
+  test("s06 SemDeDup pin at sf0.001: fixed-point k-means + min-id drop are deterministic") {
+    // no SQL oracle by design (k-means); the fixed-point Lloyd training
+    // and greedy min-id keeper make the outcome a pure function of the
+    // data, so any change to clustering, threshold, or keeper semantics
+    // must re-justify itself here. 494 of the 500 planted near-identical
+    // pairs co-cluster and drop; 6 are split by the coarse quantizer
+    // (reported, not silently missed).
+    val row = graft.sim.SimilarityOps.s06_semantic_dedup(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(row.getLong(0) == 1000L, s"n_vectors=${row.getLong(0)}")
+    assert(row.getLong(1) == 16L, s"n_clusters_used=${row.getLong(1)}")
+    assert(row.getLong(2) == 494L, s"n_dropped=${row.getLong(2)}")
+    assert(row.getLong(3) == 506L, s"n_kept=${row.getLong(3)}")
+    assert(row.getLong(4) == 494L, s"n_planted_found=${row.getLong(4)}")
+    assert(row.getLong(5) == 6L, s"n_planted_split=${row.getLong(5)}")
+    assert(row.getLong(6) == 49523389L, s"dropped_id_sum=${row.getLong(6)}")
+  }
+
   test("q27 golden pin at sf0.001: HLL sketch estimates are deterministic") {
     // approx_count_distinct has no cross-engine oracle by design; pin the
     // exact estimates so sketch-parameter or implementation drift shows up

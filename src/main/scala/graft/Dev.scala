@@ -8,6 +8,7 @@ object Dev {
     val spark = GraftSession.get("graft-dev")
     if (args.headOption.contains("warc-e2e")) { warcE2e(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("d04probe")) { d04probe(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("d02probe")) { d02probe(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("d03probe")) { d03probe(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("show")) {
       SparkEntry.queries(args(1))(spark, sfDir).show(50, false)
@@ -34,6 +35,43 @@ object Dev {
       spark.catalog.clearCache()
     }
     spark.stop()
+  }
+
+  /** Stage-by-stage timing of the d02 minhash pipeline. */
+  def d02probe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.dedup.DedupOps
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[dev] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val docs = DedupOps.withNearDups(spark, sfDir)
+      .withColumn("bands", DedupOps.minhashBandsU($"text")).persist()
+    t("materialize sigs")(println("  rows=" + docs.count()))
+    val buckets = docs.select($"doc_id",
+      posexplode($"bands").as(Seq("band", "bucket"))).persist()
+    t("buckets")(println("  rows=" + buckets.count()))
+    val hist = buckets.groupBy($"band", $"bucket").agg(count(lit(1)).as("n"))
+      .groupBy(ceil(log2($"n")).as("log2n")).agg(count(lit(1)).as("buckets"),
+        sum($"n" * $"n").as("sum_n2"))
+      .orderBy($"log2n")
+    t("bucket histogram")(hist.collect().foreach(r =>
+      println(s"  2^${r.get(0)}: buckets=${r.get(1)} sum_n2=${r.get(2)}")))
+    val cand = DedupOps.guardedBucketPairs(buckets, Seq("band", "bucket")).persist()
+    t("cand")(println("  pairs=" + cand.count()))
+    val texts = docs.select($"doc_id", $"text")
+    val jacU = udf { (ta: String, tb: String) =>
+      DedupOps.jaccard(DedupOps.shingles(ta), DedupOps.shingles(tb)) }
+    val verified = cand
+      .join(texts.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("j", jacU($"text_a", $"text_b"))
+      .filter($"j" >= 0.8)
+    t("verify")(println("  confirmed=" + verified.count()))
+    spark.catalog.clearCache()
   }
 
   /** Stage-by-stage timing of the d03 simhash pipeline. */
@@ -109,10 +147,20 @@ object Dev {
           greatest($"a.n_sh", $"b.n_sh") * 11 <= least($"a.n_sh", $"b.n_sh") * 20 &&
           (least($"a.n_sh" - $"a.rk", $"b.n_sh" - $"b.rk") + 1) * 31 >=
             ($"a.n_sh" + $"b.n_sh") * 11)
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-      .distinct()
-    val candP = cand.persist()
-    t("cand join")(println("  pairs=" + candP.count()))
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        $"a.rk".as("rka"), $"b.rk".as("rkb"),
+        $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("pm"),
+        max($"rka").as("mra"), max($"rkb").as("mrb"),
+        first($"na").as("na"), first($"nb").as("nb"))
+    val candAll = cand.persist()
+    t("cand join (pre-filter)")(println("  pairs=" + candAll.count()))
+    val candP = candAll
+      .filter(($"pm" + least($"na" - $"mra", $"nb" - $"mrb")) * 31 >=
+        ($"na" + $"nb") * 11)
+      .select($"id_a", $"id_b").persist()
+    t("cand accumulated-position filter")(println("  pairs=" + candP.count()))
     val texts = DedupOps.withNearDups(spark, sfDir)
     val jacU = udf { (ta: String, tb: String) =>
       DedupOps.jaccard(DedupOps.shingles(ta), DedupOps.shingles(tb)) }

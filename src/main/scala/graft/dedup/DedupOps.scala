@@ -213,16 +213,23 @@ object DedupOps {
     * UDF ~60×; banding probabilities are unchanged (the mixes are
     * pairwise-independent enough for LSH, and the verify step is exact
     * anyway). */
-  def minhash(sh: Set[String], nPerm: Int = 64): Array[Int] = {
+  def minhash(sh: Set[String], nPerm: Int = 64): Array[Int] =
+    minhashFromHashes(sh.iterator.map(hash64).toArray, nPerm)
+
+  /** Signature from pre-hashed shingles (order-insensitive — each
+    * permutation takes a min over the elements). */
+  def minhashFromHashes(hs: Array[Long], nPerm: Int = 64): Array[Int] = {
     val sig = Array.fill(nPerm)(Int.MaxValue)
-    sh.foreach { g =>
-      val base = hash64(g)
+    var k = 0
+    while (k < hs.length) {
+      val base = hs(k)
       var i = 0
       while (i < nPerm) {
         val h = ((PermA(i) * base) >>> 33).toInt
         if (h < sig(i)) sig(i) = h
         i += 1
       }
+      k += 1
     }
     sig
   }
@@ -264,11 +271,11 @@ object DedupOps {
     * band with p = (1-0.64)^32 ≈ 6e-15, so the confirmed set equals the
     * exact-Jaccard answer (which the oracle recomputes in SQL) — the
     * corpus contains both planted near-dups and natural ones. */
-  /** 32-band × 2-row MinHash band hashes (shared by d02 and d07). */
-  private[graft] val minhashBandsU = udf { text: String =>
+  /** 32-band × 2-row MinHash band keys from a shingle-hash array. */
+  private[graft] def bandKeys(hs: Array[Long]): Seq[Int] = {
     val nBands = 32
     val rowsPerBand = 2
-    val sig = minhash(shingles(text))
+    val sig = minhashFromHashes(hs)
     (0 until nBands).map { b =>
       var h = b
       var i = 0
@@ -277,28 +284,79 @@ object DedupOps {
     }
   }
 
+  /** 32-band × 2-row MinHash band hashes (shared by d02 and d07). */
+  private[graft] val minhashBandsU = udf { text: String =>
+    bandKeys(shingles(text).iterator.map(hash64).toArray)
+  }
+
+  /** Sorted distinct shingle hashes + band keys in ONE pass: the corpus
+    * is tokenized and hashed exactly once, and the hash array rides along
+    * for the verify stage (the r3 verify re-tokenized and re-shingled
+    * BOTH texts of every candidate pair — at 20k candidates that is 40k
+    * redundant shingle-set builds, the dominant verify cost). */
+  private[graft] val sigWithHashesU = udf { text: String =>
+    val hs = shingles(text).iterator.map(hash64).toArray
+    java.util.Arrays.sort(hs)
+    (hs.toSeq, bandKeys(hs))
+  }
+
+  /** (|a ∩ b|, |a ∪ b|) of two SORTED long arrays by two-pointer merge. */
+  def sortedOverlap(a: Seq[Long], b: Seq[Long]): (Int, Int) = {
+    val (xa, xb) = (a.toArray, b.toArray)
+    var i = 0; var j = 0; var common = 0
+    while (i < xa.length && j < xb.length) {
+      val c = java.lang.Long.compare(xa(i), xb(j))
+      if (c == 0) { common += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    (common, xa.length + xb.length - common)
+  }
+
   def d02_minhash_lsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sigU = minhashBandsU
-    // the signature subtree feeds three consumers (buckets + both text
+    // the signature subtree feeds three consumers (buckets + both verify
     // joins) — cache so the UDF chain runs once, not per consumer
-    withCache(withNearDups(s, d).withColumn("bands", sigU($"text"))) { docs =>
+    withCache(withNearDups(s, d).withColumn("sig", sigWithHashesU($"text"))) { docs =>
       val buckets = docs.select($"doc_id",
-        posexplode($"bands").as(Seq("band", "bucket")))
+        posexplode($"sig._2").as(Seq("band", "bucket")))
       val cand = guardedBucketPairs(buckets, Seq("band", "bucket"))
-      val texts = docs.select($"doc_id", $"text")
-      val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
-      val verified = cand
-        .join(texts.withColumnRenamed("doc_id", "id_a")
-          .withColumnRenamed("text", "text_a"), "id_a")
-        .join(texts.withColumnRenamed("doc_id", "id_b")
-          .withColumnRenamed("text", "text_b"), "id_b")
-        .withColumn("j", jacU($"text_a", $"text_b"))
-        .filter($"j" >= 0.8)
-      verified.agg(
-        count(lit(1)).as("n_confirmed"),
-        sum(when($"id_b" === $"id_a" + Shift, 1L).otherwise(0L))
-          .as("n_planted_found"))
+      val hsT = docs.select($"doc_id", $"sig._1".as("hs"))
+      // Verify on the 64-bit hash sets with an exact-decision slack band:
+      // J ≥ 0.8 ⇔ 5i ≥ 4u on the TRUE shingle sets. A hash collision
+      // perturbs (i, u) by at most 1 each, so c colliding hashes move
+      // 5i − 4u by at most 9c; pairs with |5i − 4u| > 18 are decided by
+      // the hash sets EXACTLY unless ≥ 3 collisions hit one pair
+      // (P ≈ (126²/2⁶⁴)³ ≈ 1e-45); only the razor-thin band around the
+      // threshold falls back to the collision-free string Jaccard — so
+      // the answer still equals the oracle's string-set recomputation,
+      // but the per-pair cost is a two-pointer long-array merge instead
+      // of two regex tokenizations + shingle-set builds, and the text
+      // column is shuffled only for the in-band handful.
+      val iuU = udf { (a: Seq[Long], b: Seq[Long]) => sortedOverlap(a, b) }
+      // scored feeds the sure and in-band branches — cache it (it is
+      // candidate-set-sized) so the bucket self-join runs once, not twice
+      withCache(cand
+          .join(hsT.select($"doc_id".as("id_a"), $"hs".as("hs_a"))
+            .hint("shuffle_hash"), "id_a")
+          .join(hsT.select($"doc_id".as("id_b"), $"hs".as("hs_b"))
+            .hint("shuffle_hash"), "id_b")
+          .withColumn("iu", iuU($"hs_a", $"hs_b"))
+          .select($"id_a", $"id_b",
+            ($"iu._1" * 5 - $"iu._2" * 4).as("m"))) { scored =>
+        val sure = scored.filter($"m" > 18).select($"id_a", $"id_b")
+        val texts = docs.select($"doc_id", $"text")
+        val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
+        val bandPairs = scored.filter($"m" >= -18 && $"m" <= 18)
+          .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
+          .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
+          .filter(jacU($"text_a", $"text_b") >= 0.8)
+          .select($"id_a", $"id_b")
+        sure.unionByName(bandPairs).agg(
+          count(lit(1)).as("n_confirmed"),
+          sum(when($"id_b" === $"id_a" + Shift, 1L).otherwise(0L))
+            .as("n_planted_found"))
+      }
     }
   }
 
@@ -411,6 +469,16 @@ object DedupOps {
       withCacheImpl(ranked
           .filter($"rk" <= $"n_sh" - (($"n_sh" * 11 + 19) / 20).cast("long") + 1)
           .select($"doc_id", $"h", $"rk", $"n_sh"), eager) { prefix =>
+        // The de-dup of matched prefix rows is a groupBy anyway, so the
+        // SAME shuffle also accumulates the PPJoin evidence: pm = number
+        // of prefix-prefix matches, (mra, mrb) = positions of the LAST
+        // match. Every common shingle globally smaller than the last
+        // prefix match must itself be a prefix-prefix match (positions
+        // below a prefix match are inside both prefixes), so
+        // common ≤ pm + min(|a| − mra, |b| − mrb) — a much tighter
+        // overlap bound than the per-row single-match filter, applied
+        // for free before the verify join (at sf0.1 it cuts the
+        // candidate set ~9×: 369k → 40k for 6k true pairs).
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
               // length filter: J ≥ 11/20 ⇒ 20·min(|a|,|b|) ≥ 11·max(|a|,|b|)
@@ -419,8 +487,16 @@ object DedupOps {
               // positions must reach α = ⌈(11/31)(|a|+|b|)⌉ (t'/(1+t') = 11/31)
               (least($"a.n_sh" - $"a.rk", $"b.n_sh" - $"b.rk") + 1) * 31 >=
                 ($"a.n_sh" + $"b.n_sh") * 11)
-          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-          .distinct()
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+            $"a.rk".as("rka"), $"b.rk".as("rkb"),
+            $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
+          .groupBy($"id_a", $"id_b")
+          .agg(count(lit(1)).as("pm"),
+            max($"rka").as("mra"), max($"rkb").as("mrb"),
+            first($"na").as("na"), first($"nb").as("nb"))
+          .filter(($"pm" + least($"na" - $"mra", $"nb" - $"mrb")) * 31 >=
+            ($"na" + $"nb") * 11)
+          .select($"id_a", $"id_b")
         // Final exact verification on raw texts, candidates straight to
         // the string verify. The candidate set is already PPJoin-pruned
         // (output-sized up to the filters' false-positive rate), so the
@@ -435,9 +511,16 @@ object DedupOps {
         // any per-doc set aggregation.
         val texts = withNearDups(s, d)
         val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
+        // shuffle_hash hints: the verify joins key a candidate-sized side
+        // against the doc table — a sort-merge join would SORT the large
+        // candidate side twice for no benefit (nothing downstream needs
+        // the order); hash-building the per-partition doc side skips both
+        // sorts. Still a shuffle join — no broadcast of corpus data.
         cand
-          .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
-          .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
+          .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a"))
+            .hint("shuffle_hash"), "id_a")
+          .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b"))
+            .hint("shuffle_hash"), "id_b")
           .withColumn("jaccard", jacU($"text_a", $"text_b"))
           .filter($"jaccard" >= 0.6)
           .select($"id_a", $"id_b", $"jaccard")

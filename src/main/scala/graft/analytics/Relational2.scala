@@ -419,7 +419,74 @@ object Relational2 {
       |  CAST(MAX(gap) AS BIGINT) AS max_gap_us
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q33: temperature-weighted source mixing — the data-mix step of a
+    * multi-source pretraining corpus: target proportions ∝ N_s^τ (τ =
+    * 0.5) flatten the source distribution, achieved by downsampling
+    * source s at rate 100·√(N_min/N_s) percent (the smallest source
+    * keeps everything — with a fixed corpus one can only downsample).
+    * The testdata's `source` column is uniform, so a SKEWED source group
+    * is first derived from doc_id (50/30/10/10% — the planting trick the
+    * dedup family uses), keeping the whole query a pure function of the
+    * base table. Selection reuses the q30/q31 md5-bucket device, and the
+    * rate math stays bit-exact cross-engine: one correctly-rounded IEEE
+    * division, one correctly-rounded sqrt, scale by 100, floor — no
+    * accumulation of doubles anywhere.
+    *
+    * Scale shape: the rates table is aggregate-output-sized (one row per
+    * source) — broadcasting IT is legal and desirable (unlike corpus
+    * data); everything else is two keyed aggregations. */
+  def q33_temperature_mix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grp = concat(lit("g"),
+      when($"doc_id" % 10 < 5, 0).when($"doc_id" % 10 < 8, 1)
+        .when($"doc_id" % 10 < 9, 2).otherwise(3))
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars", $"text", grp.as("src_grp"))
+    val counts = docs.groupBy($"src_grp").agg(count(lit(1)).as("n_total"))
+    val rates = counts
+      .crossJoin(counts.agg(min($"n_total").as("n_min")))
+      .select($"src_grp", $"n_total",
+        floor(lit(100.0) * sqrt($"n_min".cast("double") /
+          $"n_total".cast("double"))).as("rate_pct"))
+    val bucket = (conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 100)
+    docs.select($"doc_id", $"n_chars", $"src_grp", bucket.as("bucket"))
+      .join(broadcast(rates), "src_grp")
+      .groupBy($"src_grp")
+      .agg(first($"n_total").as("n_total"),
+        first($"rate_pct").as("rate_pct"),
+        sum(when($"bucket" < $"rate_pct", 1L).otherwise(0L)).as("n_sampled"),
+        sum(when($"bucket" < $"rate_pct", $"n_chars").otherwise(0L))
+          .as("sampled_chars"))
+      .orderBy($"src_grp")
+  }
+
+  val q33Oracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, n_chars, text,
+      |    'g' || (CASE WHEN doc_id % 10 < 5 THEN 0
+      |                 WHEN doc_id % 10 < 8 THEN 1
+      |                 WHEN doc_id % 10 < 9 THEN 2 ELSE 3 END) AS src_grp
+      |  FROM documents),
+      |counts AS (SELECT src_grp, COUNT(*) AS n_total FROM g GROUP BY 1),
+      |rates AS (
+      |  SELECT src_grp, n_total,
+      |    FLOOR(100.0 * sqrt(CAST((SELECT MIN(n_total) FROM counts) AS DOUBLE)
+      |      / CAST(n_total AS DOUBLE))) AS rate_pct
+      |  FROM counts),
+      |b AS (
+      |  SELECT g.doc_id, g.n_chars, g.src_grp, r.n_total, r.rate_pct,
+      |    CAST(concat('0x', substr(md5(g.text), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM g JOIN rates r USING (src_grp))
+      |SELECT src_grp, CAST(MIN(n_total) AS BIGINT) AS n_total,
+      |  CAST(MIN(rate_pct) AS BIGINT) AS rate_pct,
+      |  CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled,
+      |  CAST(SUM(CASE WHEN bucket < rate_pct THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS sampled_chars
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_temperature_mix" -> (q33_temperature_mix _),
     "q32_range_join" -> (q32_range_join _),
     "q30_deterministic_split" -> (q30_deterministic_split _),
     "q31_stratified_sample" -> (q31_stratified_sample _),
@@ -439,6 +506,7 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q33_temperature_mix" -> q33Oracle,
     "q32_range_join" -> q32Oracle,
     "q30_deterministic_split" -> q30Oracle,
     "q31_stratified_sample" -> q31Oracle,

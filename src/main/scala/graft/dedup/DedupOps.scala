@@ -727,7 +727,11 @@ object DedupOps {
     * pair set in SQL) stays green or fails reproducibly, never flakily.
     * New batch = exact copies of every 31st doc (+300000) and
     * last-token-dropped near-dups of every 37th (+400000). */
-  def d07_incremental_dedup(s: SparkSession, d: String): DataFrame = {
+  /** Shared setup of the incremental-ingest queries (d07/d08): the
+    * planted new batch, the exact-digest admission layer, and its
+    * survivors. */
+  private[graft] def incrementalParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
     val toks = split(trim($"text"), "\\s+")
@@ -742,6 +746,28 @@ object DedupOps {
     val exactIds = newDg.join(corpusDg, "dg").select($"doc_id")
     val survivors = newDg.join(corpusDg, Seq("dg"), "left_anti")
       .select($"doc_id", $"text")
+    (docs, newBatch, exactIds, survivors)
+  }
+
+  /** Per-batch admission decision rollup shared by d07/d08. */
+  private def admissionSummary(newBatch: DataFrame, exactIds: DataFrame,
+      nearIds: DataFrame): DataFrame = {
+    newBatch.select(col("doc_id"))
+      .join(exactIds.withColumn("ex", lit(1L)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("nr", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("ex"), lit(0L)).as("ex"),
+        coalesce(col("nr"), lit(0L)).as("nr"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(col("ex")).as("n_exact_dropped"),
+        sum(col("nr")).as("n_neardup_dropped"),
+        sum(when(col("ex") === 0 && col("nr") === 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("ex") === 1 || col("nr") === 1, col("doc_id")).otherwise(0L))
+          .as("dropped_id_sum"))
+  }
+
+  def d07_incremental_dedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (docs, newBatch, exactIds, survivors) = incrementalParts(s, d)
     // side is carried as DATA (0 = corpus, 1 = new) rather than inferred
     // from id ranges: the r3 classifier assumed every corpus id < the
     // +300000 offset — true on the gate testdata but an unchecked
@@ -771,17 +797,52 @@ object DedupOps {
         .select(when($"side_b" === 1, $"id_b").otherwise($"id_a").as("doc_id"))
         .distinct()
     }
-    newBatch.select($"doc_id")
-      .join(exactIds.withColumn("ex", lit(1L)), Seq("doc_id"), "left")
-      .join(nearIds.withColumn("nr", lit(1L)), Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"ex", lit(0L)).as("ex"),
-        coalesce($"nr", lit(0L)).as("nr"))
-      .agg(count(lit(1)).as("n_new"),
-        sum($"ex").as("n_exact_dropped"),
-        sum($"nr").as("n_neardup_dropped"),
-        sum(when($"ex" === 0 && $"nr" === 0, 1L).otherwise(0L)).as("n_kept"),
-        sum(when($"ex" === 1 || $"nr" === 1, $"doc_id").otherwise(0L))
-          .as("dropped_id_sum"))
+    admissionSummary(newBatch, exactIds, nearIds)
+  }
+
+  /** d08: the PRECOMPUTED-SIGNATURE-STORE variant of incremental dedup —
+    * d07's scaladoc promise ("at 100 TB the corpus band hashes are
+    * computed once and stored") made executable. The corpus's exploded
+    * band table `(doc_id, band, bucket)` is written ONCE as a table
+    * BUCKETED BY the probe key (band, bucket); each incoming batch then
+    * joins its own (small) band table against the store, and the
+    * bucketed layout means the corpus side is read CO-LOCATED — no
+    * shuffle of corpus data at ingest time, ever (PlanSpec pins the
+    * single-Exchange shape). Candidates are cross-side by construction
+    * (store × batch), so no guard/self-join is needed here; a
+    * production store would also persist per-bucket sizes at build time
+    * and star-link its degenerate buckets exactly like
+    * [[guardedBucketPairs]]. The admission decision (and oracle) is
+    * IDENTICAL to d07 — the store is a layout change, not a semantics
+    * change; the store build itself is the one-off indexing job.
+    * The exact-Jaccard verify runs on the candidates like d07's. */
+  def d08_signature_store(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (docs, newBatch, exactIds, survivors) = incrementalParts(s, d)
+    val store = s"graft_sigstore_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    docs.withColumn("bands", minhashBandsU($"text"))
+      .select($"doc_id", posexplode($"bands").as(Seq("band", "bucket")))
+      .write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
+      .mode("overwrite").saveAsTable(store)
+    try {
+      val nearIds = withCache(survivors.withColumn("bands", minhashBandsU($"text"))) { sv =>
+        val newBands = sv.select($"doc_id".as("id_b"),
+          posexplode($"bands").as(Seq("band", "bucket")))
+        val cand = s.table(store)
+          .withColumnRenamed("doc_id", "id_a")
+          .join(newBands, Seq("band", "bucket"))
+          .select($"id_a", $"id_b").distinct()
+        val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
+        cand
+          .join(docs.select($"doc_id".as("id_a"), $"text".as("text_a"))
+            .hint("shuffle_hash"), "id_a")
+          .join(sv.select($"doc_id".as("id_b"), $"text".as("text_b"))
+            .hint("shuffle_hash"), "id_b")
+          .filter(jacU($"text_a", $"text_b") >= 0.6)
+          .select($"id_b".as("doc_id")).distinct()
+      }
+      admissionSummary(newBatch, exactIds, nearIds).localCheckpoint(true)
+    } finally s.sql(s"DROP TABLE IF EXISTS $store")
   }
 
   val d07Oracle: String =
@@ -843,6 +904,7 @@ object DedupOps {
     "d05_contamination" -> (d05_contamination _),
     "d06_dedup_clusters" -> (d06_dedup_clusters _),
     "d07_incremental_dedup" -> (d07_incremental_dedup _),
+    "d08_signature_store" -> (d08_signature_store _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -852,5 +914,8 @@ object DedupOps {
     "d05_contamination" -> d05Oracle,
     "d06_dedup_clusters" -> d06Oracle,
     "d07_incremental_dedup" -> d07Oracle,
+    // the signature store is a LAYOUT change, not a semantics change —
+    // d08 must produce d07's exact admission decision
+    "d08_signature_store" -> d07Oracle,
   )
 }

@@ -159,23 +159,51 @@ object TextOps {
       "que", " qu", "ue ", "ión", " en", "en ", "ado"),
     "zh" -> Set.empty)
 
+  /** The scoring languages in sorted order (index = position in the
+    * per-trigram hit vectors below). */
+  private val scoredLangs: Array[String] =
+    langProfiles.collect { case (l, p) if p.nonEmpty => l }.toArray.sorted
+
+  /** All profiles merged into ONE map keyed by the trigram's three chars
+    * packed into a Long — one lookup and zero substring allocations per
+    * scanned position instead of four Set lookups on a fresh String
+    * (every profile trigram is BMP, so a char-level pack is lossless). */
+  private val mergedProfile: Map[Long, Array[Int]] = {
+    val m = scala.collection.mutable.Map[Long, List[Int]]()
+    scoredLangs.zipWithIndex.foreach { case (lang, li) =>
+      langProfiles(lang).foreach { g =>
+        val key = (g.charAt(0).toLong << 32) | (g.charAt(1).toLong << 16) | g.charAt(2).toLong
+        m(key) = li :: m.getOrElse(key, Nil)
+      }
+    }
+    m.view.mapValues(_.toArray).toMap
+  }
+
   def detectLang(text: String): String = {
     if (text == null || text.isEmpty) return "und"
     val cjk = text.codePoints().filter(cp =>
       (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)).count()
     if (cjk * 2 > text.length) return "zh"
     val padded = " " + text.toLowerCase + " "
-    val scores = langProfiles.collect { case (lang, prof) if prof.nonEmpty =>
-      var hits = 0
-      var i = 0
-      while (i + 3 <= padded.length) {
-        if (prof.contains(padded.substring(i, i + 3))) hits += 1
-        i += 1
+    val hits = new Array[Int](scoredLangs.length)
+    var i = 0
+    while (i + 3 <= padded.length) {
+      val key = (padded.charAt(i).toLong << 32) |
+        (padded.charAt(i + 1).toLong << 16) | padded.charAt(i + 2).toLong
+      mergedProfile.get(key) match {
+        case Some(ls) =>
+          var k = 0
+          while (k < ls.length) { hits(ls(k)) += 1; k += 1 }
+        case None =>
       }
-      lang -> hits
+      i += 1
     }
-    val (best, hits) = scores.maxBy { case (l, h) => (h, l) }
-    if (hits == 0) "und" else best
+    // same argmax tie-break as before: max hits, ties to the LARGER lang
+    // (scoredLangs is sorted ascending, so iterate with >=)
+    var best = 0
+    var bi = 1
+    while (bi < hits.length) { if (hits(bi) >= hits(best)) best = bi; bi += 1 }
+    if (hits(best) == 0) "und" else scoredLangs(best)
   }
 
   /** t03 oracle: the trigram scan is re-expressed as non-overlapping

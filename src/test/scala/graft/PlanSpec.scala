@@ -135,6 +135,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.conf.set("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
   }
 
+  test("d08 signature store: corpus side reads co-located, only the batch shuffles") {
+    // the incremental-ingest steady state: the stored corpus band table
+    // is bucketed by the probe key, so the ingest join must shuffle ONLY
+    // the new batch — exactly one Exchange in the plan, and the store
+    // scan must report its bucketing. A corpus-side Exchange here means
+    // the layout stopped paying for itself at 100 TB.
+    val sp = spark
+    import sp.implicits._
+    sp.sql("DROP TABLE IF EXISTS graft_sigstore_spec")
+    (0L until 100L).map(i => (i, (i % 4).toInt, (i % 7).toInt))
+      .toDF("doc_id", "band", "bucket")
+      .write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
+      .mode("overwrite").saveAsTable("graft_sigstore_spec")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val newBands = (0L until 10L).map(i => (i + 1000L, (i % 4).toInt, (i % 7).toInt))
+        .toDF("id_b", "band", "bucket")
+      val j = sp.table("graft_sigstore_spec").withColumnRenamed("doc_id", "id_a")
+        .join(newBands, Seq("band", "bucket"))
+      val plan = physical(j)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected exactly 1 Exchange (batch side), got $exchanges:\n$plan")
+      assert(plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount"),
+        s"store scan lost its bucketing:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
+      sp.sql("DROP TABLE IF EXISTS graft_sigstore_spec")
+    }
+  }
+
   test("q32 range join: equi-join on (user, bucket) — no nested-loop plan") {
     // a raw inequality join would plan as BroadcastNestedLoopJoin (O(n·m)
     // + a whole-side broadcast); the bucketization must keep it an

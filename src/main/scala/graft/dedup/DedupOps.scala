@@ -333,7 +333,10 @@ object DedupOps {
       // but the per-pair cost is a two-pointer long-array merge instead
       // of two regex tokenizations + shingle-set builds, and the text
       // column is shuffled only for the in-band handful.
-      val iuU = udf { (a: Seq[Long], b: Seq[Long]) => sortedOverlap(a, b) }
+      // the intersection count runs as a native codegen'd expression
+      // (no per-row boxing of the hash arrays); with u = |a| + |b| − i,
+      // the margin 5i − 4u rewrites to 9i − 4(|a| + |b|) — all builtins
+      val iNative = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
       // scored feeds the sure and in-band branches — cache it (it is
       // candidate-set-sized) so the bucket self-join runs once, not twice
       withCache(cand
@@ -341,9 +344,9 @@ object DedupOps {
             .hint("shuffle_hash"), "id_a")
           .join(hsT.select($"doc_id".as("id_b"), $"hs".as("hs_b"))
             .hint("shuffle_hash"), "id_b")
-          .withColumn("iu", iuU($"hs_a", $"hs_b"))
           .select($"id_a", $"id_b",
-            ($"iu._1" * 5 - $"iu._2" * 4).as("m"))) { scored =>
+            (iNative * 9 - (size($"hs_a") + size($"hs_b")).cast("long") * 4)
+              .as("m"))) { scored =>
         val sure = scored.filter($"m" > 18).select($"id_a", $"id_b")
         val texts = docs.select($"doc_id", $"text")
         val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }

@@ -41,6 +41,26 @@ object VectorOps {
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
     dot
   }
+
+  /** |a ∩ b| of two SORTED distinct long arrays (two-pointer merge) —
+    * the set-similarity verify kernel: together with `size()`,
+    * intersection and union sizes (u = |a| + |b| − i) come out of one
+    * in-place pass over Tungsten array data. */
+  def sortedOverlapCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 abstract class BinaryVectorExpression extends BinaryExpression {
@@ -88,6 +108,35 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** `sorted_overlap_count(array<bigint>, array<bigint>) -> bigint`,
+  * codegen'd. Inputs MUST be sorted ascending (the producer sorts at
+  * hash time); the expression does not re-verify order. */
+case class SortedOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sortedOverlapCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOps.sortedOverlapCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_overlap_count"
+}
+
 /** Column-API entry points. */
 object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
@@ -95,6 +144,9 @@ object GraftFunctions {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def sorted_overlap_count(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedOverlapCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
@@ -112,5 +164,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_overlap_count"),
+      new ExpressionInfo(classOf[SortedOverlapCount].getName, "sorted_overlap_count"),
+      (children: Seq[Expression]) => SortedOverlapCount(children(0), children(1))))
   }
 }

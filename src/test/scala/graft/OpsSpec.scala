@@ -77,6 +77,14 @@ class OpsSpec extends AnyFunSuite {
     assert(agg.finish(agg.reduce(agg.reduce(agg.zero, null), "")) == Map.empty)
   }
 
+  test("sortedOverlap: two-pointer intersection/union over sorted longs") {
+    assert(DedupOps.sortedOverlap(Seq(1L, 3L, 5L), Seq(3L, 5L, 7L)) == (2, 4))
+    assert(DedupOps.sortedOverlap(Seq.empty[Long], Seq(1L)) == (0, 1))
+    assert(DedupOps.sortedOverlap(Seq(1L, 2L), Seq(1L, 2L)) == (2, 2))
+    // negative vs positive ordering (signed long compare)
+    assert(DedupOps.sortedOverlap(Seq(-5L, 1L), Seq(-5L, 2L)) == (1, 3))
+  }
+
   test("cosine: orthogonal 0, identical 1, scale-invariant") {
     val x = Seq(1f, 0f, 2f)
     assert(approxEq(SimilarityOps.cosine(x, x), 1.0))

@@ -135,6 +135,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.conf.set("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
   }
 
+  test("sorted_overlap_count: native expression evaluates and type-checks") {
+    val r = spark.sql(
+      "SELECT sorted_overlap_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS i")
+      .collect()(0).getLong(0)
+    assert(r == 2L)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_overlap_count(1.0, 2.0)").collect()
+    }
+  }
+
   test("d08 signature store: corpus side reads co-located, only the batch shuffles") {
     // the incremental-ingest steady state: the stored corpus band table
     // is bucketed by the probe key, so the ingest join must shuffle ONLY

@@ -449,16 +449,21 @@ object DedupOps {
     // collisions, which can hide candidates but never corrupt emitted
     // pairs (the final verify is collision-free).
     val hashShinglesU = udf { text: String =>
-      shingles(text).iterator.map(hash64).toSeq.distinct
+      val hs = shingles(text).iterator.map(hash64).toArray.distinct
+      java.util.Arrays.sort(hs) // sorted ⇒ the verify's two-pointer merge
+      hs.toSeq
     }
-    // n_sh (the doc's distinct-shingle count) is computed at hashing time
-    // and carried as a column — one extra long through the shuffle instead
-    // of a second window pass over the whole index
-    val index = withNearDups(s, d)
-      .select($"doc_id", hashShinglesU($"text").as("hs"))
-      .select($"doc_id", size($"hs").cast("long").as("n_sh"),
+    // the PRE-explode (doc_id, hs-array) frame is what gets cached: the
+    // exploded index AND the verify's hash-set sides both derive from it
+    // (explode is cheap; the UDF is not), so the corpus is tokenized and
+    // hashed exactly once per run
+    val pre = withNearDups(s, d).select($"doc_id", hashShinglesU($"text").as("hs"))
+    withCacheImpl(pre, eager) { preC =>
+      // n_sh (the doc's distinct-shingle count) is computed at explode
+      // time and carried as a column — one extra long through the shuffle
+      // instead of a second window pass over the whole index
+      val idx = preC.select($"doc_id", size($"hs").cast("long").as("n_sh"),
         explode($"hs").as("h"))
-    withCacheImpl(index, eager) { idx =>
       val df = idx.groupBy($"h").agg(count(lit(1)).as("df"))
       // per-doc global ranking, rarest shingles first ((df, h) is a
       // total order); one shuffle on doc_id for the ranking window.
@@ -478,10 +483,14 @@ object DedupOps {
         // match. Every common shingle globally smaller than the last
         // prefix match must itself be a prefix-prefix match (positions
         // below a prefix match are inside both prefixes), so
-        // common ≤ pm + min(|a| − mra, |b| − mrb) — a much tighter
-        // overlap bound than the per-row single-match filter, applied
-        // for free before the verify join (at sf0.1 it cuts the
-        // candidate set ~9×: 369k → 40k for 6k true pairs).
+        // common ≤ pm + min(|a| − mra, |b| − mrb) — a tighter overlap
+        // bound than the per-row single-match filter, applied for free
+        // on the shuffle the dedup already pays. (Honest measurement:
+        // on THIS synthetic corpus — a tiny shared vocabulary, so even
+        // "rare" shingles have df ≈ 5-20 and matches sit at early
+        // prefix ranks — it prunes little; on a real crawl's long-tail
+        // shingle distribution the accumulated bound is where PPJoin's
+        // pruning power lives.)
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
               // length filter: J ≥ 11/20 ⇒ 20·min(|a|,|b|) ≥ 11·max(|a|,|b|)
@@ -500,26 +509,37 @@ object DedupOps {
           .filter(($"pm" + least($"na" - $"mra", $"nb" - $"mrb")) * 31 >=
             ($"na" + $"nb") * 11)
           .select($"id_a", $"id_b")
-        // Final exact verification on raw texts, candidates straight to
-        // the string verify. The candidate set is already PPJoin-pruned
-        // (output-sized up to the filters' false-positive rate), so the
-        // r2 staged hash-verify — which aggregated EVERY doc's sorted
-        // shingle-hash set and explicitly broadcast that corpus-sized
-        // table to all executors — bought marginal pruning at the price
-        // of a hard 100 TB scale-killer plus two extra passes over the
-        // index. Plain joins on doc_id here, no broadcast hint: the
-        // small side is the candidate set, and at runtime AQE/stats pick
-        // a broadcast of THAT side when it fits — ship the candidates,
-        // never the corpus. PlanSpec pins the absence of a hint and of
-        // any per-doc set aggregation.
+        // Two-phase verification (the d02 device at threshold 3/5):
+        // phase 1 joins the candidates to the CACHED per-doc hash
+        // arrays and scores them entirely inside codegen — native
+        // sorted_overlap_count i, margin 5i − 3u = 8i − 3(|a| + |b|).
+        // A pair with margin < −16 is J < 0.6 on the true string sets
+        // unless ≥ 3 hash collisions hit that one pair (P ≈ 1e-45), so
+        // only the survivors — the output-sized winner set plus the
+        // razor-thin band — reach phase 2, the collision-free string
+        // verify that computes the EMITTED jaccard value (so output
+        // values stay exact-by-construction, not just
+        // exact-with-probability). This replaces the r3 shape that
+        // string-verified every candidate: same shuffle volume in
+        // phase 1 (hash arrays ≈ text bytes), ~60× fewer tokenizations
+        // in phase 2. The per-doc arrays come from the cached
+        // pre-explode frame — no collect_list aggregation and no
+        // broadcast of corpus data anywhere (PlanSpec pins both);
+        // shuffle_hash hints skip the sort-merge sorts nothing needs.
+        val hsT = preC
+        val iNat = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
+        val winners = cand
+          .join(hsT.select($"doc_id".as("id_a"), $"hs".as("hs_a"))
+            .hint("shuffle_hash"), "id_a")
+          .join(hsT.select($"doc_id".as("id_b"), $"hs".as("hs_b"))
+            .hint("shuffle_hash"), "id_b")
+          .select($"id_a", $"id_b",
+            (iNat * 8 - (size($"hs_a") + size($"hs_b")).cast("long") * 3).as("m"))
+          .filter($"m" >= -16)
+          .select($"id_a", $"id_b")
         val texts = withNearDups(s, d)
         val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
-        // shuffle_hash hints: the verify joins key a candidate-sized side
-        // against the doc table — a sort-merge join would SORT the large
-        // candidate side twice for no benefit (nothing downstream needs
-        // the order); hash-building the per-partition doc side skips both
-        // sorts. Still a shuffle join — no broadcast of corpus data.
-        cand
+        winners
           .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a"))
             .hint("shuffle_hash"), "id_a")
           .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b"))

@@ -244,6 +244,52 @@ object StreamingOps {
         sessionStep(gapMs))
   }
 
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** st06: per-key running state via `mapGroupsWithState` — the
+    * one-output-per-key sibling of [[flatMapSessionize]]'s
+    * flatMapGroupsWithState (SURVEY §2 maps both state APIs). Each user's
+    * event count and value total live in arbitrary `GroupState`,
+    * updated per micro-batch and emitted in Update mode; with
+    * AvailableNow draining the events table the final update per user
+    * equals the batch aggregate, which is the oracle. Value totals
+    * accumulate in deci-cent LONGS (value has 2 decimals ⇒ ×100 is
+    * integer-exact in double, and the long sum is order-insensitive —
+    * the same determinism rule as s04/w08; a double running sum would
+    * depend on batch arrival order). */
+  def st06_running_totals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val name = s"st06_sink_${System.nanoTime()}"
+    val ev = streamEvents(s, d)
+      .select($"user_id", $"value").as[(Long, Double)]
+    val q = ev.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), UserTotals](
+        GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
+        var (n, cents) = state.getOption.getOrElse((0L, 0L))
+        rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+        state.update((n, cents))
+        UserTotals(uid, n, cents / 100.0)
+      }
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    restoreShufflePartitions(s)
+    // Update mode appends one row per (user, batch); the LAST update per
+    // user is the running total — dedup by max n_events per user
+    drainSink(s, name, t => t.groupBy($"user_id")
+      .agg(max(struct($"n_events", $"total_value")).as("m"))
+      .select($"user_id", $"m.n_events".as("n_events"),
+        $"m.total_value".as("total_value"))
+      .orderBy($"user_id"))
+  }
+
+  val st06Oracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** st05: streaming CRAWL INGESTION — the continuous-arrival shape of
     * the batch WARC pipeline. `.warc` containers are staged to a
     * directory (as a crawler would drop them), consumed incrementally by
@@ -308,6 +354,7 @@ object StreamingOps {
     "st03_stream_dedup" -> (st03_stream_dedup _),
     "st04_stream_stream_join" -> (st04_stream_stream_join _),
     "st05_stream_warc_ingest" -> (st05_stream_warc_ingest _),
+    "st06_running_totals" -> (st06_running_totals _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -316,5 +363,6 @@ object StreamingOps {
     "st03_stream_dedup" -> st03Oracle,
     "st04_stream_stream_join" -> st04Oracle,
     "st05_stream_warc_ingest" -> st05Oracle,
+    "st06_running_totals" -> st06Oracle,
   )
 }

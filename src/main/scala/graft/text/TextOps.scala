@@ -651,7 +651,76 @@ object TextOps {
       |  CAST(n_shared10 AS DOUBLE) / CAST(n_distinct_bigrams AS DOUBLE) AS shared_frac
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Apply a learned merge list to a word — standard greedy BPE apply:
+    * symbols start as single characters (no end-of-word marker — kept
+    * simple and documented), each merge rewrites left-to-right. */
+  def bpeSymbols(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    merges.foreach { case (l, r) =>
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          buf += (l + r); i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      syms = buf.result()
+    }
+    syms
+  }
+
+  /** t11: corpus BPE VOCABULARY INDUCTION — the byte-pair-merge loop
+    * every tokenizer build runs, expressed map-reduce style: the corpus
+    * collapses ONCE to a (word, freq) vocabulary table (one shuffle —
+    * after this no iteration ever touches corpus-sized data), then each
+    * of the 10 merge rounds re-symbolizes the vocabulary under the
+    * merges learned so far (map-side UDF over the tiny driver-held merge
+    * list), explodes adjacent symbol pairs weighted by word frequency,
+    * and takes the count-max pair (ties broken lexicographically, so the
+    * learned vocabulary is deterministic). The driver loop is iteration
+    * control exactly like d06/w08 — one keyed aggregation per round,
+    * one single-row collect per round (the argmax pair). No SQL oracle
+    * (the merge recurrence is not SQL-expressible) — rows-only at the
+    * gate plus a golden pin in DedupGuardSpec. */
+  def t11_bpe_vocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(whitespaceTokens(lower($"text"))).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    val rows = graft.dedup.DedupOps.withCache(words) { w =>
+      var merges = Vector.empty[(String, String)]
+      val picked = Vector.newBuilder[(Int, String, String, String, Long)]
+      var k = 1
+      var exhausted = false
+      while (k <= 10 && !exhausted) {
+        val m = merges
+        val symU = udf { word: String => bpeSymbols(word, m) }
+        val top = w.select($"freq", symU($"word").as("syms"))
+          .select($"freq", explode(when(size($"syms") >= 2,
+            expr("transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(syms[i-1] AS l, syms[i] AS r))"))
+            .otherwise(array().cast("array<struct<l:string,r:string>>")))
+            .as("p"))
+          .groupBy($"p.l".as("l"), $"p.r".as("r"))
+          .agg(sum($"freq").as("cnt"))
+          .orderBy($"cnt".desc, $"l", $"r")
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges :+= ((l, r))
+          picked += ((k, l, r, l + r, c))
+          k += 1
+        }
+      }
+      picked.result().toDF("rank", "left", "right", "merged", "pair_count")
+    }
+    rows.orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_bpe_vocab" -> (t11_bpe_vocab _),
     "t09_rare_tokens" -> (t09_rare_tokens _),
     "t10_bigram_novelty" -> (t10_bigram_novelty _),
     "t08_tfidf" -> (t08_tfidf _),

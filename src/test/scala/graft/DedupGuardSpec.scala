@@ -119,6 +119,19 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(6) == 49523389L, s"dropped_id_sum=${row.getLong(6)}")
   }
 
+  test("t11 BPE pin at sf0.001: merge sequence is deterministic") {
+    // no SQL oracle by design (the merge recurrence isn't SQL); the
+    // lexicographic tie-break makes the learned merges a pure function
+    // of the corpus — pin the first merges and that later rounds build
+    // on earlier ones (multi-char merge 'p'+'ar' at rank 8)
+    val rows = graft.text.TextOps.t11_bpe_vocab(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(rows.length == 10)
+    assert(rows.take(3).toSeq ==
+      Seq((1, "er", 4650L), (2, "or", 2880L), (3, "in", 2858L)), s"got ${rows.toSeq}")
+    assert(rows(7) == ((8, "par", 1873L)), s"got ${rows(7)}")
+  }
+
   test("q27 golden pin at sf0.001: HLL sketch estimates are deterministic") {
     // approx_count_distinct has no cross-engine oracle by design; pin the
     // exact estimates so sketch-parameter or implementation drift shows up

@@ -85,6 +85,17 @@ class OpsSpec extends AnyFunSuite {
     assert(DedupOps.sortedOverlap(Seq(-5L, 1L), Seq(-5L, 2L)) == (1, 3))
   }
 
+  test("bpeSymbols: greedy left-to-right merge application in order") {
+    import graft.text.TextOps.bpeSymbols
+    assert(bpeSymbols("abab", Nil) == Seq("a", "b", "a", "b"))
+    assert(bpeSymbols("abab", Seq(("a", "b"))) == Seq("ab", "ab"))
+    assert(bpeSymbols("abab", Seq(("a", "b"), ("ab", "ab"))) == Seq("abab"))
+    // greedy: after merging at 0-1, position 1-2 ('b','a') can't match
+    assert(bpeSymbols("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    // later merges see earlier merges' output, not raw chars
+    assert(bpeSymbols("xay", Seq(("x", "a"), ("xa", "y"))) == Seq("xay"))
+  }
+
   test("cosine: orthogonal 0, identical 1, scale-invariant") {
     val x = Seq(1f, 0f, 2f)
     assert(approxEq(SimilarityOps.cosine(x, x), 1.0))

@@ -295,22 +295,11 @@ object DedupOps {
     * BOTH texts of every candidate pair — at 20k candidates that is 40k
     * redundant shingle-set builds, the dominant verify cost). */
   private[graft] val sigWithHashesU = udf { text: String =>
-    val hs = shingles(text).iterator.map(hash64).toArray
+    // distinct: two different shingles of one doc can hash64-collide
+    // (P ~ |sh|²/2⁶⁴) — sorted_overlap_count's contract is sorted SETS
+    val hs = shingles(text).iterator.map(hash64).toArray.distinct
     java.util.Arrays.sort(hs)
     (hs.toSeq, bandKeys(hs))
-  }
-
-  /** (|a ∩ b|, |a ∪ b|) of two SORTED long arrays by two-pointer merge. */
-  def sortedOverlap(a: Seq[Long], b: Seq[Long]): (Int, Int) = {
-    val (xa, xb) = (a.toArray, b.toArray)
-    var i = 0; var j = 0; var common = 0
-    while (i < xa.length && j < xb.length) {
-      val c = java.lang.Long.compare(xa(i), xb(j))
-      if (c == 0) { common += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
-    }
-    (common, xa.length + xb.length - common)
   }
 
   def d02_minhash_lsh(s: SparkSession, d: String): DataFrame = {
@@ -839,22 +828,36 @@ object DedupOps {
     * IDENTICAL to d07 — the store is a layout change, not a semantics
     * change; the store build itself is the one-off indexing job.
     * The exact-Jaccard verify runs on the candidates like d07's. */
+  /** One-off store-build of d08: the corpus band table, bucketed by the
+    * probe key. Shared with PlanSpec so the co-location pin runs against
+    * the REAL writer, not a replica. */
+  private[graft] def writeSignatureStore(s: SparkSession, docs: DataFrame,
+      table: String): Unit =
+    docs.withColumn("bands", minhashBandsU(col("text")))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      .write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
+      .mode("overwrite").saveAsTable(table)
+
+  /** Ingest-side candidate join against a stored signature table —
+    * the plan PlanSpec pins: the store side must read co-located (its
+    * bucketing matches the join key), so the only Exchange is the new
+    * batch's. Pair de-dup is the caller's. */
+  private[graft] def storeIngestCandidates(s: SparkSession, table: String,
+      newBands: DataFrame): DataFrame =
+    s.table(table).withColumnRenamed("doc_id", "id_a")
+      .join(newBands, Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"))
+
   def d08_signature_store(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (docs, newBatch, exactIds, survivors) = incrementalParts(s, d)
     val store = s"graft_sigstore_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    docs.withColumn("bands", minhashBandsU($"text"))
-      .select($"doc_id", posexplode($"bands").as(Seq("band", "bucket")))
-      .write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
-      .mode("overwrite").saveAsTable(store)
+    writeSignatureStore(s, docs, store)
     try {
       val nearIds = withCache(survivors.withColumn("bands", minhashBandsU($"text"))) { sv =>
         val newBands = sv.select($"doc_id".as("id_b"),
           posexplode($"bands").as(Seq("band", "bucket")))
-        val cand = s.table(store)
-          .withColumnRenamed("doc_id", "id_a")
-          .join(newBands, Seq("band", "bucket"))
-          .select($"id_a", $"id_b").distinct()
+        val cand = storeIngestCandidates(s, store, newBands).distinct()
         val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
         cand
           .join(docs.select($"doc_id".as("id_a"), $"text".as("text_a"))

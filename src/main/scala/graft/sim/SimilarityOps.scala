@@ -419,8 +419,12 @@ object SimilarityOps {
     * the same greedy the dedup family uses). Planted near-identical
     * copies (`withNearDups`, cosine ≈ 0.999) give ground truth:
     * a planted pair is only FOUND if both halves land in the same
-    * cluster, so `n_planted_split` — planted pairs separated by the
-    * quantizer — is reported honestly instead of silently missed.
+    * cluster, so `n_planted_split` — planted pairs not found — is
+    * reported instead of silently missed. Its causes are the quantizer
+    * separating the pair AND, for clusters over the bucket guard's cap,
+    * star-linking suppressing non-representative pairs (the guard logs
+    * that overflow when it happens; at the sf gates every cluster is
+    * far under the cap, so the pin's 6 splits are purely quantizer).
     *
     * Training mirrors s04's deterministic fixed-point Lloyd (k seed
     * vectors by lowest id, 2 iterations, 2^-32-quantized component sums
@@ -429,6 +433,10 @@ object SimilarityOps {
     * codebook; the within-cluster pair join goes through
     * `guardedBucketPairs` (cluster id = bucket), so a degenerate
     * cluster star-links at O(N) instead of exploding quadratically.
+    * Cluster population is ~N/k, so at production scale k must grow
+    * with the corpus (k ≈ N/⟨target cluster size⟩ — it is a parameter
+    * for exactly that reason; SemDeDup itself prescribes corpus-scaled
+    * k) to keep clusters under the guard cap and the pairing exact.
     * No SQL oracle (k-means is not SQL-expressible) — deterministic
     * end-to-end, pinned in DedupGuardSpec like s04/s05. */
   def s06_semantic_dedup(s: SparkSession, d: String): DataFrame =

@@ -303,39 +303,44 @@ object StreamingOps {
   def st05_stream_warc_ingest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val warcDir = java.nio.file.Files.createTempDirectory("graft-st05")
-    graft.warc.WarcQueries.warcFiles(s, d).collect().zipWithIndex.foreach {
-      case ((_, bytes), i) =>
-        java.nio.file.Files.write(warcDir.resolve(f"crawl-$i%03d.warc"), bytes)
+    // temp-dir removal sits in a finally (r3 advisory: it leaked per
+    // invocation — and cleanup must also run when the query throws); by
+    // drain time the result is checkpointed off the staged files. The
+    // walk stream is closed explicitly — it holds directory handles.
+    try {
+      graft.warc.WarcQueries.warcFiles(s, d).collect().zipWithIndex.foreach {
+        case ((_, bytes), i) =>
+          java.nio.file.Files.write(warcDir.resolve(f"crawl-$i%03d.warc"), bytes)
+      }
+      val name = s"st05_sink_${System.nanoTime()}"
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val files = s.readStream.format("binaryFile")
+        .option("pathGlobFilter", "*.warc")
+        .schema(StructType(Seq(
+          StructField("path", StringType),
+          StructField("modificationTime", TimestampType),
+          StructField("length", LongType),
+          StructField("content", BinaryType))))
+        .load(warcDir.toString)
+      val records = graft.warc.WarcSource.fromBytes(
+        files.select(col("path"), col("content"))
+          .as[(String, Array[Byte])])
+      val q = graft.warc.Pipeline.urlResources(records)
+        .groupBy(col("hostname"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("word_count").cast("long")).as("word_sum"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      restoreShufflePartitions(s)
+      drainSink(s, name, _.orderBy("hostname"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(warcDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
     }
-    val name = s"st05_sink_${System.nanoTime()}"
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val files = s.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
-      .schema(StructType(Seq(
-        StructField("path", StringType),
-        StructField("modificationTime", TimestampType),
-        StructField("length", LongType),
-        StructField("content", BinaryType))))
-      .load(warcDir.toString)
-    val records = graft.warc.WarcSource.fromBytes(
-      files.select(col("path"), col("content"))
-        .as[(String, Array[Byte])])
-    val q = graft.warc.Pipeline.urlResources(records)
-      .groupBy(col("hostname"))
-      .agg(count(lit(1)).as("n_pages"),
-        sum(col("word_count").cast("long")).as("word_sum"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    restoreShufflePartitions(s)
-    val out = drainSink(s, name, _.orderBy("hostname"))
-    // the staged .warc files are fully drained (AvailableNow) and the
-    // result is checkpointed off them — remove the temp dir (r3 advisory:
-    // it leaked per invocation)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(warcDir).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(java.nio.file.Files.delete)
-    out
   }
 
   val st05Oracle: String =

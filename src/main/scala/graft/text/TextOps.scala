@@ -81,7 +81,9 @@ object TextOps {
 
   /** 0/0 on doubles is NaN in Spark but NULL in DuckDB — the CASE arms
     * pin the Spark semantics for empty/whitespace-only docs (n_tok = 0
-    * after the empty-token filter, length(text) = 0 for truly empty). */
+    * after the empty-token filter, length(text) = 0 for truly empty).
+    * mean_token_len's numerator is length − (n_tok − 1) ≥ 1 when
+    * n_tok = 0, so ITS zero-division is x/0 = +Infinity, not NaN. */
   val t02Oracle: String =
     raw"""WITH t AS (SELECT doc_id, text,
       |    CAST(len(${oracleToks("text")}) AS DOUBLE) AS n_tok,
@@ -93,7 +95,7 @@ object TextOps {
       |  CASE WHEN n_tok = 0 THEN 'NaN'::DOUBLE ELSE n_stop / n_tok END AS stop_ratio,
       |  CASE WHEN length(text) = 0 THEN 'NaN'::DOUBLE
       |       ELSE n_punct / CAST(length(text) AS DOUBLE) END AS punct_ratio,
-      |  CASE WHEN n_tok = 0 THEN 'NaN'::DOUBLE
+      |  CASE WHEN n_tok = 0 THEN 'Infinity'::DOUBLE
       |       ELSE (CAST(length(text) AS DOUBLE) - (n_tok - 1.0)) / n_tok END
       |    AS mean_token_len
       |FROM t ORDER BY doc_id""".stripMargin
@@ -168,7 +170,9 @@ object TextOps {
     * packed into a Long — one lookup and zero substring allocations per
     * scanned position instead of four Set lookups on a fresh String
     * (every profile trigram is BMP, so a char-level pack is lossless). */
-  private val mergedProfile: Map[Long, Array[Int]] = {
+  private val mergedProfile: scala.collection.immutable.LongMap[Array[Int]] = {
+    // LongMap: a plain Map[Long, _] would box the key on every .get —
+    // one allocation per scanned character corpus-wide
     val m = scala.collection.mutable.Map[Long, List[Int]]()
     scoredLangs.zipWithIndex.foreach { case (lang, li) =>
       langProfiles(lang).foreach { g =>
@@ -176,7 +180,7 @@ object TextOps {
         m(key) = li :: m.getOrElse(key, Nil)
       }
     }
-    m.view.mapValues(_.toArray).toMap
+    scala.collection.immutable.LongMap(m.view.mapValues(_.toArray).toSeq: _*)
   }
 
   def detectLang(text: String): String = {

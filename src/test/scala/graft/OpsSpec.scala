@@ -77,12 +77,17 @@ class OpsSpec extends AnyFunSuite {
     assert(agg.finish(agg.reduce(agg.reduce(agg.zero, null), "")) == Map.empty)
   }
 
-  test("sortedOverlap: two-pointer intersection/union over sorted longs") {
-    assert(DedupOps.sortedOverlap(Seq(1L, 3L, 5L), Seq(3L, 5L, 7L)) == (2, 4))
-    assert(DedupOps.sortedOverlap(Seq.empty[Long], Seq(1L)) == (0, 1))
-    assert(DedupOps.sortedOverlap(Seq(1L, 2L), Seq(1L, 2L)) == (2, 2))
+  test("sortedOverlapCount: two-pointer intersection over sorted longs") {
+    // tests the NATIVE kernel the d02/d04 verifies actually execute
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def i(a: Seq[Long], b: Seq[Long]): Long =
+      graft.functions.VectorOps.sortedOverlapCount(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+    assert(i(Seq(1L, 3L, 5L), Seq(3L, 5L, 7L)) == 2L)
+    assert(i(Seq.empty, Seq(1L)) == 0L)
+    assert(i(Seq(1L, 2L), Seq(1L, 2L)) == 2L)
     // negative vs positive ordering (signed long compare)
-    assert(DedupOps.sortedOverlap(Seq(-5L, 1L), Seq(-5L, 2L)) == (1, 3))
+    assert(i(Seq(-5L, 1L), Seq(-5L, 2L)) == 1L)
   }
 
   test("bpeSymbols: greedy left-to-right merge application in order") {

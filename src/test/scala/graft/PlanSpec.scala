@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.posexplode
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -146,24 +147,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d08 signature store: corpus side reads co-located, only the batch shuffles") {
-    // the incremental-ingest steady state: the stored corpus band table
-    // is bucketed by the probe key, so the ingest join must shuffle ONLY
-    // the new batch — exactly one Exchange in the plan, and the store
+    // the incremental-ingest steady state, pinned against d08's REAL
+    // writer and join (writeSignatureStore / storeIngestCandidates, the
+    // exact code d08_signature_store executes): the stored corpus band
+    // table is bucketed by the probe key, so the ingest join must
+    // shuffle ONLY the new batch — exactly one Exchange, and the store
     // scan must report its bucketing. A corpus-side Exchange here means
     // the layout stopped paying for itself at 100 TB.
     val sp = spark
     import sp.implicits._
     sp.sql("DROP TABLE IF EXISTS graft_sigstore_spec")
-    (0L until 100L).map(i => (i, (i % 4).toInt, (i % 7).toInt))
-      .toDF("doc_id", "band", "bucket")
-      .write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
-      .mode("overwrite").saveAsTable("graft_sigstore_spec")
+    val docs = graft.analytics.Tables.documents(sp, sf).select($"doc_id", $"text")
+    graft.dedup.DedupOps.writeSignatureStore(sp, docs, "graft_sigstore_spec")
     sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val newBands = (0L until 10L).map(i => (i + 1000L, (i % 4).toInt, (i % 7).toInt))
-        .toDF("id_b", "band", "bucket")
-      val j = sp.table("graft_sigstore_spec").withColumnRenamed("doc_id", "id_a")
-        .join(newBands, Seq("band", "bucket"))
+      val newBands = docs.filter($"doc_id" % 31 === 0)
+        .select(($"doc_id" + 300000L).as("id_b"),
+          posexplode(graft.dedup.DedupOps.minhashBandsU($"text"))
+            .as(Seq("band", "bucket")))
+      val j = graft.dedup.DedupOps.storeIngestCandidates(
+        sp, "graft_sigstore_spec", newBands)
       val plan = physical(j)
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges == 1, s"expected exactly 1 Exchange (batch side), got $exchanges:\n$plan")

@@ -253,6 +253,25 @@ object WarcQueries {
     * exactly `Rake.rankedKeywords`' deterministic tiebreak. Ranking runs
     * on the f32-cast score so both engines compare identical floats;
     * docs with no candidate phrases keep w02's ("", 0.0) defaults. */
+  /** w05 oracle: the corpus-level aggregation on the same RAKE CTEs —
+    * word freq/degree summed over EVERY doc's phrases (exactly what the
+    * typed Aggregator's reduce/merge accumulate), score =
+    * (deg + freq)/freq in double then cast f32, ranked top-20 by
+    * (f32 score DESC, word) — `CorpusRakeAgg.finish` + w05's ordering.
+    * This closes the last rows-only check that was SQL-expressible. */
+  lazy val w05Oracle: String = rakeCtes +
+    """,
+      |corpus_stats AS (
+      |  SELECT tok, COUNT(*) AS freq, SUM(sc_len - 1) AS deg
+      |  FROM (SELECT UNNEST(p.sc_toks) AS tok, p.sc_len
+      |        FROM phrases p WHERE p.sc_len > 0)
+      |  GROUP BY 1)
+      |SELECT tok AS word,
+      |  CAST((CAST(deg AS DOUBLE) + CAST(freq AS DOUBLE)) / CAST(freq AS DOUBLE)
+      |    AS REAL) AS score
+      |FROM corpus_stats
+      |ORDER BY score DESC, word LIMIT 20""".stripMargin
+
   lazy val w02Oracle: String = rakeCtes +
     """,
       |kw AS (
@@ -481,6 +500,7 @@ object WarcQueries {
     "w07_link_graph" -> w07Oracle,
     "w01_warc_pipeline" -> w01Oracle,
     "w02_rake_keywords" -> w02Oracle,
+    "w05_corpus_rake" -> w05Oracle,
     "w06_rake_scores" -> w06Oracle,
     "w03_blacklist_filter" -> w03Oracle,
     "w04_fallback_extract" -> w04Oracle,

@@ -421,22 +421,23 @@ object SimilarityOps {
     * a planted pair is only FOUND if both halves land in the same
     * cluster, so `n_planted_split` — planted pairs not found — is
     * reported instead of silently missed. Its causes are the quantizer
-    * separating the pair AND, for clusters over the bucket guard's cap,
-    * star-linking suppressing non-representative pairs (the guard logs
-    * that overflow when it happens; at the sf gates every cluster is
-    * far under the cap, so the pin's 6 splits are purely quantizer).
+    * separating the pair AND, for clusters over the cap, the star
+    * fallback suppressing non-representative pairs (at the sf gates
+    * every cluster is far under the cap, so the pin's 6 splits are
+    * purely quantizer).
     *
     * Training mirrors s04's deterministic fixed-point Lloyd (k seed
     * vectors by lowest id, 2 iterations, 2^-32-quantized component sums
     * so shuffle merge order can't flip an argmin): only k centroid rows
     * ever reach the driver; assignment is map-side over the broadcast
-    * codebook; the within-cluster pair join goes through
-    * `guardedBucketPairs` (cluster id = bucket), so a degenerate
-    * cluster star-links at O(N) instead of exploding quadratically.
-    * Cluster population is ~N/k, so at production scale k must grow
-    * with the corpus (k ≈ N/⟨target cluster size⟩ — it is a parameter
-    * for exactly that reason; SemDeDup itself prescribes corpus-scaled
-    * k) to keep clusters under the guard cap and the pairing exact.
+    * codebook; the within-cluster compare is CLUSTER-LOCAL (see the
+    * inline note) with the same cap contract as `guardedBucketPairs`
+    * — over the cap a cluster degrades to star-shaped rep comparison,
+    * O(N), never quadratic. Cluster population is ~N/k, so at
+    * production scale k must grow with the corpus (k ≈ N/⟨target
+    * cluster size⟩ — it is a parameter for exactly that reason;
+    * SemDeDup itself prescribes corpus-scaled k) to keep clusters
+    * under the cap and the pairing exact.
     * No SQL oracle (k-means is not SQL-expressible) — deterministic
     * end-to-end, pinned in DedupGuardSpec like s04/s05. */
   def s06_semantic_dedup(s: SparkSession, d: String): DataFrame =
@@ -473,15 +474,36 @@ object SimilarityOps {
     }
     graft.dedup.DedupOps.withCache(
         emb.withColumn("cid", assignU($"embedding"))) { assigned =>
-      val buckets = assigned.select($"vec_id".as("doc_id"), $"cid")
-      val cand = graft.dedup.DedupOps.guardedBucketPairs(buckets, Seq("cid"))
-      val vecs = assigned.select($"vec_id", $"embedding")
-      val pairs = cand
-        .join(vecs.select($"vec_id".as("id_a"), $"embedding".as("emb_a")), "id_a")
-        .join(vecs.select($"vec_id".as("id_b"), $"embedding".as("emb_b")), "id_b")
-        .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"emb_a", $"emb_b"))
-        .filter($"cos" >= 0.9)
-        .select($"id_a", $"id_b")
+      // CLUSTER-LOCAL pairwise compare: each cluster's members are
+      // gathered once (groupByKey shuffles the corpus embeddings
+      // exactly once ≈ corpus bytes) and compared inside the group —
+      // NOT a pair-list joined back to the vector table, which would
+      // shuffle an embedding payload per PAIR (≈ cap×corpus bytes
+      // worst-case; measured 1.6 GB at sf0.1 for 2.5 MB of vectors).
+      // Per-group memory is bounded by the same cap contract as
+      // guardedBucketPairs: clusters over `cap` compare members only
+      // against the min-id representative (star shape, O(N), connects
+      // the near-dup cluster through the rep) instead of all-pairs —
+      // and at production scale k grows with the corpus precisely so
+      // clusters stay under the cap.
+      val cap = 1000
+      val confirmed = assigned.select($"cid", $"vec_id", $"embedding")
+        .as[(Int, Long, Seq[Float])]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val ms = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+          if (ms.length <= cap)
+            for {
+              i <- ms.indices.iterator
+              j <- (i + 1) until ms.length
+              if cosine(ms(i)._2, ms(j)._2) >= 0.9
+            } yield (ms(i)._1, ms(j)._1)
+          else
+            (1 until ms.length).iterator
+              .filter(j => cosine(ms(0)._2, ms(j)._2) >= 0.9)
+              .map(j => (ms(0)._1, ms(j)._1))
+        }
+      val pairs = confirmed.toDF("id_a", "id_b")
       // id_a < id_b everywhere ⇒ every id_b has a smaller-id near-dup
       val dropped = pairs.select($"id_b".as("vec_id")).distinct()
       val sameCluster = pairs

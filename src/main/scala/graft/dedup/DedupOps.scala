@@ -302,11 +302,14 @@ object DedupOps {
     (hs.toSeq, bandKeys(hs))
   }
 
-  def d02_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+  def d02_minhash_lsh(s: SparkSession, d: String): DataFrame =
+    d02Impl(s, d, eager = true)
+
+  private[graft] def d02Impl(s: SparkSession, d: String, eager: Boolean): DataFrame = {
     import s.implicits._
     // the signature subtree feeds three consumers (buckets + both verify
     // joins) — cache so the UDF chain runs once, not per consumer
-    withCache(withNearDups(s, d).withColumn("sig", sigWithHashesU($"text"))) { docs =>
+    withCacheImpl(withNearDups(s, d).withColumn("sig", sigWithHashesU($"text")), eager) { docs =>
       val buckets = docs.select($"doc_id",
         posexplode($"sig._2").as(Seq("band", "bucket")))
       val cand = guardedBucketPairs(buckets, Seq("band", "bucket"))
@@ -328,14 +331,14 @@ object DedupOps {
       val iNative = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
       // scored feeds the sure and in-band branches — cache it (it is
       // candidate-set-sized) so the bucket self-join runs once, not twice
-      withCache(cand
+      withCacheImpl(cand
           .join(hsT.select($"doc_id".as("id_a"), $"hs".as("hs_a"))
             .hint("shuffle_hash"), "id_a")
           .join(hsT.select($"doc_id".as("id_b"), $"hs".as("hs_b"))
             .hint("shuffle_hash"), "id_b")
           .select($"id_a", $"id_b",
             (iNative * 9 - (size($"hs_a") + size($"hs_b")).cast("long") * 4)
-              .as("m"))) { scored =>
+              .as("m")), eager) { scored =>
         val sure = scored.filter($"m" > 18).select($"id_a", $"id_b")
         val texts = docs.select($"doc_id", $"text")
         val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }

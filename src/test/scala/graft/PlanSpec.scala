@@ -136,6 +136,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.conf.set("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
   }
 
+  test("d02/d04: verify margin runs the native overlap kernel in-plan") {
+    // the two-phase verify's phase 1 must stay on the codegen'd
+    // sorted_overlap_count expression — a refactor that reverts it to a
+    // boxed UDF (or drops phase 1 entirely) changes the 100 TB cost
+    // curve without failing any oracle, so pin the plan
+    for (df <- Seq(graft.dedup.DedupOps.d02Impl(spark, sf, eager = false),
+        graft.dedup.DedupOps.d04Impl(spark, sf, eager = false))) {
+      val plan = physical(df)
+      assert(plan.contains("sorted_overlap_count"),
+        s"native overlap kernel missing from verify plan:\n${plan.take(4000)}")
+    }
+  }
+
   test("sorted_overlap_count: native expression evaluates and type-checks") {
     val r = spark.sql(
       "SELECT sorted_overlap_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS i")

@@ -925,7 +925,55 @@ object DedupOps {
       |    AS dropped_id_sum
       |FROM dec""".stripMargin
 
+  /** d09: SKETCH-QUALITY audit — the d02-family twin of s03's LSH
+    * recall dial: at extreme scale the exact verify can be skipped
+    * entirely and pair similarity read off the signatures (Ĵ = matching
+    * minhash slots / 64, the unbiased MinHash estimator with
+    * std ≈ √(J(1−J)/64) ≈ 0.05); this query MEASURES that trade on the
+    * planted near-dup pairs, reporting the estimator's mean/max absolute
+    * error against the exact Jaccard. Seeded permutations make it
+    * deterministic (spec-pinned; the estimator itself is not
+    * SQL-expressible, so no oracle — rows-only at the gate). Map-side
+    * everything: signatures and exact sets come from one cached pass,
+    * pairs are formed by the id-shift join, one final aggregate. */
+  def d09_minhash_estimate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sketchU = udf { text: String =>
+      val hs = shingles(text).iterator.map(hash64).toArray.distinct
+      java.util.Arrays.sort(hs)
+      (hs.toSeq, minhashFromHashes(hs).toSeq)
+    }
+    withCache(withNearDups(s, d).withColumn("sk", sketchU($"text"))) { docs =>
+      val base = docs.filter($"doc_id" < Shift)
+        .select($"doc_id", $"sk._1".as("hs_a"), $"sk._2".as("sig_a"))
+      val copies = docs.filter($"doc_id" >= Shift)
+        .select(($"doc_id" - Shift).as("doc_id"),
+          $"sk._1".as("hs_b"), $"sk._2".as("sig_b"))
+      val matchU = udf { (a: Seq[Int], b: Seq[Int]) =>
+        var i = 0; var m = 0
+        while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
+        m
+      }
+      val iNat = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
+      base.join(copies, "doc_id")
+        .select($"doc_id",
+          (matchU($"sig_a", $"sig_b").cast("double") / 64.0).as("est_j"),
+          (iNat.cast("double") /
+            ((size($"hs_a") + size($"hs_b")).cast("double") - iNat.cast("double")))
+            .as("exact_j"))
+        .select(abs($"est_j" - $"exact_j").as("err"))
+        // 2^-32 fixed-point error sum: a double avg()'s partial-sum merge
+        // order is scheduling-dependent and would flake the spec pin in
+        // the last ulp (the s04/w08 determinism rule)
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(($"err" * 4294967296.0).cast("long")).cast("double") /
+            (count(lit(1)).cast("double") * 4294967296.0)).as("mean_abs_err"),
+          max($"err").as("max_abs_err"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_minhash_estimate" -> (d09_minhash_estimate _),
     "d01_exact_dedup" -> (d01_exact_dedup _),
     "d02_minhash_lsh" -> (d02_minhash_lsh _),
     "d03_simhash" -> (d03_simhash _),

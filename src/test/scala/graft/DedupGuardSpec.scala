@@ -119,6 +119,17 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(6) == 49523389L, s"dropped_id_sum=${row.getLong(6)}")
   }
 
+  test("d09 sketch-estimate pin at sf0.001: estimator error is deterministic") {
+    // seeded permutations + fixed-point error accumulation make the
+    // MinHash estimator audit a pure function of the corpus; the mean
+    // error ≈ the theoretical √(J(1−J)/64) ≈ 0.02 at the planted J≈0.97
+    val row = DedupOps.d09_minhash_estimate(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(row.getLong(0) == 500L, s"n_pairs=${row.getLong(0)}")
+    assert(row.getDouble(1) == 0.014358554759528488, s"mean=${row.getDouble(1)}")
+    assert(row.getDouble(2) == 0.10416666666666663, s"max=${row.getDouble(2)}")
+  }
+
   test("t11 BPE pin at sf0.001: merge sequence is deterministic") {
     // no SQL oracle by design (the merge recurrence isn't SQL); the
     // lexicographic tie-break makes the learned merges a pure function

@@ -9,6 +9,14 @@ object Dev {
     if (args.headOption.contains("warc-e2e")) { warcE2e(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("d04probe")) { d04probe(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("d02probe")) { d02probe(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("inventory")) {
+      println(s"[dev] queries=${SparkEntry.queries.size} oracles=${SparkEntry.oracleSql.size}")
+      println("[dev] no-oracle=" +
+        (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted.mkString(","))
+      println("[dev] orphan-oracles=" +
+        (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted.mkString(","))
+      spark.stop(); return
+    }
     if (args.headOption.contains("d03probe")) { d03probe(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("show")) {
       SparkEntry.queries(args(1))(spark, sfDir).show(50, false)

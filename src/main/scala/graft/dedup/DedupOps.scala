@@ -284,7 +284,9 @@ object DedupOps {
     }
   }
 
-  /** 32-band × 2-row MinHash band hashes (shared by d02 and d07). */
+  /** 32-band × 2-row MinHash band hashes from raw text (d07 and the
+    * d08 signature-store writer; d02 uses [[sigWithHashesU]], which also
+    * carries the hash array for its verify). */
   private[graft] val minhashBandsU = udf { text: String =>
     bandKeys(shingles(text).iterator.map(hash64).toArray)
   }

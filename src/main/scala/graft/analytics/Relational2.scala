@@ -154,7 +154,15 @@ object Relational2 {
       |      FROM documents)
       |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin
 
-  // q24: correlation/stddev from decimal-exact component sums.
+  // q24: correlation/stddev from decimal-exact component sums. The
+  // component sums exceed 2^53 in raw decimal scale (sum of price² at
+  // scale 10⁴), where the decimal→double CONVERSION itself rounds —
+  // and DuckDB's conversion (scaled-integer→double then descale) can
+  // land one ulp away from Spark's (one correctly-rounded BigDecimal
+  // conversion). Observed at sf0.001: corr differed in the final 2
+  // bits. The final statistics are therefore rounded to 12 decimals on
+  // BOTH engines — far above the ulp noise, far below any statistical
+  // meaning — keeping the compare exact-by-construction at every sf.
   def q24_exact_stats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val x = dec($"l_quantity")
@@ -166,10 +174,11 @@ object Relational2 {
         asDbl(sum(x * y)).as("sxy"),
         asDbl(sum(x * x)).as("sxx"), asDbl(sum(y * y)).as("syy"))
       .select($"l_returnflag",
-        (($"n" * $"sxy" - $"sx" * $"sy") /
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
           (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
-            sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"),
-        (sqrt(($"n" * $"sxx" - $"sx" * $"sx")) / $"n").as("stddev_pop_scaled"))
+            sqrt($"n" * $"syy" - $"sy" * $"sy")), 12).as("corr_qty_price"),
+        round(sqrt(($"n" * $"sxx" - $"sx" * $"sx")) / $"n", 12)
+          .as("stddev_pop_scaled"))
       .orderBy($"l_returnflag")
   }
 
@@ -184,8 +193,8 @@ object Relational2 {
       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
       |  FROM lineitem GROUP BY 1)
       |SELECT l_returnflag,
-      |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
-      |  sqrt(n * sxx - sx * sx) / n AS stddev_pop_scaled
+      |  ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr_qty_price,
+      |  ROUND(sqrt(n * sxx - sx * sx) / n, 12) AS stddev_pop_scaled
       |FROM a ORDER BY 1""".stripMargin
 
   // q25: discrete percentiles (actual data values — no interpolation).

@@ -29,20 +29,26 @@ object StreamingOps {
 
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // each shuffle partition carries an HDFS-backed state store whose
-    // per-batch checkpoint I/O dominates these small stateful queries;
-    // 8 stores is plenty for the testdata volumes (a production stream
-    // would size this to its key cardinality)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
     s.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Restore the session-wide shuffle parallelism after a streaming query
-    * fixed its own (streaming plans capture the value at start). */
-  private def restoreShufflePartitions(s: SparkSession): Unit =
-    s.conf.set("spark.sql.shuffle.partitions", graft.GraftSession.cpus)
+  /** Run `body` with streaming-sized shuffle parallelism, then restore the
+    * caller's ACTUAL prior value. Each shuffle partition carries an
+    * HDFS-backed state store whose per-batch checkpoint I/O dominates
+    * these small stateful queries; 8 stores is plenty for the testdata
+    * volumes (a production stream would size this to its key
+    * cardinality). Streaming plans capture the value at `start()`, so the
+    * override must span query construction through `awaitTermination`.
+    * The restore is save/restore, not a reset to the GraftSession
+    * default — the r4 shape clobbered any caller-set value in a shared
+    * session. */
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val prior = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prior)
+  }
 
   /** Materialize a memory-sink-backed result and DROP the sink table:
     * each st0x run registers a uniquely-named memory sink, so in a
@@ -60,7 +66,7 @@ object StreamingOps {
 
   /** st01: streaming tumbling-window aggregation with a watermark,
     * drained with AvailableNow into a memory sink. */
-  def st01_stream_window(s: SparkSession, d: String): DataFrame = {
+  def st01_stream_window(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
     val name = s"st01_sink_${System.nanoTime()}"
     val q = streamEvents(s, d)
       .withWatermark("ts", "1 hour")
@@ -73,7 +79,6 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    restoreShufflePartitions(s)
     drainSink(s, name, _.orderBy("hour", "event_type"))
   }
 
@@ -123,7 +128,7 @@ object StreamingOps {
     * (every event duplicated) then `dropDuplicates(event_id)`; counts
     * per type must equal the base table's. State-backed exact dedup is
     * the streaming twin of d01. */
-  def st03_stream_dedup(s: SparkSession, d: String): DataFrame = {
+  def st03_stream_dedup(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
     val name = s"st03_sink_${System.nanoTime()}"
     val ev = streamEvents(s, d)
     val q = ev.union(ev)
@@ -133,7 +138,6 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    restoreShufflePartitions(s)
     drainSink(s, name, _.orderBy("event_type"))
   }
 
@@ -145,7 +149,7 @@ object StreamingOps {
     * clicks within the preceding hour, both sides watermarked (the
     * time-range condition bounds the join state). Oracle = the batch
     * interval join. */
-  def st04_stream_stream_join(s: SparkSession, d: String): DataFrame = {
+  def st04_stream_stream_join(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
     val name = s"st04_sink_${System.nanoTime()}"
     val ev = streamEvents(s, d)
     val clicks = ev.filter(col("event_type") === "click")
@@ -166,7 +170,6 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    restoreShufflePartitions(s)
     drainSink(s, name, _.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("purchase_id")).as("n_purchases"))
@@ -257,7 +260,7 @@ object StreamingOps {
     * integer-exact in double, and the long sum is order-insensitive —
     * the same determinism rule as s04/w08; a double running sum would
     * depend on batch arrival order). */
-  def st06_running_totals(s: SparkSession, d: String): DataFrame = {
+  def st06_running_totals(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val name = s"st06_sink_${System.nanoTime()}"
@@ -274,7 +277,6 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    restoreShufflePartitions(s)
     // Update mode appends one row per (user, batch); the LAST update per
     // user is the running total — dedup by max n_events per user
     drainSink(s, name, t => t.groupBy($"user_id")
@@ -300,7 +302,7 @@ object StreamingOps {
     * with AvailableNow. New files landing in the directory would be
     * picked up by the next trigger; the oracle recomputes the per-host
     * rollup from `documents`. */
-  def st05_stream_warc_ingest(s: SparkSession, d: String): DataFrame = {
+  def st05_stream_warc_ingest(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     val warcDir = java.nio.file.Files.createTempDirectory("graft-st05")
     // temp-dir removal sits in a finally (r3 advisory: it leaked per
@@ -308,12 +310,27 @@ object StreamingOps {
     // drain time the result is checkpointed off the staged files. The
     // walk stream is closed explicitly — it holds directory handles.
     try {
-      graft.warc.WarcQueries.warcFiles(s, d).collect().zipWithIndex.foreach {
-        case ((_, bytes), i) =>
-          java.nio.file.Files.write(warcDir.resolve(f"crawl-$i%03d.warc"), bytes)
+      // Stage the containers from the EXECUTORS (foreachPartition through
+      // the Hadoop FS API — here the local file:// FS, on a cluster any
+      // shared scheme): the r4 shape collect()ed every WARC container to
+      // the driver and wrote them there — the one corpus-sized driver
+      // collect in the repo, a bottleneck at any real sf. File names are
+      // partition-deterministic and creates overwrite, so a task retry
+      // rewrites its own files idempotently.
+      val dirStr = warcDir.toString
+      graft.warc.WarcQueries.warcFiles(s, d).foreachPartition {
+        (it: Iterator[(String, Array[Byte])]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val conf = new org.apache.hadoop.conf.Configuration()
+          var i = 0
+          it.foreach { case (_, bytes) =>
+            val p = new org.apache.hadoop.fs.Path(dirStr, f"crawl-$pid%04d-$i%03d.warc")
+            val out = p.getFileSystem(conf).create(p, true)
+            try out.write(bytes) finally out.close()
+            i += 1
+          }
       }
       val name = s"st05_sink_${System.nanoTime()}"
-      s.conf.set("spark.sql.shuffle.partitions", "8")
       val files = s.readStream.format("binaryFile")
         .option("pathGlobFilter", "*.warc")
         .schema(StructType(Seq(
@@ -332,7 +349,6 @@ object StreamingOps {
         .writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      restoreShufflePartitions(s)
       drainSink(s, name, _.orderBy("hostname"))
     } finally {
       import scala.jdk.CollectionConverters._

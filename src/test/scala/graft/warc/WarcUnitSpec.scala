@@ -227,6 +227,42 @@ class WarcUnitSpec extends AnyFunSuite {
     check("x.y.ap-south-1.compute.amazonaws.com", "y.ap-south-1.compute.amazonaws.com")
   }
 
+  test("domainRoot passes the official IDN checkPublicSuffix vectors") {
+    // the IDN block of publicsuffix.org's test file, both forms — the
+    // Unicode hostnames match the Unicode-form rules directly; the
+    // punycoded ones must decode (java.net.IDN) for matching and return
+    // the root in the INPUT's punycode form, like the reference's PSL
+    // crate (/root/reference/src/main.rs:333-339). Suffix-only hostnames
+    // return unchanged (this engine's documented null-divergence).
+    def check(host: String, expected: String): Unit =
+      assert(UrlTools.domainRoot(host) == expected,
+        s"domainRoot($host) = ${UrlTools.domainRoot(host)}, want $expected")
+    // Unicode form
+    check("食狮.com.cn", "食狮.com.cn")
+    check("食狮.公司.cn", "食狮.公司.cn")
+    check("www.食狮.公司.cn", "食狮.公司.cn")
+    check("shishi.公司.cn", "shishi.公司.cn")
+    check("公司.cn", "公司.cn")
+    check("食狮.中国", "食狮.中国")
+    check("www.食狮.中国", "食狮.中国")
+    check("shishi.中国", "shishi.中国")
+    check("中国", "中国")
+    // same hostnames, punycoded
+    check("xn--85x722f.com.cn", "xn--85x722f.com.cn")
+    check("xn--85x722f.xn--55qx5d.cn", "xn--85x722f.xn--55qx5d.cn")
+    check("www.xn--85x722f.xn--55qx5d.cn", "xn--85x722f.xn--55qx5d.cn")
+    check("shishi.xn--55qx5d.cn", "shishi.xn--55qx5d.cn")
+    check("xn--55qx5d.cn", "xn--55qx5d.cn")
+    check("xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s")
+    check("www.xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s")
+    check("shishi.xn--fiqs8s", "shishi.xn--fiqs8s")
+    check("xn--fiqs8s", "xn--fiqs8s")
+    // mixed-form hostname: punycode label under a Unicode-rule ccTLD
+    check("sub.www.xn--85x722f.xn--55qx5d.cn", "xn--85x722f.xn--55qx5d.cn")
+    // malformed punycode degrades to literal matching, never throws
+    check("xn--this-is-not-punycode.example.com", "example.com")
+  }
+
   // ---- F2 blacklist ----
 
   test("blacklist matches hosts, urls, and substrings") {

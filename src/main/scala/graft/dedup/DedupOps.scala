@@ -747,22 +747,45 @@ object DedupOps {
   /** Shared setup of the incremental-ingest queries (d07/d08): the
     * planted new batch, the exact-digest admission layer, and its
     * survivors. */
+  /** The planted incoming batch shared by d07/d08/d10: exact copies of
+    * every 31st corpus doc (+300000) and last-token-dropped near-dups of
+    * every 37th (+400000). */
+  private def plantedBatch(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val droppedTok = array_join(slice(toks, lit(1), size(toks) - 1), " ")
+    docs.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"), droppedTok.as("text")))
+  }
+
+  /** Exact-digest admission layer shared by d07/d08/d10: split the batch
+    * into exact-duplicate ids and surviving (doc_id, text) rows against a
+    * corpus digest table (computed inline by d07/d08, read from the
+    * persisted store by d10 — where the `shuffle_hash` hints matter: at
+    * the 1 MiB broadcast threshold a small-sf digest table would
+    * otherwise BROADCAST, and a corpus-sized broadcast is exactly the
+    * shape the store layout exists to avoid; with the hint the bucketed
+    * store side reads co-located and only the batch shuffles). */
+  private def digestAdmission(newBatch: DataFrame, corpusDg: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val newDg = newBatch.select(col("doc_id"), col("text"),
+      md5(col("text")).as("dg"))
+    // corpusDg is distinct ⇒ inner join matches each new doc at most once
+    val exactIds = newDg.join(corpusDg.hint("shuffle_hash"), "dg")
+      .select(col("doc_id"))
+    val survivors = newDg.join(corpusDg.hint("shuffle_hash"), Seq("dg"), "left_anti")
+      .select(col("doc_id"), col("text"))
+    (exactIds, survivors)
+  }
+
   private[graft] def incrementalParts(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
-    val toks = split(trim($"text"), "\\s+")
-    val droppedTok = array_join(slice(toks, lit(1), size(toks) - 1), " ")
-    val newBatch = docs.filter($"doc_id" % 31 === 0)
-        .select(($"doc_id" + 300000L).as("doc_id"), $"text")
-      .unionByName(docs.filter($"doc_id" % 37 === 0)
-        .select(($"doc_id" + 400000L).as("doc_id"), droppedTok.as("text")))
+    val newBatch = plantedBatch(docs)
     val corpusDg = docs.select(md5($"text").as("dg")).distinct()
-    val newDg = newBatch.select($"doc_id", $"text", md5($"text").as("dg"))
-    // corpusDg is distinct ⇒ inner join matches each new doc at most once
-    val exactIds = newDg.join(corpusDg, "dg").select($"doc_id")
-    val survivors = newDg.join(corpusDg, Seq("dg"), "left_anti")
-      .select($"doc_id", $"text")
+    val (exactIds, survivors) = digestAdmission(newBatch, corpusDg)
     (docs, newBatch, exactIds, survivors)
   }
 
@@ -833,25 +856,49 @@ object DedupOps {
     * IDENTICAL to d07 — the store is a layout change, not a semantics
     * change; the store build itself is the one-off indexing job.
     * The exact-Jaccard verify runs on the candidates like d07's. */
-  /** One-off store-build of d08: the corpus band table, bucketed by the
-    * probe key. Shared with PlanSpec so the co-location pin runs against
-    * the REAL writer, not a replica. */
+  /** One-off store-build of d08/d10: the corpus band table, bucketed by
+    * the probe key, with per-bucket size and min-id representative
+    * PERSISTED alongside each row (`bkt_n`, `bkt_rep`) — the ingest-side
+    * guard reads them as data, so honoring the no-quadratic contract
+    * costs the probe nothing (the r4 store had no guard: a degenerate
+    * bucket yielded |store-bucket|×|batch-bucket| candidate rows). The
+    * sizing groupBy is one extra shuffle at BUILD time — the one-off
+    * indexing job, not the per-batch path. Shared with PlanSpec so the
+    * co-location pin runs against the REAL writer, not a replica. */
   private[graft] def writeSignatureStore(s: SparkSession, docs: DataFrame,
-      table: String): Unit =
-    docs.withColumn("bands", minhashBandsU(col("text")))
+      table: String): Unit = {
+    val bands = docs.withColumn("bands", minhashBandsU(col("text")))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val sizes = bands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("bkt_rep"))
+    bands.join(sizes, Seq("band", "bucket"))
       .write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
       .mode("overwrite").saveAsTable(table)
+  }
 
   /** Ingest-side candidate join against a stored signature table —
     * the plan PlanSpec pins: the store side must read co-located (its
     * bucketing matches the join key), so the only Exchange is the new
-    * batch's. Pair de-dup is the caller's. */
+    * batch's. Store buckets over `cap` are star-linked: only the
+    * persisted min-id representative joins the batch (same contract as
+    * [[guardedBucketPairs]] — a batch doc lands on the rep, O(batch)
+    * rows, instead of fanning out to every member of a degenerate
+    * bucket), and the suppressed members are observed in-flight on the
+    * rows already streaming through the store scan (zero extra jobs)
+    * and logged by the guard listener. Pair de-dup is the caller's. */
   private[graft] def storeIngestCandidates(s: SparkSession, table: String,
-      newBands: DataFrame): DataFrame =
-    s.table(table).withColumnRenamed("doc_id", "id_a")
+      newBands: DataFrame, cap: Int = 1000): DataFrame = {
+    ensureGuardListener(s)
+    s.table(table)
+      .observe(s"graft_bucket_guard_store_${guardObsId.incrementAndGet()}",
+        sum(when(col("bkt_n") > cap && col("doc_id") =!= col("bkt_rep"), 1L)
+          .otherwise(0L)).as("n_star_members"),
+        max(when(col("bkt_n") > cap, col("bkt_n"))).as("max_bucket"))
+      .filter(col("bkt_n") <= cap || col("doc_id") === col("bkt_rep"))
+      .withColumnRenamed("doc_id", "id_a")
       .join(newBands, Seq("band", "bucket"))
       .select(col("id_a"), col("id_b"))
+  }
 
   def d08_signature_store(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -874,6 +921,77 @@ object DedupOps {
       }
       admissionSummary(newBatch, exactIds, nearIds).localCheckpoint(true)
     } finally s.sql(s"DROP TABLE IF EXISTS $store")
+  }
+
+  /** d10 store registry: one (band table, digest table) pair per
+    * (application, corpus dir), built on first use and kept for the
+    * session — so repeated ingests (bench warm runs, production batch
+    * cadence) measure the STEADY STATE the store exists for. */
+  private val storeRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Build-once accessor for d10's persisted corpus index: the bucketed
+    * band table (see [[writeSignatureStore]]) plus a digest table
+    * bucketed by `dg` — so BOTH admission layers probe co-located. */
+  private[graft] def ensureIncrementalStore(s: SparkSession, d: String): (String, String) = {
+    val key = s.sparkContext.applicationId + ":" + d
+    storeRegistry.computeIfAbsent(key, _ => {
+      val suffix = (MurmurHash3.stringHash(key).toLong & 0xffffffffL).toString
+      val bandT = s"graft_d10_bands_$suffix"
+      val digT = s"graft_d10_digests_$suffix"
+      val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
+      writeSignatureStore(s, docs, bandT)
+      docs.select(md5(col("text")).as("dg")).distinct()
+        .write.bucketBy(16, "dg").sortBy("dg")
+        .mode("overwrite").saveAsTable(digT)
+      (bandT, digT)
+    })
+  }
+
+  /** d10: PRODUCTION incremental ingest — d07's semantics running
+    * end-to-end against d08's PERSISTED store, composed (the r4 verdict's
+    * top operator ask). The corpus is signed and digested ONCE
+    * ([[ensureIncrementalStore]], the one-off indexing job); every
+    * subsequent batch runs both admission layers as co-located probes of
+    * the bucketed store tables: exact-digest layer against the digest
+    * table, MinHash band layer against the band table (guarded, see
+    * [[storeIngestCandidates]]) — corpus text is touched only by the
+    * candidate-sized exact-Jaccard verify, and corpus signatures are
+    * NEVER recomputed (d07 re-signs corpus ∪ batch every run — its
+    * documented dominant cost; at 100 TB that difference is the whole
+    * point of maintaining an index). Candidates are cross-side by
+    * construction (store × batch). The admission decision is IDENTICAL
+    * to d07's — same oracle — because the store is layout, not
+    * semantics: band hashes and digests are pure functions of text.
+    * A production store would also absorb admitted survivors back into
+    * the index between batches; here each gate run ingests the same
+    * planted batch against the same corpus, which is exactly what makes
+    * the query deterministic and oracle-checkable. */
+  def d10_store_incremental(s: SparkSession, d: String): DataFrame =
+    d10Impl(s, d, eager = true)
+
+  private[graft] def d10Impl(s: SparkSession, d: String, eager: Boolean): DataFrame = {
+    import s.implicits._
+    val (bandT, digT) = ensureIncrementalStore(s, d)
+    val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
+    val newBatch = plantedBatch(docs)
+    val (exactIds, survivors) = digestAdmission(newBatch, s.table(digT))
+    val nearIds = withCacheImpl(
+        survivors.withColumn("bands", minhashBandsU($"text")), eager) { sv =>
+      val newBands = sv.select($"doc_id".as("id_b"),
+        posexplode($"bands").as(Seq("band", "bucket")))
+      val cand = storeIngestCandidates(s, bandT, newBands).distinct()
+      val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
+      cand
+        .join(docs.select($"doc_id".as("id_a"), $"text".as("text_a"))
+          .hint("shuffle_hash"), "id_a")
+        .join(sv.select($"doc_id".as("id_b"), $"text".as("text_b"))
+          .hint("shuffle_hash"), "id_b")
+        .filter(jacU($"text_a", $"text_b") >= 0.6)
+        .select($"id_b".as("doc_id")).distinct()
+    }
+    val out = admissionSummary(newBatch, exactIds, nearIds)
+    if (eager) out.localCheckpoint(true) else out
   }
 
   val d07Oracle: String =
@@ -990,6 +1108,7 @@ object DedupOps {
     "d06_dedup_clusters" -> (d06_dedup_clusters _),
     "d07_incremental_dedup" -> (d07_incremental_dedup _),
     "d08_signature_store" -> (d08_signature_store _),
+    "d10_store_incremental" -> (d10_store_incremental _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1000,7 +1119,9 @@ object DedupOps {
     "d06_dedup_clusters" -> d06Oracle,
     "d07_incremental_dedup" -> d07Oracle,
     // the signature store is a LAYOUT change, not a semantics change —
-    // d08 must produce d07's exact admission decision
+    // d08 and the composed store-backed ingest (d10) must produce d07's
+    // exact admission decision
     "d08_signature_store" -> d07Oracle,
+    "d10_store_incremental" -> d07Oracle,
   )
 }

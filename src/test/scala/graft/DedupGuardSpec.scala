@@ -119,6 +119,30 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(6) == 49523389L, s"dropped_id_sum=${row.getLong(6)}")
   }
 
+  test("signature-store ingest: flooded store bucket star-links to its persisted rep") {
+    // the d08/d10 twin of the bucket-pair guard (r4 advisory): the store
+    // persists per-bucket size + min-id rep at BUILD time, and an
+    // over-cap bucket contributes only its rep to the probe join — a
+    // batch doc landing on a degenerate bucket yields O(1) candidate
+    // rows, not |store bucket| (the no-quadratic contract at ingest)
+    val sp = spark
+    import sp.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0L until 120L).map(i => (i, text)).toDF("doc_id", "text")
+    sp.sql("DROP TABLE IF EXISTS graft_guard_store_spec")
+    DedupOps.writeSignatureStore(sp, docs, "graft_guard_store_spec")
+    try {
+      val newBands = Seq((900000L, text)).toDF("id_b", "text")
+        .select($"id_b", org.apache.spark.sql.functions.posexplode(
+          DedupOps.minhashBandsU($"text")).as(Seq("band", "bucket")))
+      val cand = DedupOps.storeIngestCandidates(
+          sp, "graft_guard_store_spec", newBands, cap = 50)
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // all 120 store docs share every bucket; only the min-id rep joins
+      assert(cand == Set((0L, 900000L)), s"got $cand")
+    } finally sp.sql("DROP TABLE IF EXISTS graft_guard_store_spec")
+  }
+
   test("s06 cluster-local compare: flooded cluster star-links, observed, exact below cap") {
     // the s06 twin of the LSH bucket-guard test (r4 advisory): an
     // over-cap cluster must degrade to O(N) star pairs through the

@@ -192,6 +192,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d10 composed ingest: store probes read co-located, corpus never re-signed") {
+    // the steady-state production shape the r4 verdict asked for: both
+    // admission layers of the composed ingest probe the PERSISTED store
+    // tables as bucketed (co-located) scans — digest layer and band
+    // layer — and the corpus is never re-signed: the signature/digest
+    // UDF work appears only on batch-derived scans (marked by the
+    // planted-batch %31/%37 pushdown filters), never on an unfiltered
+    // corpus scan (the corpus text scan that feeds the candidate-sized
+    // verify join carries no UDF)
+    val sp = spark
+    graft.dedup.DedupOps.ensureIncrementalStore(sp, sf)
+    val df = graft.dedup.DedupOps.d10Impl(sp, sf, eager = false)
+    val plan = physical(df)
+    assert("Bucketed: true".r.findAllIn(plan).length >= 3,
+      s"store probes lost their bucketing:\n${plan.take(4000)}")
+    val corpusScansWithUdf = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet") &&
+        l.contains("UDF(") && !l.contains("% 31") && !l.contains("% 37")).toSeq
+    assert(corpusScansWithUdf.isEmpty,
+      s"corpus re-signed at ingest time:\n${corpusScansWithUdf.mkString("\n")}")
+  }
+
   test("q32 range join: equi-join on (user, bucket) — no nested-loop plan") {
     // a raw inequality join would plan as BroadcastNestedLoopJoin (O(n·m)
     // + a whole-side broadcast); the bucketization must keep it an

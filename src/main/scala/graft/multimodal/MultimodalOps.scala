@@ -353,12 +353,24 @@ object MultimodalOps {
     * band — so at threshold 3 the banding is COMPLETE and the pair set
     * exactly matches the oracle's all-pairs recompute), bucket-join,
     * verify `bit_count(xor) ≤ 3` in codegen, and report each image's
-    * near-dup partner count. Gradient images make aHash groups genuinely
-    * degenerate (dozens of identical hashes — realistic for near-dup
-    * imagery), which is exactly what the oversized-bucket star-link
-    * guard is for: above `cap` the pair set becomes star-shaped (same
-    * documented contract as d02/d03 — exact-pair-set consumers keep
-    * buckets under cap; the sf0.01 gate corpus does). */
+    * near-dup partner count.
+    *
+    * Gradient images make aHash groups genuinely degenerate (THOUSANDS
+    * of identical hashes at sf0.1 — realistic for near-dup imagery), so
+    * pairing runs over identical-hash EQUIVALENCE CLASSES, not raw docs:
+    * distinct hashes band/bucket/pair (one row per class, keyed by the
+    * class's min doc_id for the guard), the hamming verify runs on class
+    * pairs, and per-doc counts EXPAND arithmetically afterwards —
+    * within-class partners = |class| − 1 (hamming 0), cross-class
+    * partners = Σ |matched class|. The r4 shape banded raw doc ids and
+    * hit the star-link cap at sf0.1 (largest bucket 2034 > cap 1000),
+    * silently-by-contract undercounting vs the all-pairs oracle; in
+    * class space that same flood is a handful of rows, the pair set is
+    * EXACT again at every gate sf, and the identical-image flood costs
+    * O(distinct hashes) instead of O(docs) forever after. The
+    * star-link guard still backstops a flood of DISTINCT hashes in one
+    * band bucket (exact-pair consumers keep distinct-hash buckets under
+    * cap — all gate SFs are far under). */
   def m04_image_neardup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hashes = Tables.documents(s, d)
@@ -367,24 +379,33 @@ object MultimodalOps {
       .mapPartitions { batch => batch.map(id => (id, aHash(encodePng(id)))) }
       .toDF("doc_id", "ahash")
     graft.dedup.DedupOps.withCache(hashes) { hs =>
-      val banded = hs.select($"doc_id",
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            ($"ahash".bitwiseAND(lit(0xffffL << (b * 16)))).as("bits"))): _*))
-          .as("bb"))
-        .select($"doc_id", $"bb.band", $"bb.bits")
-      val cand = graft.dedup.DedupOps.guardedBucketPairs(banded, Seq("band", "bits"))
-      val pairs = cand
-        .join(hs.select($"doc_id".as("id_a"), $"ahash".as("ha")), "id_a")
-        .join(hs.select($"doc_id".as("id_b"), $"ahash".as("hb")), "id_b")
-        .filter(bit_count($"ha".bitwiseXOR($"hb")) <= 3)
-      val perDoc = pairs.select($"id_a".as("doc_id"))
-        .unionByName(pairs.select($"id_b".as("doc_id")))
-        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      hs.join(perDoc, Seq("doc_id"), "left")
-        .select($"doc_id".as("media_id"), $"ahash",
-          coalesce($"n", lit(0L)).as("n_neardups"))
-        .orderBy($"media_id")
+      // identical-hash classes: one node per distinct ahash
+      val classes = hs.groupBy($"ahash")
+        .agg(count(lit(1)).as("cls_n"), min($"doc_id").as("cls_id"))
+      graft.dedup.DedupOps.withCache(classes) { cls =>
+        val banded = cls.select($"cls_id".as("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              ($"ahash".bitwiseAND(lit(0xffffL << (b * 16)))).as("bits"))): _*))
+            .as("bb"))
+          .select($"doc_id", $"bb.band", $"bb.bits")
+        val cand = graft.dedup.DedupOps.guardedBucketPairs(banded, Seq("band", "bits"))
+        val clsPairs = cand
+          .join(cls.select($"cls_id".as("id_a"), $"ahash".as("ha"),
+            $"cls_n".as("na")), "id_a")
+          .join(cls.select($"cls_id".as("id_b"), $"ahash".as("hb"),
+            $"cls_n".as("nb")), "id_b")
+          .filter(bit_count($"ha".bitwiseXOR($"hb")) <= 3)
+        // each member of class A gains |B| partners and vice versa
+        val crossPerClass = clsPairs.select($"ha".as("ahash"), $"nb".as("add"))
+          .unionByName(clsPairs.select($"hb".as("ahash"), $"na".as("add")))
+          .groupBy($"ahash").agg(sum($"add").as("cross_n"))
+        hs.join(cls.select($"ahash", $"cls_n"), "ahash")
+          .join(crossPerClass, Seq("ahash"), "left")
+          .select($"doc_id".as("media_id"), $"ahash",
+            ($"cls_n" - 1 + coalesce($"cross_n", lit(0L))).as("n_neardups"))
+          .orderBy($"media_id")
+      }
     }
   }
 

@@ -723,7 +723,110 @@ object TextOps {
     rows.orderBy($"rank")
   }
 
+  // ---- t12 sequence packing ----
+
+  /** t12: SEQUENCE PACKING — the last pipeline stage before training
+    * batches: pack quality-gated documents (≥ 30 ws tokens, the t07
+    * too_short rule) into fixed-length training sequences (L = 512
+    * tokens) by greedy first-fit in deterministic doc_id order,
+    * reporting per-group packing efficiency and boundary waste.
+    *
+    * Greedy packing is inherently sequential (each bin boundary depends
+    * on every prior document), so a single global greedy pass cannot
+    * be expressed as a window function NOR distributed without a
+    * serial scan. The scalable shape: packing restarts at fixed
+    * GROUP boundaries (`grp = doc_id div 64`) — groups are packed
+    * greedily and independently, one shuffle on grp, each task holding
+    * ≤ 64 (doc_id, count) pairs. The group size is the
+    * locality/parallelism dial: larger groups amortize boundary waste,
+    * smaller groups parallelize more; waste is REPORTED per group
+    * precisely so that trade is measurable. Deterministic by
+    * construction (fixed boundaries + in-group sort), so the outcome is
+    * a pure function of the corpus — unlike a partition-local greedy
+    * whose bins would depend on Spark's physical partitioning.
+    * A document longer than L gets a bin of its own (counted in
+    * `n_oversize`; a real tokenizer-aware pipeline would split it).
+    * All emitted columns are integers — no float thresholds to drift
+    * cross-engine. Oracle: the same greedy recurrence as a DuckDB
+    * recursive CTE (one row per group per step, all groups advance in
+    * parallel). */
+  /** Greedy first-fit packing of an IN-ORDER token-count sequence into
+    * bins of capacity `L`: returns (n_seqs, waste, n_oversize, total).
+    * Waste is Σ max(0, L − bin total) over all bins (an over-L
+    * single-doc bin wastes nothing — it overflows instead, counted in
+    * n_oversize). */
+  private[graft] def greedyPack(toks: Seq[Long], L: Long): (Long, Long, Long, Long) = {
+    var nSeqs = 0L; var binSum = 0L; var waste = 0L
+    var total = 0L; var oversize = 0L
+    toks.foreach { t =>
+      total += t
+      if (t > L) oversize += 1
+      if (nSeqs == 0L || binSum + t > L) {
+        if (nSeqs > 0L) waste += math.max(0L, L - binSum)
+        nSeqs += 1; binSum = t
+      } else binSum += t
+    }
+    if (nSeqs > 0L) waste += math.max(0L, L - binSum)
+    (nSeqs, waste, oversize, total)
+  }
+
+  def t12_sequence_pack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val L = 512L
+    Tables.documents(s, d)
+      .select(expr("doc_id div 64").as("grp"), $"doc_id",
+        size(whitespaceTokens($"text")).cast("long").as("tok"))
+      .filter($"tok" >= 30)
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (grp, it) =>
+        val ds = it.map { case (_, id, t) => (id, t) }.toArray.sortBy(_._1)
+        val (nSeqs, waste, oversize, total) =
+          greedyPack(ds.map(_._2).toSeq, L)
+        (grp, ds.length.toLong, total, nSeqs, nSeqs * L, waste, oversize)
+      }
+      .toDF("grp", "n_docs", "total_tokens", "n_seqs", "capacity",
+        "waste_tokens", "n_oversize")
+      .orderBy($"grp")
+  }
+
+  val t12Oracle: String =
+    raw"""WITH RECURSIVE d AS (
+      |  SELECT doc_id // 64 AS grp, doc_id,
+      |    CAST(len(${oracleToks("text")}) AS BIGINT) AS tok,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
+      |  FROM documents
+      |  WHERE len(${oracleToks("text")}) >= 30),
+      |step(grp, rn, bin_sum, n_seqs, waste) AS (
+      |  SELECT grp, rn, tok, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.grp, d.rn,
+      |    CASE WHEN s.bin_sum + d.tok > 512 THEN d.tok
+      |         ELSE s.bin_sum + d.tok END,
+      |    CASE WHEN s.bin_sum + d.tok > 512 THEN s.n_seqs + 1
+      |         ELSE s.n_seqs END,
+      |    CASE WHEN s.bin_sum + d.tok > 512
+      |         THEN s.waste + GREATEST(0, 512 - s.bin_sum)
+      |         ELSE s.waste END
+      |  FROM step s JOIN d ON d.grp = s.grp AND d.rn = s.rn + 1),
+      |fin AS (
+      |  SELECT grp, bin_sum, n_seqs, waste,
+      |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rn DESC) AS rk
+      |  FROM step),
+      |agg AS (
+      |  SELECT grp, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(CASE WHEN tok > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+      |  FROM d GROUP BY 1)
+      |SELECT a.grp, a.n_docs, a.total_tokens, f.n_seqs,
+      |  f.n_seqs * 512 AS capacity,
+      |  f.waste + GREATEST(0, 512 - f.bin_sum) AS waste_tokens,
+      |  a.n_oversize
+      |FROM agg a JOIN fin f ON f.grp = a.grp AND f.rk = 1
+      |ORDER BY a.grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_sequence_pack" -> (t12_sequence_pack _),
     "t11_bpe_vocab" -> (t11_bpe_vocab _),
     "t09_rare_tokens" -> (t09_rare_tokens _),
     "t10_bigram_novelty" -> (t10_bigram_novelty _),
@@ -738,6 +841,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t12_sequence_pack" -> t12Oracle,
     "t09_rare_tokens" -> t09Oracle,
     "t10_bigram_novelty" -> t10Oracle,
     "t08_tfidf" -> t08Oracle,

@@ -196,4 +196,18 @@ class OpsSpec extends AnyFunSuite {
     assert(sampled.map(_._1) == Seq(0, 4))
     assert(sampled.map(_._2) == Seq((7L + 0) % 256, (7L + 4) % 256))
   }
+
+  test("greedyPack: first-fit bins, boundary waste, oversize docs") {
+    import graft.text.TextOps.greedyPack
+    // (n_seqs, waste, n_oversize, total)
+    assert(greedyPack(Seq.empty, 10L) == (0L, 0L, 0L, 0L))
+    assert(greedyPack(Seq(10L), 10L) == (1L, 0L, 0L, 10L)) // exact fit
+    assert(greedyPack(Seq(4L, 4L, 4L), 10L) == (2L, 8L, 0L, 12L)) // 8+4 split
+    // greedy is order-sensitive: 6,5,4 → [6],[5,4] but 5,4,6 → [5,4],[6]
+    assert(greedyPack(Seq(6L, 5L, 4L), 10L) == (2L, 5L, 0L, 15L))
+    assert(greedyPack(Seq(5L, 4L, 6L), 10L) == (2L, 5L, 0L, 15L))
+    // an over-capacity doc overflows its own bin: no waste, counted
+    assert(greedyPack(Seq(25L), 10L) == (1L, 0L, 1L, 25L))
+    assert(greedyPack(Seq(3L, 25L, 3L), 10L) == (3L, 14L, 1L, 31L))
+  }
 }

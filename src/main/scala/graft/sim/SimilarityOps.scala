@@ -39,6 +39,48 @@ object SimilarityOps {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** [[cosine]] over primitive arrays — identical arithmetic (same loop,
+    * same double accumulation), no per-element boxing. `Seq[Float]`
+    * access goes through the generic `apply` and boxes every element;
+    * the s06 cluster compare runs millions of 64-d cosines per task, so
+    * hot paths convert each vector to `Array[Float]` ONCE (an unboxed
+    * arraycopy) and compare primitively. */
+  def cosineArr(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** One deterministic Lloyd update shared by s04/s06: map-side argmin
+    * assignment over the broadcast codebook, then per-cluster
+    * fixed-point mean via the [[CentroidSum]] typed Aggregator —
+    * ObjectHashAggregate partials ship one (64 longs, count) buffer per
+    * cluster per map partition, where the r4 formulation posexploded the
+    * corpus and shuffled corpus×64 (cid, pos, x) rows per iteration.
+    * Numerics are IDENTICAL (same 2^-32 quantization, long sums, same
+    * double→float rounding), so the s04/s06 determinism pins hold
+    * unchanged. Only k centroid rows reach the driver. */
+  private def lloydStep(emb: DataFrame,
+      cb: Array[(Int, Seq[Float])]): Array[(Int, Seq[Float])] = {
+    val cbArr = cb.map { case (cid, c) => (cid, c.toArray) }
+    val assignU = udf { v: Seq[Float] =>
+      val va = v.toArray
+      cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
+    }
+    val cAgg = udaf(new CentroidSum(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    emb.withColumn("cid", assignU(col("embedding")))
+      .groupBy(col("cid")).agg(cAgg(col("embedding")).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new Random(seed)
@@ -223,36 +265,16 @@ object SimilarityOps {
       .orderBy($"vec_id").collect()
       .map(r => (r.getLong(0).toInt,
         r.getSeq[Float](1)))
-    // Fixed-point component sums: double-sum merge order across shuffle
-    // partitions is scheduling-dependent, so a plain avg() can drift in
-    // the last ulp between runs and flip a near-tie argmin assignment —
-    // breaking the deterministic recall pin. Quantizing each component to
-    // 2^-32 and summing LONGS is order-insensitive and exact (|x| ≲ 4 ⇒
-    // headroom for ~2^29 vectors per (cid,pos) before overflow; beyond
-    // that, sum in decimal(38,0)).
-    val Scale = 4294967296.0 // 2^32
-    // two Lloyd iterations: argmin assignment (broadcast codebook,
-    // map-side) then element-wise mean per list (one shuffle each)
-    (1 to 2).foreach { _ =>
-      val cb = centroids
-      val assignU = udf { v: Seq[Float] =>
-        cb.minBy { case (cid, c) => (-cosine(v, c), cid) }._1
-      }
-      centroids = emb.withColumn("cid", assignU($"embedding"))
-        .select($"cid", posexplode($"embedding").as(Seq("pos", "x")))
-        .groupBy($"cid", $"pos")
-        .agg((sum(($"x".cast("double") * Scale).cast("long")).cast("double") /
-          (count(lit(1)).cast("double") * Scale)).as("x"))
-        .groupBy($"cid")
-        .agg(array_sort(collect_list(struct($"pos", $"x"))).as("px"))
-        .select($"cid", expr("transform(px, e -> CAST(e.x AS FLOAT))").as("c"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1)))
-        .sortBy(_._1)
-    }
+    // two Lloyd iterations via the shared fixed-point step (see
+    // [[lloydStep]]/[[CentroidSum]] for why a plain avg() would break
+    // the deterministic recall pin and why the aggregator replaces the
+    // r4 posexplode shuffle)
+    (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
     val cb = centroids
+    val cbArr = cb.map { case (cid, c) => (cid, c.toArray) }
     val assignU = udf { v: Seq[Float] =>
-      cb.minBy { case (cid, c) => (-cosine(v, c), cid) }._1
+      val va = v.toArray
+      cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
     }
     val probeU = udf { v: Seq[Float] =>
       cb.map { case (cid, c) => (cid, cosine(v, c)) }
@@ -447,32 +469,19 @@ object SimilarityOps {
 
   def s06_semantic_dedup(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
-    val emb = withNearDups(s, d)
-    val Scale = 4294967296.0 // 2^32 fixed-point quantum (see s04)
+    // the union subtree (read + perturb UDF) feeds two Lloyd passes, the
+    // final assignment, and the compare — persist it for the duration
+    val emb = withNearDups(s, d).persist()
     var centroids: Array[(Int, Seq[Float])] = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding").filter($"vec_id" < k)
       .orderBy($"vec_id").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-    (1 to 2).foreach { _ =>
-      val cb = centroids
-      val assignU = udf { v: Seq[Float] =>
-        cb.minBy { case (cid, c) => (-cosine(v, c), cid) }._1
-      }
-      centroids = emb.withColumn("cid", assignU($"embedding"))
-        .select($"cid", posexplode($"embedding").as(Seq("pos", "x")))
-        .groupBy($"cid", $"pos")
-        .agg((sum(($"x".cast("double") * Scale).cast("long")).cast("double") /
-          (count(lit(1)).cast("double") * Scale)).as("x"))
-        .groupBy($"cid")
-        .agg(array_sort(collect_list(struct($"pos", $"x"))).as("px"))
-        .select($"cid", expr("transform(px, e -> CAST(e.x AS FLOAT))").as("c"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1)))
-        .sortBy(_._1)
-    }
+    (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
     val cb = centroids
+    val cbArr = cb.map { case (cid, c) => (cid, c.toArray) }
     val assignU = udf { v: Seq[Float] =>
-      cb.minBy { case (cid, c) => (-cosine(v, c), cid) }._1
+      val va = v.toArray
+      cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
     }
     val overflow = s.sparkContext.longAccumulator("graft_s06_star_overflow")
     val out = graft.dedup.DedupOps.withCache(
@@ -495,6 +504,7 @@ object SimilarityOps {
           (expr("n_vectors div 2") - $"n_planted_found").as("n_planted_split"),
           $"dropped_id_sum")
     }
+    emb.unpersist(false) // withCache materialized out; drop the union cache
     // withCache materialized the result above, so the accumulator is
     // final — surface star-linked degradation instead of silently
     // narrowing pair coverage (the repo's no-silent-truncation rule;
@@ -537,21 +547,21 @@ object SimilarityOps {
       .sortWithinPartitions($"cid", $"vec_id")
       .mapPartitions { rows =>
         val b = rows.buffered
-        def processRun(run: Iterator[(Long, Seq[Float])]): Iterator[(Long, Long)] = {
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+        def processRun(run: Iterator[(Long, Array[Float])]): Iterator[(Long, Long)] = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
           while (run.hasNext && buf.length <= cap) buf += run.next()
           if (buf.length <= cap)
             // whole cluster fits: exact all-pairs (ids ascending ⇒ ordered)
             for {
               i <- buf.indices.iterator
               j <- (i + 1) until buf.length
-              if cosine(buf(i)._2, buf(j)._2) >= minCos
+              if cosineArr(buf(i)._2, buf(j)._2) >= minCos
             } yield (buf(i)._1, buf(j)._1)
           else {
             val rep = buf.head
             overflow.add(buf.length - 1)
             (buf.iterator.drop(1) ++ run.map { e => overflow.add(1); e })
-              .filter(m => cosine(rep._2, m._2) >= minCos)
+              .filter(m => cosineArr(rep._2, m._2) >= minCos)
               .map(m => (rep._1, m._1))
           }
         }
@@ -562,9 +572,9 @@ object SimilarityOps {
           def hasNext: Boolean = b.hasNext
           def next(): Iterator[(Long, Long)] = {
             val cid = b.head._1
-            processRun(new Iterator[(Long, Seq[Float])] {
+            processRun(new Iterator[(Long, Array[Float])] {
               def hasNext: Boolean = b.hasNext && b.head._1 == cid
-              def next(): (Long, Seq[Float]) = { val e = b.next(); (e._2, e._3) }
+              def next(): (Long, Array[Float]) = { val e = b.next(); (e._2, e._3.toArray) }
             })
           }
         }.flatten

@@ -36,3 +36,47 @@ class TopKCosine(k: Int)
   def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
   def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
+
+/** Per-cluster centroid accumulator for the deterministic Lloyd step
+  * (s04/s06): components quantized to 2^-32 and summed as LONGS — the
+  * same fixed-point device the explode/groupBy formulation used, so the
+  * result is bit-identical while the shuffle carries one (dim longs,
+  * count) buffer per cluster per map partition instead of corpus×dim
+  * exploded rows. Truncation (`.toLong`) and the final
+  * `sum / (n · 2^32) → float` rounding match the SQL casts they
+  * replace exactly; long sums are merge-order-insensitive, so shuffle
+  * scheduling cannot flip a near-tie argmin downstream (the s04
+  * determinism rule). Headroom: |x| ≲ 4 ⇒ ~2^29 vectors per cluster
+  * before overflow — beyond that, widen to decimal(38,0). */
+class CentroidSum(dim: Int)
+    extends Aggregator[Seq[Float], (Array[Long], Long), Seq[Float]] {
+
+  private val Scale = 4294967296.0 // 2^32
+
+  def zero: (Array[Long], Long) = (new Array[Long](dim), 0L)
+
+  def reduce(b: (Array[Long], Long), v: Seq[Float]): (Array[Long], Long) = {
+    val acc = b._1
+    var i = 0
+    val n = math.min(dim, v.length)
+    while (i < n) { acc(i) += (v(i).toDouble * Scale).toLong; i += 1 }
+    (acc, b._2 + 1L)
+  }
+
+  def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) = {
+    val acc = a._1
+    var i = 0
+    while (i < dim) { acc(i) += b._1(i); i += 1 }
+    (acc, a._2 + b._2)
+  }
+
+  def finish(b: (Array[Long], Long)): Seq[Float] =
+    if (b._2 == 0L) Seq.empty
+    else {
+      val n = b._2.toDouble
+      b._1.toSeq.map(l => (l.toDouble / (n * Scale)).toFloat)
+    }
+
+  def bufferEncoder: Encoder[(Array[Long], Long)] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[Float]] = ExpressionEncoder()
+}

@@ -284,12 +284,20 @@ object SimilarityOps {
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         explode(probeU($"embedding")).as("cid"))
-    val topk = udaf(new TopKCosine(5))
     val total = emb.count()
-    // the IVF join: each query meets only its nprobe inverted lists.
-    // Both the approx result and the exact baseline feed two consumers —
-    // cache them so the IVF join and the s01 cross-join run once each.
-    graft.dedup.DedupOps.withCache(listed.join(queries, Seq("cid"))
+    // the IVF join: each query meets only its nprobe inverted lists
+    annRecall(s, d, listed.join(queries, Seq("cid")), total)
+  }
+
+  /** Recall@5 + scan-fraction rollup shared by s04/s07 over the IVF
+    * candidate rows `(query_id, q_emb, vec_id, embedding)`. Both the
+    * approx result and the exact s01 baseline feed two consumers —
+    * cached so each computes once. */
+  private def annRecall(s: SparkSession, d: String, joined: DataFrame,
+      total: Long): DataFrame = {
+    import s.implicits._
+    val topk = udaf(new TopKCosine(5))
+    graft.dedup.DedupOps.withCache(joined
         .filter($"vec_id" =!= $"query_id")
         .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
         .groupBy($"query_id")
@@ -310,6 +318,100 @@ object SimilarityOps {
               (count(lit(1)) * total).cast("double")).as("scan_fraction"),
             count(lit(1)).as("n_queries"))
       }
+    }
+  }
+
+  /** s07 ANN index-store registry: one (inverted-list table, codebook)
+    * per (application, corpus dir) — the similarity twin of d10's
+    * signature store. Built once per session; every query run probes
+    * the PERSISTED index. */
+  private val annStoreRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[(Int, Seq[Float])])]()
+
+  /** Build-once accessor: trains the k=16 codebook (same deterministic
+    * Lloyd as s04) and writes the assigned corpus as an inverted-list
+    * table BUCKETED BY cid — one bucket per cluster, so a probe that
+    * names its clusters reads ONLY those buckets (bucket pruning: the
+    * scan's `SelectedBucketsCount` < total, PlanSpec-pinned). */
+  private[graft] def ensureAnnStore(s: SparkSession, d: String,
+      k: Int = 16): (String, Array[(Int, Seq[Float])]) = {
+    val key = s.sparkContext.applicationId + ":" + d
+    annStoreRegistry.computeIfAbsent(key, _ => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        .repartition(s.sparkContext.defaultParallelism)
+      var centroids: Array[(Int, Seq[Float])] = emb.filter($"vec_id" < k)
+        .orderBy($"vec_id").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+      (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
+      val cbArr = centroids.map { case (cid, c) => (cid, c.toArray) }
+      val assignU = udf { v: Seq[Float] =>
+        val va = v.toArray
+        cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
+      }
+      val tbl = "graft_s07_lists_" +
+        (scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+      emb.withColumn("cid", assignU($"embedding"))
+        .write.bucketBy(k, "cid").sortBy("cid")
+        .mode("overwrite").saveAsTable(tbl)
+      (tbl, centroids)
+    })
+  }
+
+  /** Run `body` with auto-bucketed-scan OFF (save/restore): the planner's
+    * heuristic drops bucketed reading when no join exploits the
+    * clustering — which also drops BUCKET PRUNING, the thing the s07
+    * probe is built on (a broadcast probe join never "exploits"
+    * partitioning, so the heuristic would re-read all k buckets). */
+  private[graft] def withBucketedScan[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prior)
+  }
+
+  /** The probe plan PlanSpec pins: inverted lists filtered to the named
+    * clusters (bucket-pruned scan — only nprobe of k buckets are READ;
+    * plan under [[withBucketedScan]]) joined to the broadcast query
+    * set. No Exchange anywhere: the store side is a pruned co-located
+    * scan, the query side is broadcast-sized by construction. */
+  private[graft] def storeProbe(s: SparkSession, tbl: String,
+      queries: DataFrame, probedCids: Seq[Int]): DataFrame =
+    s.table(tbl).filter(col("cid").isin(probedCids: _*))
+      .join(broadcast(queries), Seq("cid"))
+
+  /** s07: STORE-BACKED IVF ANN — s04's semantics composed with a
+    * persisted index, the d10 pattern applied to similarity search (the
+    * production ANN shape: index built offline, queries probe online).
+    * The codebook is trained and the corpus assigned ONCE
+    * ([[ensureAnnStore]]); each query run computes its nprobe clusters
+    * against the k-row codebook, collects the probed cluster ids (a
+    * ≤ k-value driver list — iteration-control-sized, not data), and
+    * scans ONLY those buckets of the store. Identical probe math to
+    * s04 ⇒ identical recall/scan-fraction output — the store is layout,
+    * not semantics (spec asserts s07 == s04 row-for-row); steady-state
+    * cost drops the per-run training entirely. No SQL oracle (ANN), so
+    * rows-only at the gate plus the equality pin. */
+  def s07_ann_store(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 6
+    val (tbl, cb) = ensureAnnStore(s, d)
+    val probeU = udf { v: Seq[Float] =>
+      cb.map { case (cid, c) => (cid, cosine(v, c)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    }
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        explode(probeU($"embedding")).as("cid"))
+      .localCheckpoint(true) // tiny (queries×nprobe); probed twice below
+    val probedCids = queries.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val total = emb.count()
+    // annRecall is eager (withCache checkpoints), so the bucketed-scan
+    // override covers the probe's actual execution
+    withBucketedScan(s) {
+      annRecall(s, d, storeProbe(s, tbl, queries, probedCids), total)
     }
   }
 
@@ -587,8 +689,9 @@ object SimilarityOps {
     "s01_ann_bruteforce" -> (s01_ann_bruteforce _),
     "s02_embedding_neardup" -> (s02_embedding_neardup _),
     "s03_ann_lsh_recall" -> (s03_ann_lsh_recall _),
-    "s04_ann_ivf" -> (s04_ann_ivf _),
+    "s04_ann_ivf" -> ((s: SparkSession, d: String) => s04_ann_ivf(s, d)),
     "s05_ann_pq" -> (s05_ann_pq _),
+    "s07_ann_store" -> (s07_ann_store _),
   )
 
   val oracle: Map[String, String] = Map(

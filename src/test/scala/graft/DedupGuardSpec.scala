@@ -143,6 +143,19 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.sql("DROP TABLE IF EXISTS graft_guard_store_spec")
   }
 
+  test("s07 store-backed ANN equals s04 row-for-row: the index is layout, not semantics") {
+    // same codebook training, same probe math, different execution
+    // (persisted bucketed inverted lists, bucket-pruned probe) — any
+    // divergence means the store changed semantics
+    val sf = "/root/testdata/sf0.001"
+    val a = graft.sim.SimilarityOps.s04_ann_ivf(spark, sf).collect()
+    val b = graft.sim.SimilarityOps.s07_ann_store(spark, sf).collect()
+    assert(a.length == 1 && b.length == 1)
+    assert(a(0).getDouble(0) == b(0).getDouble(0), "recall differs")
+    assert(a(0).getDouble(1) == b(0).getDouble(1), "scan_fraction differs")
+    assert(a(0).getLong(2) == b(0).getLong(2))
+  }
+
   test("s06 cluster-local compare: flooded cluster star-links, observed, exact below cap") {
     // the s06 twin of the LSH bucket-guard test (r4 advisory): an
     // over-cap cluster must degrade to O(N) star pairs through the

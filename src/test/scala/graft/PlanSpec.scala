@@ -214,6 +214,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus re-signed at ingest time:\n${corpusScansWithUdf.mkString("\n")}")
   }
 
+  test("s07 ANN store probe: bucket-pruned scan, no shuffle exchange") {
+    // the IVF-at-scale claim made concrete: the inverted-list table is
+    // bucketed by cid, so a probe naming its nprobe clusters READS only
+    // those buckets (SelectedBucketsCount < total) and joins the
+    // broadcast query set with no shuffle Exchange anywhere
+    val sp = spark
+    import sp.implicits._
+    val (tbl, cb) = graft.sim.SimilarityOps.ensureAnnStore(sp, sf)
+    // probe clusters for one query: a strict subset of the k buckets
+    val probed = Seq(0, 1, 2)
+    val q0 = sp.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" === 0).select($"vec_id".as("query_id"),
+        $"embedding".as("q_emb"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.lit(probed.toArray)).as("cid"))
+    graft.sim.SimilarityOps.withBucketedScan(sp) {
+      val df = graft.sim.SimilarityOps.storeProbe(sp, tbl, q0, probed)
+      val plan = physical(df)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"probe read every bucket:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("Exchange rangepartitioning"),
+        s"shuffle crept into the probe:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+
   test("q32 range join: equi-join on (user, bucket) — no nested-loop plan") {
     // a raw inequality join would plan as BroadcastNestedLoopJoin (O(n·m)
     // + a whole-side broadcast); the bucketization must keep it an

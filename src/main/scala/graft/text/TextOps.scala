@@ -407,7 +407,10 @@ object TextOps {
     * low_stopword (< 1.5% stopwords), high_punct (> 10% punct chars),
     * repetitive (> 10% duplicated 3-grams). Map-side except the 3-gram
     * count (one shuffle, same shape as t05). */
-  def t07_quality_gate(s: SparkSession, d: String): DataFrame = {
+  /** Shared gate-signal frame (t07/t13): per-doc integer counts every
+    * rule/feature derives from — token, stopword, punctuation, char, and
+    * 3-gram totals. Map-side except the 3-gram count (one shuffle). */
+  private def gateSignals(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = whitespaceTokens($"text")
     val base = Tables.documents(s, d)
@@ -426,11 +429,16 @@ object TextOps {
       .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_grams"), count(lit(1)).as("n_distinct"))
+    base.join(rep, "doc_id")
+  }
+
+  def t07_quality_gate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val tooShort = $"n_tok" < 30
     val lowStop = $"n_stop" * 1000 < $"n_tok" * 15
     val highPunct = $"n_punct" * 10 > $"n_chars_m"
     val repetitive = ($"n_grams" - $"n_distinct") * 10 > $"n_grams"
-    base.join(rep, "doc_id")
+    gateSignals(s, d)
       .select($"doc_id",
         (!tooShort && !lowStop && !highPunct && !repetitive).as("keep"),
         concat_ws(",",
@@ -825,7 +833,87 @@ object TextOps {
       |FROM agg a JOIN fin f ON f.grp = a.grp AND f.rk = 1
       |ORDER BY a.grp""".stripMargin
 
+  // ---- t13 model-based quality scoring ----
+
+  /** t13: MODEL-BASED quality filtering — the classifier stage real
+    * curation pipelines run after rule gates (a fastText/logreg model
+    * scoring every document): logistic regression over the t07 gate
+    * signals, trained with 10 batch-gradient-descent iterations against
+    * the rule gate's own keep/drop verdict, then scored corpus-wide and
+    * compared back to the labels (confusion counts).
+    *
+    * Deterministic by the repo's iterative-algorithm discipline
+    * (d06/w08/t11): per-doc probabilities use `StrictMath.exp`
+    * (bit-identical on every JVM), each doc's gradient contribution is
+    * quantized to 2^-32 and summed as LONGS (shuffle-merge-order-proof),
+    * and the driver holds only the 5 weights — each iteration is one
+    * map-side pass over the cached feature frame ending in a 5-long
+    * aggregate (iteration control, not data movement; the feature frame
+    * is computed once). At 100 TB the shape is unchanged: training cost
+    * is iterations × one scan, scoring is a single map-side pass. Not
+    * SQL-expressible (the GD recurrence + exp) → rows-only at the gate
+    * plus a golden pin in DedupGuardSpec. */
+  def t13_quality_model(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Scale = 4294967296.0 // 2^32 fixed-point quantum (s04/w08 rule)
+    val lr = 0.5
+    val feats = gateSignals(s, d).select($"doc_id",
+      // O(1)-scaled features, integer-exact guards for empty docs; f1 is
+      // CENTERED on the too_short boundary (30 tokens) so the dominant
+      // rule is linearly separable through the origin
+      (($"n_tok" - 30).cast("double") / 30.0).as("f1"),
+      when($"n_tok" === 0, 0.0)
+        .otherwise($"n_stop".cast("double") / $"n_tok".cast("double")).as("f2"),
+      when($"n_chars_m" === 0, 0.0)
+        .otherwise($"n_punct".cast("double") / $"n_chars_m".cast("double")).as("f3"),
+      (($"n_grams" - $"n_distinct").cast("double") / $"n_grams".cast("double"))
+        .as("f4"),
+      when($"n_tok" >= 30 && !($"n_stop" * 1000 < $"n_tok" * 15) &&
+        !($"n_punct" * 10 > $"n_chars_m") &&
+        !(($"n_grams" - $"n_distinct") * 10 > $"n_grams"), 1.0)
+        .otherwise(0.0).as("y"))
+    graft.dedup.DedupOps.withCache(feats) { f =>
+      var w = Array.fill(5)(0.0)
+      (1 to 30).foreach { _ =>
+        val wv = w
+        val pU = udf { (f1: Double, f2: Double, f3: Double, f4: Double) =>
+          val z = wv(0) + wv(1) * f1 + wv(2) * f2 + wv(3) * f3 + wv(4) * f4
+          1.0 / (1.0 + StrictMath.exp(-z))
+        }
+        val r = f.withColumn("e", pU($"f1", $"f2", $"f3", $"f4") - $"y")
+          .agg(
+            sum(($"e" * Scale).cast("long")).as("g0"),
+            sum(($"e" * $"f1" * Scale).cast("long")).as("g1"),
+            sum(($"e" * $"f2" * Scale).cast("long")).as("g2"),
+            sum(($"e" * $"f3" * Scale).cast("long")).as("g3"),
+            sum(($"e" * $"f4" * Scale).cast("long")).as("g4"),
+            count(lit(1)).as("n"))
+          .head()
+        val n = r.getLong(5).toDouble
+        w = w.zipWithIndex.map { case (wi, i) =>
+          wi - lr * (r.getLong(i).toDouble / (n * Scale))
+        }
+      }
+      val wv = w
+      val pU = udf { (f1: Double, f2: Double, f3: Double, f4: Double) =>
+        val z = wv(0) + wv(1) * f1 + wv(2) * f2 + wv(3) * f3 + wv(4) * f4
+        1.0 / (1.0 + StrictMath.exp(-z))
+      }
+      f.withColumn("p", pU($"f1", $"f2", $"f3", $"f4"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"y" === 1.0, 1L).otherwise(0L)).as("n_keep"),
+          sum(when($"p" >= 0.5 && $"y" === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when($"p" >= 0.5 && $"y" === 0.0, 1L).otherwise(0L)).as("fp"),
+          sum(when($"p" < 0.5 && $"y" === 0.0, 1L).otherwise(0L)).as("tn"),
+          sum(when($"p" < 0.5 && $"y" === 1.0, 1L).otherwise(0L)).as("fn"))
+        .select($"n_docs", $"n_keep", $"tp", $"fp", $"tn", $"fn",
+          lit(wv(0)).as("w0"), lit(wv(1)).as("w1"), lit(wv(2)).as("w2"),
+          lit(wv(3)).as("w3"), lit(wv(4)).as("w4"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_quality_model" -> (t13_quality_model _),
     "t12_sequence_pack" -> (t12_sequence_pack _),
     "t11_bpe_vocab" -> (t11_bpe_vocab _),
     "t09_rare_tokens" -> (t09_rare_tokens _),

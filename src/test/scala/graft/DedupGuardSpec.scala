@@ -195,6 +195,26 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(2) == 0.10416666666666663, s"max=${row.getDouble(2)}")
   }
 
+  test("t13 quality-model pin at sf0.001: fixed-point GD training is deterministic") {
+    // no SQL oracle by design (GD recurrence + exp); StrictMath.exp +
+    // 2^-32-quantized long gradient sums make the trained weights a pure
+    // function of the corpus. The model must BEAT the all-keep baseline
+    // (383/500 = 76.6%): pinned confusion is 93.8% accurate, driven by
+    // the centered token-length feature (w1). w3 is exactly 0 because
+    // the synthetic corpus contains no punctuation — the feature is
+    // dead data here, not a wiring bug (asserted so a corpus change
+    // that starts exercising it shows up).
+    val r = graft.text.TextOps.t13_quality_model(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((500L, 383L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((383L, 31L, 86L, 0L)), s"confusion=${r.toSeq}")
+    assert(r.getDouble(6) == 0.2785496985141652, s"w0=${r.getDouble(6)}")
+    assert(r.getDouble(7) == 2.0306849465363195, s"w1=${r.getDouble(7)}")
+    assert(r.getDouble(10) == 3.8843016210012113e-4, s"w4=${r.getDouble(10)}")
+    assert(r.getDouble(9) == 0.0) // dead punct feature on this corpus
+  }
+
   test("t11 BPE pin at sf0.001: merge sequence is deterministic") {
     // no SQL oracle by design (the merge recurrence isn't SQL); the
     // lexicographic tie-break makes the learned merges a pure function

@@ -71,19 +71,25 @@ object Bench {
       // warm are still reported separately so plan regressions remain
       // separable from load noise without re-running.
       val loadBefore = loadAvg
-      def once(): Option[Double] = {
+      // each RUN samples load at its own start: the up-to-2 extra runs
+      // can execute minutes after cold/warm under different interference,
+      // and a per-QUERY sample couldn't attribute which runs were
+      // poisoned (r5 advisory: s02's four runs spanned 8.7–47.2 s under
+      // one shared load number)
+      def once(): (Option[Double], Double) = {
+        val load = loadAvg
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         spark.catalog.clearCache() // release per-query persists
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        (if (ok) Some((System.nanoTime() - t0) / 1e9) else None, load)
       }
       val cold = once()
       val warm = once()
       val runs = scala.collection.mutable.ArrayBuffer(cold, warm)
-      def best = runs.flatten.minOption
+      def best = runs.map(_._1).flatten.minOption
       def suspect: Boolean = best.exists { b =>
-        val disagree = (cold, warm) match {
+        val disagree = (cold._1, warm._1) match {
           case (Some(c), Some(w)) => math.max(c, w) > 3 * math.min(c, w)
           case _ => true // a failed run among successes is itself suspect
         }
@@ -104,7 +110,8 @@ object Bench {
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, rs, lb, _) =>
       val names = Seq("cold", "warm", "extra1", "extra2")
-      val fields = rs.zip(names).map { case (t, n) => s"\"$n\":${num(t)}" } :+
+      val fields = rs.zip(names).flatMap { case ((t, ld), n) =>
+        Seq(s"\"$n\":${num(t)}", s"\"${n}_load\":${r3(ld)}") } :+
         s"\"load_before\":${r3(lb)}"
       s"\"" + k + "\":" + fields.mkString("{", ",", "}")
     }.mkString("{", ",", "}")

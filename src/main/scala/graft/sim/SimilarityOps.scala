@@ -566,10 +566,32 @@ object SimilarityOps {
     * under the cap and the pairing exact.
     * No SQL oracle (k-means is not SQL-expressible) — deterministic
     * end-to-end, pinned in DedupGuardSpec like s04/s05. */
-  def s06_semantic_dedup(s: SparkSession, d: String): DataFrame =
-    s06_semantic_dedup(s, d, k = 16)
+  def s06_semantic_dedup(s: SparkSession, d: String): DataFrame = {
+    // corpus-scaled k (SemDeDup's own prescription; r5 verdict): clusters
+    // average n/k members, so a FIXED k at 100× corpus puts every cluster
+    // over the 1000-member cap and the whole compare degrades to star
+    // pairs. One metadata-cheap count (parquet row-group stats) sizes k;
+    // ×2 accounts for the planted-copy union. At the test SFs (≤4000
+    // union vectors) this resolves to the historical k=16, so the
+    // deterministic pins are untouched; at sf1+ it grows.
+    val n = 2L * Tables.embeddings(s, d).count()
+    s06_semantic_dedup(s, d, adaptiveK(n))
+  }
 
-  def s06_semantic_dedup(s: SparkSession, d: String, k: Int): DataFrame = {
+  /** k for [[s06_semantic_dedup]]: target ~500-member clusters (half the
+    * 1000-member compare cap, headroom for skew above the mean). */
+  private[graft] def adaptiveK(n: Long): Int =
+    math.max(16L, n / 500L).min(Int.MaxValue).toInt
+
+  def s06_semantic_dedup(s: SparkSession, d: String, k: Int): DataFrame =
+    s06Impl(s, d, k,
+      s.sparkContext.longAccumulator("graft_s06_star_overflow"))
+
+  /** [[s06_semantic_dedup]] with a caller-supplied overflow accumulator —
+    * lets the flooded-corpus spec OBSERVE star-fallback degradation (the
+    * thing [[adaptiveK]] exists to prevent) instead of grepping logs. */
+  private[graft] def s06Impl(s: SparkSession, d: String, k: Int,
+      overflow: org.apache.spark.util.LongAccumulator): DataFrame = {
     import s.implicits._
     // the union subtree (read + perturb UDF) feeds two Lloyd passes, the
     // final assignment, and the compare — persist it for the duration
@@ -585,7 +607,6 @@ object SimilarityOps {
       val va = v.toArray
       cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
     }
-    val overflow = s.sparkContext.longAccumulator("graft_s06_star_overflow")
     val out = graft.dedup.DedupOps.withCache(
         emb.withColumn("cid", assignU($"embedding"))) { assigned =>
       val pairs = clusterLocalPairs(assigned, cap = 1000, minCos = 0.9, overflow)

@@ -184,6 +184,49 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(acc.value == 249L, s"overflow=${acc.value}")
   }
 
+  test("s06 adaptive k: corpus-scaled k keeps clusters under the cap where k=16 overflows") {
+    // r5 verdict: at 100× corpus a FIXED k=16 puts every cluster over the
+    // 1000-member compare cap (mean membership n/16 > cap ⇒ pigeonhole
+    // guarantees overflow) and the whole compare degrades to star pairs.
+    // 10k deterministic base vectors (20k after the planted union) drive
+    // the default entry's adaptiveK to 40 ⇒ ~500-member clusters, exact
+    // all-pairs everywhere; the same corpus forced to k=16 must trip the
+    // overflow accumulator.
+    assert(graft.sim.SimilarityOps.adaptiveK(4000L) == 16)   // test SFs: unchanged
+    assert(graft.sim.SimilarityOps.adaptiveK(20000L) == 40)
+    assert(graft.sim.SimilarityOps.adaptiveK(2000000L) == 4000)
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(0xf100dL)
+    val rows = (0L until 10000L).map { i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-s06-flood")
+    try {
+      rows.toDF("vec_id", "embedding").repartition(4)
+        .write.parquet(s"$dir/embeddings.parquet")
+      val kFixed = 16
+      val accFixed = sp.sparkContext.longAccumulator("s06_flood_fixed")
+      graft.sim.SimilarityOps.s06Impl(sp, dir.toString, kFixed, accFixed).collect()
+      assert(accFixed.value > 0L,
+        s"k=16 on a 20k-vector union must overflow the cap (got ${accFixed.value})")
+      val kAdaptive = graft.sim.SimilarityOps.adaptiveK(2L * 10000L)
+      val accAdaptive = sp.sparkContext.longAccumulator("s06_flood_adaptive")
+      val row = graft.sim.SimilarityOps
+        .s06Impl(sp, dir.toString, kAdaptive, accAdaptive).collect()(0)
+      assert(accAdaptive.value == 0L,
+        s"adaptive k=$kAdaptive must keep every cluster under the cap " +
+          s"(star-linked ${accAdaptive.value})")
+      assert(row.getLong(0) == 20000L, s"n_vectors=${row.getLong(0)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   test("d09 sketch-estimate pin at sf0.001: estimator error is deterministic") {
     // seeded permutations + fixed-point error accumulation make the
     // MinHash estimator audit a pure function of the corpus; the mean

@@ -852,12 +852,25 @@ object TextOps {
     * is computed once). At 100 TB the shape is unchanged: training cost
     * is iterations × one scan, scoring is a single map-side pass. Not
     * SQL-expressible (the GD recurrence + exp) → rows-only at the gate
-    * plus a golden pin in DedupGuardSpec. */
+    * plus a golden pin in DedupGuardSpec.
+    *
+    * Evaluation is HELD OUT (r5 verdict): docs are split by q30's
+    * deterministic content-hash rule (first 16 bits of md5(text) mod 10:
+    * 8 train / 1 valid / 1 test), GD sees ONLY the train split, and the
+    * confusion matrix is computed ONLY on the valid split — so the
+    * reported accuracy measures generalization to unseen documents, not
+    * memorization of the training rows. The split is content-hashed, so
+    * the same doc lands in the same split on every engine and run. */
   def t13_quality_model(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val Scale = 4294967296.0 // 2^32 fixed-point quantum (s04/w08 rule)
     val lr = 0.5
-    val feats = gateSignals(s, d).select($"doc_id",
+    // q30's split rule verbatim — one map-side column, joined on doc_id
+    val split = Tables.documents(s, d).select($"doc_id",
+      (conv(substring(md5($"text"), 1, 4), 16, 10).cast("long") % 10)
+        .as("bucket"))
+    val feats = gateSignals(s, d).join(split, "doc_id").select($"doc_id",
+      $"bucket",
       // O(1)-scaled features, integer-exact guards for empty docs; f1 is
       // CENTERED on the too_short boundary (30 tokens) so the dominant
       // rule is linearly separable through the origin
@@ -873,6 +886,8 @@ object TextOps {
         !(($"n_grams" - $"n_distinct") * 10 > $"n_grams"), 1.0)
         .otherwise(0.0).as("y"))
     graft.dedup.DedupOps.withCache(feats) { f =>
+      val train = f.filter($"bucket" < 8)
+      val valid = f.filter($"bucket" === 8)
       var w = Array.fill(5)(0.0)
       (1 to 30).foreach { _ =>
         val wv = w
@@ -880,7 +895,7 @@ object TextOps {
           val z = wv(0) + wv(1) * f1 + wv(2) * f2 + wv(3) * f3 + wv(4) * f4
           1.0 / (1.0 + StrictMath.exp(-z))
         }
-        val r = f.withColumn("e", pU($"f1", $"f2", $"f3", $"f4") - $"y")
+        val r = train.withColumn("e", pU($"f1", $"f2", $"f3", $"f4") - $"y")
           .agg(
             sum(($"e" * Scale).cast("long")).as("g0"),
             sum(($"e" * $"f1" * Scale).cast("long")).as("g1"),
@@ -899,14 +914,17 @@ object TextOps {
         val z = wv(0) + wv(1) * f1 + wv(2) * f2 + wv(3) * f3 + wv(4) * f4
         1.0 / (1.0 + StrictMath.exp(-z))
       }
-      f.withColumn("p", pU($"f1", $"f2", $"f3", $"f4"))
-        .agg(count(lit(1)).as("n_docs"),
+      // scored output = VALID split only: no train row contributes to the
+      // reported confusion (train count rides along for the split audit)
+      valid.withColumn("p", pU($"f1", $"f2", $"f3", $"f4"))
+        .agg(count(lit(1)).as("n_valid"),
           sum(when($"y" === 1.0, 1L).otherwise(0L)).as("n_keep"),
           sum(when($"p" >= 0.5 && $"y" === 1.0, 1L).otherwise(0L)).as("tp"),
           sum(when($"p" >= 0.5 && $"y" === 0.0, 1L).otherwise(0L)).as("fp"),
           sum(when($"p" < 0.5 && $"y" === 0.0, 1L).otherwise(0L)).as("tn"),
           sum(when($"p" < 0.5 && $"y" === 1.0, 1L).otherwise(0L)).as("fn"))
-        .select($"n_docs", $"n_keep", $"tp", $"fp", $"tn", $"fn",
+        .crossJoin(train.agg(count(lit(1)).as("n_train")))
+        .select($"n_train", $"n_valid", $"n_keep", $"tp", $"fp", $"tn", $"fn",
           lit(wv(0)).as("w0"), lit(wv(1)).as("w1"), lit(wv(2)).as("w2"),
           lit(wv(3)).as("w3"), lit(wv(4)).as("w4"))
     }

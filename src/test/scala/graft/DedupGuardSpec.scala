@@ -59,12 +59,12 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d03 golden pin at sf0.001: banding + hamming verify is deterministic") {
-    // no SQL oracle exists for simhash by design; this pins the exact
-    // confirmed/planted counts so any change to the signature, banding
-    // or verification semantics must re-justify itself here
+    // d03 is oracle-checked at the gate since the md5-derived shingle
+    // hash (r5 stretch item); this pin keeps the sf0.001 counts fixed so
+    // a signature/banding/verify change shows up even in spec-only runs
     val row = DedupOps.d03_simhash(spark, "/root/testdata/sf0.001").collect()(0)
-    assert(row.getLong(0) == 474L, s"n_confirmed=${row.getLong(0)}")
-    assert(row.getLong(1) == 379L, s"n_planted_found=${row.getLong(1)}")
+    assert(row.getLong(0) == 478L, s"n_confirmed=${row.getLong(0)}")
+    assert(row.getLong(1) == 386L, s"n_planted_found=${row.getLong(1)}")
   }
 
   test("s03 LSH recall pin at sf0.001: seeded hyperplanes are deterministic") {
@@ -241,21 +241,27 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("t13 quality-model pin at sf0.001: fixed-point GD training is deterministic") {
     // no SQL oracle by design (GD recurrence + exp); StrictMath.exp +
     // 2^-32-quantized long gradient sums make the trained weights a pure
-    // function of the corpus. The model must BEAT the all-keep baseline
-    // (383/500 = 76.6%): pinned confusion is 93.8% accurate, driven by
-    // the centered token-length feature (w1). w3 is exactly 0 because
-    // the synthetic corpus contains no punctuation — the feature is
-    // dead data here, not a wiring bug (asserted so a corpus change
+    // function of the corpus — and the content-hash split makes the
+    // train/valid partition one too (397 train / 57 valid / 46 test of
+    // 500). Evaluation is HELD OUT (r5 verdict): GD sees only the train
+    // split, the confusion only the valid split, so the pinned 51/57 =
+    // 89.5% accuracy measures generalization to unseen docs and must
+    // beat the all-keep valid baseline (38/57 = 66.7%). w3 is exactly 0
+    // because the synthetic corpus contains no punctuation — the feature
+    // is dead data here, not a wiring bug (asserted so a corpus change
     // that starts exercising it shows up).
     val r = graft.text.TextOps.t13_quality_model(spark, "/root/testdata/sf0.001")
       .collect()(0)
-    assert((r.getLong(0), r.getLong(1)) == ((500L, 383L)))
-    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
-      ((383L, 31L, 86L, 0L)), s"confusion=${r.toSeq}")
-    assert(r.getDouble(6) == 0.2785496985141652, s"w0=${r.getDouble(6)}")
-    assert(r.getDouble(7) == 2.0306849465363195, s"w1=${r.getDouble(7)}")
-    assert(r.getDouble(10) == 3.8843016210012113e-4, s"w4=${r.getDouble(10)}")
-    assert(r.getDouble(9) == 0.0) // dead punct feature on this corpus
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((397L, 57L, 38L)),
+      s"split=${r.toSeq}")
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((38L, 6L, 13L, 0L)), s"confusion=${r.toSeq}")
+    val validAcc = (r.getLong(3) + r.getLong(5)).toDouble / r.getLong(1)
+    assert(validAcc > 38.0 / 57.0, s"valid accuracy $validAcc below all-keep")
+    assert(r.getDouble(7) == 0.33487929615646045, s"w0=${r.getDouble(7)}")
+    assert(r.getDouble(8) == 2.007716568672774, s"w1=${r.getDouble(8)}")
+    assert(r.getDouble(11) == 5.171691320874081e-4, s"w4=${r.getDouble(11)}")
+    assert(r.getDouble(10) == 0.0) // dead punct feature on this corpus
   }
 
   test("t11 BPE pin at sf0.001: merge sequence is deterministic") {

@@ -297,11 +297,21 @@ object SimilarityOps {
       total: Long): DataFrame = {
     import s.implicits._
     val topk = udaf(new TopKCosine(5))
-    graft.dedup.DedupOps.withCache(joined
-        .filter($"vec_id" =!= $"query_id")
-        .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
-        .groupBy($"query_id")
-        .agg(topk($"cos", $"vec_id").as("nbrs"), count(lit(1)).as("n_scanned"))) { approx =>
+    annRecallRollup(s, d, joined
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
+      .groupBy($"query_id")
+      .agg(topk($"cos", $"vec_id").as("nbrs"), count(lit(1)).as("n_scanned")),
+      total)
+  }
+
+  /** Tail of the recall measurement, shared with the ADC-scored s08
+    * probe: joins an `(query_id, nbrs, n_scanned)` approx result against
+    * the exact s01 baseline. */
+  private def annRecallRollup(s: SparkSession, d: String, approxDf: DataFrame,
+      total: Long): DataFrame = {
+    import s.implicits._
+    graft.dedup.DedupOps.withCache(approxDf) { approx =>
       graft.dedup.DedupOps.withCache(s01_ann_bruteforce(s, d)
           .select($"query_id", $"neighbor_id".as("vec_id"))) { exact =>
         val hits = approx.select($"query_id", explode($"nbrs").as("vec_id"))
@@ -321,20 +331,25 @@ object SimilarityOps {
     }
   }
 
-  /** s07 ANN index-store registry: one (inverted-list table, codebook)
-    * per (application, corpus dir) — the similarity twin of d10's
-    * signature store. Built once per session; every query run probes
-    * the PERSISTED index. */
-  private val annStoreRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[(Int, Seq[Float])])]()
+  /** s07/s08 ANN index-store registry: one (inverted-list table, coarse
+    * codebook, PQ codebooks) per (application, corpus dir) — the
+    * similarity twin of d10's signature store. Built once per session;
+    * every query run probes the PERSISTED index. */
+  private val annStoreRegistry = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(Int, Seq[Float])], Array[Array[Array[Double]]])]()
 
-  /** Build-once accessor: trains the k=16 codebook (same deterministic
-    * Lloyd as s04) and writes the assigned corpus as an inverted-list
-    * table BUCKETED BY cid — one bucket per cluster, so a probe that
-    * names its clusters reads ONLY those buckets (bucket pruning: the
-    * scan's `SelectedBucketsCount` < total, PlanSpec-pinned). */
-  private[graft] def ensureAnnStore(s: SparkSession, d: String,
-      k: Int = 16): (String, Array[(Int, Seq[Float])]) = {
+  /** Build-once accessor: trains the k=16 coarse codebook (same
+    * deterministic Lloyd as s04) AND the s05 PQ codebooks (256-vector
+    * sample), then writes the assigned corpus as an inverted-list table
+    * BUCKETED BY cid carrying `(vec_id, embedding, cid, code)` — one
+    * bucket per cluster, so a probe that names its clusters reads ONLY
+    * those buckets (bucket pruning: `SelectedBucketsCount` < total,
+    * PlanSpec-pinned). Raw vectors and 16-byte PQ codes live side by
+    * side: the s07 probe column-prunes to the raw vectors, the s08
+    * probe to the codes (its scan never reads `embedding` —
+    * PlanSpec-pinned), and a re-ranking consumer could read both. */
+  private[graft] def ensureAnnStore(s: SparkSession, d: String, k: Int = 16)
+      : (String, Array[(Int, Seq[Float])], Array[Array[Array[Double]]]) = {
     val key = s.sparkContext.applicationId + ":" + d
     annStoreRegistry.computeIfAbsent(key, _ => {
       import s.implicits._
@@ -349,12 +364,20 @@ object SimilarityOps {
         val va = v.toArray
         cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
       }
+      // PQ training identical to s05: the 256 lowest-id NORMALIZED
+      // vectors (sample-sized driver collect), 5 local Lloyd iterations
+      val sample: Array[Seq[Float]] = emb.filter($"vec_id" < 256)
+        .orderBy($"vec_id").collect()
+        .map(r => l2normalize(r.getSeq[Float](1)))
+      val pqCb = trainPqCodebooks(sample)
+      val encodeU = udf { v: Seq[Float] => pqEncode(pqCb, l2normalize(v)) }
       val tbl = "graft_s07_lists_" +
         (scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
       emb.withColumn("cid", assignU($"embedding"))
+        .withColumn("code", encodeU($"embedding"))
         .write.bucketBy(k, "cid").sortBy("cid")
         .mode("overwrite").saveAsTable(tbl)
-      (tbl, centroids)
+      (tbl, centroids, pqCb)
     })
   }
 
@@ -395,7 +418,7 @@ object SimilarityOps {
   def s07_ann_store(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nprobe = 6
-    val (tbl, cb) = ensureAnnStore(s, d)
+    val (tbl, cb, _) = ensureAnnStore(s, d)
     val probeU = udf { v: Seq[Float] =>
       cb.map { case (cid, c) => (cid, cosine(v, c)) }
         .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
@@ -415,6 +438,70 @@ object SimilarityOps {
     }
   }
 
+  /** s08: IVF-PQ — the s07 inverted-list store probed over its PQ CODES
+    * (the composition s05's scaladoc prescribes; r5 verdict item 2).
+    * This is the actual 100 TB ANN memory story: bucket pruning cuts the
+    * SCAN to nprobe/k of the corpus (s07's half) and asymmetric-distance
+    * scoring over 16-byte codes cuts the BYTES TOUCHED per scanned row
+    * 16× (s05's half) — the probe never reads the raw embedding column
+    * at all (column pruning on the store scan, PlanSpec-pinned alongside
+    * `SelectedBucketsCount` < total). Queries stay full-precision
+    * (normalized, so ADC inner product approximates cosine); candidates
+    * are scored from codes only and the top-k is reported as recall@5
+    * against the exact s01 baseline plus the scanned fraction and
+    * compression ratio. No re-rank pass: the reported recall is the
+    * honest codes-only quality (a consumer wanting re-ranking reads the
+    * store's co-resident raw vectors for the k finalists). Deterministic
+    * end-to-end (same coarse Lloyd as s04/s07, same sample-trained PQ as
+    * s05) → golden pin; not SQL-expressible → rows-only at the gate. */
+  def s08_ann_ivfpq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 6
+    val (tbl, cb, pqCb) = ensureAnnStore(s, d)
+    val probeU = udf { v: Seq[Float] =>
+      cb.map { case (cid, c) => (cid, cosine(v, c)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    }
+    val normU = udf { v: Seq[Float] => l2normalize(v) }
+    val adcU = udf { (q: Seq[Float], code: Array[Byte]) => pqAdc(pqCb, q, code) }
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), normU($"embedding").as("q_v"),
+        explode(probeU($"embedding")).as("cid"))
+      .localCheckpoint(true) // tiny (queries×nprobe); probed twice below
+    val probedCids = queries.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val total = emb.count()
+    val topk = udaf(new TopKCosine(5))
+    withBucketedScan(s) {
+      // select codes BEFORE the join so the store scan's ReadSchema
+      // carries (vec_id, cid, code) and never the raw embedding
+      val lists = s.table(tbl).select($"vec_id", $"cid", $"code")
+        .filter($"cid".isin(probedCids: _*))
+      val approx = lists.join(broadcast(queries), Seq("cid"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("score", adcU($"q_v", $"code"))
+        .groupBy($"query_id")
+        .agg(topk($"score", $"vec_id").as("nbrs"), count(lit(1)).as("n_scanned"))
+      annRecallRollup(s, d, approx, total)
+        .select($"recall_at_5", $"scan_fraction", $"n_queries",
+          lit(PqM.toLong).as("code_bytes_per_vector"),
+          lit(256L).as("raw_bytes_per_vector"))
+    }
+  }
+
+  /** The s08 probe plan (lazy, for PlanSpec): same construction as
+    * [[s08_ann_ivfpq]]'s candidate scan, exposed so the spec can pin
+    * bucket pruning + embedding-free ReadSchema without re-running the
+    * recall rollup. */
+  private[graft] def s08ProbePlan(s: SparkSession, tbl: String,
+      queries: DataFrame, probedCids: Seq[Int]): DataFrame = {
+    import s.implicits._
+    s.table(tbl).select($"vec_id", $"cid", $"code")
+      .filter($"cid".isin(probedCids: _*))
+      .join(broadcast(queries), Seq("cid"))
+  }
+
   /** s05: product-quantization ANN (the PQ half of IVF-PQ) — the MEMORY
     * scale path: each 64-dim f32 vector (256 bytes) is compressed to
     * m = 16 one-byte codes (16×), and queries scan the CODES with
@@ -432,21 +519,26 @@ object SimilarityOps {
     * fixed iterations + lowest-index argmin ties) → spec-pinned.
     * (This corpus is near-uniform — PQ's hardest case, same caveat as
     * s04; real embedding corpora cluster and quantize far better.) */
-  def s05_ann_pq(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val m = 16 // subspaces
-    val sub = 4 // dims per subspace
-    val ks = 16 // centroids per subspace
-    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      .repartition(s.sparkContext.defaultParallelism)
-    val normU = udf { v: Seq[Float] =>
-      val n = math.sqrt(v.iterator.map(x => x.toDouble * x).sum)
-      if (n == 0) v else v.map(x => (x / n).toFloat)
-    }
-    val nv = emb.select($"vec_id", normU($"embedding").as("v"))
-    val sample: Array[Seq[Float]] = nv.filter($"vec_id" < 256).orderBy($"vec_id")
-      .collect().map(_.getSeq[Float](1))
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+  // PQ geometry shared by s05 (standalone PQ) and s08 (IVF-PQ): 16
+  // subspaces × 4 dims, 16 centroids per subspace ⇒ 16 code bytes per
+  // 256-byte vector (16× compression)
+  private[graft] val PqM = 16
+  private[graft] val PqSub = 4
+  private[graft] val PqKs = 16
+
+  private[graft] def l2normalize(v: Seq[Float]): Seq[Float] = {
+    val n = math.sqrt(v.iterator.map(x => x.toDouble * x).sum)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** Per-subspace PQ codebooks from a (driver-side, sample-sized) set of
+    * normalized vectors: 5 local Lloyd iterations, lowest-index argmin
+    * ties — deterministic, seedless (extracted verbatim from s05 so the
+    * s05 pin is untouched). */
+  private[graft] def trainPqCodebooks(
+      sample: Array[Seq[Float]]): Array[Array[Array[Double]]] = {
+    val m = PqM; val sub = PqSub; val ks = PqKs
+    Array.tabulate(m) { mi =>
       var cents = Array.tabulate(ks)(c =>
         sample(c).slice(mi * sub, mi * sub + sub).map(_.toDouble).toArray)
       for (_ <- 1 to 5) {
@@ -473,43 +565,66 @@ object SimilarityOps {
       }
       cents
     }
-    val cb = codebooks
-    val encodeU = udf { v: Seq[Float] =>
-      val out = new Array[Byte](m)
-      var mi = 0
-      while (mi < m) {
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < ks) {
-          var dd = 0.0
-          var i = 0
-          while (i < sub) {
-            val df = v(mi * sub + i).toDouble - cb(mi)(c)(i)
-            dd += df * df
-            i += 1
-          }
-          if (dd < bestD) { bestD = dd; best = c }
-          c += 1
+  }
+
+  /** Nearest-centroid code per subspace for a NORMALIZED vector. */
+  private[graft] def pqEncode(cb: Array[Array[Array[Double]]],
+      v: Seq[Float]): Array[Byte] = {
+    val m = PqM; val sub = PqSub; val ks = PqKs
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        var dd = 0.0
+        var i = 0
+        while (i < sub) {
+          val df = v(mi * sub + i).toDouble - cb(mi)(c)(i)
+          dd += df * df
+          i += 1
         }
-        out(mi) = best.toByte
-        mi += 1
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
       }
-      out
+      out(mi) = best.toByte
+      mi += 1
     }
+    out
+  }
+
+  /** Asymmetric distance: full-precision query dotted against the code's
+    * reconstruction — per row only m centroid lookups, never the raw
+    * corpus vector. */
+  private[graft] def pqAdc(cb: Array[Array[Array[Double]]],
+      q: Seq[Float], code: Array[Byte]): Double = {
+    val m = PqM; val sub = PqSub
+    var sc = 0.0
+    var mi = 0
+    while (mi < m) {
+      val cent = cb(mi)(code(mi) & 0xff)
+      var i = 0
+      while (i < sub) { sc += q(mi * sub + i).toDouble * cent(i); i += 1 }
+      mi += 1
+    }
+    sc
+  }
+
+  def s05_ann_pq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = PqM
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism)
+    val normU = udf { v: Seq[Float] => l2normalize(v) }
+    val nv = emb.select($"vec_id", normU($"embedding").as("v"))
+    val sample: Array[Seq[Float]] = nv.filter($"vec_id" < 256).orderBy($"vec_id")
+      .collect().map(_.getSeq[Float](1))
+    val cb = trainPqCodebooks(sample)
+    val encodeU = udf { v: Seq[Float] => pqEncode(cb, v) }
     // asymmetric distance: the query side stays full-precision, the
     // corpus side is 8 code bytes — the only per-row work is m table rows
-    val adcU = udf { (q: Seq[Float], code: Array[Byte]) =>
-      var sc = 0.0
-      var mi = 0
-      while (mi < m) {
-        val cent = cb(mi)(code(mi) & 0xff)
-        var i = 0
-        while (i < sub) { sc += q(mi * sub + i).toDouble * cent(i); i += 1 }
-        mi += 1
-      }
-      sc
-    }
+    val adcU = udf { (q: Seq[Float], code: Array[Byte]) => pqAdc(cb, q, code) }
     val topk = udaf(new TopKCosine(5))
     graft.dedup.DedupOps.withCache(nv) { nvc =>
       val codes = nvc.select($"vec_id", encodeU($"v").as("code"))
@@ -713,6 +828,7 @@ object SimilarityOps {
     "s04_ann_ivf" -> ((s: SparkSession, d: String) => s04_ann_ivf(s, d)),
     "s05_ann_pq" -> (s05_ann_pq _),
     "s07_ann_store" -> (s07_ann_store _),
+    "s08_ann_ivfpq" -> (s08_ann_ivfpq _),
   )
 
   val oracle: Map[String, String] = Map(

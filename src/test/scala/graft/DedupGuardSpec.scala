@@ -91,6 +91,27 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(2) == 16L && row.getLong(3) == 256L)
   }
 
+  test("s08 IVF-PQ pin at sf0.001: bucket-pruned scan over codes, deterministic recall") {
+    // the composition of s07 (bucket-pruned inverted lists) and s05 (PQ
+    // codes): the probe scans ~36% of the corpus and touches only 16
+    // code bytes per scanned row. Codes-only recall 0.44 beats the
+    // full-scan PQ baseline's 0.40 (s05 pin above) on this near-uniform
+    // corpus — PQ's hardest case — and is a pure function of the data
+    // (same coarse Lloyd as s04/s07, same sample-trained codebooks as
+    // s05). n_scanned counts candidate rows from the probed buckets,
+    // so scan_fraction here must equal s04/s07's (same inverted lists).
+    val row = graft.sim.SimilarityOps.s08_ann_ivfpq(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(row.getDouble(0) == 22.0 / 50.0, s"recall_at_5=${row.getDouble(0)}")
+    assert(row.getDouble(1) == 1814.0 / 5000.0, s"scan_fraction=${row.getDouble(1)}")
+    assert(row.getLong(2) == 10L)
+    assert(row.getLong(3) == 16L && row.getLong(4) == 256L)
+    val s04 = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(row.getDouble(1) == s04.getDouble(1),
+      s"s08 scan_fraction ${row.getDouble(1)} != s04's ${s04.getDouble(1)}")
+  }
+
   test("s04 IVF: deterministic, high recall at a sub-half scan fraction") {
     val row = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001")
       .collect()(0)

@@ -221,7 +221,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast query set with no shuffle Exchange anywhere
     val sp = spark
     import sp.implicits._
-    val (tbl, cb) = graft.sim.SimilarityOps.ensureAnnStore(sp, sf)
+    val (tbl, cb, _) = graft.sim.SimilarityOps.ensureAnnStore(sp, sf)
     // probe clusters for one query: a strict subset of the k buckets
     val probed = Seq(0, 1, 2)
     val q0 = sp.read.parquet(s"$sf/embeddings.parquet")
@@ -236,6 +236,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sel.isDefined, s"no bucket pruning in:\n$plan")
       assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
         s"probe read every bucket:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("Exchange rangepartitioning"),
+        s"shuffle crept into the probe:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("s08 IVF-PQ probe: bucket-pruned scan over codes, raw embedding never read") {
+    // the 100 TB ANN memory claim made concrete: the probe reads a
+    // strict subset of the store's buckets (SelectedBucketsCount <
+    // total) AND its store scan's ReadSchema carries only
+    // (vec_id, cid, code) — the 256-byte raw vector column stays on
+    // disk; only the 16 ADC code bytes per scanned row move
+    val sp = spark
+    import sp.implicits._
+    val (tbl, _, _) = graft.sim.SimilarityOps.ensureAnnStore(sp, sf)
+    val probed = Seq(0, 1, 2)
+    val q0 = sp.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" === 0).select($"vec_id".as("query_id"),
+        $"embedding".as("q_v"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.lit(probed.toArray)).as("cid"))
+    graft.sim.SimilarityOps.withBucketedScan(sp) {
+      val df = graft.sim.SimilarityOps.s08ProbePlan(sp, tbl, q0, probed)
+      val plan = physical(df)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"probe read every bucket:\n$plan")
+      val storeScan = plan.linesIterator
+        .find(l => l.contains("FileScan") && l.contains(tbl))
+      assert(storeScan.isDefined, s"no store scan in:\n$plan")
+      assert(!storeScan.get.replace("q_emb", "").contains("embedding"),
+        s"probe scan reads the raw embedding column:\n${storeScan.get}")
       assert(!plan.contains("Exchange hashpartitioning") &&
         !plan.contains("Exchange rangepartitioning"),
         s"shuffle crept into the probe:\n$plan")

@@ -50,6 +50,32 @@ object StreamingOps {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
+  /** Production drain (r5 verdict item 5): every st0x memory sink
+    * materializes its results on the DRIVER, which is fine for the
+    * aggregate-sized oracle path but becomes the limit at 100× key
+    * cardinality. `foreachBatch` + parquet is the production shape for
+    * complete/update-mode queries (the built-in file sink is
+    * append-only): each micro-batch lands as a distributed executor-side
+    * write — `overwrite` for complete mode (the last batch IS the final
+    * state), `append` for update mode (read-back reduces to the last
+    * update per key, exactly the memory path's reduction). The driver
+    * never holds result rows; the returned frame is read back from
+    * parquet, `finish`ed, and checkpointed off the files so the caller
+    * may delete `dir`. */
+  private[graft] def drainToParquet(s: SparkSession, dir: String,
+      overwritePerBatch: Boolean,
+      attach: ((DataFrame, Long) => Unit) => org.apache.spark.sql.streaming.StreamingQuery,
+      finish: DataFrame => DataFrame): DataFrame = {
+    val q = attach { (batch, _) =>
+      if (overwritePerBatch)
+        batch.write.mode("overwrite").parquet(dir)
+      else if (!batch.isEmpty)
+        batch.write.mode("append").parquet(dir)
+    }
+    q.awaitTermination()
+    finish(s.read.parquet(dir)).localCheckpoint(true)
+  }
+
   /** Materialize a memory-sink-backed result and DROP the sink table:
     * each st0x run registers a uniquely-named memory sink, so in a
     * shared session repeated runs would accumulate driver memory
@@ -65,10 +91,22 @@ object StreamingOps {
   }
 
   /** st01: streaming tumbling-window aggregation with a watermark,
-    * drained with AvailableNow into a memory sink. */
-  def st01_stream_window(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
-    val name = s"st01_sink_${System.nanoTime()}"
-    val q = streamEvents(s, d)
+    * drained with AvailableNow into a memory sink (oracle path) or a
+    * foreachBatch parquet drain (production path — see
+    * [[st01_stream_window_files]]). */
+  def st01_stream_window(s: SparkSession, d: String): DataFrame =
+    st01Impl(s, d, fileDrainDir = None)
+
+  /** st01 through the production parquet drain: complete-mode batches
+    * overwrite `dir`, so the final directory IS the final window state
+    * and no result row ever transits the driver. Hash-equal to the
+    * memory path (spec-pinned). */
+  private[graft] def st01_stream_window_files(s: SparkSession, d: String,
+      dir: String): DataFrame = st01Impl(s, d, fileDrainDir = Some(dir))
+
+  private def st01Impl(s: SparkSession, d: String,
+      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
+    val agg = streamEvents(s, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -76,10 +114,20 @@ object StreamingOps {
           .as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    drainSink(s, name, _.orderBy("hour", "event_type"))
+    val finish = (t: DataFrame) => t.orderBy("hour", "event_type")
+    fileDrainDir match {
+      case Some(dir) =>
+        drainToParquet(s, dir, overwritePerBatch = true,
+          fb => agg.writeStream.foreachBatch(fb)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start(),
+          finish)
+      case None =>
+        val name = s"st01_sink_${System.nanoTime()}"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, name, finish)
+    }
   }
 
   val st01Oracle: String =
@@ -260,13 +308,24 @@ object StreamingOps {
     * integer-exact in double, and the long sum is order-insensitive —
     * the same determinism rule as s04/w08; a double running sum would
     * depend on batch arrival order). */
-  def st06_running_totals(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
+  def st06_running_totals(s: SparkSession, d: String): DataFrame =
+    st06Impl(s, d, fileDrainDir = None)
+
+  /** st06 through the production parquet drain: update-mode batches
+    * append to `dir` (one row per touched key per batch, written from
+    * the executors), and the read-back reduces to the last update per
+    * key — the same reduction the memory path applies. Hash-equal to
+    * the memory path (spec-pinned). */
+  private[graft] def st06_running_totals_files(s: SparkSession, d: String,
+      dir: String): DataFrame = st06Impl(s, d, fileDrainDir = Some(dir))
+
+  private def st06Impl(s: SparkSession, d: String,
+      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val name = s"st06_sink_${System.nanoTime()}"
     val ev = streamEvents(s, d)
       .select($"user_id", $"value").as[(Long, Double)]
-    val q = ev.groupByKey(_._1)
+    val totals = ev.groupByKey(_._1)
       .mapGroupsWithState[(Long, Long), UserTotals](
         GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
         var (n, cents) = state.getOption.getOrElse((0L, 0L))
@@ -274,16 +333,28 @@ object StreamingOps {
         state.update((n, cents))
         UserTotals(uid, n, cents / 100.0)
       }
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // Update mode appends one row per (user, batch); the LAST update per
+    // Update mode emits one row per (user, batch); the LAST update per
     // user is the running total — dedup by max n_events per user
-    drainSink(s, name, t => t.groupBy($"user_id")
+    val finish = (t: DataFrame) => t.groupBy($"user_id")
       .agg(max(struct($"n_events", $"total_value")).as("m"))
       .select($"user_id", $"m.n_events".as("n_events"),
         $"m.total_value".as("total_value"))
-      .orderBy($"user_id"))
+      .orderBy($"user_id")
+    fileDrainDir match {
+      case Some(dir) =>
+        drainToParquet(s, dir, overwritePerBatch = false,
+          fb => totals.writeStream.foreachBatch(
+              (b: org.apache.spark.sql.Dataset[UserTotals], id: Long) =>
+                fb(b.toDF(), id))
+            .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start(),
+          finish)
+      case None =>
+        val name = s"st06_sink_${System.nanoTime()}"
+        val q = totals.writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, name, finish)
+    }
   }
 
   val st06Oracle: String =

@@ -18,6 +18,12 @@ object Dev {
       spark.stop(); return
     }
     if (args.headOption.contains("d03probe")) { d03probe(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("gen-sf")) {
+      genScaled(spark, args(1), args(2), args(3).toInt); spark.stop(); return
+    }
+    if (args.headOption.contains("scalebench")) {
+      scaleBench(spark, args(1), args(2), args(3)); spark.stop(); return
+    }
     if (args.headOption.contains("show")) {
       SparkEntry.queries(args(1))(spark, sfDir).show(50, false)
       spark.stop(); return
@@ -43,6 +49,131 @@ object Dev {
       spark.catalog.clearCache()
     }
     spark.stop()
+  }
+
+  /** Deterministic scaled corpus from an existing sf dir (the sf1
+    * certification input — r5 verdict item 1): `replicas` DISJOINT
+    * copies of `documents`/`embeddings`. Replica r > 0 prefixes every
+    * text token with `r{r}x` (shingle/token space disjoint from every
+    * other replica ⇒ no cross-replica dup pairs; WITHIN a replica the
+    * near-dup structure mirrors the source exactly) and rotates each
+    * embedding by r positions (norms and intra-replica geometry
+    * preserved; cross-replica cosines scrambled). doc/vec ids stride by
+    * 1,000,000 so the +100,000 planted-copy rule never collides and
+    * replica 0 keeps the original ids (query sets `vec_id < 10`, seed
+    * centroids `vec_id < k` unchanged). Output sizes and candidate
+    * structure therefore scale exactly ×replicas — the right testbed for
+    * certifying near-linear cost growth. */
+  def genScaled(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val stride = 1000000L
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val docsOut = (0 until replicas).map { r =>
+      if (r == 0) docs
+      else {
+        val text = array_join(transform(split(trim(col("text")), "\\s+"),
+          t => concat(lit(s"r${r}x"), t)), " ")
+        docs.select((col("doc_id") + lit(r * stride)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
+      }
+    }.reduce(_ unionByName _)
+    docsOut.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val embOut = (0 until replicas).map { r =>
+      if (r == 0) emb
+      else {
+        val rot = r % 64
+        val rotated = if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), rot + 1, 64 - rot),
+            slice(col("embedding"), 1, rot))
+        emb.select((col("vec_id") + lit(r * stride)).as("vec_id"),
+          rotated.as("embedding"), col("label"))
+      }
+    }.reduce(_ unionByName _)
+    embOut.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+    println(s"[dev] gen-sf: ${docsOut.count()} docs, ${embOut.count()} vectors -> $outDir")
+  }
+
+  /** The sf1 certification run (r5 verdict item 1): every no-quadratic
+    * contract measured at 10× data. Runs the dedup/ANN/graph/media suite
+    * twice per scale (cold incl. any store build, warm = steady state),
+    * drains the LSH bucket-guard observed metrics and the s06 star
+    * accumulator per query, and writes a JSON artifact with per-query
+    * times + cost-growth ratios + guard counters. Pass/fail contract:
+    * min-time ratio ≤ ~12× for 10× data on every query. */
+  def scaleBench(spark: SparkSession, baseDir: String, scaledDir: String,
+      outPath: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val guardHits = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, m) =>
+          if (name.startsWith("graft_bucket_guard") && !m.isNullAt(0) && m.getLong(0) > 0)
+            guardHits.add((name, m.getLong(0), m.getLong(1)))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
+    // s06 goes through s06Impl so the star-overflow accumulator is OURS
+    // to read; k is the adaptive default the public entry would pick
+    val s06Overflow = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val s06K = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def runS06(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+      val n = 2L * s.read.parquet(s"$dir/embeddings.parquet").count()
+      val k = graft.sim.SimilarityOps.adaptiveK(n)
+      val acc = s.sparkContext.longAccumulator("scalebench_s06_overflow")
+      val out = graft.sim.SimilarityOps.s06Impl(s, dir, k, acc)
+      val materialized = out.cache()
+      materialized.count()
+      s06Overflow.set(acc.value)
+      s06K.set(k)
+      materialized
+    }
+    val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
+      "d04_ngram_jaccard", "d06_dedup_clusters", "d10_store_incremental",
+      "s02_embedding_neardup", "s06_semantic_dedup", "s07_ann_store",
+      "s08_ann_ivfpq", "m04_image_neardup", "t08_tfidf",
+      "w07_link_graph", "w08_pagerank")
+    def runOnce(name: String, dir: String): (Double, Seq[(String, Long, Long)]) = {
+      guardHits.clear()
+      val t0 = System.nanoTime()
+      val fn: (org.apache.spark.sql.SparkSession, String) => DataFrame =
+        if (name == "s06_semantic_dedup") runS06 else SparkEntry.queries(name)
+      val rows = fn(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      import scala.jdk.CollectionConverters._
+      val hits = guardHits.asScala.toSeq
+      println(f"[scalebench] $name @ $dir rows=$rows time=$dt%.2fs" +
+        (if (hits.nonEmpty) s" guard=$hits" else ""))
+      (dt, hits)
+    }
+    def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val perQuery = names.map { name =>
+      val base = Seq(runOnce(name, baseDir), runOnce(name, baseDir))
+      val scaled = Seq(runOnce(name, scaledDir), runOnce(name, scaledDir))
+      val ratio = scaled.map(_._1).min / base.map(_._1).min
+      val guards = (base ++ scaled).flatMap(_._2)
+      val s06extra = if (name == "s06_semantic_dedup")
+        s""","s06_k":${s06K.get()},"s06_star_overflow":${s06Overflow.get()}"""
+        else ""
+      val guardJson = guards.map { case (n, c, mx) =>
+        s"""{"metric":"$n","members":$c,"largest":$mx}""" }.mkString("[", ",", "]")
+      println(f"[scalebench] $name ratio=${ratio}%.2f")
+      name -> (s"""{"base_cold":${r3(base(0)._1)},"base_warm":${r3(base(1)._1)},""" +
+        s""""scaled_cold":${r3(scaled(0)._1)},"scaled_warm":${r3(scaled(1)._1)},""" +
+        s""""ratio_min":${r3(ratio)},"guard_overflows":$guardJson$s06extra}""")
+    }
+    val json = perQuery.map { case (k, v) => s""""$k":$v""" }
+      .mkString(s"""{"base":"$baseDir","scaled":"$scaledDir","scale_factor":10,""" +
+        s""""contract":"ratio_min <= 12 for 10x data","queries":{""", ",", "}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(s"[scalebench] wrote $outPath")
   }
 
   /** Stage-by-stage timing of the d02 minhash pipeline. */

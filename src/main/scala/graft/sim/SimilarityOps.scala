@@ -490,6 +490,73 @@ object SimilarityOps {
     }
   }
 
+  /** s09: IVF-PQ with EXACT RE-RANK — the full production ANN read path:
+    * the s08 codes-only ADC scan nominates `rerank` = 50 finalists per
+    * query (bucket-pruned, 16 bytes per scanned row), and ONLY those
+    * finalists' raw vectors are fetched back from the store for an exact
+    * cosine top-5. The raw 256-byte embedding column is read under a
+    * pushed `vec_id IN (finalists)` point-lookup — ≤ rerank×|queries|
+    * rows (500 here), never the probed buckets' full vector payload —
+    * so the bytes story at 100 TB is: codes for the bulk scan, raw
+    * vectors only for a bounded finalist set. Recall returns to the
+    * exact-over-candidates level (the ADC approximation only has to put
+    * a true neighbor anywhere in the top-50, not the top-5); the scan
+    * fraction is unchanged from s08 (same inverted lists). The finalist
+    * id list is a bounded driver collect (rerank×|queries|,
+    * iteration-control-sized — the same discipline as s07's probed-cid
+    * list). Deterministic end-to-end → golden pin; not SQL-expressible →
+    * rows-only at the gate. */
+  def s09_ann_ivfpq_rerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 6
+    val rerank = 50
+    val (tbl, cb, pqCb) = ensureAnnStore(s, d)
+    val probeU = udf { v: Seq[Float] =>
+      cb.map { case (cid, c) => (cid, cosine(v, c)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    }
+    val normU = udf { v: Seq[Float] => l2normalize(v) }
+    val adcU = udf { (q: Seq[Float], code: Array[Byte]) => pqAdc(pqCb, q, code) }
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), normU($"embedding").as("q_v"),
+        explode(probeU($"embedding")).as("cid"))
+      .localCheckpoint(true)
+    val probedCids = queries.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val total = emb.count()
+    val topkR = udaf(new TopKCosine(rerank))
+    val topk5 = udaf(new TopKCosine(5))
+    withBucketedScan(s) {
+      // stage 1 — codes-only nomination (identical scan shape to s08)
+      val lists = s.table(tbl).select($"vec_id", $"cid", $"code")
+        .filter($"cid".isin(probedCids: _*))
+      val adcTop = lists.join(broadcast(queries), Seq("cid"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("score", adcU($"q_v", $"code"))
+        .groupBy($"query_id")
+        .agg(topkR($"score", $"vec_id").as("cands"), count(lit(1)).as("n_scanned"))
+        .localCheckpoint(true) // finalist-sized; feeds id-collect + re-rank
+      val finalistIds = adcTop.select(explode($"cands").as("vec_id"))
+        .distinct().collect().map(_.getLong(0)) // bounded: ≤ rerank×|queries|
+      // stage 2 — exact re-rank over the finalists' raw vectors only
+      val raw = s.table(tbl).select($"vec_id", $"embedding")
+        .filter($"vec_id".isin(finalistIds.map(Long.box): _*))
+      val qv = queries.select($"query_id", $"q_v").distinct()
+      val exactTop = adcTop.select($"query_id", explode($"cands").as("vec_id"))
+        .join(raw, "vec_id")
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_v", $"embedding"))
+        .groupBy($"query_id").agg(topk5($"cos", $"vec_id").as("nbrs"))
+      annRecallRollup(s, d,
+        exactTop.join(adcTop.select($"query_id", $"n_scanned"), Seq("query_id")),
+        total)
+        .select($"recall_at_5", $"scan_fraction", $"n_queries",
+          lit(rerank.toLong).as("rerank_depth"),
+          lit(PqM.toLong).as("code_bytes_per_vector"))
+    }
+  }
+
   /** The s08 probe plan (lazy, for PlanSpec): same construction as
     * [[s08_ann_ivfpq]]'s candidate scan, exposed so the spec can pin
     * bucket pruning + embedding-free ReadSchema without re-running the
@@ -829,6 +896,7 @@ object SimilarityOps {
     "s05_ann_pq" -> (s05_ann_pq _),
     "s07_ann_store" -> (s07_ann_store _),
     "s08_ann_ivfpq" -> (s08_ann_ivfpq _),
+    "s09_ann_ivfpq_rerank" -> (s09_ann_ivfpq_rerank _),
   )
 
   val oracle: Map[String, String] = Map(

@@ -197,8 +197,21 @@ object StreamingOps {
     * clicks within the preceding hour, both sides watermarked (the
     * time-range condition bounds the join state). Oracle = the batch
     * interval join. */
-  def st04_stream_stream_join(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
-    val name = s"st04_sink_${System.nanoTime()}"
+  def st04_stream_stream_join(s: SparkSession, d: String): DataFrame =
+    st04Impl(s, d, fileDrainDir = None)
+
+  /** st04 through Spark's NATIVE parquet file sink: stream-stream joins
+    * emit in Append mode, which is exactly what the built-in file sink
+    * supports — so this variant needs no foreachBatch at all: matched
+    * pairs land as exactly-once parquet via the sink's own commit log
+    * (checkpointLocation), written from the executors. The read-back
+    * aggregation is the same batch-side rollup the memory path applies.
+    * Hash-equal to the memory path (spec-pinned). */
+  private[graft] def st04_stream_stream_join_files(s: SparkSession, d: String,
+      dir: String): DataFrame = st04Impl(s, d, fileDrainDir = Some(dir))
+
+  private def st04Impl(s: SparkSession, d: String,
+      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
     val ev = streamEvents(s, d)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
@@ -210,18 +223,30 @@ object StreamingOps {
       .withWatermark("p_ts", "2 hours")
     // stream-stream joins emit in Append mode only: stream the matched
     // pairs into the sink, aggregate the sink table batch-side
-    val q = purchases.join(clicks,
+    val pairs = purchases.join(clicks,
         col("p_user") === col("c_user") &&
           col("c_ts") <= col("p_ts") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    drainSink(s, name, _.groupBy(col("user_id"))
+    val finish = (t: DataFrame) => t.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("purchase_id")).as("n_purchases"))
-      .orderBy("user_id"))
+      .orderBy("user_id")
+    fileDrainDir match {
+      case Some(dir) =>
+        val q = pairs.writeStream.format("parquet")
+          .option("path", s"$dir/out")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        finish(s.read.parquet(s"$dir/out")).localCheckpoint(true)
+      case None =>
+        val name = s"st04_sink_${System.nanoTime()}"
+        val q = pairs.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, name, finish)
+    }
   }
 
   val st04Oracle: String =

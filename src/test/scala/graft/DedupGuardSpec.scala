@@ -112,6 +112,26 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"s08 scan_fraction ${row.getDouble(1)} != s04's ${s04.getDouble(1)}")
   }
 
+  test("s09 IVF-PQ re-rank pin at sf0.001: exact re-rank recovers raw-vector recall") {
+    // the full production ANN read path: the codes-only ADC scan (s08,
+    // recall 0.44) nominates 50 finalists per query and the exact
+    // re-rank over ONLY those finalists' raw vectors recovers 0.96 —
+    // exactly s04/s07's raw-vector recall, at s08's scan fraction and
+    // 16 code bytes per scanned row. Deterministic (same trained
+    // codebooks, same tie rules); the equality with s04 is asserted, not
+    // assumed.
+    val row = graft.sim.SimilarityOps
+      .s09_ann_ivfpq_rerank(spark, "/root/testdata/sf0.001").collect()(0)
+    assert(row.getDouble(0) == 48.0 / 50.0, s"recall_at_5=${row.getDouble(0)}")
+    assert(row.getDouble(1) == 1814.0 / 5000.0, s"scan_fraction=${row.getDouble(1)}")
+    assert(row.getLong(2) == 10L)
+    assert(row.getLong(3) == 50L && row.getLong(4) == 16L)
+    val s04 = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(row.getDouble(0) == s04.getDouble(0),
+      s"re-rank recall ${row.getDouble(0)} != s04's ${s04.getDouble(0)}")
+  }
+
   test("s04 IVF: deterministic, high recall at a sub-half scan fraction") {
     val row = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001")
       .collect()(0)

@@ -89,6 +89,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .st06_running_totals_files(spark, sf, s"$dir/st06").collect().toSeq
       assert(mem06.nonEmpty && mem06 == file06,
         s"st06 drains diverge: mem=${mem06.take(3)} file=${file06.take(3)}")
+      // st04 appends through Spark's NATIVE file sink (no foreachBatch):
+      // append mode is the one the built-in sink supports, commit-logged
+      // via checkpointLocation
+      val mem04 = StreamingOps.st04_stream_stream_join(spark, sf).collect().toSeq
+      val file04 = StreamingOps
+        .st04_stream_stream_join_files(spark, sf, s"$dir/st04").collect().toSeq
+      assert(mem04.nonEmpty && mem04 == file04,
+        s"st04 drains diverge: mem=${mem04.take(3)} file=${file04.take(3)}")
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(dir)

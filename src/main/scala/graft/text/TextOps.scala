@@ -694,41 +694,89 @@ object TextOps {
     * one single-row collect per round (the argmax pair). No SQL oracle
     * (the merge recurrence is not SQL-expressible) — rows-only at the
     * gate plus a golden pin in DedupGuardSpec. */
-  def t11_bpe_vocab(s: SparkSession, d: String): DataFrame = {
+  /** The corpus (word, freq) vocabulary table t11/t14 iterate over. */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val words = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(explode(whitespaceTokens(lower($"text"))).as("word"))
       .filter($"word" =!= "")
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-    val rows = graft.dedup.DedupOps.withCache(words) { w =>
-      var merges = Vector.empty[(String, String)]
-      val picked = Vector.newBuilder[(Int, String, String, String, Long)]
-      var k = 1
-      var exhausted = false
-      while (k <= 10 && !exhausted) {
-        val m = merges
-        val symU = udf { word: String => bpeSymbols(word, m) }
-        val top = w.select($"freq", symU($"word").as("syms"))
-          .select($"freq", explode(when(size($"syms") >= 2,
-            expr("transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(syms[i-1] AS l, syms[i] AS r))"))
-            .otherwise(array().cast("array<struct<l:string,r:string>>")))
-            .as("p"))
-          .groupBy($"p.l".as("l"), $"p.r".as("r"))
-          .agg(sum($"freq").as("cnt"))
-          .orderBy($"cnt".desc, $"l", $"r")
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges :+= ((l, r))
-          picked += ((k, l, r, l + r, c))
-          k += 1
-        }
+  }
+
+  /** The t11 merge-learning loop over a CACHED vocabulary frame:
+    * `rounds` byte-pair merges, count-max pair per round with
+    * lexicographic tie-break (deterministic). Returns the picked rows
+    * (rank, l, r, merged, count) — the merge list is `_2`/`_3`. */
+  private def learnBpeMerges(w: DataFrame, rounds: Int)
+      : Vector[(Int, String, String, String, Long)] = {
+    val sp = w.sparkSession
+    import sp.implicits._
+    var merges = Vector.empty[(String, String)]
+    val picked = Vector.newBuilder[(Int, String, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
+      val m = merges
+      val symU = udf { word: String => bpeSymbols(word, m) }
+      val top = w.select($"freq", symU($"word").as("syms"))
+        .select($"freq", explode(when(size($"syms") >= 2,
+          expr("transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS l, syms[i] AS r))"))
+          .otherwise(array().cast("array<struct<l:string,r:string>>")))
+          .as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r")
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges :+= ((l, r))
+        picked += ((k, l, r, l + r, c))
+        k += 1
       }
-      picked.result().toDF("rank", "left", "right", "merged", "pair_count")
+    }
+    picked.result()
+  }
+
+  def t11_bpe_vocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = graft.dedup.DedupOps.withCache(bpeVocab(s, d)) { w =>
+      learnBpeMerges(w, 10).toDF("rank", "left", "right", "merged", "pair_count")
     }
     rows.orderBy($"rank")
+  }
+
+  /** t14: BPE ENCODING under the learned merges — the tokenizer
+    * APPLICATION stage that follows t11's vocabulary induction (token
+    * counting under the actual subword tokenizer is what sizes training
+    * runs, not whitespace counts). The merges are learned exactly as in
+    * t11 (same deterministic loop), then the corpus token count is
+    * computed WITHOUT re-encoding per instance: each DISTINCT word is
+    * symbolized once, map-side over the vocabulary table, and instance
+    * totals are frequency-weighted sums — corpus-sized data is touched
+    * only by the initial vocab shuffle, the same one-collapse shape as
+    * t11. Deterministic (merge list + encoder are pure functions) →
+    * golden pin; the merge recurrence is not SQL-expressible →
+    * rows-only at the gate. */
+  def t14_bpe_encode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.dedup.DedupOps.withCache(bpeVocab(s, d)) { w =>
+      val merges = learnBpeMerges(w, 10).map(p => (p._2, p._3))
+      val symU = udf { word: String => bpeSymbols(word, merges).length }
+      w.select($"word", $"freq", symU($"word").as("n_syms"),
+          length($"word").cast("long").as("n_chars"))
+        .agg(count(lit(1)).as("n_words_distinct"),
+          sum($"freq").as("n_word_instances"),
+          sum($"freq" * $"n_chars").as("n_chars_total"),
+          sum($"freq" * $"n_syms").as("n_bpe_tokens"),
+          max($"n_syms").as("max_word_tokens"))
+        .select($"n_words_distinct", $"n_word_instances", $"n_chars_total",
+          $"n_bpe_tokens", $"max_word_tokens",
+          // integer ratio ×1000: chars per BPE token, drift-proof
+          expr("(n_chars_total * 1000) div n_bpe_tokens")
+            .as("chars_per_token_x1000"))
+    }
   }
 
   // ---- t12 sequence packing ----
@@ -931,6 +979,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_bpe_encode" -> (t14_bpe_encode _),
     "t13_quality_model" -> (t13_quality_model _),
     "t12_sequence_pack" -> (t12_sequence_pack _),
     "t11_bpe_vocab" -> (t11_bpe_vocab _),

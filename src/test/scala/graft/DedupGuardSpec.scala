@@ -305,6 +305,19 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(10) == 0.0) // dead punct feature on this corpus
   }
 
+  test("t14 BPE-encode pin at sf0.001: token counts under the learned merges") {
+    // the tokenizer-application stage: 10 learned merges applied to the
+    // 31-word vocabulary, instance totals frequency-weighted (no per-
+    // instance re-encoding). 125,717 chars → 100,541 BPE tokens (1.25
+    // chars/token — small because the synthetic vocabulary is tiny and
+    // only 10 merges are learned); all-integer output, pure function of
+    // the corpus.
+    val r = graft.text.TextOps.t14_bpe_encode(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(r.toSeq == Seq(31L, 27939L, 125717L, 100541L, 5L, 1250L),
+      s"got ${r.toSeq}")
+  }
+
   test("t11 BPE pin at sf0.001: merge sequence is deterministic") {
     // no SQL oracle by design (the merge recurrence isn't SQL); the
     // lexicographic tie-break makes the learned merges a pure function

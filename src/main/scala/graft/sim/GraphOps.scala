@@ -1,0 +1,154 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Tables
+
+/** Embedding-graph operators: the k-NN graph over the corpus — the
+  * substrate for graph-based near-dup clustering, diversity sampling,
+  * and connectivity analysis of an embedding space (the structure
+  * SemDeDup-style pipelines consume after clustering).
+  */
+object GraphOps {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.sim")
+
+  /** s10: cluster-local k-NN GRAPH — every vector's top-`knn` cosine
+    * neighbors WITHIN its k-means cluster (the s06 quantizer reused as
+    * the candidate bound: at 100 TB an exact all-pairs k-NN graph is
+    * O(N²); restricting edges to the cluster makes the cost
+    * Σ|cluster|², which [[SimilarityOps.adaptiveK]] keeps ≈ N×⟨cluster⟩
+    * — linear at fixed target cluster size, the same contract s06
+    * certifies). The corpus moves ONCE (one hash repartition on cid);
+    * task memory is O(cap) via the same streamed-run device as s06's
+    * compare: members past the 1000-member cap get their neighbors from
+    * the first-cap members only (degraded coverage, counted into the
+    * overflow accumulator and logged — never silent).
+    *
+    * Output: graph-level stats — nodes, edges (out-degree ≤ knn; less
+    * in clusters smaller than knn+1), mutual edges (both directions
+    * present — the symmetrized graph real consumers use), and how many
+    * PLANTED near-identical pairs ([[SimilarityOps.withNearDups]],
+    * cosine ≈ 0.999) appear as mutual top-1 edges — ground truth that
+    * the graph puts strongest-similarity mass where it belongs.
+    * Deterministic (fixed-point Lloyd + id-ascending tie-break) →
+    * golden pin; k-means is not SQL-expressible → rows-only at the
+    * gate. */
+  def s10_knn_graph(s: SparkSession, d: String): DataFrame = {
+    val n = 2L * Tables.embeddings(s, d).count()
+    s10Impl(s, d, SimilarityOps.adaptiveK(n),
+      s.sparkContext.longAccumulator("graft_s10_overflow"))
+  }
+
+  private[graft] def s10Impl(s: SparkSession, d: String, k: Int,
+      overflow: org.apache.spark.util.LongAccumulator): DataFrame = {
+    import s.implicits._
+    val knn = 5
+    val emb = SimilarityOps.withNearDups(s, d).persist()
+    var centroids: Array[(Int, Seq[Float])] = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding").filter($"vec_id" < k)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+    (1 to 2).foreach { _ => centroids = SimilarityOps.lloydStep(emb, centroids) }
+    val cbArr = centroids.map { case (cid, c) => (cid, c.toArray) }
+    val assignU = udf { v: Seq[Float] =>
+      val va = v.toArray
+      cbArr.minBy { case (cid, c) => (-SimilarityOps.cosineArr(va, c), cid) }._1
+    }
+    val out = graft.dedup.DedupOps.withCache(
+        emb.withColumn("cid", assignU($"embedding"))) { assigned =>
+      val edges = clusterKnnEdges(assigned, knn, cap = 1000, overflow)
+      graft.dedup.DedupOps.withCache(edges) { e =>
+        // mutual edges: (src,dst) whose reverse also exists — one
+        // self-join on the (already small) edge list
+        val mutual = e.as("a").join(e.as("b"),
+            $"a.src" === $"b.dst" && $"a.dst" === $"b.src")
+          .filter($"a.src" < $"a.dst")
+          .select($"a.src", $"a.dst", $"a.rank".as("rank_fwd"),
+            $"b.rank".as("rank_rev"))
+        val planted = mutual
+          .filter($"dst" === $"src" + SimilarityOps.Shift &&
+            $"rank_fwd" === 1 && $"rank_rev" === 1)
+          .agg(count(lit(1)).as("n_planted_mutual_top1"))
+        assigned.agg(count(lit(1)).as("n_nodes"),
+            countDistinct($"cid").as("n_clusters"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(mutual.agg(count(lit(1)).as("n_mutual_pairs")))
+          .crossJoin(planted)
+          .select($"n_nodes", $"n_clusters", $"n_edges", $"n_mutual_pairs",
+            $"n_planted_mutual_top1",
+            (expr("n_nodes div 2") - $"n_planted_mutual_top1")
+              .as("n_planted_not_top1"))
+      }
+    }
+    emb.unpersist(false)
+    if (overflow.value > 0)
+      log.warn(s"s10 knn graph: ${overflow.value} member(s) of over-cap " +
+        "cluster(s) drew neighbors from the cluster's first " +
+        "1000 members only (coverage degraded, not silent; raise k)")
+    out
+  }
+
+  /** Directed k-NN edges `(src, dst, rank)` per cluster, rank 1 =
+    * nearest. Same streamed-run shape as s06's compare: rows arrive
+    * sorted by (cid, vec_id); a run buffers at most `cap` members. Each
+    * buffered member scores against all buffered members (ids ascending,
+    * ties to the smaller id); members past the cap score against the
+    * buffered cap only and are counted into `overflow`. */
+  private[graft] def clusterKnnEdges(assigned: DataFrame, knn: Int, cap: Int,
+      overflow: org.apache.spark.util.LongAccumulator): DataFrame = {
+    val sp = assigned.sparkSession
+    import sp.implicits._
+    assigned.select($"cid", $"vec_id", $"embedding")
+      .as[(Int, Long, Seq[Float])]
+      .repartition($"cid")
+      .sortWithinPartitions($"cid", $"vec_id")
+      .mapPartitions { rows =>
+        val b = rows.buffered
+        def topkOf(id: Long, v: Array[Float],
+            others: scala.collection.IndexedSeq[(Long, Array[Float])])
+            : Iterator[(Long, Long, Int)] = {
+          // bounded selection: same (score desc, id asc) rule as TopKCosine
+          var best = List.empty[(Double, Long)] // ascending-worst-first kept sorted
+          others.foreach { case (oid, ov) =>
+            if (oid != id) {
+              val c = SimilarityOps.cosineArr(v, ov)
+              val cand = (c, oid)
+              def better(a: (Double, Long), x: (Double, Long)) =
+                a._1 > x._1 || (a._1 == x._1 && a._2 < x._2)
+              if (best.length < knn) best = (cand :: best).sortWith(better)
+              else if (better(cand, best.last)) best = (cand :: best.init).sortWith(better)
+            }
+          }
+          best.iterator.zipWithIndex.map { case ((_, oid), i) => (id, oid, i + 1) }
+        }
+        def processRun(run: Iterator[(Long, Array[Float])]): Iterator[(Long, Long, Int)] = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+          while (run.hasNext && buf.length <= cap) buf += run.next()
+          val inCap = buf.iterator.flatMap { case (id, v) => topkOf(id, v, buf) }
+          val past = run.flatMap { case (id, v) =>
+            overflow.add(1); topkOf(id, v, buf)
+          }
+          inCap ++ past
+        }
+        new Iterator[Iterator[(Long, Long, Int)]] {
+          def hasNext: Boolean = b.hasNext
+          def next(): Iterator[(Long, Long, Int)] = {
+            val cid = b.head._1
+            processRun(new Iterator[(Long, Array[Float])] {
+              def hasNext: Boolean = b.hasNext && b.head._1 == cid
+              def next(): (Long, Array[Float]) = { val e = b.next(); (e._2, e._3.toArray) }
+            })
+          }
+        }.flatten
+      }
+      .toDF("src", "dst", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_knn_graph" -> (s10_knn_graph _),
+  )
+
+  val oracle: Map[String, String] = Map.empty
+}

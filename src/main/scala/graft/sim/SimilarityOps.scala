@@ -65,7 +65,7 @@ object SimilarityOps {
     * Numerics are IDENTICAL (same 2^-32 quantization, long sums, same
     * double→float rounding), so the s04/s06 determinism pins hold
     * unchanged. Only k centroid rows reach the driver. */
-  private def lloydStep(emb: DataFrame,
+  private[sim] def lloydStep(emb: DataFrame,
       cb: Array[(Int, Seq[Float])]): Array[(Int, Seq[Float])] = {
     val cbArr = cb.map { case (cid, c) => (cid, c.toArray) }
     val assignU = udf { v: Seq[Float] =>

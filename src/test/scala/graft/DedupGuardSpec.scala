@@ -268,6 +268,43 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s10 knn-graph pin at sf0.001: cluster-local edges are deterministic") {
+    // every node gets its full out-degree 5 (clusters are all > 6
+    // members); 494 planted near-identical pairs appear as MUTUAL TOP-1
+    // edges — exactly the 494 pairs s06 co-clusters (the same quantizer
+    // splits the same 6) — so the graph concentrates its strongest edges
+    // on the known ground truth
+    val row = graft.sim.GraphOps.s10_knn_graph(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(row.toSeq == Seq(1000L, 16L, 5000L, 1653L, 494L, 6L),
+      s"got ${row.toSeq}")
+  }
+
+  test("s10 knn edges: flooded cluster draws neighbors from the cap prefix, observed") {
+    val sp = spark
+    import sp.implicits._
+    // 150 identical vectors in one cluster (cap 100) + a 3-member cluster
+    val flood = (0L until 150L).map(i => (0, i, Seq(1.0f, 0.0f)))
+    val small = Seq(1000L, 1001L, 1002L).map(i => (7, i, Seq(0.0f, 1.0f)))
+    val acc = sp.sparkContext.longAccumulator("test_s10_overflow")
+    val edges = graft.sim.GraphOps
+      .clusterKnnEdges(sp.createDataFrame(flood ++ small)
+        .toDF("cid", "vec_id", "embedding"), knn = 2, cap = 100, acc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // past-cap members (101..149) still get edges, but only into the
+    // first-101 prefix; overflow observed for each
+    val past = edges.filter(e => e._1 > 100L && e._1 < 1000L)
+    assert(past.nonEmpty && past.forall(_._2 <= 100L),
+      s"past-cap member drew a neighbor outside the prefix: ${past.take(5).toSeq}")
+    assert(acc.value == 49L, s"overflow=${acc.value}")
+    // small cluster: ids ascending, ties to smaller id — 1000's top-2 is
+    // (1001 rank 1, 1002 rank 2)
+    assert(edges.filter(_._1 == 1000L).sortBy(_._3).map(_._2).toSeq ==
+      Seq(1001L, 1002L))
+    // identical scores tie-break by id: node 0's neighbors are 1, 2
+    assert(edges.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq == Seq(1L, 2L))
+  }
+
   test("d09 sketch-estimate pin at sf0.001: estimator error is deterministic") {
     // seeded permutations + fixed-point error accumulation make the
     // MinHash estimator audit a pure function of the corpus; the mean

@@ -119,8 +119,8 @@ object Dev {
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     })
-    // s06 goes through s06Impl so the star-overflow accumulator is OURS
-    // to read; k is the adaptive default the public entry would pick
+    // s06/s10 go through their Impl so the star-overflow accumulator is
+    // OURS to read; k is the adaptive default the public entry would pick
     val s06Overflow = new java.util.concurrent.atomic.AtomicLong(-1L)
     val s06K = new java.util.concurrent.atomic.AtomicLong(-1L)
     def runS06(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
@@ -134,16 +134,35 @@ object Dev {
       s06K.set(k)
       materialized
     }
+    val s10Overflow = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def runS10(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+      val n = 2L * s.read.parquet(s"$dir/embeddings.parquet").count()
+      val acc = s.sparkContext.longAccumulator("scalebench_s10_overflow")
+      val out = graft.sim.GraphOps
+        .s10Impl(s, dir, graft.sim.SimilarityOps.adaptiveK(n), acc)
+      val materialized = out.cache()
+      materialized.count()
+      s10Overflow.set(acc.value)
+      materialized
+    }
     val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
       "d04_ngram_jaccard", "d06_dedup_clusters", "d10_store_incremental",
-      "s02_embedding_neardup", "s06_semantic_dedup", "s07_ann_store",
-      "s08_ann_ivfpq", "m04_image_neardup", "t08_tfidf",
+      "d11_line_dedup", "s02_embedding_neardup", "s06_semantic_dedup",
+      "s07_ann_store", "s08_ann_ivfpq", "s09_ann_ivfpq_rerank",
+      "s10_knn_graph", "m04_image_neardup", "t08_tfidf", "t14_bpe_encode",
       "w07_link_graph", "w08_pagerank")
     def runOnce(name: String, dir: String): (Double, Seq[(String, Long, Long)]) = {
       guardHits.clear()
+      // settle the JVM between heavy runs: successive runs in one JVM
+      // otherwise charge the PREVIOUS run's garbage (checkpoint blocks,
+      // shuffle buffers) to the next measurement — the first artifact
+      // showed warm runs slower than cold for exactly this reason
+      System.gc()
       val t0 = System.nanoTime()
       val fn: (org.apache.spark.sql.SparkSession, String) => DataFrame =
-        if (name == "s06_semantic_dedup") runS06 else SparkEntry.queries(name)
+        if (name == "s06_semantic_dedup") runS06
+        else if (name == "s10_knn_graph") runS10
+        else SparkEntry.queries(name)
       val rows = fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
@@ -161,6 +180,8 @@ object Dev {
       val guards = (base ++ scaled).flatMap(_._2)
       val s06extra = if (name == "s06_semantic_dedup")
         s""","s06_k":${s06K.get()},"s06_star_overflow":${s06Overflow.get()}"""
+        else if (name == "s10_knn_graph")
+        s""","s10_cap_overflow":${s10Overflow.get()}"""
         else ""
       val guardJson = guards.map { case (n, c, mx) =>
         s"""{"metric":"$n","members":$c,"largest":$mx}""" }.mkString("[", ",", "]")

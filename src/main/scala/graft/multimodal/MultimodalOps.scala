@@ -440,11 +440,82 @@ object MultimodalOps {
       |FROM ah LEFT JOIN pc ON pc.doc_id = ah.doc_id
       |ORDER BY 1""".stripMargin
 
+  /** Decode EVERY frame of a container, returning (frame_idx, mean
+    * pixel) — the stride-1 sibling of [[sampleFrames]], used by the
+    * cross-video dedup where skipping frames would miss duplicates. */
+  def allFrames(bytes: Array[Byte]): Seq[(Int, Long)] = sampleFrames(bytes, 1)
+
+  /** m05: cross-video FRAME-level dedup — d11's line-dedup idea applied
+    * to the video modality (repeated intro/outro/placeholder frames
+    * shared across otherwise distinct videos are the boilerplate of
+    * video corpora). Every container is parsed and EVERY frame decoded
+    * with the real PNG codec (`ImageIO`, stride 1); the frame
+    * fingerprint is its mean pixel value — for these synthetic
+    * constant-raster frames the mean IS the content, which is exactly
+    * what lets the SQL oracle recompute fingerprints arithmetically
+    * from the base table while the Spark side derives them from decoded
+    * bytes. A fingerprint seen in ≥ 2 distinct videos marks a shared
+    * frame class.
+    *
+    * Scale shape: one explode (container → frames, map-side decode),
+    * ONE shuffle on the fingerprint for the class aggregate, one
+    * broadcast-join back for the instance rollup — linear, the digest
+    * equivalence class bounds everything (no pairwise frame compare
+    * exists in the plan). */
+  def m05_frame_neardup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id".as("media_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.flatMap { id =>
+          allFrames(encodeVideo(id)).map { case (f, mean) => (id, f.toLong, mean) }
+        }
+      }
+      .toDF("media_id", "frame_idx", "fp")
+    graft.dedup.DedupOps.withCache(frames) { fr =>
+      val cls = fr.groupBy($"fp")
+        .agg(count(lit(1)).as("cls_n"), countDistinct($"media_id").as("cls_videos"))
+      fr.join(broadcast(cls), "fp")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct($"fp").as("n_distinct_fp"),
+          countDistinct(when($"cls_videos" >= 2, $"fp")).as("n_shared_fp"),
+          sum(when($"cls_videos" >= 2, 1L).otherwise(0L)).as("n_dup_instances"),
+          countDistinct(when($"cls_videos" >= 2, $"media_id"))
+            .as("n_videos_with_shared"),
+          max($"cls_videos").as("max_videos_per_fp"))
+    }
+  }
+
+  val m05Oracle: String =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id,
+      |    UNNEST(range(0, (doc_id % 12) + 1)) AS frame_idx
+      |  FROM documents),
+      |fp AS (
+      |  SELECT media_id, frame_idx,
+      |    (media_id % 256 + frame_idx) % 256 AS fp
+      |  FROM f),
+      |cls AS (
+      |  SELECT fp, COUNT(*) AS cls_n, COUNT(DISTINCT media_id) AS cls_videos
+      |  FROM fp GROUP BY 1)
+      |SELECT COUNT(*) AS n_frames,
+      |  COUNT(DISTINCT p.fp) AS n_distinct_fp,
+      |  COUNT(DISTINCT CASE WHEN cls_videos >= 2 THEN p.fp END) AS n_shared_fp,
+      |  CAST(SUM(CASE WHEN cls_videos >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_instances,
+      |  COUNT(DISTINCT CASE WHEN cls_videos >= 2 THEN media_id END)
+      |    AS n_videos_with_shared,
+      |  MAX(cls_videos) AS max_videos_per_fp
+      |FROM fp p JOIN cls ON cls.fp = p.fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m04_image_neardup" -> (m04_image_neardup _),
     "m01_media_decode" -> (m01_media_decode _),
     "m02_frame_sample" -> (m02_frame_sample _),
     "m03_audio_features" -> (m03_audio_features _),
+    "m05_frame_neardup" -> (m05_frame_neardup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -452,5 +523,6 @@ object MultimodalOps {
     "m01_media_decode" -> m01Oracle,
     "m02_frame_sample" -> m02Oracle,
     "m03_audio_features" -> m03Oracle,
+    "m05_frame_neardup" -> m05Oracle,
   )
 }

@@ -444,6 +444,37 @@ object Relational2 {
     * Scale shape: the rates table is aggregate-output-sized (one row per
     * source) — broadcasting IT is legal and desirable (unlike corpus
     * data); everything else is two keyed aggregations. */
+  /** q34: exact per-stratum length QUANTILES — the corpus-profiling
+    * query every curation run starts with (length p50/p90/p99 per
+    * language drives truncation and packing choices). Spark's exact
+    * `percentile` and DuckDB's `quantile_cont` implement the same
+    * linear-interpolation definition (rank h = (n−1)·p, value =
+    * v⌊h⌋ + (h−⌊h⌋)·(v⌈h⌉−v⌊h⌋)), so the doubles agree bit-for-bit on
+    * integer inputs — asserted by the oracle compare, not assumed. Exact
+    * percentile sorts per group; at 100 TB swap in `percentile_approx`
+    * (t-digest, mergeable map-side sketch) when the ±ε of the sketch is
+    * acceptable — kept exact here because the oracle gate compares
+    * values exactly. */
+  def q34_length_quantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        expr("percentile(n_chars, 0.99)").as("p99"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"lang")
+  }
+
+  val q34Oracle: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  quantile_cont(n_chars, 0.5) AS p50,
+      |  quantile_cont(n_chars, 0.9) AS p90,
+      |  quantile_cont(n_chars, 0.99) AS p99,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   def q33_temperature_mix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val grp = concat(lit("g"),
@@ -496,6 +527,7 @@ object Relational2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_temperature_mix" -> (q33_temperature_mix _),
+    "q34_length_quantiles" -> (q34_length_quantiles _),
     "q32_range_join" -> (q32_range_join _),
     "q30_deterministic_split" -> (q30_deterministic_split _),
     "q31_stratified_sample" -> (q31_stratified_sample _),
@@ -516,6 +548,7 @@ object Relational2 {
 
   val oracle: Map[String, String] = Map(
     "q33_temperature_mix" -> q33Oracle,
+    "q34_length_quantiles" -> q34Oracle,
     "q32_range_join" -> q32Oracle,
     "q30_deterministic_split" -> q30Oracle,
     "q31_stratified_sample" -> q31Oracle,

@@ -465,7 +465,69 @@ object StreamingOps {
       |  CAST(SUM(6 + len(string_split(text, ' '))) AS BIGINT) AS word_sum
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** st07: STREAMING QUALITY GATE — the t07 curation rule run as a
+    * continuous pipeline over arriving documents (the shape of a crawl
+    * feeding curation online instead of in batches). Structured
+    * Streaming allows only ONE stateful aggregation per query, so t07's
+    * two-level plan (gram dedup, then per-doc rollup) can't stream;
+    * the per-doc signals collapse into the map-side
+    * [[graft.text.TextOps.gateKeep]] UDF (identical rule, spec-pinned
+    * against t07's column formulation) and the single streaming
+    * aggregation is the per-(lang, verdict) rollup. Oracle = the same
+    * rule in batch SQL. */
+  def st07_stream_quality_gate(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val name = s"st07_sink_${System.nanoTime()}"
+    val keepU = udf { text: String => graft.text.TextOps.gateKeep(text) }
+    val q = s.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("lang"), keepU(col("text")).as("keep"))
+      .groupBy(col("lang"), col("keep"))
+      .agg(count(lit(1)).as("n_docs"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    drainSink(s, name, _.orderBy("lang", "keep"))
+  }
+
+  val st07Oracle: String = {
+    val toks = graft.text.TextOps.oracleToks("text")
+    raw"""WITH base AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len($toks) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter($toks,
+      |      x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS BIGINT) AS n_stop,
+      |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct,
+      |    CAST(length(text) AS BIGINT) AS n_chars_m
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+      |         ELSE array_to_string(ts[i:i+2], ' ') END AS gram
+      |  FROM toks, UNNEST(range(1, GREATEST(len(ts) - 1, 2))) AS u(i)),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      |          COUNT(*) AS n_distinct
+      |        FROM c GROUP BY 1),
+      |j AS (SELECT * FROM base JOIN rep USING (doc_id))
+      |SELECT lang,
+      |  NOT (n_tok < 30 OR n_stop * 1000 < n_tok * 15
+      |    OR n_punct * 10 > n_chars_m
+      |    OR (n_grams - n_distinct) * 10 > n_grams) AS keep,
+      |  COUNT(*) AS n_docs
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st07_stream_quality_gate" -> (st07_stream_quality_gate _),
     "st01_stream_window" -> (st01_stream_window _),
     "st02_session_window" -> (st02_session_window _),
     "st03_stream_dedup" -> (st03_stream_dedup _),
@@ -475,6 +537,7 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "st07_stream_quality_gate" -> st07Oracle,
     "st01_stream_window" -> st01Oracle,
     "st02_session_window" -> st02Oracle,
     "st03_stream_dedup" -> st03Oracle,

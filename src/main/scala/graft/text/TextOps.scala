@@ -49,8 +49,44 @@ object TextOps {
     * every count/ratio/gate built on it. `list_filter(x <> '')` closes
     * the gap and is a no-op for non-empty text (splitting a trimmed
     * non-empty string on `\s+` never produces an empty token). */
-  private def oracleToks(textExpr: String): String =
+  private[graft] def oracleToks(textExpr: String): String =
     s"list_filter(string_split_regex(trim($textExpr), '\\s+'), x -> x <> '')"
+
+  /** The t07 gate verdict as a plain Scala function — EXACTLY the rule
+    * the `gateSignals` column formulation applies (same trim/tokenize/
+    * punct/3-gram semantics), for contexts where the two-level
+    * aggregation plan can't run: a STREAMING pipeline supports only one
+    * stateful aggregation, so the per-doc signals must collapse to a
+    * map-side UDF (st07). Docs are KB-sized; the per-row work is the
+    * same the columnar plan does, minus the (doc_id, gram) shuffle. */
+  def gateKeep(text: String): Boolean = {
+    import graft.dedup.DedupOps.{sqlTrim, WsPattern}
+    val trimmed = sqlTrim(text)
+    val toksG: Array[String] =
+      if (trimmed.isEmpty) Array.empty else WsPattern.split(trimmed)
+    val nTok = toksG.length.toLong
+    val nStop = toksG.count(StopSample.contains).toLong
+    var nPunct = 0L
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') ||
+        c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (!ok) nPunct += 1
+      i += 1
+    }
+    val nChars = text.length.toLong
+    // gram path mirrors gateSignals: UNGUARDED split (empty text ⇒ [""])
+    val ts = WsPattern.split(trimmed)
+    val grams: Seq[String] =
+      if (ts.length < 3) Seq(ts.mkString(" "))
+      else ts.iterator.sliding(3).map(_.mkString(" ")).toSeq
+    val nGrams = grams.length.toLong
+    val nDistinct = grams.distinct.length.toLong
+    !(nTok < 30 || nStop * 1000 < nTok * 15 || nPunct * 10 > nChars ||
+      (nGrams - nDistinct) * 10 > nGrams)
+  }
 
   val t01Oracle: String =
     raw"""SELECT doc_id,

@@ -355,6 +355,34 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got ${r.toSeq}")
   }
 
+  test("gateKeep UDF equals t07's columnar verdict on every doc") {
+    // st07 streams the gate as a map-side UDF because streaming allows
+    // only one stateful aggregation; the UDF must be the SAME rule as
+    // t07's two-level columnar plan — asserted per doc, plus the edge
+    // shapes the column formulation pins (empty text, punct flood,
+    // stopword-free, 3-gram repetition)
+    val sp = spark
+    import sp.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val columnar = graft.text.TextOps.t07_quality_gate(sp, sf)
+      .select($"doc_id", $"keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val docs = graft.analytics.Tables.documents(sp, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      assert(graft.text.TextOps.gateKeep(text) == columnar(id),
+        s"gateKeep diverges from t07 on doc $id")
+    }
+    assert(!graft.text.TextOps.gateKeep(""))                  // too short
+    assert(!graft.text.TextOps.gateKeep("!@# " * 40))         // punct flood
+    assert(!graft.text.TextOps.gateKeep("word " * 40))        // repetitive + no stopwords
+    // non-repetitive: every 3-gram window is unique (varying suffixes)
+    val good = (1 to 40).map(i => s"the alpha$i beta$i of gamma$i").mkString(" ")
+    assert(graft.text.TextOps.gateKeep(good))
+  }
+
   test("t11 BPE pin at sf0.001: merge sequence is deterministic") {
     // no SQL oracle by design (the merge recurrence isn't SQL); the
     // lexicographic tie-break makes the learned merges a pure function

@@ -67,6 +67,22 @@ object Dev {
   def genScaled(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {
     import org.apache.spark.sql.functions._
+    // The testdata layout is one parquet FILE per table (events.parquet
+    // is a file, not a directory) and the streaming sources select their
+    // table with `pathGlobFilter` on the FILE name — a directory of
+    // part-files silently matches nothing and the stream reads zero
+    // rows (the first scalebench run with streaming queries did exactly
+    // that). Reproduce the layout: stage a single part, rename it.
+    def writeSingleFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val staging = new org.apache.hadoop.fs.Path(s"$outDir/_staging_$name")
+      val target = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*"))(0).getPath
+      fs.delete(target, true)
+      fs.rename(part, target)
+      fs.delete(staging, true)
+    }
     val stride = 1000000L
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docsOut = (0 until replicas).map { r =>
@@ -79,8 +95,7 @@ object Dev {
           length(text).cast("long").as("n_chars"))
       }
     }.reduce(_ unionByName _)
-    docsOut.repartition(32).write.mode("overwrite")
-      .parquet(s"$outDir/documents.parquet")
+    writeSingleFile(docsOut, "documents.parquet")
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val embOut = (0 until replicas).map { r =>
       if (r == 0) emb
@@ -93,9 +108,25 @@ object Dev {
           rotated.as("embedding"), col("label"))
       }
     }.reduce(_ unionByName _)
-    embOut.repartition(32).write.mode("overwrite")
-      .parquet(s"$outDir/embeddings.parquet")
-    println(s"[dev] gen-sf: ${docsOut.count()} docs, ${embOut.count()} vectors -> $outDir")
+    writeSingleFile(embOut, "embeddings.parquet")
+    // events: same time range (windows stay fixed), DISJOINT user and
+    // event-id spaces per replica — so windowed-agg state grows in
+    // VALUES (10× events per window) and keyed state (sessions,
+    // running totals, join buffers) grows in KEYS (10× users), which is
+    // how a real stream scales. ts rides through as nanos-long (plain
+    // INT64 in the output; both Tables.events and streamEvents read it
+    // identically — the legacy TIMESTAMP(NANOS) conf is a no-op for it).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val evOut = (0 until replicas).map { r =>
+      if (r == 0) ev
+      else ev.select((col("event_id") + lit(r * stride)).as("event_id"),
+        col("ts"), (col("user_id") + lit(r * stride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+    writeSingleFile(evOut, "events.parquet")
+    println(s"[dev] gen-sf: ${docsOut.count()} docs, ${embOut.count()} vectors, " +
+      s"${evOut.count()} events -> $outDir")
   }
 
   /** The sf1 certification run (r5 verdict item 1): every no-quadratic
@@ -149,8 +180,13 @@ object Dev {
       "d04_ngram_jaccard", "d06_dedup_clusters", "d10_store_incremental",
       "d11_line_dedup", "s02_embedding_neardup", "s06_semantic_dedup",
       "s07_ann_store", "s08_ann_ivfpq", "s09_ann_ivfpq_rerank",
-      "s10_knn_graph", "m04_image_neardup", "t08_tfidf", "t14_bpe_encode",
-      "w07_link_graph", "w08_pagerank")
+      "s10_knn_graph", "m04_image_neardup", "m05_frame_neardup",
+      "t08_tfidf", "t14_bpe_encode", "w07_link_graph", "w08_pagerank",
+      // streaming: windowed-agg state scales in values, keyed state
+      // (sessions/running totals/join buffers) in keys — both certified
+      "st01_stream_window", "st02_session_window",
+      "st04_stream_stream_join", "st05_stream_warc_ingest",
+      "st06_running_totals", "st07_stream_quality_gate")
     def runOnce(name: String, dir: String): (Double, Seq[(String, Long, Long)]) = {
       guardHits.clear()
       // settle the JVM between heavy runs: successive runs in one JVM
@@ -170,6 +206,10 @@ object Dev {
       val hits = guardHits.asScala.toSeq
       println(f"[scalebench] $name @ $dir rows=$rows time=$dt%.2fs" +
         (if (hits.nonEmpty) s" guard=$hits" else ""))
+      // a zero-row run means the INPUT wiring is broken (e.g. a stream's
+      // pathGlobFilter matching nothing) — certifying its timing would
+      // be measuring nothing; fail loudly
+      require(rows > 0L, s"$name produced 0 rows at $dir — broken input wiring")
       (dt, hits)
     }
     def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)

@@ -361,15 +361,32 @@ object Dev {
         ($"na" + $"nb") * 11)
       .select($"id_a", $"id_b").persist()
     t("cand accumulated-position filter")(println("  pairs=" + candP.count()))
+    // two-phase verify mirroring the CURRENT d04 (r5 shape): phase 1
+    // scores the cached hash arrays in codegen, phase 2 string-verifies
+    // only the survivors (the r3 all-candidates string verify was the
+    // dominant cost — 69 s of 86 s at sf1 when this probe still used it)
+    val pre2 = DedupOps.withNearDups(spark, sfDir)
+      .select($"doc_id", hashShinglesU($"text").as("hs"))
+      .select($"doc_id", expr("array_sort(array_distinct(hs))").as("hs"))
+      .persist()
+    val iNat = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
+    val winners = candP
+      .join(pre2.select($"doc_id".as("id_a"), $"hs".as("hs_a")), "id_a")
+      .join(pre2.select($"doc_id".as("id_b"), $"hs".as("hs_b")), "id_b")
+      .select($"id_a", $"id_b",
+        (iNat * 8 - (size($"hs_a") + size($"hs_b")).cast("long") * 3).as("m"))
+      .filter($"m" >= -16)
+      .select($"id_a", $"id_b").persist()
+    t("phase-1 hash verify")(println("  winners=" + winners.count()))
     val texts = DedupOps.withNearDups(spark, sfDir)
     val jacU = udf { (ta: String, tb: String) =>
       DedupOps.jaccard(DedupOps.shingles(ta), DedupOps.shingles(tb)) }
-    val out = candP
+    val out = winners
       .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
       .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
       .withColumn("jaccard", jacU($"text_a", $"text_b"))
       .filter($"jaccard" >= 0.6)
-    t("verify")(println("  confirmed=" + out.count()))
+    t("phase-2 string verify")(println("  confirmed=" + out.count()))
     spark.catalog.clearCache()
   }
 

@@ -46,18 +46,8 @@ object GraphOps {
     import s.implicits._
     val knn = 5
     val emb = SimilarityOps.withNearDups(s, d).persist()
-    var centroids: Array[(Int, Seq[Float])] = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding").filter($"vec_id" < k)
-      .orderBy($"vec_id").collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-    (1 to 2).foreach { _ => centroids = SimilarityOps.lloydStep(emb, centroids) }
-    val cbArr = centroids.map { case (cid, c) => (cid, c.toArray) }
-    val assignU = udf { v: Seq[Float] =>
-      val va = v.toArray
-      cbArr.minBy { case (cid, c) => (-SimilarityOps.cosineArr(va, c), cid) }._1
-    }
     val out = graft.dedup.DedupOps.withCache(
-        emb.withColumn("cid", assignU($"embedding"))) { assigned =>
+        SimilarityOps.trainAndAssign(s, d, k, emb)) { assigned =>
       val edges = clusterKnnEdges(assigned, knn, cap = 1000, overflow)
       graft.dedup.DedupOps.withCache(edges) { e =>
         // mutual edges: (src,dst) whose reverse also exists — one

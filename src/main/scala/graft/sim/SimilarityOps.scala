@@ -541,7 +541,7 @@ object SimilarityOps {
         .distinct().collect().map(_.getLong(0)) // bounded: ≤ rerank×|queries|
       // stage 2 — exact re-rank over the finalists' raw vectors only
       val raw = s.table(tbl).select($"vec_id", $"embedding")
-        .filter($"vec_id".isin(finalistIds.map(Long.box): _*))
+        .filter($"vec_id".isin(finalistIds.toIndexedSeq.map(Long.box): _*))
       val qv = queries.select($"query_id", $"q_v").distinct()
       val exactTop = adcTop.select($"query_id", explode($"cands").as("vec_id"))
         .join(raw, "vec_id")
@@ -769,6 +769,26 @@ object SimilarityOps {
     s06Impl(s, d, k,
       s.sparkContext.longAccumulator("graft_s06_star_overflow"))
 
+  /** Train the deterministic k-centroid codebook on a (persisted)
+    * corpus frame (seed = the k lowest-id BASE vectors, 2 fixed-point
+    * Lloyd iterations) and return the frame with the map-side `cid`
+    * assignment column — the shared front half of s06 and s10. */
+  private[sim] def trainAndAssign(s: SparkSession, d: String, k: Int,
+      emb: DataFrame): DataFrame = {
+    import s.implicits._
+    var centroids: Array[(Int, Seq[Float])] = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding").filter($"vec_id" < k)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+    (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
+    val cbArr = centroids.map { case (cid, c) => (cid, c.toArray) }
+    val assignU = udf { v: Seq[Float] =>
+      val va = v.toArray
+      cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
+    }
+    emb.withColumn("cid", assignU($"embedding"))
+  }
+
   /** [[s06_semantic_dedup]] with a caller-supplied overflow accumulator —
     * lets the flooded-corpus spec OBSERVE star-fallback degradation (the
     * thing [[adaptiveK]] exists to prevent) instead of grepping logs. */
@@ -778,19 +798,8 @@ object SimilarityOps {
     // the union subtree (read + perturb UDF) feeds two Lloyd passes, the
     // final assignment, and the compare — persist it for the duration
     val emb = withNearDups(s, d).persist()
-    var centroids: Array[(Int, Seq[Float])] = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding").filter($"vec_id" < k)
-      .orderBy($"vec_id").collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-    (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
-    val cb = centroids
-    val cbArr = cb.map { case (cid, c) => (cid, c.toArray) }
-    val assignU = udf { v: Seq[Float] =>
-      val va = v.toArray
-      cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
-    }
     val out = graft.dedup.DedupOps.withCache(
-        emb.withColumn("cid", assignU($"embedding"))) { assigned =>
+        trainAndAssign(s, d, k, emb)) { assigned =>
       val pairs = clusterLocalPairs(assigned, cap = 1000, minCos = 0.9, overflow)
       // id_a < id_b everywhere ⇒ every id_b has a smaller-id near-dup
       val dropped = pairs.select($"id_b".as("vec_id")).distinct()

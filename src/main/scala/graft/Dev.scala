@@ -22,7 +22,9 @@ object Dev {
       genScaled(spark, args(1), args(2), args(3).toInt); spark.stop(); return
     }
     if (args.headOption.contains("scalebench")) {
-      scaleBench(spark, args(1), args(2), args(3)); spark.stop(); return
+      scaleBench(spark, args(1), args(2), args(3),
+        args.lift(4).map(_.toInt).getOrElse(10))
+      spark.stop(); return
     }
     if (args.headOption.contains("show")) {
       SparkEntry.queries(args(1))(spark, sfDir).show(50, false)
@@ -67,6 +69,10 @@ object Dev {
   def genScaled(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {
     import org.apache.spark.sql.functions._
+    // rotation by r mod 64 is the identity at r = 64 — replica 64 would
+    // duplicate replica 0's vectors exactly and break the cross-replica
+    // disjointness the certification relies on
+    require(replicas <= 64, s"replicas=$replicas > 64: embedding rotation wraps")
     // The testdata layout is one parquet FILE per table (events.parquet
     // is a file, not a directory) and the streaming sources select their
     // table with `pathGlobFilter` on the FILE name — a directory of
@@ -137,7 +143,7 @@ object Dev {
     * times + cost-growth ratios + guard counters. Pass/fail contract:
     * min-time ratio ≤ ~12× for 10× data on every query. */
   def scaleBench(spark: SparkSession, baseDir: String, scaledDir: String,
-      outPath: String): Unit = {
+      outPath: String, scaleFactor: Int = 10): Unit = {
     import org.apache.spark.sql.DataFrame
     val guardHits = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
@@ -151,9 +157,10 @@ object Dev {
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     })
     // s06/s10 go through their Impl so the star-overflow accumulator is
-    // OURS to read; k is the adaptive default the public entry would pick
-    val s06Overflow = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val s06K = new java.util.concurrent.atomic.AtomicLong(-1L)
+    // OURS to read (recorded PER DIR — a single last-run field would
+    // hide a base-side overflow behind the scaled runs' value); k is
+    // the adaptive default the public entry would pick
+    val s06Stats = new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
     def runS06(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
       val n = 2L * s.read.parquet(s"$dir/embeddings.parquet").count()
       val k = graft.sim.SimilarityOps.adaptiveK(n)
@@ -161,11 +168,11 @@ object Dev {
       val out = graft.sim.SimilarityOps.s06Impl(s, dir, k, acc)
       val materialized = out.cache()
       materialized.count()
-      s06Overflow.set(acc.value)
-      s06K.set(k)
+      s06Stats.merge(dir, (k, acc.value),
+        (a, b) => (b._1, math.max(a._2, b._2)))
       materialized
     }
-    val s10Overflow = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val s10Stats = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     def runS10(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
       val n = 2L * s.read.parquet(s"$dir/embeddings.parquet").count()
       val acc = s.sparkContext.longAccumulator("scalebench_s10_overflow")
@@ -173,7 +180,8 @@ object Dev {
         .s10Impl(s, dir, graft.sim.SimilarityOps.adaptiveK(n), acc)
       val materialized = out.cache()
       materialized.count()
-      s10Overflow.set(acc.value)
+      s10Stats.merge(dir, Long.box(acc.value),
+        (a, b) => Long.box(math.max(a, b)))
       materialized
     }
     val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
@@ -202,6 +210,11 @@ object Dev {
       val rows = fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // QueryExecutionListener delivery is asynchronous (execution-end
+      // events ride the listener bus); give in-flight guard events time
+      // to land before draining, so an overflow is attributed to the
+      // run that caused it (code-review finding)
+      Thread.sleep(500)
       import scala.jdk.CollectionConverters._
       val hits = guardHits.asScala.toSeq
       println(f"[scalebench] $name @ $dir rows=$rows time=$dt%.2fs" +
@@ -218,10 +231,14 @@ object Dev {
       val scaled = Seq(runOnce(name, scaledDir), runOnce(name, scaledDir))
       val ratio = scaled.map(_._1).min / base.map(_._1).min
       val guards = (base ++ scaled).flatMap(_._2)
-      val s06extra = if (name == "s06_semantic_dedup")
-        s""","s06_k":${s06K.get()},"s06_star_overflow":${s06Overflow.get()}"""
-        else if (name == "s10_knn_graph")
-        s""","s10_cap_overflow":${s10Overflow.get()}"""
+      val s06extra = if (name == "s06_semantic_dedup") {
+        val (kb, ob) = s06Stats.getOrDefault(baseDir, (-1, -1L))
+        val (ks, os) = s06Stats.getOrDefault(scaledDir, (-1, -1L))
+        s""","s06_k_base":$kb,"s06_star_overflow_base":$ob""" +
+          s""","s06_k_scaled":$ks,"s06_star_overflow_scaled":$os"""
+      } else if (name == "s10_knn_graph")
+        s""","s10_cap_overflow_base":${s10Stats.getOrDefault(baseDir, -1L)}""" +
+          s""","s10_cap_overflow_scaled":${s10Stats.getOrDefault(scaledDir, -1L)}"""
         else ""
       val guardJson = guards.map { case (n, c, mx) =>
         s"""{"metric":"$n","members":$c,"largest":$mx}""" }.mkString("[", ",", "]")
@@ -231,8 +248,10 @@ object Dev {
         s""""ratio_min":${r3(ratio)},"guard_overflows":$guardJson$s06extra}""")
     }
     val json = perQuery.map { case (k, v) => s""""$k":$v""" }
-      .mkString(s"""{"base":"$baseDir","scaled":"$scaledDir","scale_factor":10,""" +
-        s""""contract":"ratio_min <= 12 for 10x data","queries":{""", ",", "}}")
+      .mkString(s"""{"base":"$baseDir","scaled":"$scaledDir",""" +
+        s""""scale_factor":$scaleFactor,""" +
+        s""""contract":"ratio_min <= ${scaleFactor + 2} for ${scaleFactor}x data","queries":{""",
+        ",", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(s"[scalebench] wrote $outPath")
   }

@@ -428,22 +428,6 @@ object Relational2 {
       |  CAST(MAX(gap) AS BIGINT) AS max_gap_us
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** q33: temperature-weighted source mixing — the data-mix step of a
-    * multi-source pretraining corpus: target proportions ∝ N_s^τ (τ =
-    * 0.5) flatten the source distribution, achieved by downsampling
-    * source s at rate 100·√(N_min/N_s) percent (the smallest source
-    * keeps everything — with a fixed corpus one can only downsample).
-    * The testdata's `source` column is uniform, so a SKEWED source group
-    * is first derived from doc_id (50/30/10/10% — the planting trick the
-    * dedup family uses), keeping the whole query a pure function of the
-    * base table. Selection reuses the q30/q31 md5-bucket device, and the
-    * rate math stays bit-exact cross-engine: one correctly-rounded IEEE
-    * division, one correctly-rounded sqrt, scale by 100, floor — no
-    * accumulation of doubles anywhere.
-    *
-    * Scale shape: the rates table is aggregate-output-sized (one row per
-    * source) — broadcasting IT is legal and desirable (unlike corpus
-    * data); everything else is two keyed aggregations. */
   /** q34: exact per-stratum length QUANTILES — the corpus-profiling
     * query every curation run starts with (length p50/p90/p99 per
     * language drives truncation and packing choices). Spark's exact
@@ -475,6 +459,22 @@ object Relational2 {
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q33: temperature-weighted source mixing — the data-mix step of a
+    * multi-source pretraining corpus: target proportions ∝ N_s^τ (τ =
+    * 0.5) flatten the source distribution, achieved by downsampling
+    * source s at rate 100·√(N_min/N_s) percent (the smallest source
+    * keeps everything — with a fixed corpus one can only downsample).
+    * The testdata's `source` column is uniform, so a SKEWED source group
+    * is first derived from doc_id (50/30/10/10% — the planting trick the
+    * dedup family uses), keeping the whole query a pure function of the
+    * base table. Selection reuses the q30/q31 md5-bucket device, and the
+    * rate math stays bit-exact cross-engine: one correctly-rounded IEEE
+    * division, one correctly-rounded sqrt, scale by 100, floor — no
+    * accumulation of doubles anywhere.
+    *
+    * Scale shape: the rates table is aggregate-output-sized (one row per
+    * source) — broadcasting IT is legal and desirable (unlike corpus
+    * data); everything else is two keyed aggregations. */
   def q33_temperature_mix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val grp = concat(lit("g"),

@@ -1140,11 +1140,20 @@ object DedupOps {
   def d11_line_dedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = withNearDups(s, d)
+    // empty-text guard: a 1-token doc's planted copy has text "" and an
+    // unguarded split would yield [""] ⇒ one phantom empty line, where
+    // the oracle's list_slice path yields a zero-element list ⇒ none
+    // (code-review finding; no gate corpus has 1-token docs, but the
+    // divergence would bite at the first sf that does)
     val linesFromToks = docs
-      .withColumn("toks", split(trim($"text"), "\\s+"))
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, (size(toks) + 9) div 10 - 1), " +
-          "i -> array_join(slice(toks, i * 10 + 1, 10), ' '))")).as("line"))
+      .withColumn("toks", when(length(trim($"text")) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(trim($"text"), "\\s+")))
+      .select($"doc_id", explode(when(size($"toks") === 0,
+          array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(sequence(0, (size(toks) + 9) div 10 - 1), " +
+            "i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"))).as("line"))
     withCache(linesFromToks.select($"doc_id", md5($"line").as("h"),
         size(split($"line", " ")).cast("long").as("ltok"))) { l =>
       val freq = l.groupBy($"h").agg(countDistinct($"doc_id").as("ddf"))
@@ -1161,8 +1170,13 @@ object DedupOps {
   }
 
   val d11Oracle: String =
+    // base-side toks are empty-token-filtered so an empty-text doc
+    // yields [] (0 lines) like the Spark guard; the planted slice can
+    // never contain '' (slicing non-empty tokens)
     """WITH all_docs AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000,
       |    list_slice(string_split_regex(trim(text), '\s+'), 1,

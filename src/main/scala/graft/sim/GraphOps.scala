@@ -75,17 +75,19 @@ object GraphOps {
     emb.unpersist(false)
     if (overflow.value > 0)
       log.warn(s"s10 knn graph: ${overflow.value} member(s) of over-cap " +
-        "cluster(s) drew neighbors from the cluster's first " +
-        "1000 members only (coverage degraded, not silent; raise k)")
+        "cluster(s) drew neighbors from the cluster's buffered cap+1 " +
+        "prefix only (coverage degraded, not silent; raise k)")
     out
   }
 
   /** Directed k-NN edges `(src, dst, rank)` per cluster, rank 1 =
     * nearest. Same streamed-run shape as s06's compare: rows arrive
-    * sorted by (cid, vec_id); a run buffers at most `cap` members. Each
-    * buffered member scores against all buffered members (ids ascending,
-    * ties to the smaller id); members past the cap score against the
-    * buffered cap only and are counted into `overflow`. */
+    * sorted by (cid, vec_id); a run buffers at most `cap` + 1 members
+    * (the +1th is what detects the overflow, matching
+    * `clusterLocalPairs`). Each buffered member scores against all
+    * buffered members (ids ascending, ties to the smaller id); members
+    * past the buffer score against the buffered prefix only and are
+    * counted into `overflow`. */
   private[graft] def clusterKnnEdges(assigned: DataFrame, knn: Int, cap: Int,
       overflow: org.apache.spark.util.LongAccumulator): DataFrame = {
     val sp = assigned.sparkSession

@@ -474,11 +474,7 @@ object SimilarityOps {
     val total = emb.count()
     val topk = udaf(new TopKCosine(5))
     withBucketedScan(s) {
-      // select codes BEFORE the join so the store scan's ReadSchema
-      // carries (vec_id, cid, code) and never the raw embedding
-      val lists = s.table(tbl).select($"vec_id", $"cid", $"code")
-        .filter($"cid".isin(probedCids: _*))
-      val approx = lists.join(broadcast(queries), Seq("cid"))
+      val approx = s08ProbePlan(s, tbl, queries, probedCids)
         .filter($"vec_id" =!= $"query_id")
         .withColumn("score", adcU($"q_v", $"code"))
         .groupBy($"query_id")
@@ -528,10 +524,8 @@ object SimilarityOps {
     val topkR = udaf(new TopKCosine(rerank))
     val topk5 = udaf(new TopKCosine(5))
     withBucketedScan(s) {
-      // stage 1 — codes-only nomination (identical scan shape to s08)
-      val lists = s.table(tbl).select($"vec_id", $"cid", $"code")
-        .filter($"cid".isin(probedCids: _*))
-      val adcTop = lists.join(broadcast(queries), Seq("cid"))
+      // stage 1 — codes-only nomination (the exact s08 probe plan)
+      val adcTop = s08ProbePlan(s, tbl, queries, probedCids)
         .filter($"vec_id" =!= $"query_id")
         .withColumn("score", adcU($"q_v", $"code"))
         .groupBy($"query_id")
@@ -557,10 +551,11 @@ object SimilarityOps {
     }
   }
 
-  /** The s08 probe plan (lazy, for PlanSpec): same construction as
-    * [[s08_ann_ivfpq]]'s candidate scan, exposed so the spec can pin
-    * bucket pruning + embedding-free ReadSchema without re-running the
-    * recall rollup. */
+  /** The s08/s09 candidate probe: codes selected BEFORE the join so the
+    * store scan's ReadSchema carries (vec_id, cid, code) and never the
+    * raw embedding column. This is the SAME construction the operators
+    * execute AND the one PlanSpec pins — one definition, so a plan
+    * regression cannot hide behind a drifted copy. */
   private[graft] def s08ProbePlan(s: SparkSession, tbl: String,
       queries: DataFrame, probedCids: Seq[Int]): DataFrame = {
     import s.implicits._

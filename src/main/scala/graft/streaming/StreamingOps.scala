@@ -66,14 +66,29 @@ object StreamingOps {
       overwritePerBatch: Boolean,
       attach: ((DataFrame, Long) => Unit) => org.apache.spark.sql.streaming.StreamingQuery,
       finish: DataFrame => DataFrame): DataFrame = {
+    // capture the batch schema so an all-empty stream still drains to
+    // the memory path's empty frame instead of crashing on a directory
+    // that no batch ever wrote (code-review finding)
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
     val q = attach { (batch, _) =>
+      schema = batch.schema
       if (overwritePerBatch)
         batch.write.mode("overwrite").parquet(dir)
       else if (!batch.isEmpty)
         batch.write.mode("append").parquet(dir)
     }
     q.awaitTermination()
-    finish(s.read.parquet(dir)).localCheckpoint(true)
+    val outPath = new org.apache.hadoop.fs.Path(dir)
+    val dirExists = outPath
+      .getFileSystem(s.sparkContext.hadoopConfiguration).exists(outPath)
+    val raw =
+      if (dirExists) s.read.parquet(dir)
+      else if (schema != null)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else throw new IllegalStateException(
+        s"stream drained no batches and wrote nothing to $dir — " +
+          "check the source wiring (e.g. a pathGlobFilter matching no file)")
+    finish(raw).localCheckpoint(true)
   }
 
   /** Materialize a memory-sink-backed result and DROP the sink table:

@@ -1014,7 +1014,65 @@ object TextOps {
     }
   }
 
+  /** t15: deterministic GLOBAL SHUFFLE + training-shard layout — the
+    * last layout decision before shards hit disk: training-data order
+    * affects the model, so the shuffle must be REPRODUCIBLE (same
+    * corpus ⇒ same order, engine- and partitioning-independent), and
+    * sharding must balance without coordination. Order key =
+    * md5('shuf1:' || doc_id) (salted so the order is unrelated to id
+    * order and re-saltable per epoch); shard = first 16 bits mod 16.
+    * At scale this is `repartition(shard)` + `sortWithinPartitions
+    * (order_key)` + a partitioned write — one hash shuffle, per-shard
+    * local sorts, no global sort. The output pins the layout exactly:
+    * per-shard doc/token counts (balance), min/max order key
+    * (boundaries), and an ORDER CHECKSUM Σ doc_id·rank over the
+    * within-shard rank — any engine that shuffles into any other order
+    * produces a different checksum, so the oracle compare certifies
+    * the exact order, not just membership. */
+  def t15_shard_layout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit("shuf1:"), $"doc_id".cast("string")))
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", size(whitespaceTokens($"text")).cast("long").as("n_tok"))
+      .withColumn("order_key", key)
+      .withColumn("shard",
+        (conv(substring($"order_key", 1, 4), 16, 10).cast("long") % 16).as("shard"))
+    val ranked = docs.withColumn("rank",
+      row_number().over(Window.partitionBy($"shard").orderBy($"order_key", $"doc_id"))
+        .cast("long"))
+    ranked.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        min($"order_key").as("first_key"),
+        max($"order_key").as("last_key"),
+        sum($"doc_id" * $"rank").as("order_checksum"))
+      .orderBy($"shard")
+  }
+
+  val t15Oracle: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tok,
+      |    md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS order_key
+      |  FROM documents),
+      |sh AS (
+      |  SELECT *, CAST(concat('0x', substr(order_key, 1, 4)) AS BIGINT) % 16
+      |    AS shard
+      |  FROM k),
+      |r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY shard
+      |    ORDER BY order_key, doc_id) AS BIGINT) AS rank
+      |  FROM sh)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  MIN(order_key) AS first_key, MAX(order_key) AS last_key,
+      |  CAST(SUM(doc_id * rank) AS BIGINT) AS order_checksum
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_shard_layout" -> (t15_shard_layout _),
     "t14_bpe_encode" -> (t14_bpe_encode _),
     "t13_quality_model" -> (t13_quality_model _),
     "t12_sequence_pack" -> (t12_sequence_pack _),
@@ -1032,6 +1090,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t15_shard_layout" -> t15Oracle,
     "t12_sequence_pack" -> t12Oracle,
     "t09_rare_tokens" -> t09Oracle,
     "t10_bigram_novelty" -> t10Oracle,

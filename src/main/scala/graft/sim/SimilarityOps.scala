@@ -338,23 +338,44 @@ object SimilarityOps {
   private val annStoreRegistry = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[(Int, Seq[Float])], Array[Array[Array[Double]]])]()
 
-  /** Build-once accessor: trains the k=16 coarse codebook (same
-    * deterministic Lloyd as s04) AND the s05 PQ codebooks (256-vector
-    * sample), then writes the assigned corpus as an inverted-list table
-    * BUCKETED BY cid carrying `(vec_id, embedding, cid, code)` — one
-    * bucket per cluster, so a probe that names its clusters reads ONLY
-    * those buckets (bucket pruning: `SelectedBucketsCount` < total,
-    * PlanSpec-pinned). Raw vectors and 16-byte PQ codes live side by
-    * side: the s07 probe column-prunes to the raw vectors, the s08
-    * probe to the codes (its scan never reads `embedding` —
-    * PlanSpec-pinned), and a re-ranking consumer could read both. */
-  private[graft] def ensureAnnStore(s: SparkSession, d: String, k: Int = 16)
+  /** Corpus-scaled IVF geometry for the persisted store (r6 verdict
+    * item 1): k ≈ √N inverted lists keep each list ~√N long — the
+    * classical IVF sizing — so with [[ivfNprobe]] ≈ √k probed lists the
+    * scan fraction is ~nprobe/k ≈ N^(-1/4): it SHRINKS as the corpus
+    * grows, which is the reason IVF exists (a fixed k=16 pinned the
+    * fraction at ~37% forever). The 16-list floor keeps tiny corpora
+    * away from degenerate 1-member lists. */
+  private[graft] def ivfK(n: Long): Int =
+    math.max(16L, math.round(math.sqrt(n.toDouble))).min(1 << 20).toInt
+
+  /** nprobe for a k-list store: ≈ √k, floored at the historical 6 so
+    * the floor-regime (k=16) probe matches the s04 teaching defaults.
+    * Grows N^(1/4) — slower than k — so recall stays useful while the
+    * scanned fraction still drops with corpus size. */
+  private[graft] def ivfNprobe(k: Int): Int =
+    math.max(6, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** Build-once accessor: trains the CORPUS-SCALED coarse codebook
+    * (k = [[ivfK]](N), same deterministic Lloyd as s04) AND the s05 PQ
+    * codebooks (256-vector sample), then writes the assigned corpus as
+    * an inverted-list table BUCKETED BY cid carrying
+    * `(vec_id, embedding, cid, code)` — one bucket per cluster, so a
+    * probe that names its clusters reads ONLY those buckets (bucket
+    * pruning: `SelectedBucketsCount` < total, PlanSpec-pinned). Raw
+    * vectors and 16-byte PQ codes live side by side: the s07 probe
+    * column-prunes to the raw vectors, the s08 probe to the codes (its
+    * scan never reads `embedding` — PlanSpec-pinned), and the s09
+    * re-ranker reads both (codes for the scan, raw vectors for the
+    * bounded finalist fetch). */
+  private[graft] def ensureAnnStore(s: SparkSession, d: String)
       : (String, Array[(Int, Seq[Float])], Array[Array[Array[Double]]]) = {
     val key = s.sparkContext.applicationId + ":" + d
     annStoreRegistry.computeIfAbsent(key, _ => {
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
         .repartition(s.sparkContext.defaultParallelism)
+      // metadata-cheap count (parquet row-group stats) sizes the codebook
+      val k = ivfK(Tables.embeddings(s, d).count())
       var centroids: Array[(Int, Seq[Float])] = emb.filter($"vec_id" < k)
         .orderBy($"vec_id").collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
@@ -407,18 +428,20 @@ object SimilarityOps {
     * persisted index, the d10 pattern applied to similarity search (the
     * production ANN shape: index built offline, queries probe online).
     * The codebook is trained and the corpus assigned ONCE
-    * ([[ensureAnnStore]]); each query run computes its nprobe clusters
-    * against the k-row codebook, collects the probed cluster ids (a
-    * ≤ k-value driver list — iteration-control-sized, not data), and
-    * scans ONLY those buckets of the store. Identical probe math to
-    * s04 ⇒ identical recall/scan-fraction output — the store is layout,
-    * not semantics (spec asserts s07 == s04 row-for-row); steady-state
-    * cost drops the per-run training entirely. No SQL oracle (ANN), so
-    * rows-only at the gate plus the equality pin. */
+    * ([[ensureAnnStore]], corpus-scaled k = [[ivfK]](N)); each query run
+    * computes its nprobe = [[ivfNprobe]](k) clusters against the k-row
+    * codebook, collects the probed cluster ids (a ≤ nprobe·|queries|
+    * driver list — iteration-control-sized, not data), and scans ONLY
+    * those buckets of the store. Identical probe math to s04 at the same
+    * (k, nprobe) ⇒ identical recall/scan-fraction output — the store is
+    * layout, not semantics (spec asserts s07 == s04(ivfK, ivfNprobe)
+    * row-for-row); steady-state cost drops the per-run training
+    * entirely. No SQL oracle (ANN), so rows-only at the gate plus the
+    * equality pin. */
   def s07_ann_store(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val nprobe = 6
     val (tbl, cb, _) = ensureAnnStore(s, d)
+    val nprobe = ivfNprobe(cb.length)
     val probeU = udf { v: Seq[Float] =>
       cb.map { case (cid, c) => (cid, cosine(v, c)) }
         .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
@@ -456,8 +479,8 @@ object SimilarityOps {
     * s05) → golden pin; not SQL-expressible → rows-only at the gate. */
   def s08_ann_ivfpq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val nprobe = 6
     val (tbl, cb, pqCb) = ensureAnnStore(s, d)
+    val nprobe = ivfNprobe(cb.length)
     val probeU = udf { v: Seq[Float] =>
       cb.map { case (cid, c) => (cid, cosine(v, c)) }
         .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
@@ -504,9 +527,9 @@ object SimilarityOps {
     * rows-only at the gate. */
   def s09_ann_ivfpq_rerank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val nprobe = 6
     val rerank = 50
     val (tbl, cb, pqCb) = ensureAnnStore(s, d)
+    val nprobe = ivfNprobe(cb.length)
     val probeU = udf { v: Seq[Float] =>
       cb.map { case (cid, c) => (cid, cosine(v, c)) }
         .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)

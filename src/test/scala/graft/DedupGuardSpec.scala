@@ -93,41 +93,47 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("s08 IVF-PQ pin at sf0.001: bucket-pruned scan over codes, deterministic recall") {
     // the composition of s07 (bucket-pruned inverted lists) and s05 (PQ
-    // codes): the probe scans ~36% of the corpus and touches only 16
-    // code bytes per scanned row. Codes-only recall 0.44 beats the
-    // full-scan PQ baseline's 0.40 (s05 pin above) on this near-uniform
-    // corpus — PQ's hardest case — and is a pure function of the data
-    // (same coarse Lloyd as s04/s07, same sample-trained codebooks as
-    // s05). n_scanned counts candidate rows from the probed buckets,
-    // so scan_fraction here must equal s04/s07's (same inverted lists).
+    // codes) at the store's CORPUS-SCALED geometry (k = ivfK(500) = 22,
+    // nprobe = 6): the probe scans ~27% of the corpus — down from the
+    // fixed-k=16 era's 36%, the scan fraction now shrinks with corpus
+    // size — and touches only 16 code bytes per scanned row. Codes-only
+    // recall 0.44 beats the full-scan PQ baseline's 0.40 (s05 pin above)
+    // on this near-uniform corpus — PQ's hardest case — and is a pure
+    // function of the data (same coarse Lloyd as s04, same
+    // sample-trained codebooks as s05). n_scanned counts candidate rows
+    // from the probed buckets, so scan_fraction here must equal s04's at
+    // the same (k, nprobe) — same inverted lists.
     val row = graft.sim.SimilarityOps.s08_ann_ivfpq(spark, "/root/testdata/sf0.001")
       .collect()(0)
     assert(row.getDouble(0) == 22.0 / 50.0, s"recall_at_5=${row.getDouble(0)}")
-    assert(row.getDouble(1) == 1814.0 / 5000.0, s"scan_fraction=${row.getDouble(1)}")
+    assert(row.getDouble(1) == 1363.0 / 5000.0, s"scan_fraction=${row.getDouble(1)}")
     assert(row.getLong(2) == 10L)
     assert(row.getLong(3) == 16L && row.getLong(4) == 256L)
-    val s04 = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001")
-      .collect()(0)
+    val k = graft.sim.SimilarityOps.ivfK(500L)
+    val s04 = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001",
+      k, graft.sim.SimilarityOps.ivfNprobe(k)).collect()(0)
     assert(row.getDouble(1) == s04.getDouble(1),
       s"s08 scan_fraction ${row.getDouble(1)} != s04's ${s04.getDouble(1)}")
   }
 
   test("s09 IVF-PQ re-rank pin at sf0.001: exact re-rank recovers raw-vector recall") {
-    // the full production ANN read path: the codes-only ADC scan (s08,
+    // the full production ANN read path at the store's corpus-scaled
+    // geometry (k = 22, nprobe = 6): the codes-only ADC scan (s08,
     // recall 0.44) nominates 50 finalists per query and the exact
-    // re-rank over ONLY those finalists' raw vectors recovers 0.96 —
-    // exactly s04/s07's raw-vector recall, at s08's scan fraction and
-    // 16 code bytes per scanned row. Deterministic (same trained
-    // codebooks, same tie rules); the equality with s04 is asserted, not
-    // assumed.
+    // re-rank over ONLY those finalists' raw vectors recovers 0.94 —
+    // exactly s04's raw-vector recall at the same (k, nprobe), at s08's
+    // scan fraction and 16 code bytes per scanned row. Deterministic
+    // (same trained codebooks, same tie rules); the equality with s04 is
+    // asserted, not assumed.
     val row = graft.sim.SimilarityOps
       .s09_ann_ivfpq_rerank(spark, "/root/testdata/sf0.001").collect()(0)
-    assert(row.getDouble(0) == 48.0 / 50.0, s"recall_at_5=${row.getDouble(0)}")
-    assert(row.getDouble(1) == 1814.0 / 5000.0, s"scan_fraction=${row.getDouble(1)}")
+    assert(row.getDouble(0) == 47.0 / 50.0, s"recall_at_5=${row.getDouble(0)}")
+    assert(row.getDouble(1) == 1363.0 / 5000.0, s"scan_fraction=${row.getDouble(1)}")
     assert(row.getLong(2) == 10L)
     assert(row.getLong(3) == 50L && row.getLong(4) == 16L)
-    val s04 = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001")
-      .collect()(0)
+    val k = graft.sim.SimilarityOps.ivfK(500L)
+    val s04 = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001",
+      k, graft.sim.SimilarityOps.ivfNprobe(k)).collect()(0)
     assert(row.getDouble(0) == s04.getDouble(0),
       s"re-rank recall ${row.getDouble(0)} != s04's ${s04.getDouble(0)}")
   }
@@ -185,11 +191,15 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("s07 store-backed ANN equals s04 row-for-row: the index is layout, not semantics") {
-    // same codebook training, same probe math, different execution
+    // same codebook training, same probe math AT THE STORE'S
+    // corpus-scaled geometry (s04's parameterized overload at
+    // k = ivfK(N), nprobe = ivfNprobe(k)), different execution
     // (persisted bucketed inverted lists, bucket-pruned probe) — any
     // divergence means the store changed semantics
     val sf = "/root/testdata/sf0.001"
-    val a = graft.sim.SimilarityOps.s04_ann_ivf(spark, sf).collect()
+    val k = graft.sim.SimilarityOps.ivfK(500L)
+    val a = graft.sim.SimilarityOps.s04_ann_ivf(spark, sf,
+      k, graft.sim.SimilarityOps.ivfNprobe(k)).collect()
     val b = graft.sim.SimilarityOps.s07_ann_store(spark, sf).collect()
     assert(a.length == 1 && b.length == 1)
     assert(a(0).getDouble(0) == b(0).getDouble(0), "recall differs")
@@ -266,6 +276,22 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
         .iterator().asScala.foreach(java.nio.file.Files.delete)
       finally walk.close()
     }
+  }
+
+  test("ivf store geometry: corpus-scaled k/nprobe shrink the scan fraction with N") {
+    // r6 verdict item 1: a fixed k=16 pinned the s07/s08/s09 probe at
+    // ~37% of the corpus forever. With k ≈ √N and nprobe ≈ √k the
+    // uniform-corpus scan-fraction bound nprobe/k ≈ N^(-1/4) strictly
+    // DROPS as the corpus grows — the reason IVF exists.
+    import graft.sim.SimilarityOps.{ivfK, ivfNprobe}
+    assert(ivfK(500L) == 22 && ivfNprobe(22) == 6)       // sf0.001/sf0.01 store
+    assert(ivfK(2000L) == 45 && ivfNprobe(45) == 7)      // sf0.1 store
+    assert(ivfK(20000L) == 141 && ivfNprobe(141) == 12)  // 10x certification corpus
+    assert(ivfK(1000000000L) == 31623)                   // 1B-vector corpus
+    val fractions = Seq(500L, 2000L, 20000L, 2000000L, 1000000000L)
+      .map { n => val k = ivfK(n); ivfNprobe(k).toDouble / k }
+    assert(fractions.zip(fractions.tail).forall { case (a, b) => b < a },
+      s"scan-fraction bound must strictly drop with N: $fractions")
   }
 
   test("s10 knn-graph pin at sf0.001: cluster-local edges are deterministic") {

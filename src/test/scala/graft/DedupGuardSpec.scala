@@ -278,6 +278,49 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d13 span removal: keeper survives, later aligned occurrences redact, sub-W docs untouched") {
+    // hand-built corpus exercising every d13 rule: cross-doc duplication
+    // (the planted copy redacts fully), WITHIN-doc duplication (the
+    // second r1..r20 run redacts, the first — the keeper — survives),
+    // and the W=20 floor (a 10-token doc has no windows, so neither it
+    // nor its 9-token planted copy loses anything)
+    val sp = spark
+    import sp.implicits._
+    val doc0 = (1 to 40).map(i => s"a$i").mkString(" ")
+    val doc1 = ((1 to 20).map(i => s"r$i") ++ (1 to 20).map(i => s"r$i") ++
+      (1 to 5).map(i => s"z$i")).mkString(" ")
+    val doc2 = (1 to 10).map(i => s"c$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d13")
+    try {
+      Seq((0L, doc0), (1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = graft.dedup.SpanDedup.d13_span_removal(sp, dir.toString)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      assert(got(0L) == ((40L, 0L, md5hex(doc0))), s"doc0=${got(0L)}")
+      // doc1: the second r-run (idx 21..40) is a later occurrence of the
+      // pos-1 window; cleaned text = first run + tail
+      val doc1Clean = ((1 to 20).map(i => s"r$i") ++ (1 to 5).map(i => s"z$i")).mkString(" ")
+      assert(got(1L) == ((45L, 20L, md5hex(doc1Clean))), s"doc1=${got(1L)}")
+      assert(got(2L) == ((10L, 0L, md5hex(doc2))), s"doc2=${got(2L)}")
+      // planted copies: every window already exists in the base doc at
+      // the same position with a smaller doc_id ⇒ full redaction (above
+      // the W floor); the 9-token copy of doc2 has no windows
+      assert(got(100000L) == ((39L, 39L, md5hex(""))), s"copy0=${got(100000L)}")
+      assert(got(100001L) == ((44L, 44L, md5hex(""))), s"copy1=${got(100001L)}")
+      assert(got(100002L) == ((9L, 0L,
+        md5hex((1 to 9).map(i => s"c$i").mkString(" ")))), s"copy2=${got(100002L)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   test("ivf store geometry: corpus-scaled k/nprobe shrink the scan fraction with N") {
     // r6 verdict item 1: a fixed k=16 pinned the s07/s08/s09 probe at
     // ~37% of the corpus forever. With k ≈ √N and nprobe ≈ √k the

@@ -165,6 +165,32 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** st02 as a real stream with the production parquet drain: the same
+    * 30-minute-gap session windows computed incrementally
+    * (`session_window` state merges sessions across micro-batches) in
+    * complete mode — append would need the watermark to pass each
+    * session's close, which never happens for the tail of a bounded
+    * drain, silently dropping the last ~gap of sessions. Complete-mode
+    * batches overwrite `dir` (the last batch IS the final session set,
+    * written from the executors); the per-user rollup happens on the
+    * read-back, batch-side. Hash-equal to the batch path (spec-pinned). */
+  private[graft] def st02_session_window_files(s: SparkSession, d: String,
+      dir: String): DataFrame = withStreamShuffle(s) {
+    val sessions = streamEvents(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+    val finish = (t: DataFrame) => t.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+    drainToParquet(s, dir, overwritePerBatch = true,
+      fb => sessions.writeStream.foreachBatch(fb)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start(),
+      finish)
+  }
+
   val st02Oracle: String =
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -191,17 +217,36 @@ object StreamingOps {
     * (every event duplicated) then `dropDuplicates(event_id)`; counts
     * per type must equal the base table's. State-backed exact dedup is
     * the streaming twin of d01. */
-  def st03_stream_dedup(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
-    val name = s"st03_sink_${System.nanoTime()}"
+  def st03_stream_dedup(s: SparkSession, d: String): DataFrame =
+    st03Impl(s, d, fileDrainDir = None)
+
+  /** st03 through the production parquet drain: complete-mode batches
+    * overwrite `dir` from the executors. Hash-equal to the memory path
+    * (spec-pinned). */
+  private[graft] def st03_stream_dedup_files(s: SparkSession, d: String,
+      dir: String): DataFrame = st03Impl(s, d, fileDrainDir = Some(dir))
+
+  private def st03Impl(s: SparkSession, d: String,
+      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
     val ev = streamEvents(s, d)
-    val q = ev.union(ev)
+    val agg = ev.union(ev)
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    drainSink(s, name, _.orderBy("event_type"))
+    val finish = (t: DataFrame) => t.orderBy("event_type")
+    fileDrainDir match {
+      case Some(dir) =>
+        drainToParquet(s, dir, overwritePerBatch = true,
+          fb => agg.writeStream.foreachBatch(fb)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start(),
+          finish)
+      case None =>
+        val name = s"st03_sink_${System.nanoTime()}"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, name, finish)
+    }
   }
 
   val st03Oracle: String =
@@ -413,7 +458,17 @@ object StreamingOps {
     * with AvailableNow. New files landing in the directory would be
     * picked up by the next trigger; the oracle recomputes the per-host
     * rollup from `documents`. */
-  def st05_stream_warc_ingest(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
+  def st05_stream_warc_ingest(s: SparkSession, d: String): DataFrame =
+    st05Impl(s, d, fileDrainDir = None)
+
+  /** st05 through the production parquet drain: complete-mode per-host
+    * rollups overwrite `dir` from the executors. Hash-equal to the
+    * memory path (spec-pinned). */
+  private[graft] def st05_stream_warc_ingest_files(s: SparkSession, d: String,
+      dir: String): DataFrame = st05Impl(s, d, fileDrainDir = Some(dir))
+
+  private def st05Impl(s: SparkSession, d: String,
+      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     val warcDir = java.nio.file.Files.createTempDirectory("graft-st05")
     // temp-dir removal sits in a finally (r3 advisory: it leaked per
@@ -441,7 +496,6 @@ object StreamingOps {
             i += 1
           }
       }
-      val name = s"st05_sink_${System.nanoTime()}"
       val files = s.readStream.format("binaryFile")
         .option("pathGlobFilter", "*.warc")
         .schema(StructType(Seq(
@@ -453,14 +507,24 @@ object StreamingOps {
       val records = graft.warc.WarcSource.fromBytes(
         files.select(col("path"), col("content"))
           .as[(String, Array[Byte])])
-      val q = graft.warc.Pipeline.urlResources(records)
+      val agg = graft.warc.Pipeline.urlResources(records)
         .groupBy(col("hostname"))
         .agg(count(lit(1)).as("n_pages"),
           sum(col("word_count").cast("long")).as("word_sum"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      drainSink(s, name, _.orderBy("hostname"))
+      val finish = (t: DataFrame) => t.orderBy("hostname")
+      fileDrainDir match {
+        case Some(dir) =>
+          drainToParquet(s, dir, overwritePerBatch = true,
+            fb => agg.writeStream.foreachBatch(fb)
+              .outputMode("complete").trigger(Trigger.AvailableNow()).start(),
+            finish)
+        case None =>
+          val name = s"st05_sink_${System.nanoTime()}"
+          val q = agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          drainSink(s, name, finish)
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(warcDir)
@@ -490,24 +554,43 @@ object StreamingOps {
     * against t07's column formulation) and the single streaming
     * aggregation is the per-(lang, verdict) rollup. Oracle = the same
     * rule in batch SQL. */
-  def st07_stream_quality_gate(s: SparkSession, d: String): DataFrame = withStreamShuffle(s) {
+  def st07_stream_quality_gate(s: SparkSession, d: String): DataFrame =
+    st07Impl(s, d, fileDrainDir = None)
+
+  /** st07 through the production parquet drain: complete-mode batches
+    * overwrite `dir` from the executors. Hash-equal to the memory path
+    * (spec-pinned). */
+  private[graft] def st07_stream_quality_gate_files(s: SparkSession, d: String,
+      dir: String): DataFrame = st07Impl(s, d, fileDrainDir = Some(dir))
+
+  private def st07Impl(s: SparkSession, d: String,
+      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val name = s"st07_sink_${System.nanoTime()}"
     val keepU = udf { text: String => graft.text.TextOps.gateKeep(text) }
-    val q = s.readStream.schema(docsSchema)
+    val agg = s.readStream.schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
       .select(col("lang"), keepU(col("text")).as("keep"))
       .groupBy(col("lang"), col("keep"))
       .agg(count(lit(1)).as("n_docs"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    drainSink(s, name, _.orderBy("lang", "keep"))
+    val finish = (t: DataFrame) => t.orderBy("lang", "keep")
+    fileDrainDir match {
+      case Some(dir) =>
+        drainToParquet(s, dir, overwritePerBatch = true,
+          fb => agg.writeStream.foreachBatch(fb)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start(),
+          finish)
+      case None =>
+        val name = s"st07_sink_${System.nanoTime()}"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, name, finish)
+    }
   }
 
   val st07Oracle: String = {

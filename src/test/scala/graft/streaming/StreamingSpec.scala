@@ -97,6 +97,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .st04_stream_stream_join_files(spark, sf, s"$dir/st04").collect().toSeq
       assert(mem04.nonEmpty && mem04 == file04,
         s"st04 drains diverge: mem=${mem04.take(3)} file=${file04.take(3)}")
+      // r6 verdict item 3: the remaining four ops get the same contract.
+      // st02's oracle path is the BATCH session_window; the files variant
+      // is the real incremental stream (state-merged sessions, complete
+      // mode) — equality pins streaming sessionization against batch.
+      val mem02 = StreamingOps.st02_session_window(spark, sf).collect().toSeq
+      val file02 = StreamingOps
+        .st02_session_window_files(spark, sf, s"$dir/st02").collect().toSeq
+      assert(mem02.nonEmpty && mem02 == file02,
+        s"st02 drains diverge: mem=${mem02.take(3)} file=${file02.take(3)}")
+      val mem03 = StreamingOps.st03_stream_dedup(spark, sf).collect().toSeq
+      val file03 = StreamingOps
+        .st03_stream_dedup_files(spark, sf, s"$dir/st03").collect().toSeq
+      assert(mem03.nonEmpty && mem03 == file03,
+        s"st03 drains diverge: mem=${mem03.take(3)} file=${file03.take(3)}")
+      val mem05 = StreamingOps.st05_stream_warc_ingest(spark, sf).collect().toSeq
+      val file05 = StreamingOps
+        .st05_stream_warc_ingest_files(spark, sf, s"$dir/st05").collect().toSeq
+      assert(mem05.nonEmpty && mem05 == file05,
+        s"st05 drains diverge: mem=${mem05.take(3)} file=${file05.take(3)}")
+      val mem07 = StreamingOps.st07_stream_quality_gate(spark, sf).collect().toSeq
+      val file07 = StreamingOps
+        .st07_stream_quality_gate_files(spark, sf, s"$dir/st07").collect().toSeq
+      assert(mem07.nonEmpty && mem07 == file07,
+        s"st07 drains diverge: mem=${mem07.take(3)} file=${file07.take(3)}")
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(dir)

@@ -103,10 +103,27 @@ object Bench {
     }
     def r3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def num(o: Option[Double]): String = o.map(r3).getOrElse("null")
+    // The stdout headline keys are the operator ids (the unique prefix
+    // before the first '_': d01, q14, st04, ...): the driver keeps only
+    // the LAST ~2 KB of output, and at 91 full-name queries the r6 line
+    // outgrew that window — BENCH_r06.json came back "parsed": null with
+    // its tail starting mid-record. Short keys hold the line near 1.4 KB
+    // with headroom for ~40 more queries; full names stay in the detail
+    // file (whose "headline" map mirrors this one). Collisions (none
+    // today, by naming convention) fall back to the full name rather
+    // than silently merging two queries.
+    val shortKey: String => String = {
+      val all = results.map(_._1)
+      val pref = all.groupBy(_.takeWhile(_ != '_'))
+      name => {
+        val p = name.takeWhile(_ != '_')
+        if (pref(p).lengthCompare(1) == 0) p else name
+      }
+    }
     // failed queries are ABSENT from the headline map (a failed run's
     // elapsed time is not a measurement), present with nulls in the
     // detail file
-    val qs = results.collect { case (k, _, _, Some(b)) => s"\"" + k + "\":" + r3(b) }
+    val qs = results.collect { case (k, _, _, Some(b)) => s"\"" + shortKey(k) + "\":" + r3(b) }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, rs, lb, _) =>
       val names = Seq("cold", "warm", "extra1", "extra2")
@@ -119,15 +136,17 @@ object Bench {
     val total = results.flatMap(_._4).sum
     // headline FIRST: it is the only channel the driver parses, and a
     // detail-file write failure must not discard a completed run
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir","keys":"operator ids; full names in BENCH_DETAIL.json"}""")
     // cold/warm/extra per query + per-query pre-run load averages go to a
     // FILE (best-effort): the r3 stdout line carried them inline and
     // outgrew the driver's output-tail capture, truncating the front of
     // the line — BENCH_r03.json came back "parsed": null. The stdout line
     // stays compact (headline min only, 3-decimal values); the judge
     // reads the detail here.
+    val headlineFull = results.collect {
+      case (k, _, _, Some(b)) => s"\"" + k + "\":" + r3(b) }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(detail,
-      s"""{"runs":$runsJson,"failed":$fj,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"sf":"$sfDir"}""")
+      s"""{"headline":$headlineFull,"runs":$runsJson,"failed":$fj,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"sf":"$sfDir"}""")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()

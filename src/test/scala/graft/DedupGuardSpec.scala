@@ -412,15 +412,16 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("t14 BPE-encode pin at sf0.001: token counts under the learned merges") {
-    // the tokenizer-application stage: 10 learned merges applied to the
-    // 31-word vocabulary, instance totals frequency-weighted (no per-
-    // instance re-encoding). 125,717 chars → 100,541 BPE tokens (1.25
-    // chars/token — small because the synthetic vocabulary is tiny and
-    // only 10 merges are learned); all-integer output, pure function of
-    // the corpus.
+    // the tokenizer-application stage: the batched learner targets 128
+    // merges and the 31-word synthetic vocabulary EXHAUSTS at 89 (every
+    // word fused to a single symbol), so all 27,939 word instances
+    // encode to exactly one BPE token — 125,717 chars / 27,939 tokens =
+    // 4.499 chars/token, the realistic tokenizer ratio the 10-merge era
+    // (1.25) couldn't reach. All-integer output, pure function of the
+    // corpus.
     val r = graft.text.TextOps.t14_bpe_encode(spark, "/root/testdata/sf0.001")
       .collect()(0)
-    assert(r.toSeq == Seq(31L, 27939L, 125717L, 100541L, 5L, 1250L),
+    assert(r.toSeq == Seq(31L, 27939L, 125717L, 27939L, 1L, 4499L),
       s"got ${r.toSeq}")
   }
 
@@ -452,17 +453,22 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.text.TextOps.gateKeep(good))
   }
 
-  test("t11 BPE pin at sf0.001: merge sequence is deterministic") {
+  test("t11 BPE pin at sf0.001: batched merge sequence is deterministic") {
     // no SQL oracle by design (the merge recurrence isn't SQL); the
-    // lexicographic tie-break makes the learned merges a pure function
-    // of the corpus — pin the first merges and that later rounds build
-    // on earlier ones (multi-char merge 'p'+'ar' at rank 8)
+    // total (count, l, r) order makes the learned merges a pure
+    // function of the corpus. Pins the batching semantics too: 'or'
+    // (count 2880 > 'in''s 2858) is DEFERRED to rank 9 — it shares 'r'
+    // with the already-accepted 'er', so round 1 skips it and round 2
+    // recounts it post-merge — and rank 10 'm'+'er' builds on round 1's
+    // output. The 31-word vocabulary exhausts at 89 merges (target
+    // 128): every word ends as a single symbol.
     val rows = graft.text.TextOps.t11_bpe_vocab(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
-    assert(rows.length == 10)
+    assert(rows.length == 89, s"got ${rows.length}")
     assert(rows.take(3).toSeq ==
-      Seq((1, "er", 4650L), (2, "or", 2880L), (3, "in", 2858L)), s"got ${rows.toSeq}")
-    assert(rows(7) == ((8, "par", 1873L)), s"got ${rows(7)}")
+      Seq((1, "er", 4650L), (2, "in", 2858L), (3, "ow", 2763L)), s"got ${rows.toSeq}")
+    assert(rows(8) == ((9, "or", 2880L)), s"got ${rows(8)}")
+    assert(rows(9) == ((10, "mer", 1824L)), s"got ${rows(9)}")
   }
 
   test("q27 golden pin at sf0.001: HLL sketch estimates are deterministic") {

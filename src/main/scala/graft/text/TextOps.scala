@@ -66,17 +66,24 @@ object TextOps {
       if (trimmed.isEmpty) Array.empty else WsPattern.split(trimmed)
     val nTok = toksG.length.toLong
     val nStop = toksG.count(StopSample.contains).toLong
+    // CODE POINTS, not UTF-16 units: the columnar t07 counts via
+    // regexp_extract_all and length(), which both walk code points — a
+    // surrogate-pair emoji is ONE punct char and ONE text char there,
+    // where charAt/length would count it twice on both sides of the
+    // punct ratio, flipping the verdict on emoji-dense non-BMP text
     var nPunct = 0L
+    var nCp = 0L
     var i = 0
     while (i < text.length) {
-      val c = text.charAt(i)
+      val c = text.codePointAt(i)
       val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') ||
         c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
       if (!ok) nPunct += 1
-      i += 1
+      nCp += 1
+      i += Character.charCount(c)
     }
-    val nChars = text.length.toLong
+    val nChars = nCp
     // gram path mirrors gateSignals: UNGUARDED split (empty text ⇒ [""])
     val ts = WsPattern.split(trimmed)
     val grams: Seq[String] =

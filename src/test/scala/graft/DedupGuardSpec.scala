@@ -451,6 +451,37 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-repetitive: every 3-gram window is unique (varying suffixes)
     val good = (1 to 40).map(i => s"the alpha$i beta$i of gamma$i").mkString(" ")
     assert(graft.text.TextOps.gateKeep(good))
+    // NON-BMP parity (advisory): Spark's length()/regexp count CODE
+    // POINTS, so a surrogate-pair emoji is 1 punct char over 1 text
+    // char; UTF-16 charAt/length counted it 2/2, flipping the punct
+    // verdict exactly when 10·punct ≤ chars < 19·punct. Build a doc
+    // inside that band (self-checked), assert the UDF keeps it AND that
+    // the real columnar t07 run over a temp corpus agrees.
+    val emoji = "😀" // 😀 U+1F600
+    val bmpText = (1 to 30).map(i =>
+      if (i % 5 == 0) "the" else if (i % 2 == 0) s"w${i}x$emoji" else s"w${i}xq").mkString(" ")
+    val cp = bmpText.codePointCount(0, bmpText.length).toLong
+    val punct = 12L // the emoji are the only non-[a-zA-Z0-9\s] code points
+    assert(10 * punct <= cp && cp < 19 * punct,
+      s"constructed doc left the divergence band: cp=$cp punct=$punct")
+    assert(graft.text.TextOps.gateKeep(bmpText),
+      "code-unit counting flipped the punct verdict on non-BMP text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-bmp")
+    try {
+      Seq((0L, bmpText), (1L, good)).toDF("doc_id", "text")
+        .write.parquet(s"$dir/documents.parquet")
+      val col7 = graft.text.TextOps.t07_quality_gate(sp, dir.toString)
+        .select($"doc_id", $"keep").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(col7 == Map(0L -> true, 1L -> true),
+        s"columnar t07 diverges from gateKeep on non-BMP text: $col7")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
   }
 
   test("t11 BPE pin at sf0.001: batched merge sequence is deterministic") {

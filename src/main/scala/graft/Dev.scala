@@ -137,16 +137,21 @@ object Dev {
 
   /** The sf1 certification run (r5 verdict item 1): every no-quadratic
     * contract measured at 10× data. Runs the dedup/ANN/graph/media suite
-    * twice per scale (cold incl. any store build, warm = steady state),
-    * drains the LSH bucket-guard observed metrics and the s06 star
-    * accumulator per query, and writes a JSON artifact with per-query
-    * times + cost-growth ratios + guard counters. Pass/fail contract:
-    * min-time ratio ≤ ~12× for 10× data on every query. */
+    * per scale (cold incl. any store build, warm = steady state, base
+    * gets a THIRD run so a single lucky/poisoned base min can't
+    * manufacture or hide a ratio breach — r6 verdict), drains the LSH
+    * bucket-guard observed metrics and the s06 star accumulator per
+    * query, and writes a JSON artifact with per-query times +
+    * cost-growth ratios + guard counters + a per-query `pass` boolean
+    * and top-level `all_pass` (the contract is ASSERTED, not just
+    * recorded — advisory). The ANN-store probes also record their
+    * measured scan fraction per scale so the corpus-scaled codebook's
+    * shrinking-scan contract is certified, not argued. */
   def scaleBench(spark: SparkSession, baseDir: String, scaledDir: String,
       outPath: String, scaleFactor: Int = 10): Unit = {
     import org.apache.spark.sql.DataFrame
     val guardHits = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
-    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
         qe.observedMetrics.foreach { case (name, m) =>
@@ -155,7 +160,18 @@ object Dev {
         }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
-    })
+    }
+    spark.listenerManager.register(listener)
+    try scaleBenchBody(spark, baseDir, scaledDir, outPath, scaleFactor, guardHits)
+    // unregister in a finally: the r6 shape leaked one listener per
+    // scaleBench call into the shared session (advisory)
+    finally spark.listenerManager.unregister(listener)
+  }
+
+  private def scaleBenchBody(spark: SparkSession, baseDir: String,
+      scaledDir: String, outPath: String, scaleFactor: Int,
+      guardHits: java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]): Unit = {
+    import org.apache.spark.sql.DataFrame
     // s06/s10 go through their Impl so the star-overflow accumulator is
     // OURS to read (recorded PER DIR — a single last-run field would
     // hide a base-side overflow behind the scaled runs' value); k is
@@ -184,19 +200,47 @@ object Dev {
         (a, b) => Long.box(math.max(a, b)))
       materialized
     }
+    // ANN-store probes: record the MEASURED scan fraction per dir (their
+    // 1-row output carries it), so the corpus-scaled codebook's contract
+    // — the scanned fraction DROPS at 10× — is certified from data
+    val annScan = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+    def runAnnProbe(name: String)(s: org.apache.spark.sql.SparkSession,
+        dir: String): DataFrame = {
+      val materialized = SparkEntry.queries(name)(s, dir).cache()
+      materialized.count()
+      val frac = materialized.collect()(0).getAs[Double]("scan_fraction")
+      annScan.put(s"$name@$dir", frac)
+      materialized
+    }
+    val annProbes = Set("s07_ann_store", "s08_ann_ivfpq", "s09_ann_ivfpq_rerank")
     val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
       "d04_ngram_jaccard", "d06_dedup_clusters", "d10_store_incremental",
-      "d11_line_dedup", "s02_embedding_neardup", "s06_semantic_dedup",
+      "d11_line_dedup", "d12_span_dedup", "d13_span_removal",
+      "s02_embedding_neardup", "s06_semantic_dedup",
       "s07_ann_store", "s08_ann_ivfpq", "s09_ann_ivfpq_rerank",
       "s10_knn_graph", "m04_image_neardup", "m05_frame_neardup",
-      "t08_tfidf", "t14_bpe_encode", "w07_link_graph", "w08_pagerank",
+      "t08_tfidf", "t14_bpe_encode", "t15_shard_layout",
+      "q34_length_quantiles", "w07_link_graph", "w08_pagerank",
       // streaming: windowed-agg state scales in values, keyed state
       // (sessions/running totals/join buffers) in keys — both certified
       "st01_stream_window", "st02_session_window",
       "st04_stream_stream_join", "st05_stream_warc_ingest",
       "st06_running_totals", "st07_stream_quality_gate")
-    def runOnce(name: String, dir: String): (Double, Seq[(String, Long, Long)]) = {
+    // late guard events: the 500 ms post-run sleep is best-effort — an
+    // event landing after it would otherwise be silently charged to the
+    // NEXT run; drain leftovers at run start and attribute them to the
+    // prior run's label in the artifact (advisory)
+    val lateHits = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
+    var lastRunLabel = "startup"
+    def drainQueue(): Seq[(String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val out = guardHits.asScala.toSeq
       guardHits.clear()
+      out
+    }
+    def runOnce(name: String, dir: String): (Double, Seq[(String, Long, Long)]) = {
+      drainQueue().foreach { case (n, c, mx) =>
+        lateHits += ((lastRunLabel, n, c, mx)) }
       // settle the JVM between heavy runs: successive runs in one JVM
       // otherwise charge the PREVIOUS run's garbage (checkpoint blocks,
       // shuffle buffers) to the next measurement — the first artifact
@@ -206,6 +250,7 @@ object Dev {
       val fn: (org.apache.spark.sql.SparkSession, String) => DataFrame =
         if (name == "s06_semantic_dedup") runS06
         else if (name == "s10_knn_graph") runS10
+        else if (annProbes(name)) runAnnProbe(name)
         else SparkEntry.queries(name)
       val rows = fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -215,8 +260,8 @@ object Dev {
       // to land before draining, so an overflow is attributed to the
       // run that caused it (code-review finding)
       Thread.sleep(500)
-      import scala.jdk.CollectionConverters._
-      val hits = guardHits.asScala.toSeq
+      val hits = drainQueue()
+      lastRunLabel = s"$name@$dir"
       println(f"[scalebench] $name @ $dir rows=$rows time=$dt%.2fs" +
         (if (hits.nonEmpty) s" guard=$hits" else ""))
       // a zero-row run means the INPUT wiring is broken (e.g. a stream's
@@ -227,10 +272,25 @@ object Dev {
     }
     def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val perQuery = names.map { name =>
-      val base = Seq(runOnce(name, baseDir), runOnce(name, baseDir))
+      // THREE base runs (r6 verdict: a once-measured base min let the
+      // worst ratios lean on "the base landed unusually fast" — one
+      // outlier base run could manufacture or hide a breach)
+      val base = Seq(runOnce(name, baseDir), runOnce(name, baseDir),
+        runOnce(name, baseDir))
       val scaled = Seq(runOnce(name, scaledDir), runOnce(name, scaledDir))
       val ratio = scaled.map(_._1).min / base.map(_._1).min
       val guards = (base ++ scaled).flatMap(_._2)
+      val annDrop: Option[Boolean] = if (annProbes(name)) {
+        val fb = Option(annScan.get(s"$name@$baseDir")).map(_.doubleValue)
+        val fs = Option(annScan.get(s"$name@$scaledDir")).map(_.doubleValue)
+        for (b <- fb; sc <- fs) yield sc < b
+      } else None
+      val annExtra = if (annProbes(name)) {
+        val fb = Option(annScan.get(s"$name@$baseDir")).fold("null")(f => r3(f).toString)
+        val fs = Option(annScan.get(s"$name@$scaledDir")).fold("null")(f => r3(f).toString)
+        s""","scan_fraction_base":$fb,"scan_fraction_scaled":$fs""" +
+          s""","scan_fraction_drops":${annDrop.getOrElse(false)}"""
+      } else ""
       val s06extra = if (name == "s06_semantic_dedup") {
         val (kb, ob) = s06Stats.getOrDefault(baseDir, (-1, -1L))
         val (ks, os) = s06Stats.getOrDefault(scaledDir, (-1, -1L))
@@ -242,18 +302,33 @@ object Dev {
         else ""
       val guardJson = guards.map { case (n, c, mx) =>
         s"""{"metric":"$n","members":$c,"largest":$mx}""" }.mkString("[", ",", "]")
-      println(f"[scalebench] $name ratio=${ratio}%.2f")
-      name -> (s"""{"base_cold":${r3(base(0)._1)},"base_warm":${r3(base(1)._1)},""" +
+      // the contract, COMPUTED (advisory: it was only a prose string —
+      // a quadratic regression would still write a green-looking
+      // artifact); ANN probes additionally require the shrinking scan
+      val pass = ratio <= scaleFactor + 2 && annDrop.forall(identity)
+      println(f"[scalebench] $name ratio=${ratio}%.2f pass=$pass")
+      (name, pass,
+        s"""{"base_cold":${r3(base(0)._1)},"base_warm":${r3(base(1)._1)},""" +
+        s""""base_extra":${r3(base(2)._1)},""" +
         s""""scaled_cold":${r3(scaled(0)._1)},"scaled_warm":${r3(scaled(1)._1)},""" +
-        s""""ratio_min":${r3(ratio)},"guard_overflows":$guardJson$s06extra}""")
+        s""""ratio_min":${r3(ratio)},"pass":$pass,""" +
+        s""""guard_overflows":$guardJson$annExtra$s06extra}""")
     }
-    val json = perQuery.map { case (k, v) => s""""$k":$v""" }
+    val allPass = perQuery.forall(_._2)
+    val lateJson = lateHits.map { case (run, n, c, mx) =>
+      s"""{"after_run":"$run","metric":"$n","members":$c,"largest":$mx}"""
+    }.mkString("[", ",", "]")
+    val json = perQuery.map { case (k, _, v) => s""""$k":$v""" }
       .mkString(s"""{"base":"$baseDir","scaled":"$scaledDir",""" +
-        s""""scale_factor":$scaleFactor,""" +
-        s""""contract":"ratio_min <= ${scaleFactor + 2} for ${scaleFactor}x data","queries":{""",
+        s""""scale_factor":$scaleFactor,"all_pass":$allPass,""" +
+        s""""contract":"ratio_min <= ${scaleFactor + 2} for ${scaleFactor}x data; scan_fraction_scaled < scan_fraction_base for ANN-store probes",""" +
+        s""""late_guard_hits":$lateJson,"queries":{""",
         ",", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
-    println(s"[scalebench] wrote $outPath")
+    println(s"[scalebench] wrote $outPath all_pass=$allPass")
+    // artifact is on disk first; a contract breach still fails the run
+    // loudly so automation can't mistake a red certification for green
+    require(allPass, s"scalebench contract violated — see $outPath")
   }
 
   /** Stage-by-stage timing of the d02 minhash pipeline. */

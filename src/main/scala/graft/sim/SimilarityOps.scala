@@ -574,6 +574,64 @@ object SimilarityOps {
     }
   }
 
+  /** SERVICE-PRIMITIVE ANN search (r6 stretch): the s07/s08/s09 gate
+    * queries draw their query set from the corpus (`vec_id < 10`) so the
+    * recall oracle is self-contained; a real consumer brings its OWN
+    * vectors. This overload runs the full production read path — coarse
+    * probe of nprobe = [[ivfNprobe]](k) lists against the persisted
+    * corpus-scaled store, ADC scoring over the 16-byte codes
+    * (raw embedding column untouched in the scan), exact re-rank of
+    * `rerank` finalists fetched under a pushed `vec_id IN` point-lookup
+    * — for a caller-supplied `(query_id: Long,
+    * embedding: Array[Float])` DataFrame, returning `(query_id, rank,
+    * neighbor_id, cos)` top-`topK` rows per query. Unlike the gate
+    * queries there is no self-exclusion: a query identical to a stored
+    * vector returns that vector at rank 1 (spec-pinned). The query set
+    * is broadcast-sized by contract (it is the SMALL side of a
+    * store-probe join — the corpus side stays bucket-pruned and
+    * code-projected exactly as in s08/s09). */
+  def annSearch(s: SparkSession, d: String, queryVecs: DataFrame,
+      topK: Int = 5, rerank: Int = 50): DataFrame = {
+    import s.implicits._
+    val (tbl, cb, pqCb) = ensureAnnStore(s, d)
+    val nprobe = ivfNprobe(cb.length)
+    val probeU = udf { v: Seq[Float] =>
+      cb.map { case (cid, c) => (cid, cosine(v, c)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    }
+    val normU = udf { v: Seq[Float] => l2normalize(v) }
+    val adcU = udf { (q: Seq[Float], code: Array[Byte]) => pqAdc(pqCb, q, code) }
+    val queries = queryVecs
+      .select($"query_id", normU($"embedding").as("q_v"),
+        $"embedding".as("q_emb"), explode(probeU($"embedding")).as("cid"))
+      .localCheckpoint(true) // caller query set: broadcast-sized, probed twice
+    val probedCids = queries.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val topkR = udaf(new TopKCosine(rerank))
+    val topkOut = udaf(new TopKCosine(topK))
+    withBucketedScan(s) {
+      val adcTop = s08ProbePlan(s, tbl,
+          queries.select($"query_id", $"q_v", $"cid"), probedCids)
+        .withColumn("score", adcU($"q_v", $"code"))
+        .groupBy($"query_id")
+        .agg(topkR($"score", $"vec_id").as("cands"))
+        .localCheckpoint(true) // finalist-sized; feeds id-collect + re-rank
+      val finalistIds = adcTop.select(explode($"cands").as("vec_id"))
+        .distinct().collect().map(_.getLong(0)) // bounded: ≤ rerank×|queries|
+      val raw = s.table(tbl).select($"vec_id", $"embedding")
+        .filter($"vec_id".isin(finalistIds.toIndexedSeq.map(Long.box): _*))
+      val qv = queries.select($"query_id", $"q_emb").distinct()
+      adcTop.select($"query_id", explode($"cands").as("vec_id"))
+        .join(raw, "vec_id")
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
+        .groupBy($"query_id").agg(topkOut($"cos", $"vec_id").as("nbrs"))
+        .select($"query_id", posexplode($"nbrs").as(Seq("pos", "neighbor_id")))
+        .select($"query_id", ($"pos" + 1).as("rank"), $"neighbor_id")
+        .orderBy($"query_id", $"rank")
+    }
+  }
+
   /** The s08/s09 candidate probe: codes selected BEFORE the join so the
     * store scan's ReadSchema carries (vec_id, cid, code) and never the
     * raw embedding column. This is the SAME construction the operators

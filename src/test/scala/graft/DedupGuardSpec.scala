@@ -321,6 +321,28 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("annSearch: caller-supplied query vectors probe the persisted store") {
+    // the service-primitive overload (r6 stretch): queries come from the
+    // CALLER (here corpus vectors re-labeled into a disjoint id space),
+    // run the full IVF-PQ + exact-re-rank read path, and return ranked
+    // neighbors. A query identical to a stored vector must surface that
+    // vector at rank 1 — its own inverted list is the nearest-centroid
+    // list, so the probe always scans it, and exact cosine 1.0 wins the
+    // re-rank.
+    val sp = spark
+    import sp.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ext = graft.analytics.Tables.embeddings(sp, sf)
+      .filter($"vec_id".isin(42L, 123L, 400L))
+      .select(($"vec_id" + 9000L).as("query_id"), $"embedding")
+    val got = graft.sim.SimilarityOps.annSearch(sp, sf, ext, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == 9, s"expected 3 queries x top-3, got ${got.toSeq}")
+    assert(got.filter(_._2 == 1).toSeq.sortBy(_._1) ==
+      Seq((9042L, 1, 42L), (9123L, 1, 123L), (9400L, 1, 400L)),
+      s"rank-1 self-match failed: ${got.toSeq}")
+  }
+
   test("ivf store geometry: corpus-scaled k/nprobe shrink the scan fraction with N") {
     // r6 verdict item 1: a fixed k=16 pinned the s07/s08/s09 probe at
     // ~37% of the corpus forever. With k ≈ √N and nprobe ≈ √k the

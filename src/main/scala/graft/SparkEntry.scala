@@ -11,7 +11,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++
       graft.warc.WarcQueries.queries ++
       graft.text.TextOps.queries ++ graft.dedup.DedupOps.queries ++
-      graft.dedup.SpanDedup.queries ++
+      graft.dedup.SpanDedup.queries ++ graft.dedup.BloomDedup.queries ++
       graft.sim.SimilarityOps.queries ++ graft.sim.GraphOps.queries ++
       graft.multimodal.MultimodalOps.queries ++
       graft.streaming.StreamingOps.queries
@@ -21,7 +21,7 @@ object SparkEntry {
     Relational.oracle ++ Relational2.oracle ++
       graft.warc.WarcQueries.oracle ++
       graft.text.TextOps.oracle ++ graft.dedup.DedupOps.oracle ++
-      graft.dedup.SpanDedup.oracle ++
+      graft.dedup.SpanDedup.oracle ++ graft.dedup.BloomDedup.oracle ++
       graft.sim.SimilarityOps.oracle ++ graft.sim.GraphOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++
       graft.streaming.StreamingOps.oracle

@@ -321,6 +321,23 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d14 Bloom pre-filter: no false negatives, corpus-scaled sizing") {
+    // the Bloom contract: claimed ⊇ true (an exact copy's positions are
+    // all set by construction — a false negative would make the
+    // pre-filter WRONG, not just loose), and m_bits follows the
+    // corpus-scaled 8·nextPow2(N) sizing so fill stays ~half at any N
+    val r = graft.dedup.BloomDedup.d14_bloom_dedup(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val (nCorpus, mBits, nClaimed, nTrue, nFp) =
+      (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(nClaimed >= nTrue, s"Bloom false negative: claimed=$nClaimed true=$nTrue")
+    assert(nFp == nClaimed - nTrue)
+    assert(mBits == 8L * java.lang.Long.highestOneBit(2 * nCorpus - 1))
+    // exact copies of every 3rd corpus doc are all true duplicates
+    assert(nTrue == (0L until nCorpus).count(_ % 3 == 0),
+      s"true-dup count $nTrue diverges from the planted batch")
+  }
+
   test("annSearch: caller-supplied query vectors probe the persisted store") {
     // the service-primitive overload (r6 stretch): queries come from the
     // CALLER (here corpus vectors re-labeled into a disjoint id space),

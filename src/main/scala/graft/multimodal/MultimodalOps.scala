@@ -231,10 +231,11 @@ object MultimodalOps {
   def sampleAt(docId: Long, i: Int): Int =
     (((docId * 31 + i.toLong * i) % 2001) - 1000).toInt
 
-  /** Encode a REAL RIFF/WAVE file: 44-byte canonical header (PCM, mono,
-    * 16-bit little-endian) + the raw sample data. */
-  def encodeWav(docId: Long): Array[Byte] = {
-    val (n, rate) = audioParams(docId)
+  /** Encode a REAL RIFF/WAVE file from arbitrary samples: 44-byte
+    * canonical header (PCM, mono, 16-bit little-endian) + the raw
+    * sample data. */
+  def encodeWavSamples(samples: Array[Int], rate: Int): Array[Byte] = {
+    val n = samples.length
     val dataLen = n * 2
     val bos = new ByteArrayOutputStream()
     def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
@@ -246,8 +247,14 @@ object MultimodalOps {
     le32(rate * 2); le16(2); le16(16)
     tag("data"); le32(dataLen)
     var i = 0
-    while (i < n) { le16(sampleAt(docId, i) & 0xffff); i += 1 }
+    while (i < n) { le16(samples(i) & 0xffff); i += 1 }
     bos.toByteArray
+  }
+
+  /** The synthetic waveform of a document as a WAV container. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val (n, rate) = audioParams(docId)
+    encodeWavSamples(Array.tabulate(n)(sampleAt(docId, _)), rate)
   }
 
   /** Parse the WAV container back (magic + fmt validation, little-endian
@@ -510,12 +517,141 @@ object MultimodalOps {
       |  MAX(cls_videos) AS max_videos_per_fp
       |FROM fp p JOIN cls ON cls.fp = p.fp""".stripMargin
 
+  /** 64-bit frame-energy fingerprint of a WAV payload — the audio twin
+    * of [[aHash]]: samples split into 64 time frames (sample i → frame
+    * i·64/n, every frame non-empty for n ≥ 64), bit j set when frame
+    * j's absolute-amplitude sum exceeds the track mean (64·fs > total —
+    * integer cross-multiplication, no division). Robust to small
+    * amplitude edits (a ±1 sample shifts one frame sum and the total by
+    * 1), discriminative across tracks (independent waveforms set ~half
+    * the bits each, hamming ~32). */
+  def audioFingerprint(bytes: Array[Byte]): Long = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Int = u16(o) | (u16(o + 2) << 16)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE" && tag(12) == "fmt " &&
+      tag(36) == "data", "bad WAV container")
+    require(u16(20) == 1 && u16(34) == 16, "not 16-bit PCM")
+    val n = u32(40) / 2
+    val frameSum = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val raw = u16(44 + 2 * i)
+      val s = if (raw >= 0x8000) raw - 0x10000 else raw
+      val a = math.abs(s).toLong
+      frameSum((i.toLong * 64 / n).toInt) += a
+      total += a
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (frameSum(j) * 64 > total) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** m06: cross-track AUDIO near-duplicate detection — the audio member
+    * of the near-dup family (d03 text SimHash, m04 image aHash): every
+    * track's decoded waveform collapses to the 64-bit
+    * [[audioFingerprint]], fingerprints bucket by 4×16-bit pigeonhole
+    * bands (any pair within hamming ≤ 3 shares a band — d03's
+    * guarantee), and band-matched candidates verify at hamming ≤ 3 in
+    * codegen (`bit_count(xor)`). Planted near-identical copies
+    * (media_id + 100000, sample 1 amplitude +1 — a real waveform edit
+    * re-encoded through the real WAV codec) give ground truth: all 500
+    * land within hamming 3 and are found.
+    *
+    * Scale shape: fingerprints are map-side (batched per-partition
+    * decode), banding explodes 4 rows per track, ONE shuffle on
+    * (band, bits) with the oversized-bucket star guard, verify joins
+    * are candidate-sized — no pairwise product over tracks. Fully
+    * SQL-expressible (the waveform is a deterministic integer function
+    * of doc_id, the m03 device) → oracle-checked. */
+  def m06_audio_neardup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Shift = 100000L
+    val fps = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id".as("media_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.flatMap { id =>
+          val (n, rate) = audioParams(id)
+          val base = Array.tabulate(n)(sampleAt(id, _))
+          val perturbed = base.clone()
+          if (n > 1) perturbed(1) += 1
+          Iterator(
+            (id, audioFingerprint(encodeWavSamples(base, rate))),
+            (id + Shift, audioFingerprint(encodeWavSamples(perturbed, rate))))
+        }
+      }
+      .toDF("media_id", "sig")
+    graft.dedup.DedupOps.withCache(fps) { sigs =>
+      val banded = sigs.select($"media_id",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            ($"sig".bitwiseAND(lit(0xffffL << (b * 16)))).as("bits"))): _*))
+          .as("bb"))
+        .select($"media_id".as("doc_id"), $"bb.band", $"bb.bits")
+      val cand = graft.dedup.DedupOps.guardedBucketPairs(banded, Seq("band", "bits"))
+      cand
+        .join(sigs.select($"media_id".as("id_a"), $"sig".as("sig_a")), "id_a")
+        .join(sigs.select($"media_id".as("id_b"), $"sig".as("sig_b")), "id_b")
+        .filter(bit_count($"sig_a".bitwiseXOR($"sig_b")) <= 3)
+        .agg(count(lit(1)).as("n_confirmed"),
+          sum(when($"id_b" === $"id_a" + Shift, 1L).otherwise(0L))
+            .as("n_planted_found"))
+    }
+  }
+
+  val m06Oracle: String =
+    """WITH p AS (
+      |  SELECT doc_id AS media_id, doc_id AS src, (doc_id % 500) + 100 AS n,
+      |    0 AS pert
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id, (doc_id % 500) + 100, 1 FROM documents),
+      |s AS (
+      |  SELECT media_id, n, i.i AS i,
+      |    ((src * 31 + i.i * i.i) % 2001) - 1000
+      |      + CASE WHEN pert = 1 AND i.i = 1 THEN 1 ELSE 0 END AS v
+      |  FROM p, UNNEST(range(0, n)) AS i(i)),
+      |fr AS (
+      |  SELECT media_id, (i * 64) // n AS f, SUM(ABS(v)) AS fs
+      |  FROM s GROUP BY 1, 2),
+      |tot AS (SELECT media_id, SUM(fs) AS tot FROM fr GROUP BY 1),
+      |sig AS (
+      |  SELECT media_id,
+      |    CAST(SUM(CASE WHEN fs * 64 > tot THEN CAST(1 AS HUGEINT) << f
+      |             ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS sig
+      |  FROM fr JOIN tot USING (media_id) GROUP BY 1),
+      |banded AS (
+      |  SELECT media_id, b, sig & (CAST(65535 AS UBIGINT) << (b * 16)) AS bits
+      |  FROM sig, UNNEST(range(0, 4)) AS rb(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bits = b.bits AND a.media_id < b.media_id),
+      |confirmed AS (
+      |  SELECT id_a, id_b FROM pairs
+      |    JOIN sig sa ON sa.media_id = id_a
+      |    JOIN sig sb ON sb.media_id = id_b
+      |  WHERE bit_count(xor(sa.sig, sb.sig)) <= 3)
+      |SELECT COUNT(*) AS n_confirmed,
+      |  CAST(SUM(CASE WHEN id_b = id_a + 100000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_planted_found
+      |FROM confirmed""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m04_image_neardup" -> (m04_image_neardup _),
     "m01_media_decode" -> (m01_media_decode _),
     "m02_frame_sample" -> (m02_frame_sample _),
     "m03_audio_features" -> (m03_audio_features _),
     "m05_frame_neardup" -> (m05_frame_neardup _),
+    "m06_audio_neardup" -> (m06_audio_neardup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -524,5 +660,6 @@ object MultimodalOps {
     "m02_frame_sample" -> m02Oracle,
     "m03_audio_features" -> m03Oracle,
     "m05_frame_neardup" -> m05Oracle,
+    "m06_audio_neardup" -> m06Oracle,
   )
 }

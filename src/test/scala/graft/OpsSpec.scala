@@ -189,6 +189,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("audioFingerprint: deterministic, edit-tolerant, cross-track discriminative") {
+    import MultimodalOps.{audioFingerprint, audioParams, encodeWavSamples, sampleAt}
+    def fp(id: Long, edit: Boolean): Long = {
+      val (n, rate) = audioParams(id)
+      val s = Array.tabulate(n)(sampleAt(id, _))
+      if (edit) s(1) += 1
+      audioFingerprint(encodeWavSamples(s, rate))
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(7, edit = false) == fp(7, edit = false)) // deterministic
+    // a one-sample amplitude edit stays within the hamming-3 verify band
+    assert(ham(fp(7, edit = false), fp(7, edit = true)) <= 3)
+    assert(ham(fp(42, edit = false), fp(42, edit = true)) <= 3)
+    // distinct tracks stay OUTSIDE the hamming-3 verify band (adjacent
+    // ids share the i²-dominated energy envelope, so hamming runs ~9,
+    // not ~32 — still never confirmed as near-dups)
+    assert(ham(fp(7, edit = false), fp(8, edit = false)) > 3)
+    assert(ham(fp(7, edit = false), fp(100, edit = false)) > 3)
+  }
+
   test("video container: frame count, stride sampling, constant-gray means") {
     val docId = 7L // 8 frames
     val bytes = MultimodalOps.encodeVideo(docId)

@@ -10,9 +10,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++
       graft.warc.WarcQueries.queries ++
-      graft.text.TextOps.queries ++ graft.dedup.DedupOps.queries ++
+      graft.text.TextOps.queries ++ graft.text.TieredSample.queries ++
+      graft.dedup.DedupOps.queries ++
       graft.dedup.SpanDedup.queries ++ graft.dedup.BloomDedup.queries ++
       graft.sim.SimilarityOps.queries ++ graft.sim.GraphOps.queries ++
+      graft.sim.SelectOps.queries ++
       graft.multimodal.MultimodalOps.queries ++
       graft.streaming.StreamingOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -20,9 +22,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++
       graft.warc.WarcQueries.oracle ++
-      graft.text.TextOps.oracle ++ graft.dedup.DedupOps.oracle ++
+      graft.text.TextOps.oracle ++ graft.text.TieredSample.oracle ++
+      graft.dedup.DedupOps.oracle ++
       graft.dedup.SpanDedup.oracle ++ graft.dedup.BloomDedup.oracle ++
       graft.sim.SimilarityOps.oracle ++ graft.sim.GraphOps.oracle ++
+      graft.sim.SelectOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -321,6 +321,24 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s11 k-center greedy: deterministic pick sequence with non-increasing distances") {
+    // no SQL oracle by design (T-deep sequential argmax recurrence);
+    // seedless determinism: lowest-id seed, 2^-32-quantized distances
+    // compared as exact longs, id tie-break. Farthest-point theory:
+    // adding a center only shrinks min-distances, so the picked max-min
+    // distance sequence must be non-increasing — both the golden pin and
+    // the invariant are asserted.
+    val rows = graft.sim.SelectOps.s11_coreset_select(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 32)
+    assert(rows.take(3).toSeq == Seq((1, 0L, -1L), (2, 310L, 5882811883L),
+      (3, 74L, 5037774481L)), s"got ${rows.take(3).toSeq}")
+    val dists = rows.drop(1).map(_._3)
+    assert(dists.zip(dists.tail).forall { case (a, b) => b <= a },
+      s"pick distances must be non-increasing: ${dists.toSeq}")
+    assert(rows.map(_._2).distinct.length == 32, "a vector was picked twice")
+  }
+
   test("d14 Bloom pre-filter: no false negatives, corpus-scaled sizing") {
     // the Bloom contract: claimed ⊇ true (an exact copy's positions are
     // all set by construction — a false negative would make the

@@ -226,7 +226,8 @@ object Dev {
       // (sessions/running totals/join buffers) in keys — both certified
       "st01_stream_window", "st02_session_window",
       "st04_stream_stream_join", "st05_stream_warc_ingest",
-      "st06_running_totals", "st07_stream_quality_gate")
+      "st06_running_totals", "st07_stream_quality_gate",
+      "st08_stream_store_dedup")
     // late guard events: the 500 ms post-run sleep is best-effort — an
     // event landing after it would otherwise be silently charged to the
     // NEXT run; drain leftovers at run start and attribute them to the

@@ -994,6 +994,40 @@ object DedupOps {
   def d10_store_incremental(s: SparkSession, d: String): DataFrame =
     d10Impl(s, d, eager = true)
 
+  /** Per-document admission decisions for ONE ingest batch against the
+    * persisted d10 store — the d10 admission with the final rollup left
+    * to the caller: `(doc_id, ex, nr)` flags per batch doc. Powers the
+    * STREAMING ingest (st08), whose micro-batches each run this exact
+    * plan inside `foreachBatch`; correctness under micro-batching is
+    * structural — both admission layers compare a batch doc against the
+    * STORE only (batch docs never interact), so any partition of the
+    * batch into micro-batches yields identical per-doc decisions. */
+  private[graft] def storeAdmissionDecisions(s: SparkSession, d: String,
+      batch: DataFrame, bandT: String, digT: String): DataFrame = {
+    import s.implicits._
+    val (exactIds, survivors) = digestAdmission(batch, s.table(digT))
+    val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
+    val nearIds = withCache(
+        survivors.withColumn("bands", minhashBandsU($"text"))) { sv =>
+      val newBands = sv.select($"doc_id".as("id_b"),
+        posexplode($"bands").as(Seq("band", "bucket")))
+      val cand = storeIngestCandidates(s, bandT, newBands).distinct()
+      val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
+      cand
+        .join(docs.select($"doc_id".as("id_a"), $"text".as("text_a"))
+          .hint("shuffle_hash"), "id_a")
+        .join(sv.select($"doc_id".as("id_b"), $"text".as("text_b"))
+          .hint("shuffle_hash"), "id_b")
+        .filter(jacU($"text_a", $"text_b") >= 0.6)
+        .select($"id_b".as("doc_id")).distinct()
+    }
+    batch.select($"doc_id")
+      .join(exactIds.withColumn("ex", lit(1L)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("nr", lit(1L)), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"ex", lit(0L)).as("ex"),
+        coalesce($"nr", lit(0L)).as("nr"))
+  }
+
   private[graft] def d10Impl(s: SparkSession, d: String, eager: Boolean): DataFrame = {
     import s.implicits._
     val (bandT, digT) = ensureIncrementalStore(s, d)

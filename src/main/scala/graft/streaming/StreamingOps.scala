@@ -624,8 +624,70 @@ object StreamingOps {
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** st08: STREAMING STORE-BACKED DEDUP INGEST — the d10 composition run
+    * as a continuous pipeline: documents arrive as a file stream, the
+    * planted d07 batch is derived on the stream (stateless
+    * select/filter/union), and every micro-batch runs BOTH admission
+    * layers against the PERSISTED d10 store
+    * ([[graft.dedup.DedupOps.storeAdmissionDecisions]]) inside
+    * `foreachBatch` — the production crawl-ingest shape: corpus indexed
+    * once, arrivals admitted incrementally, per-doc decisions appended
+    * as parquet from the executors. Micro-batching cannot change the
+    * outcome (each doc is admitted against the store only, never
+    * against other batch docs), so the drained rollup equals d07's
+    * batch decision exactly — same oracle. No memory-sink variant: the
+    * per-batch plan is a multi-join DAG that only the foreachBatch
+    * batch API can express (a single streaming plan would need a
+    * stream-stream join for the decision assembly). */
+  def st08_stream_store_dedup(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st08")
+    try st08_stream_store_dedup_files(s, d, dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
+  private[graft] def st08_stream_store_dedup_files(s: SparkSession, d: String,
+      dir: String): DataFrame = withStreamShuffle(s) {
+    val (bandT, digT) = graft.dedup.DedupOps.ensureIncrementalStore(s, d)
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = s.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val toks = split(trim(col("text")), "\\s+")
+    val dropped = array_join(slice(toks, lit(1), size(toks) - 1), " ")
+    val batchStream = stream.filter(col("doc_id") % 31 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      .unionByName(stream.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"), dropped.as("text")))
+    val finish = (t: DataFrame) => t
+      .agg(count(lit(1)).as("n_new"),
+        sum(col("ex")).as("n_exact_dropped"),
+        sum(col("nr")).as("n_neardup_dropped"),
+        sum(when(col("ex") === 0 && col("nr") === 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("ex") === 1 || col("nr") === 1, col("doc_id")).otherwise(0L))
+          .as("dropped_id_sum"))
+    drainToParquet(s, dir, overwritePerBatch = false,
+      fb => batchStream.writeStream.foreachBatch(
+          (b: DataFrame, id: Long) => fb(
+            graft.dedup.DedupOps.storeAdmissionDecisions(s, d, b, bandT, digT), id))
+        .outputMode("append").trigger(Trigger.AvailableNow()).start(),
+      finish)
+  }
+
+  val st08Oracle: String = graft.dedup.DedupOps.oracle("d07_incremental_dedup")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st07_stream_quality_gate" -> (st07_stream_quality_gate _),
+    "st08_stream_store_dedup" -> (st08_stream_store_dedup _),
     "st01_stream_window" -> (st01_stream_window _),
     "st02_session_window" -> (st02_session_window _),
     "st03_stream_dedup" -> (st03_stream_dedup _),
@@ -636,6 +698,7 @@ object StreamingOps {
 
   val oracle: Map[String, String] = Map(
     "st07_stream_quality_gate" -> st07Oracle,
+    "st08_stream_store_dedup" -> st08Oracle,
     "st01_stream_window" -> st01Oracle,
     "st02_session_window" -> st02Oracle,
     "st03_stream_dedup" -> st03Oracle,

@@ -218,9 +218,11 @@ object Dev {
       "d11_line_dedup", "d12_span_dedup", "d13_span_removal",
       "d14_bloom_dedup", "s02_embedding_neardup", "s06_semantic_dedup",
       "s07_ann_store", "s08_ann_ivfpq", "s09_ann_ivfpq_rerank",
-      "s10_knn_graph", "m04_image_neardup", "m05_frame_neardup",
+      "s10_knn_graph", "s11_coreset_select",
+      "m04_image_neardup", "m05_frame_neardup",
       "m06_audio_neardup",
       "t08_tfidf", "t14_bpe_encode", "t15_shard_layout",
+      "t16_tiered_sample",
       "q34_length_quantiles", "w07_link_graph", "w08_pagerank",
       // streaming: windowed-agg state scales in values, keyed state
       // (sessions/running totals/join buffers) in keys — both certified

@@ -132,7 +132,11 @@ object Bench {
         s"\"load_before\":${r3(lb)}"
       s"\"" + k + "\":" + fields.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // short keys on the stdout line too: a mass-failure run (~30 names)
+    // in full names would outgrow the same 2 KB tail window exactly when
+    // the failure report matters most; full names go to the detail file
+    val fj = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    val fjFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._4).sum
     // headline FIRST: it is the only channel the driver parses, and a
     // detail-file write failure must not discard a completed run
@@ -146,7 +150,7 @@ object Bench {
     val headlineFull = results.collect {
       case (k, _, _, Some(b)) => s"\"" + k + "\":" + r3(b) }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(detail,
-      s"""{"headline":$headlineFull,"runs":$runsJson,"failed":$fj,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"sf":"$sfDir"}""")
+      s"""{"headline":$headlineFull,"runs":$runsJson,"failed":$fjFull,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"sf":"$sfDir"}""")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()

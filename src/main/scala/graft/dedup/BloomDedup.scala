@@ -59,33 +59,46 @@ object BloomDedup {
     * true because Bloom has no false negatives). */
   def d14_bloom_dedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    val m = bloomBits(docs.count())
-    val filterPos = docs.select(explode(positions($"text", m)).as("pos")).distinct()
-    val batch = docs.filter($"doc_id" % 3 === 0)
-      .select(($"doc_id" + 200000L).as("doc_id"), $"text")
-      .unionByName(docs.filter($"doc_id" % 5 === 0)
-        .select(($"doc_id" + 300000L).as("doc_id"),
-          concat($"text", lit(" xnovelq")).as("text")))
-    DedupOps.withCache(batch) { b =>
-      val batchPos = b.select($"doc_id", explode(positions($"text", m)).as("pos"))
-        .distinct()
-      val claimed = batchPos
-        .join(filterPos.withColumn("hit", lit(1)), Seq("pos"), "left")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_pos"), count($"hit").as("n_hit"))
-        .filter($"n_pos" === $"n_hit")
-        .select($"doc_id")
-      val trueDups = b.join(docs.select(md5($"text").as("dg")).distinct(),
-        md5(b("text")) === $"dg", "left_semi").select($"doc_id")
-      claimed.agg(count(lit(1)).as("n_claimed"))
-        .crossJoin(trueDups.agg(count(lit(1)).as("n_true_dups")))
-        .crossJoin(b.agg(count(lit(1)).as("n_batch")))
-        .crossJoin(docs.agg(count(lit(1)).as("n_corpus")))
-        .crossJoin(filterPos.agg(count(lit(1)).as("n_set_bits")))
-        .select($"n_corpus", $"n_batch", lit(m).as("m_bits"), $"n_set_bits",
-          $"n_claimed", $"n_true_dups",
-          ($"n_claimed" - $"n_true_dups").as("n_false_positives"))
+    // the corpus is read by the filter build, the true-dup digest side,
+    // the batch synthesis, and two counts — cache it (and the filter
+    // position table, consumed by both the probe join and the set-bit
+    // count) so the probe reads parquet once, not ~5 times
+    DedupOps.withCache(Tables.documents(s, d).select($"doc_id", $"text")) { docs =>
+      val m = bloomBits(docs.count())
+      // the planted-batch id offset is CORPUS-SCALED: with fixed
+      // +200000/+300000 offsets, two corpus ids exactly 100000 apart
+      // (one %3, one %5) would collide onto one batch doc_id and mix
+      // their positions in the per-doc rollup. off > max(doc_id) makes
+      // the two offset spaces provably disjoint for any id layout.
+      val off = docs.agg(max($"doc_id")).collect()(0).getLong(0) + 1L
+      DedupOps.withCache(
+          docs.select(explode(positions($"text", m)).as("pos")).distinct()) { filterPos =>
+        val batch = docs.filter($"doc_id" % 3 === 0)
+          .select(($"doc_id" + off).as("doc_id"), $"text")
+          .unionByName(docs.filter($"doc_id" % 5 === 0)
+            .select(($"doc_id" + 2L * off).as("doc_id"),
+              concat($"text", lit(" xnovelq")).as("text")))
+        DedupOps.withCache(batch) { b =>
+          val batchPos = b.select($"doc_id", explode(positions($"text", m)).as("pos"))
+            .distinct()
+          val claimed = batchPos
+            .join(filterPos.withColumn("hit", lit(1)), Seq("pos"), "left")
+            .groupBy($"doc_id")
+            .agg(count(lit(1)).as("n_pos"), count($"hit").as("n_hit"))
+            .filter($"n_pos" === $"n_hit")
+            .select($"doc_id")
+          val trueDups = b.join(docs.select(md5($"text").as("dg")).distinct(),
+            md5(b("text")) === $"dg", "left_semi").select($"doc_id")
+          claimed.agg(count(lit(1)).as("n_claimed"))
+            .crossJoin(trueDups.agg(count(lit(1)).as("n_true_dups")))
+            .crossJoin(b.agg(count(lit(1)).as("n_batch")))
+            .crossJoin(docs.agg(count(lit(1)).as("n_corpus")))
+            .crossJoin(filterPos.agg(count(lit(1)).as("n_set_bits")))
+            .select($"n_corpus", $"n_batch", lit(m).as("m_bits"), $"n_set_bits",
+              $"n_claimed", $"n_true_dups",
+              ($"n_claimed" - $"n_true_dups").as("n_false_positives"))
+        }
+      }
     }
   }
 
@@ -97,10 +110,13 @@ object BloomDedup {
       |  SELECT DISTINCT (CAST(concat('0x', substr(md5(text), 1 + 8*j, 8)) AS UBIGINT)
       |    % (SELECT m FROM params)) AS pos
       |  FROM documents, UNNEST(range(0, 4)) AS u(j)),
+      |off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
       |batch AS (
-      |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text
+      |  FROM documents WHERE doc_id % 3 = 0
       |  UNION ALL
-      |  SELECT doc_id + 300000, text || ' xnovelq' FROM documents WHERE doc_id % 5 = 0),
+      |  SELECT doc_id + 2 * (SELECT o FROM off), text || ' xnovelq'
+      |  FROM documents WHERE doc_id % 5 = 0),
       |batch_pos AS (
       |  SELECT DISTINCT doc_id,
       |    (CAST(concat('0x', substr(md5(text), 1 + 8*j, 8)) AS UBIGINT)

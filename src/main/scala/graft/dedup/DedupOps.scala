@@ -813,21 +813,28 @@ object DedupOps {
     (docs, newBatch, exactIds, survivors)
   }
 
-  /** Per-batch admission decision rollup shared by d07/d08. */
+  /** Batch-level rollup of per-doc `(doc_id, ex, nr)` admission flags —
+    * the ONE definition of the admission summary schema, shared by the
+    * batch operators (via [[admissionSummary]]) and st08's streaming
+    * finish (which unions per-micro-batch flag frames and rolls them up
+    * here): a threshold or column change cannot diverge the two. */
+  private[graft] def decisionRollup(flags: DataFrame): DataFrame =
+    flags.agg(count(lit(1)).as("n_new"),
+      sum(col("ex")).as("n_exact_dropped"),
+      sum(col("nr")).as("n_neardup_dropped"),
+      sum(when(col("ex") === 0 && col("nr") === 0, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("ex") === 1 || col("nr") === 1, col("doc_id")).otherwise(0L))
+        .as("dropped_id_sum"))
+
+  /** Per-doc admission flags from the id frames, then [[decisionRollup]]
+    * — shared by d07/d08. */
   private def admissionSummary(newBatch: DataFrame, exactIds: DataFrame,
-      nearIds: DataFrame): DataFrame = {
-    newBatch.select(col("doc_id"))
+      nearIds: DataFrame): DataFrame =
+    decisionRollup(newBatch.select(col("doc_id"))
       .join(exactIds.withColumn("ex", lit(1L)), Seq("doc_id"), "left")
       .join(nearIds.withColumn("nr", lit(1L)), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("ex"), lit(0L)).as("ex"),
-        coalesce(col("nr"), lit(0L)).as("nr"))
-      .agg(count(lit(1)).as("n_new"),
-        sum(col("ex")).as("n_exact_dropped"),
-        sum(col("nr")).as("n_neardup_dropped"),
-        sum(when(col("ex") === 0 && col("nr") === 0, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("ex") === 1 || col("nr") === 1, col("doc_id")).otherwise(0L))
-          .as("dropped_id_sum"))
-  }
+        coalesce(col("nr"), lit(0L)).as("nr")))
 
   def d07_incremental_dedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1003,12 +1010,13 @@ object DedupOps {
     * STORE only (batch docs never interact), so any partition of the
     * batch into micro-batches yields identical per-doc decisions. */
   private[graft] def storeAdmissionDecisions(s: SparkSession, d: String,
-      batch: DataFrame, bandT: String, digT: String): DataFrame = {
+      batch: DataFrame, bandT: String, digT: String,
+      eager: Boolean = true): DataFrame = {
     import s.implicits._
     val (exactIds, survivors) = digestAdmission(batch, s.table(digT))
     val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
-    val nearIds = withCache(
-        survivors.withColumn("bands", minhashBandsU($"text"))) { sv =>
+    val nearIds = withCacheImpl(
+        survivors.withColumn("bands", minhashBandsU($"text")), eager) { sv =>
       val newBands = sv.select($"doc_id".as("id_b"),
         posexplode($"bands").as(Seq("band", "bucket")))
       val cand = storeIngestCandidates(s, bandT, newBands).distinct()
@@ -1031,24 +1039,11 @@ object DedupOps {
   private[graft] def d10Impl(s: SparkSession, d: String, eager: Boolean): DataFrame = {
     import s.implicits._
     val (bandT, digT) = ensureIncrementalStore(s, d)
-    val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
-    val newBatch = plantedBatch(docs)
-    val (exactIds, survivors) = digestAdmission(newBatch, s.table(digT))
-    val nearIds = withCacheImpl(
-        survivors.withColumn("bands", minhashBandsU($"text")), eager) { sv =>
-      val newBands = sv.select($"doc_id".as("id_b"),
-        posexplode($"bands").as(Seq("band", "bucket")))
-      val cand = storeIngestCandidates(s, bandT, newBands).distinct()
-      val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
-      cand
-        .join(docs.select($"doc_id".as("id_a"), $"text".as("text_a"))
-          .hint("shuffle_hash"), "id_a")
-        .join(sv.select($"doc_id".as("id_b"), $"text".as("text_b"))
-          .hint("shuffle_hash"), "id_b")
-        .filter(jacU($"text_a", $"text_b") >= 0.6)
-        .select($"id_b".as("doc_id")).distinct()
-    }
-    val out = admissionSummary(newBatch, exactIds, nearIds)
+    val newBatch = plantedBatch(spread(Tables.documents(s, d).select("doc_id", "text")))
+    // the batch operator IS one ingest of the streaming admission: the
+    // same per-doc decision plan st08 runs per micro-batch, rolled up
+    val out = decisionRollup(
+      storeAdmissionDecisions(s, d, newBatch, bandT, digT, eager))
     if (eager) out.localCheckpoint(true) else out
   }
 

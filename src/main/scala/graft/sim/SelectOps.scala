@@ -16,13 +16,18 @@ import graft.analytics.Tables
   * with the lowest-id vector, then repeatedly add the point FARTHEST
   * (max-min cosine distance) from the selected set.
   *
-  * Scale shape (100 TB posture): each of the T−1 picks is one map-side
-  * pass (min-distance against the ≤ T-entry broadcast center list,
-  * quantized to 2^-32 fixed point BEFORE the argmax so the total order
-  * (dist desc, vec_id) is exact) ending in a 1-row argmax collect — the
-  * d06/w08/t11 iteration-control discipline: driver data is bounded by
-  * the selection budget T, never the corpus. Cost is O(T · corpus)
-  * distance evaluations, the known lower bound for exact greedy; for
+  * Scale shape (100 TB posture): the working frame carries a RUNNING
+  * min-distance column (quantized to 2^-32 fixed point, so the argmax
+  * order (dist desc, vec_id) compares exact longs), updated each round
+  * against only the single newest center and eagerly re-materialized
+  * (plan-truncating localCheckpoint — the d06/w08 lineage rule for
+  * iterative updates), followed by a 1-row argmax collect — the
+  * iteration-control discipline: driver data is bounded by the
+  * selection budget T, never the corpus. Each picked row leaves the
+  * working frame, so a vector can never be selected twice even when
+  * every remaining min-distance quantizes to 0 (duplicate-saturated
+  * corpora). Cost is O(T · corpus) distance evaluations — one per
+  * vector per round, the known lower bound for exact greedy; for
   * budgets where T passes are too many, the production variant runs
   * cluster-local greedy inside the s06 k-means partitions (same device
   * as s10) and merges per-cluster picks — the exact global greedy here
@@ -42,32 +47,52 @@ object SelectOps {
     val T = 32
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       .repartition(s.sparkContext.defaultParallelism)
-    graft.dedup.DedupOps.withCache(emb) { e =>
-      val seed = e.orderBy($"vec_id").limit(1).collect()(0)
-      var centers = Vector[(Long, Array[Float], Long)](
-        (seed.getLong(0), seed.getSeq[Float](1).toArray, -1L))
-      for (_ <- 2 to T) {
-        val cArr = centers.map(_._2)
-        val mindU = udf { v: Seq[Float] =>
-          val va = v.toArray
-          var m = Double.MaxValue
-          cArr.foreach { c =>
-            val dd = 1.0 - SimilarityOps.cosineArr(va, c)
-            if (dd < m) m = dd
-          }
-          // quantize BEFORE the argmax: the comparison key is an exact
-          // long, so shuffle/merge order cannot flip a near-tie
-          math.floor(m * 4294967296.0).toLong
-        }
-        val pick = e.select($"vec_id", $"embedding", mindU($"embedding").as("mind"))
-          .orderBy($"mind".desc, $"vec_id").limit(1).collect()(0)
-        centers :+= ((pick.getLong(0), pick.getSeq[Float](1).toArray,
-          pick.getLong(2)))
-      }
-      s.createDataFrame(centers.zipWithIndex.map { case ((id, _, fp), i) =>
-        (i + 1, id, fp)
-      }).toDF("rank", "vec_id", "min_dist_fp")
+
+    // distance to ONE center, quantized: floor(K·x) is monotone, so the
+    // running min over per-center quantized distances equals quantizing
+    // the exact min — the comparison key stays an exact long and
+    // shuffle/merge order cannot flip a near-tie
+    def distQ(c: Array[Float]) = udf { v: Seq[Float] =>
+      math.floor((1.0 - SimilarityOps.cosineArr(v.toArray, c)) *
+        4294967296.0).toLong
     }
+
+    val seedRow = emb.orderBy($"vec_id").limit(1).collect()(0)
+    val seedId = seedRow.getLong(0)
+    val seedVec = seedRow.getSeq[Float](1).toArray
+    var picks = Vector[(Long, Long)]((seedId, -1L))
+
+    // working frame: survivors only, with the running min-distance to
+    // the selected set. Each round's update is materialized with an
+    // EAGER localCheckpoint, which truncates the logical plan to the
+    // checkpointed RDD — without it the lineage nests one
+    // Filter+Project layer per round and Catalyst's constraint
+    // propagation over the ~T-deep alias chain goes combinatorial
+    // (observed: the driver pinned in analysis for minutes at T = 32
+    // on 500 rows). Checkpointed blocks are reference-tracked and
+    // reclaimed when the previous round's frame drops out of scope;
+    // the materializing pass is also the round's one corpus scan and
+    // one distance evaluation per vector.
+    var work = emb.filter($"vec_id" =!= seedId)
+      .select($"vec_id", $"embedding", distQ(seedVec)($"embedding").as("mind"))
+      .localCheckpoint(true)
+    var done = false
+    for (_ <- 2 to T if !done) {
+      val top = work.orderBy($"mind".desc, $"vec_id").limit(1).collect()
+      if (top.isEmpty) done = true // corpus smaller than the budget
+      else {
+        val pick = top(0)
+        picks :+= ((pick.getLong(0), pick.getLong(2)))
+        val newest = pick.getSeq[Float](1).toArray
+        work = work.filter($"vec_id" =!= pick.getLong(0))
+          .select($"vec_id", $"embedding",
+            least($"mind", distQ(newest)($"embedding")).as("mind"))
+          .localCheckpoint(true)
+      }
+    }
+    s.createDataFrame(picks.zipWithIndex.map { case ((id, fp), i) =>
+      (i + 1, id, fp)
+    }).toDF("rank", "vec_id", "min_dist_fp")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

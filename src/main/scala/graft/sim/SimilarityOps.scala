@@ -608,7 +608,7 @@ object SimilarityOps {
     val probedCids = queries.select($"cid").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val topkR = udaf(new TopKCosine(rerank))
-    val topkOut = udaf(new TopKCosine(topK))
+    val topkOut = udaf(new TopKCosineScored(topK))
     withBucketedScan(s) {
       val adcTop = s08ProbePlan(s, tbl,
           queries.select($"query_id", $"q_v", $"cid"), probedCids)
@@ -626,8 +626,9 @@ object SimilarityOps {
         .join(broadcast(qv), Seq("query_id"))
         .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
         .groupBy($"query_id").agg(topkOut($"cos", $"vec_id").as("nbrs"))
-        .select($"query_id", posexplode($"nbrs").as(Seq("pos", "neighbor_id")))
-        .select($"query_id", ($"pos" + 1).as("rank"), $"neighbor_id")
+        .select($"query_id", posexplode($"nbrs").as(Seq("pos", "nbr")))
+        .select($"query_id", ($"pos" + 1).as("rank"),
+          $"nbr._2".as("neighbor_id"), $"nbr._1".as("cos"))
         .orderBy($"query_id", $"rank")
     }
   }

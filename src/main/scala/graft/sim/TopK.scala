@@ -37,6 +37,22 @@ class TopKCosine(k: Int)
   def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
 
+/** [[TopKCosine]] with the scores kept in the output — for surfaces
+  * whose contract returns the ranked cosine alongside the neighbor id
+  * (annSearch). Same bounded buffer, same (cos desc, id asc) order. */
+class TopKCosineScored(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  private val inner = new TopKCosine(k)
+  def zero: Seq[(Double, Long)] = inner.zero
+  def reduce(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+    inner.reduce(b, x)
+  def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    inner.merge(a, b)
+  def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+  def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+}
+
 /** Per-cluster centroid accumulator for the deterministic Lloyd step
   * (s04/s06): components quantized to 2^-32 and summed as LONGS — the
   * same fixed-point device the explode/groupBy formulation used, so the

@@ -74,8 +74,16 @@ object StreamingOps {
       schema = batch.schema
       if (overwritePerBatch)
         batch.write.mode("overwrite").parquet(dir)
-      else if (!batch.isEmpty)
-        batch.write.mode("append").parquet(dir)
+      else {
+        // materialize ONCE before the emptiness probe: `batch.isEmpty`
+        // followed by `batch.write` would execute the per-batch plan
+        // twice — for st08 that plan is the multi-join store admission,
+        // i.e. ~2x the cost of the operator being measured. The
+        // checkpointed blocks are reference-tracked and reclaimed when
+        // `m` drops out of scope at the end of the micro-batch.
+        val m = batch.localCheckpoint(true)
+        if (!m.isEmpty) m.write.mode("append").parquet(dir)
+      }
     }
     q.awaitTermination()
     val outPath = new org.apache.hadoop.fs.Path(dir)
@@ -668,13 +676,9 @@ object StreamingOps {
       .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
       .unionByName(stream.filter(col("doc_id") % 37 === 0)
         .select((col("doc_id") + 400000L).as("doc_id"), dropped.as("text")))
-    val finish = (t: DataFrame) => t
-      .agg(count(lit(1)).as("n_new"),
-        sum(col("ex")).as("n_exact_dropped"),
-        sum(col("nr")).as("n_neardup_dropped"),
-        sum(when(col("ex") === 0 && col("nr") === 0, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("ex") === 1 || col("nr") === 1, col("doc_id")).otherwise(0L))
-          .as("dropped_id_sum"))
+    // the rollup is the batch operators' own (decisionRollup) — the
+    // summary schema cannot drift between d10 and its streaming twin
+    val finish = (t: DataFrame) => graft.dedup.DedupOps.decisionRollup(t)
     drainToParquet(s, dir, overwritePerBatch = false,
       fb => batchStream.writeStream.foreachBatch(
           (b: DataFrame, id: Long) => fb(

@@ -370,12 +370,17 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ext = graft.analytics.Tables.embeddings(sp, sf)
       .filter($"vec_id".isin(42L, 123L, 400L))
       .select(($"vec_id" + 9000L).as("query_id"), $"embedding")
-    val got = graft.sim.SimilarityOps.annSearch(sp, sf, ext, topK = 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val rows = graft.sim.SimilarityOps.annSearch(sp, sf, ext, topK = 3).collect()
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(got.length == 9, s"expected 3 queries x top-3, got ${got.toSeq}")
     assert(got.filter(_._2 == 1).toSeq.sortBy(_._1) ==
       Seq((9042L, 1, 42L), (9123L, 1, 123L), (9400L, 1, 400L)),
       s"rank-1 self-match failed: ${got.toSeq}")
+    // the documented contract includes the ranked cosine: a self-match's
+    // exact re-rank score is 1.0 up to float rounding
+    val selfCos = rows.filter(_.getInt(1) == 1).map(_.getDouble(3))
+    assert(selfCos.forall(c => math.abs(c - 1.0) < 1e-6),
+      s"rank-1 self-match cosine must be ~1.0: ${selfCos.toSeq}")
   }
 
   test("ivf store geometry: corpus-scaled k/nprobe shrink the scan fraction with N") {

@@ -8,10 +8,11 @@ object SparkEntry {
     Relational.q05_multi_join(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Relational2.queries ++
+    Relational.queries ++ Relational2.queries ++ Sessions.queries ++
       graft.warc.WarcQueries.queries ++
       graft.text.TextOps.queries ++ graft.text.TieredSample.queries ++
-      graft.dedup.DedupOps.queries ++
+      graft.text.LangModel.queries ++
+      graft.dedup.DedupOps.queries ++ graft.dedup.Contamination.queries ++
       graft.dedup.SpanDedup.queries ++ graft.dedup.BloomDedup.queries ++
       graft.sim.SimilarityOps.queries ++ graft.sim.GraphOps.queries ++
       graft.sim.SelectOps.queries ++
@@ -20,10 +21,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Relational2.oracle ++
+    Relational.oracle ++ Relational2.oracle ++ Sessions.oracle ++
       graft.warc.WarcQueries.oracle ++
       graft.text.TextOps.oracle ++ graft.text.TieredSample.oracle ++
-      graft.dedup.DedupOps.oracle ++
+      graft.text.LangModel.oracle ++
+      graft.dedup.DedupOps.oracle ++ graft.dedup.Contamination.oracle ++
       graft.dedup.SpanDedup.oracle ++ graft.dedup.BloomDedup.oracle ++
       graft.sim.SimilarityOps.oracle ++ graft.sim.GraphOps.oracle ++
       graft.sim.SelectOps.oracle ++

@@ -616,4 +616,48 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pairs = DedupOps.guardedBucketPairs(buckets, Seq("band", "bits"), cap = 100)
     assert(pairs.count() == n - 1) // both bands star-link to the same rep set
   }
+
+  test("q35 sessionization: sessions are disjoint, gap-separated, and complete") {
+    // oracle-checked at the gate; here the structural invariants: every
+    // event lands in exactly one session, consecutive sessions of a user
+    // are >= 30 min apart (else they'd have merged), and within-session
+    // spans are start <= end
+    val rows = graft.analytics.Sessions.q35_sessionize(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 946, s"session count drifted: ${rows.length}")
+    assert(rows.map(_._5).sum == 1000L, "every event must land in exactly one session")
+    assert(rows.forall { case (_, _, st, en, _) => st <= en })
+    rows.groupBy(_._1).foreach { case (u, ss) =>
+      val ordered = ss.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq,
+        s"user $u session ids must be 1..n")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 - a._4 >= 1800000000L,
+            s"user $u sessions ${a._2}/${b._2} closer than the 30-min gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("d15 13-gram overlap: planted excerpts are caught that digests miss") {
+    val r = graft.dedup.Contamination.d15_ngram_overlap(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((6L, 243L, 483L, 8L, 5L, 245L)),
+      s"golden pin drifted: $r")
+    // the point of the operator: every planted excerpt's source doc is
+    // flagged, and a whole-doc digest compare on the same slice finds 0
+    assert(r.getLong(4) >= 5L, "the 5 planted excerpt sources must flag")
+  }
+
+  test("t17 LM perplexity: Stupid-Backoff scoring over the held-out split") {
+    val r = graft.text.LangModel.t17_lm_perplexity(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ==
+      ((397L, 103L, 5224L, 73610646L, 3L, 0L, 0L)),
+      s"golden pin drifted: $r")
+  }
 }

@@ -40,7 +40,9 @@ object Sessions {
     * bit-for-bit). */
   def q35_sessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // Order by `us` (a monotone function of `ts`) so the window survives
+    // the projection below that drops the raw timestamp column.
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     Tables.events(s, d)
       .select($"user_id", $"event_id", $"event_type", $"value",
         unix_micros($"ts").as("us"))

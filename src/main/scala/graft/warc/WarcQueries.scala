@@ -379,7 +379,10 @@ object WarcQueries {
 
   def w07_link_graph(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val edges = hostEdges(spark, d)
+    // Checkpoint: `edges` feeds both connectedComponents and the edge
+    // aggregate below — without it the full WARC parse lineage runs twice
+    // (w08 already checkpoints the same frame for the same reason).
+    val edges = hostEdges(spark, d).localCheckpoint(true)
     val cc = graft.dedup.DedupOps.connectedComponents(
       edges.select($"src".as("id_a"), $"dst".as("id_b")))
     val comps = cc.groupBy($"label").agg(count(lit(1)).as("sz"))

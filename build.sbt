@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST ~2 KB of `sbt runMain graft.Bench` stdout as
+// a JSON headline. Two things have broken that parse three rounds running:
+// the forked run's output is routed through sbt's logger (every line gets
+// an "[info] " prefix), and sbt appends its own "[success] Total time..."
+// line AFTER the JSON. Route forked output straight to stdout and drop the
+// success banner so the headline is the final unprefixed line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// the unscoped outputStrategy set trips sbt's unused-key lint even though
+// the forked-run scope delegates to it
+Global / excludeLintKeys += outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

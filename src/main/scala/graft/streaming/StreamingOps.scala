@@ -14,24 +14,26 @@ import org.apache.spark.sql.types._
   * events parquet so results are deterministic and oracle-checkable —
   * the same plan run continuously is the production shape.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS): read as long (legacy conf,
-  * same as `Tables.events`) and truncated to micros.
+  * `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and
+  * TIMESTAMP(MICROS) across driver data refreshes; the stream reader
+  * discovers the actual encoding from a batch footer peek and reuses
+  * `Tables.adaptEvents` so stream and batch semantics cannot diverge
+  * (the r8 hardcoded nanos schema read micros longs as nanos — every
+  * timestamp 1000× small, silently wrong windows; the shared adapter's
+  * range guard now makes that failure mode loud).
   */
 object StreamingOps {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // readStream requires a user-supplied schema: take the file's own
+    // (footer-only read, no data scan), so whatever shape the driver
+    // regenerated is the shape the stream parses.
+    val fileSchema = s.read
+      .option("pathGlobFilter", "events.parquet").parquet(d).schema
+    graft.analytics.Tables.adaptEvents(
+      s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
   /** Run `body` with streaming-sized shuffle parallelism, then restore the

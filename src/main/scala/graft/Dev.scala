@@ -119,9 +119,10 @@ object Dev {
     // event-id spaces per replica — so windowed-agg state grows in
     // VALUES (10× events per window) and keyed state (sessions,
     // running totals, join buffers) grows in KEYS (10× users), which is
-    // how a real stream scales. ts rides through as nanos-long (plain
-    // INT64 in the output; both Tables.events and streamEvents read it
-    // identically — the legacy TIMESTAMP(NANOS) conf is a no-op for it).
+    // how a real stream scales. ts rides through in whatever encoding
+    // the source shipped (nanos-long or native micros timestamp) — the
+    // schema-adaptive loaders read either; the legacy conf below only
+    // matters for the nanos shape.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$srcDir/events.parquet")
     val evOut = (0 until replicas).map { r =>
@@ -216,9 +217,10 @@ object Dev {
     val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
       "d04_ngram_jaccard", "d06_dedup_clusters", "d10_store_incremental",
       "d11_line_dedup", "d12_span_dedup", "d13_span_removal",
-      "d14_bloom_dedup", "s02_embedding_neardup", "s06_semantic_dedup",
+      "d14_bloom_dedup", "d16_dedup_materialize",
+      "s02_embedding_neardup", "s06_semantic_dedup",
       "s07_ann_store", "s08_ann_ivfpq", "s09_ann_ivfpq_rerank",
-      "s10_knn_graph", "s11_coreset_select",
+      "s10_knn_graph", "s11_coreset_select", "s11b_coreset_cluster",
       "m04_image_neardup", "m05_frame_neardup",
       "m06_audio_neardup",
       "t08_tfidf", "t14_bpe_encode", "t15_shard_layout",

@@ -14,6 +14,7 @@ object SparkEntry {
       graft.text.LangModel.queries ++
       graft.dedup.DedupOps.queries ++ graft.dedup.Contamination.queries ++
       graft.dedup.SpanDedup.queries ++ graft.dedup.BloomDedup.queries ++
+      graft.dedup.Materialize.queries ++
       graft.sim.SimilarityOps.queries ++ graft.sim.GraphOps.queries ++
       graft.sim.SelectOps.queries ++
       graft.multimodal.MultimodalOps.queries ++
@@ -27,6 +28,7 @@ object SparkEntry {
       graft.text.LangModel.oracle ++
       graft.dedup.DedupOps.oracle ++ graft.dedup.Contamination.oracle ++
       graft.dedup.SpanDedup.oracle ++ graft.dedup.BloomDedup.oracle ++
+      graft.dedup.Materialize.oracle ++
       graft.sim.SimilarityOps.oracle ++ graft.sim.GraphOps.oracle ++
       graft.sim.SelectOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++

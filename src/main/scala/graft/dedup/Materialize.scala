@@ -1,0 +1,98 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cleaned-corpus MATERIALIZATION at document granularity — the step a
+  * training-data pipeline actually ships: d04 emits verified near-dup
+  * pairs, d06 turns them into cluster labels, d16 emits the surviving
+  * corpus (keep-one-per-cluster, the canonical min-id keeper) as
+  * auditable per-document rows. This is the d13 device (per-doc md5 of
+  * the materialized output, SQL-oracle-checked end to end) one level up:
+  * doc granularity instead of span granularity.
+  *
+  * Scale shape (100 TB posture): the label frame holds only CLUSTERED
+  * docs (near-dup mass, typically a few % of a crawl), so the keep/drop
+  * decision is one key join of the corpus against a much smaller frame —
+  * shuffle on doc_id, no pairwise anything, and the cluster-size
+  * annotation is an aggregate of the (small) label frame joined back on
+  * the keeper id. Nothing in the plan scales with pairs², only with
+  * corpus rows + duplicate mass — the same discipline as d13.
+  */
+object Materialize {
+
+  /** d16: the kept corpus after near-dup clustering. One row per
+    * SURVIVING document: doc_id, n_merged (cluster size folded into this
+    * keeper; 1 for docs untouched by dedup), md5 of the surviving text.
+    * Dropped docs appear only via their keeper's n_merged. */
+  def d16_dedup_materialize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = DedupOps.withNearDups(s, d) // doc_id, text
+    val pairs = DedupOps.d04_ngram_jaccard(s, d).select($"id_a", $"id_b")
+    // labels: (id, label) for clustered docs only; label = component min id
+    val labels = DedupOps.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val sizes = labels.groupBy($"label".as("doc_id"))
+      .agg(count(lit(1)).as("sz"))
+    docs.join(labels, Seq("doc_id"), "left")
+      .filter($"label".isNull || $"label" === $"doc_id") // keeper or untouched
+      .join(sizes, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"sz", lit(1L)).as("n_merged"),
+        md5($"text").as("doc_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Same component computation as d06's oracle (recursive CTE over the
+    * verified-pair edges), then keep-one-per-cluster with the corpus
+    * TEXT carried through so the md5 audits the actual materialized
+    * bytes, not just membership. */
+  val d16Oracle: String =
+    """WITH RECURSIVE all_docs AS (
+      |  SELECT doc_id, text,
+      |    string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+      |      len(string_split_regex(trim(text), '\s+')) - 1), ' '),
+      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
+      |      len(string_split_regex(trim(text), '\s+')) - 1)
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+      |         ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
+      |  FROM all_docs,
+      |    UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |conf AS (
+      |  SELECT id_a, id_b FROM pairs
+      |    JOIN sizes sa ON sa.doc_id = id_a
+      |    JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.6),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM conf
+      |          UNION ALL SELECT id_b, id_a FROM conf),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+      |comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY 1),
+      |cl AS (SELECT root, COUNT(*) AS sz FROM comp GROUP BY 1)
+      |SELECT a.doc_id, COALESCE(cl.sz, 1) AS n_merged, md5(a.text) AS doc_md5
+      |FROM all_docs a
+      |  LEFT JOIN comp ON comp.id = a.doc_id
+      |  LEFT JOIN cl ON cl.root = a.doc_id
+      |WHERE comp.id IS NULL OR comp.root = a.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_dedup_materialize" -> (d16_dedup_materialize _))
+
+  val oracle: Map[String, String] = Map(
+    "d16_dedup_materialize" -> d16Oracle)
+}

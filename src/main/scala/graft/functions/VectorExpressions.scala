@@ -137,6 +137,32 @@ case class SortedOverlapCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_overlap_count"
 }
 
+/** `strict_sigmoid(double) -> double`: 1/(1+exp(−z)) with
+  * `StrictMath.exp`, codegen'd. Exists because t13's trained weights are
+  * SPEC-PINNED as exact doubles: the built-in `exp()` lowers to
+  * `Math.exp`, whose HotSpot intrinsic may differ from StrictMath by
+  * ulps ACROSS PLATFORMS — and an ulp at a 2^-32 quantization boundary
+  * would shift the pinned gradient sums. This keeps the scoring loop
+  * inside whole-stage codegen (the r8 verdict's UDF nit) without
+  * trading away cross-platform reproducibility. */
+case class StrictSigmoid(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a double argument, got ${child.dataType.simpleString}")
+  override def nullSafeEval(z: Any): Any =
+    1.0 / (1.0 + StrictMath.exp(-z.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, z => s"1.0 / (1.0 + java.lang.StrictMath.exp(-($z)))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "strict_sigmoid"
+}
+
 /** Column-API entry points. */
 object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
@@ -148,6 +174,8 @@ object GraftFunctions {
   def sorted_overlap_count(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedOverlapCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def strict_sigmoid(z: Column): Column =
+    GraftColumnBridge.column(StrictSigmoid(GraftColumnBridge.expression(z)))
 }
 
 /** SQL registration via SparkSessionExtensions — enables
@@ -168,5 +196,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_overlap_count"),
       new ExpressionInfo(classOf[SortedOverlapCount].getName, "sorted_overlap_count"),
       (children: Seq[Expression]) => SortedOverlapCount(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("strict_sigmoid"),
+      new ExpressionInfo(classOf[StrictSigmoid].getName, "strict_sigmoid"),
+      (children: Seq[Expression]) => StrictSigmoid(children(0))))
   }
 }

@@ -27,34 +27,42 @@ import graft.analytics.Tables
   * working frame, so a vector can never be selected twice even when
   * every remaining min-distance quantizes to 0 (duplicate-saturated
   * corpora). Cost is O(T · corpus) distance evaluations — one per
-  * vector per round, the known lower bound for exact greedy; for
-  * budgets where T passes are too many, the production variant runs
-  * cluster-local greedy inside the s06 k-means partitions (same device
-  * as s10) and merges per-cluster picks — the exact global greedy here
-  * is the auditable reference. Not SQL-expressible (T-deep sequential
-  * argmax recurrence) → rows-only at the gate + deterministic pins
-  * (seedless: lowest-id seed, quantized dists, id tie-break). */
+  * vector per round, the known lower bound for exact greedy.
+  *
+  * s11b is the production variant for budgets where T full-corpus
+  * passes are too many: COMPOSABLE-CORESET greedy (Indyk et al. 2014,
+  * "Composable core-sets for diversity and coverage maximization") in
+  * the s06 k-means geometry — each cluster computes its own T-point
+  * greedy coreset locally inside one partition pass, and the exact
+  * global greedy then runs over only the per-cluster picks
+  * (≤ k·T ≈ corpus/16 rows at the adaptive k), shrinking the per-round
+  * scan by that same factor while the one corpus-wide pass is the
+  * cluster assignment it shares with s06/s10.
+  *
+  * Not SQL-expressible (T-deep sequential argmax recurrence) →
+  * rows-only at the gate + deterministic pins (seedless: lowest-id
+  * seed, quantized dists, id tie-break). */
 object SelectOps {
 
-  /** s11: k-center greedy coreset of T = 32 vectors. One row per pick:
-    * rank, vec_id, and the (2^-32-quantized) min distance to the
-    * previously selected set at pick time — the pick sequence's
-    * distances are non-increasing (adding centers only shrinks
-    * min-distances), which the spec asserts. The seed row carries the
-    * sentinel -1 (no prior set). */
-  def s11_coreset_select(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val T = 32
-    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      .repartition(s.sparkContext.defaultParallelism)
+  /** floor(K·(1−cos)) quantization shared by every selection stage:
+    * floor is monotone, so a running min over per-center quantized
+    * distances equals quantizing the exact min — comparison keys stay
+    * exact longs and shuffle/merge order cannot flip a near-tie. */
+  private[sim] def quantDist(v: Array[Float], c: Array[Float]): Long =
+    math.floor((1.0 - SimilarityOps.cosineArr(v, c)) * 4294967296.0).toLong
 
-    // distance to ONE center, quantized: floor(K·x) is monotone, so the
-    // running min over per-center quantized distances equals quantizing
-    // the exact min — the comparison key stays an exact long and
-    // shuffle/merge order cannot flip a near-tie
+  /** Exact distributed k-center greedy over `emb` (`vec_id`,
+    * `embedding`): T picks, lowest-id seed, (dist desc, vec_id) argmax
+    * order. Returns (rank, vec_id, min_dist_fp) with the seed carrying
+    * sentinel distance -1. See the object doc for the working-frame
+    * mechanics (running min column, eager localCheckpoint per round,
+    * 1-row collects). */
+  private def greedySelect(s: SparkSession, emb: DataFrame, T: Int): DataFrame = {
+    import s.implicits._
+
+    // distance to ONE center, quantized (see quantDist)
     def distQ(c: Array[Float]) = udf { v: Seq[Float] =>
-      math.floor((1.0 - SimilarityOps.cosineArr(v.toArray, c)) *
-        4294967296.0).toLong
+      quantDist(v.toArray, c)
     }
 
     val seedRow = emb.orderBy($"vec_id").limit(1).collect()(0)
@@ -95,8 +103,118 @@ object SelectOps {
     }).toDF("rank", "vec_id", "min_dist_fp")
   }
 
+  /** s11: k-center greedy coreset of T = 32 vectors. One row per pick:
+    * rank, vec_id, and the (2^-32-quantized) min distance to the
+    * previously selected set at pick time — the pick sequence's
+    * distances are non-increasing (adding centers only shrinks
+    * min-distances), which the spec asserts. The seed row carries the
+    * sentinel -1 (no prior set). */
+  def s11_coreset_select(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism)
+    greedySelect(s, emb, T = 32)
+  }
+
+  /** s11b: cluster-local composable coreset, merged to the global
+    * budget. Phase 1 (one corpus pass + one cid shuffle): assign every
+    * vector to the s06 k-means codebook, then run EXACT greedy k-center
+    * inside each cluster's sorted partition run — O(T·|cluster|) local
+    * compute, O(cap) task memory (members beyond `cap` per cluster are
+    * counted into a loud accumulator and excluded from the candidate
+    * pool — the cluster stays represented by its first-`cap` picks, and
+    * the adaptive k keeps expected cluster size ~1000 ≪ cap). Phase 2:
+    * the exact distributed greedy of s11 over only the ≤ k·T candidate
+    * union. Output schema and determinism pins match s11 (global
+    * quantized distances re-derived in the merge, so ranks/dists are
+    * comparable to s11's).
+    */
+  def s11b_coreset_cluster(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val T = 32
+    val cap = 4096
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val k = SimilarityOps.adaptiveK(emb.count())
+    val overflow = s.sparkContext.longAccumulator("graft_s11b_cap_overflow")
+    val assigned = SimilarityOps.trainAndAssign(s, d, k, emb)
+
+    // cluster-local greedy: rows arrive grouped by cid and sorted by
+    // vec_id (the same shuffle the grouping needs), each run buffers at
+    // most `cap` members, and every run emits its ≤ T picks — candidate
+    // rows only, never the cluster's full membership, leave the task
+    val candidates = assigned
+      .repartition($"cid").sortWithinPartitions($"cid", $"vec_id")
+      .select($"cid", $"vec_id", $"embedding")
+      .as[(Int, Long, Seq[Float])]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+        var curCid = Int.MinValue
+        var curCount = 0L
+        def flush(): Unit = if (buf.nonEmpty) {
+          // exact greedy on the buffered run: seed = lowest vec_id
+          // (buffer arrives vec_id-sorted), then T-1 max-min picks with
+          // the shared quantized distance and vec_id tie-break
+          val n = buf.length
+          val picked = new Array[Boolean](n)
+          val mind = Array.fill(n)(Long.MaxValue)
+          var last = 0 // seed index
+          picked(0) = true
+          val t = math.min(T, n)
+          var got = 1
+          while (got < t) {
+            var best = -1
+            var i = 0
+            while (i < n) {
+              if (!picked(i)) {
+                val dq = quantDist(buf(i)._2, buf(last)._2)
+                if (dq < mind(i)) mind(i) = dq
+                if (best < 0 || mind(i) > mind(best)) best = i
+                // vec_id tie-break is the buffer order: earlier index
+                // (smaller vec_id) wins ties because only strictly
+                // greater mind replaces best
+              }
+              i += 1
+            }
+            picked(best) = true
+            last = best
+            got += 1
+          }
+          var i = 0
+          while (i < n) {
+            if (picked(i)) out += ((buf(i)._1, buf(i)._2.toSeq))
+            i += 1
+          }
+          buf.clear()
+        }
+        it.foreach { case (cid, id, v) =>
+          if (cid != curCid) { flush(); curCid = cid; curCount = 0L }
+          curCount += 1
+          if (curCount <= cap) buf += ((id, v.toArray))
+          else overflow.add(1L) // loud: candidate-pool truncation, never silent
+        }
+        flush()
+        out.iterator
+      }.toDF("vec_id", "embedding")
+
+    // eager checkpoint: the local phase runs EXACTLY once (the merge's
+    // per-round scans hit the materialized candidates, not the
+    // assign+greedy subtree), and the overflow accumulator is final
+    // before it is read below
+    val candFrame = candidates
+      .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true)
+    val out = greedySelect(s, candFrame, T)
+    if (overflow.value > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.sim").warn(
+        s"s11b: ${overflow.value} member(s) of over-cap cluster(s) excluded " +
+          "from the local candidate pool (cluster still represented by its " +
+          s"first-$cap greedy picks; raise k to shrink clusters)")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s11_coreset_select" -> (s11_coreset_select _))
+    "s11_coreset_select" -> (s11_coreset_select _),
+    "s11b_coreset_cluster" -> (s11b_coreset_cluster _))
 
   val oracle: Map[String, String] = Map.empty
 }

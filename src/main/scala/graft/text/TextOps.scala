@@ -1012,13 +1012,15 @@ object TextOps {
       val train = f.filter($"bucket" < 8)
       val valid = f.filter($"bucket" === 8)
       var w = Array.fill(5)(0.0)
+      // scoring column: left-to-right double arithmetic identical to the
+      // former UDF's, with the exp inside whole-stage codegen via the
+      // StrictSigmoid expression (built-in exp() is Math.exp, whose
+      // platform intrinsic could shift the pinned weights by ulps)
+      def p(wv: Array[Double]) = graft.functions.GraftFunctions.strict_sigmoid(
+        lit(wv(0)) + lit(wv(1)) * $"f1" + lit(wv(2)) * $"f2" +
+          lit(wv(3)) * $"f3" + lit(wv(4)) * $"f4")
       (1 to 30).foreach { _ =>
-        val wv = w
-        val pU = udf { (f1: Double, f2: Double, f3: Double, f4: Double) =>
-          val z = wv(0) + wv(1) * f1 + wv(2) * f2 + wv(3) * f3 + wv(4) * f4
-          1.0 / (1.0 + StrictMath.exp(-z))
-        }
-        val r = train.withColumn("e", pU($"f1", $"f2", $"f3", $"f4") - $"y")
+        val r = train.withColumn("e", p(w) - $"y")
           .agg(
             sum(($"e" * Scale).cast("long")).as("g0"),
             sum(($"e" * $"f1" * Scale).cast("long")).as("g1"),
@@ -1033,13 +1035,9 @@ object TextOps {
         }
       }
       val wv = w
-      val pU = udf { (f1: Double, f2: Double, f3: Double, f4: Double) =>
-        val z = wv(0) + wv(1) * f1 + wv(2) * f2 + wv(3) * f3 + wv(4) * f4
-        1.0 / (1.0 + StrictMath.exp(-z))
-      }
       // scored output = VALID split only: no train row contributes to the
       // reported confusion (train count rides along for the split audit)
-      valid.withColumn("p", pU($"f1", $"f2", $"f3", $"f4"))
+      valid.withColumn("p", p(wv))
         .agg(count(lit(1)).as("n_valid"),
           sum(when($"y" === 1.0, 1L).otherwise(0L)).as("n_keep"),
           sum(when($"p" >= 0.5 && $"y" === 1.0, 1L).otherwise(0L)).as("tp"),

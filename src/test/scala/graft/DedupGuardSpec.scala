@@ -339,6 +339,42 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._2).distinct.length == 32, "a vector was picked twice")
   }
 
+  test("s11b cluster-local coreset: deterministic, valid greedy, near-s11 coverage") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.sim.SelectOps.s11b_coreset_cluster(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val rows = run()
+    assert(rows.length == 32)
+    // seedless determinism: same input ⇒ identical pick sequence
+    assert(rows.toSeq == run().toSeq, "s11b pick sequence is nondeterministic")
+    assert(rows(0)._3 == -1L, "seed must carry the -1 sentinel")
+    val dists = rows.drop(1).map(_._3)
+    assert(dists.zip(dists.tail).forall { case (a, b) => b <= a },
+      s"merge-phase pick distances must be non-increasing: ${dists.toSeq}")
+    assert(rows.map(_._2).distinct.length == 32, "a vector was picked twice")
+    // quality: the composable coreset's k-center coverage radius (max
+    // over the corpus of min cosine distance to the picked set) must be
+    // within a small constant of the exact global greedy's — the point
+    // of the two-phase shape is scan reduction, not quality loss
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def radius(picks: Set[Long]): Double = {
+      val centers = emb.filter(e => picks(e._1)).map(_._2)
+      emb.map { case (_, v) =>
+        centers.map(c => 1.0 - graft.sim.SimilarityOps.cosineArr(v, c)).min
+      }.max
+    }
+    val rb = radius(rows.map(_._2).toSet)
+    val ra = radius(
+      graft.sim.SelectOps.s11_coreset_select(spark, dir)
+        .collect().map(_.getLong(1)).toSet)
+    assert(rb <= 3.0 * ra + 1e-9,
+      f"s11b coverage radius $rb%.4f vs exact greedy $ra%.4f exceeds 3x")
+  }
+
   test("d14 Bloom pre-filter: no false negatives, corpus-scaled sizing") {
     // the Bloom contract: claimed ⊇ true (an exact copy's positions are
     // all set by construction — a false negative would make the

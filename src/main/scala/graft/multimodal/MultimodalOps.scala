@@ -26,6 +26,15 @@ import graft.analytics.Tables
   */
 object MultimodalOps {
 
+  // ImageIO wraps every read/write stream in a FileCacheImageInput/
+  // OutputStream by default — one temp-file create+delete in java.io.tmpdir
+  // PER codec call. At ~33k frame encodes+decodes per m02 run that is
+  // pure filesystem churn (measured: m02 swung 2.2–15 s run-to-run at
+  // sf0.1 from /tmp contention alone). All media here are in-memory
+  // byte arrays; cache in heap. Object init runs once per executor JVM
+  // (first helper call), so the setting lands wherever the codec runs.
+  ImageIO.setUseCache(false)
+
   /** Deterministic synthetic image parameters for a document. */
   def imageDims(docId: Long): (Int, Int, Int) = {
     val w = (docId % 48).toInt + 16

@@ -487,7 +487,93 @@ object WarcQueries {
     s"$graph,\n$iters\nSELECT id, CAST(rank AS BIGINT) AS rank FROM p10 ORDER BY id"
   }
 
+  /** w09: the w01 chain through PER-RECORD-GZIPPED archives and the
+    * splittable `.warc.gz` reader — the Common Crawl ingestion shape.
+    * The same synthesized records are staged from the EXECUTORS as real
+    * multi-member `.warc.gz` files (one gzip member per record, plus a
+    * planted corrupt member and the w01 corrupt-gzip-BODY record so both
+    * containment paths run), then read back through
+    * `spark.read.format("warc")` with splits far smaller than an archive
+    * — most splits start mid-member, so member sync + trial-inflate
+    * validation are exercised at the gate, not just in specs. Output and
+    * oracle are w01's verbatim: the gz encoding must be invisible.
+    *
+    * The result is eagerly materialized (localCheckpoint) so the staging
+    * dir can be deleted before returning — the driver holds only the
+    * aggregate-sized output, never the archives. */
+  def w09_warcgz_pipeline(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-w09")
+    try {
+      val dirStr = dir.toString
+      // executor-side staging (the st05 rule: no corpus-sized driver
+      // collect); file names are partition-deterministic, creates
+      // overwrite, so task retries restage idempotently
+      Tables.documents(spark, d)
+        .select("doc_id", "text", "lang", "n_chars")
+        .as[(Long, String, String, Long)]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .foreachPartition { (it: Iterator[(Long, String, String, Long)]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(WarcSource.gzip(WarcSource.toWireFormat("warcinfo", "",
+            0, "software: graft".getBytes(StandardCharsets.UTF_8))))
+          // corrupt gzip BODY inside a well-formed member (S5 drop path)
+          out.write(WarcSource.gzip(WarcSource.toWireFormat("response",
+            "https://corrupt.example.gov.au/", 10, Array[Byte](0x1f, 0x7b, 1, 2))))
+          // corrupt MEMBER: valid gzip header, garbage deflate stream —
+          // the reader must surface a sentinel and resync, never fail
+          out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08, 0,
+            1, 2, 3, 4, 0, 3, 7, 7, 7, 7, 7, 7))
+          var n = 0
+          it.foreach { case (id, text, lang, nChars) =>
+            val url = s"https://docs${id % 50}.example.gov.au/page/$id"
+            val body = WarcSource.gzip(
+              payloadFor(id, text, lang).getBytes(StandardCharsets.UTF_8))
+            out.write(WarcSource.gzip(
+              WarcSource.toWireFormat("response", url, nChars, body)))
+            n += 1
+          }
+          if (n > 0) {
+            val p = new org.apache.hadoop.fs.Path(dirStr, f"crawl-$pid%04d.warc.gz")
+            val os = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              .create(p, true)
+            try os.write(out.toByteArray) finally os.close()
+          }
+        }
+      val recs = spark.read.format("warc")
+        .option("pathGlobFilter", "*.warc.gz")
+        // far below archive size ⇒ several splits per file, most landing
+        // mid-member (the sync + validation path, continuously gated)
+        .option("maxPartitionBytes", (32 * 1024).toString)
+        .load(dirStr)
+        .as[WarcRecord]
+      Pipeline.urlResources(recs)
+        .select(
+          $"url", $"hostname", $"domain_name",
+          $"size_bytes".cast("long").as("size_bytes"),
+          $"load_time", $"title", $"text_content", $"headings_text",
+          $"word_count".cast("long").as("word_count"),
+          array_join($"links", "|").as("links_joined"),
+          array_join($"resource_urls", "|").as("resources_joined"),
+          element_at($"meta_tags", "lang").as("meta_lang"),
+          element_at($"headers", "X-Request-Id").as("header_request_id"),
+          array_join($"google_analytics", "|").as("ga_joined"),
+          array_join($"google_analytics_config", "|").as("ga_config_joined"),
+          $"html_errors")
+        .orderBy($"url")
+        .localCheckpoint(true) // materialize before the staging dir dies
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w09_warcgz_pipeline" -> (w09_warcgz_pipeline _),
     "w08_pagerank" -> (w08_pagerank _),
     "w07_link_graph" -> (w07_link_graph _),
     "w01_warc_pipeline" -> (w01_warc_pipeline _),
@@ -499,6 +585,7 @@ object WarcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "w09_warcgz_pipeline" -> w01Oracle, // same records, gz-invisible
     "w08_pagerank" -> w08Oracle,
     "w07_link_graph" -> w07Oracle,
     "w01_warc_pipeline" -> w01Oracle,

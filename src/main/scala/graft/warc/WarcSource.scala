@@ -9,17 +9,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 /** WARC container reading (SURVEY.md §2.1 S1/S5).
   *
   * The reference iterates a local `.warc` file record-at-a-time
-  * (`src/main.rs:199-204`); here the scan is a Spark `binaryFile` read of
-  * the glob followed by a per-file record split — each WARC file becomes
-  * one input partition and the splitter streams it without materializing
-  * more than one record at a time.
-  *
-  * Scale posture: `binaryFile` holds one whole file in memory per task,
-  * which is fine for the reference's ≤1 GB WARCs; the 100 TB path is many
-  * such files in parallel, so parallelism comes from the file count (the
-  * reference's stride-sharding, SURVEY §2.6 D4, dissolves into this).
-  * A record-boundary-splitting DataSourceV2 for huge single files is the
-  * known future item (SURVEY §7).
+  * (`src/main.rs:199-204`); here the scan is the splittable
+  * DataSourceV2 (`graft.warc.source.WarcDataSource`): plain `.warc`
+  * containers split by byte range on WARC/ magic, per-record-gzipped
+  * `.warc.gz` archives on validated gzip-member boundaries — task
+  * memory stays O(record) and parallelism is O(bytes), not O(files),
+  * at both encodings (the reference's stride-sharding, SURVEY §2.6 D4,
+  * dissolves into this). This object holds the shared record grammar
+  * (the single-pass splitter the readers and tests both trust) and the
+  * per-record gzip codec.
   *
   * Record grammar (ISO 28500): `WARC/<ver>\r\n` + `Key: Value` header
   * lines + `\r\n` blank + `Content-Length` body bytes + `\r\n\r\n`.
@@ -149,8 +147,10 @@ object WarcSource {
     df.as[WarcRecord]
   }
 
-  /** Legacy whole-file scan over binaryFile — for non-splittable inputs
-    * (e.g. whole-file .warc.gz). */
+  /** Legacy whole-file scan over binaryFile — kept for parity testing
+    * and for exotic inputs the splittable source does not claim (e.g.
+    * nonstandard extensions); `.warc` and per-record `.warc.gz` both go
+    * through [[read]]. */
   def readWholeFiles(spark: SparkSession, glob: String): Dataset[WarcRecord] = {
     import spark.implicits._
     val idx = glob.lastIndexOf('/')

@@ -26,9 +26,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * record, not one file.
   *
   * Registered as `spark.read.format("warc").load(dir)` via
-  * DataSourceRegister. Note: applies to uncompressed WARC containers
-  * (per-record gzip bodies are fine and normal); whole-file `.warc.gz`
-  * is not splittable by nature and should go through the binaryFile path.
+  * DataSourceRegister. Plain `.warc` containers split on WARC/ magic
+  * ([[WarcPartitionReader]]); per-record-gzipped `.warc.gz` archives
+  * (each record its own gzip member — the Common Crawl layout) split on
+  * validated gzip-member boundaries ([[GzipWarcPartitionReader]]). Only
+  * a SINGLE-stream `.warc.gz` (one gzip member for the whole archive,
+  * rare and hostile to any splitter) degrades: the split owning byte 0
+  * decodes the whole file and the others find no member to own.
   */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
@@ -120,6 +124,11 @@ class SerializableHadoopConf(
 }
 
 class WarcReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition], conf.value)
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partition.asInstanceOf[WarcInputPartition]
+    // per-record-gzipped archives (the Common Crawl layout) split on
+    // gzip-member boundaries; plain containers on WARC/ magic
+    if (p.file.endsWith(".gz")) new GzipWarcPartitionReader(p, conf.value)
+    else new WarcPartitionReader(p, conf.value)
+  }
 }

@@ -98,6 +98,113 @@ class WarcSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Float]("load_time") == 0f)
   }
 
+  /** Per-record gzip (Common Crawl layout): each record its own member. */
+  private def makeWarcGz(n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(WarcSource.gzip(WarcSource.toWireFormat("warcinfo", "", 0,
+      "software: graft\n".getBytes(StandardCharsets.UTF_8))))
+    (0 until n).foreach { i =>
+      // every 5th body is INCOMPRESSIBLE pseudo-random bytes salted with
+      // literal gzip magics (1f 8b 08): deflate stores such data in raw
+      // stored blocks, so the compressed stream itself contains magic
+      // sequences a mid-split sync will land on — the trial-inflate
+      // validation must reject them or records get double-emitted
+      val body =
+        if (i % 5 == 0) {
+          val rnd = new scala.util.Random(i)
+          val b = new Array[Byte](800 + i % 400)
+          rnd.nextBytes(b)
+          var j = 13
+          while (j + 3 < b.length) {
+            b(j) = 0x1f.toByte; b(j + 1) = 0x8b.toByte; b(j + 2) = 0x08.toByte
+            j += 97
+          }
+          b
+        } else ("gz body " + i + " " + ("w" * (i % 600)))
+          .getBytes(StandardCharsets.UTF_8)
+      out.write(WarcSource.gzip(WarcSource.toWireFormat("response",
+        s"https://ex.gov.au/gz/$i", body.length, body)))
+    }
+    out.toByteArray
+  }
+
+  test("per-record .warc.gz splits on member boundaries, exactly once") {
+    val dir = Files.createTempDirectory("warcv2gz")
+    val bytes = makeWarcGz(200)
+    Files.write(dir.resolve("a.warc.gz"), bytes)
+    Files.write(dir.resolve("b.warc.gz"), makeWarcGz(57))
+
+    // GZIPInputStream reads concatenated members, so the trusted
+    // whole-archive decode is just gunzip + the single-pass splitter
+    def expectOne(b: Array[Byte], src: String) =
+      WarcSource.splitWarc(WarcSource.gunzip(b).get, src).toSeq
+    val expected = (expectOne(bytes, "a.warc.gz") ++
+        expectOne(makeWarcGz(57), "b.warc.gz"))
+      .filter(_.version != "0")
+      .map(r => (r.header.getOrElse("warc-target-uri", ""), r.content.length, r.source))
+      .sorted
+
+    // 2 KiB ranges: most splits start mid-member, many inside the salted
+    // stored blocks full of fake gzip magics
+    val df = spark.read.format("warc")
+      .option("maxPartitionBytes", "2048")
+      .load(dir.toString)
+    assert(df.rdd.getNumPartitions > 20)
+
+    val sp = spark
+    import sp.implicits._
+    val got = df.filter($"version" =!= "0")
+      .select($"header".getItem("warc-target-uri"), $"content", $"source")
+      .as[(String, Array[Byte], String)]
+      .collect()
+      .map { case (uri, c, src) => (Option(uri).getOrElse(""), c.length, src) }
+      .toSeq.sorted
+    assert(got.size == expected.size)
+    assert(got == expected)
+    // sanity: nothing degraded to sentinels either
+    assert(df.filter($"version" === "0").count() == 0)
+  }
+
+  test(".warc.gz corrupt member yields one sentinel, neighbors survive") {
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until 30).foreach { i =>
+      val m = WarcSource.gzip(WarcSource.toWireFormat("response",
+        s"https://ex.gov.au/c/$i", 10, ("body " + i + " pad").getBytes))
+      if (i == 13) { // corrupt the deflate payload, keep header magic intact
+        m(m.length / 2) = (m(m.length / 2) ^ 0x55).toByte
+        m(m.length / 2 + 1) = (m(m.length / 2 + 1) ^ 0x2a).toByte
+      }
+      out.write(m)
+    }
+    val dir = Files.createTempDirectory("warcv2gzc")
+    Files.write(dir.resolve("c.warc.gz"), out.toByteArray)
+    val sp = spark
+    import sp.implicits._
+    val df = spark.read.format("warc")
+      .option("maxPartitionBytes", "1024").load(dir.toString)
+    val real = df.filter($"version" =!= "0")
+      .select($"header".getItem("warc-target-uri")).as[String].collect().toSet
+    // 29 of 30 records survive; the corrupted one is absent
+    assert(real == (0 until 30).filter(_ != 13)
+      .map(i => s"https://ex.gov.au/c/$i").toSet)
+    // containment surfaced it (at least one sentinel), no task failure
+    assert(df.filter($"version" === "0").count() >= 1)
+  }
+
+  test("single-stream .warc.gz degrades to one owning split, still exact") {
+    // one gzip member wrapping the WHOLE archive: not a per-record
+    // layout; the split owning byte 0 decodes everything, others own no
+    // member start
+    val dir = Files.createTempDirectory("warcv2gzs")
+    Files.write(dir.resolve("s.warc.gz"), WarcSource.gzip(makeWarc(40)))
+    val sp = spark
+    import sp.implicits._
+    val real = spark.read.format("warc")
+      .option("maxPartitionBytes", "2048").load(dir.toString)
+      .filter($"version" =!= "0").count()
+    assert(real == 41L) // 40 + warcinfo
+  }
+
   test("single-split read matches whole-file read") {
     val dir = Files.createTempDirectory("warcv2b")
     Files.write(dir.resolve("one.warc"), makeWarc(20))

@@ -189,4 +189,53 @@ object Pipeline {
         .option("maxRecordsPerFile", 50000).save(outPath)
     }
   }
+
+  /** S3 idempotency at the REFERENCE's granularity (`src/lib.rs:155-169`
+    * skips per output Avro object, one per input report): one unit of
+    * work per input archive, each with its own `<outRoot>/<stem>` dir and
+    * `_SUCCESS` probe, so a restart mid-crawl redoes only the archives
+    * whose outputs are missing — [[run]]'s single probe redoes the whole
+    * glob. Still fully distributed: each per-archive job splits its file
+    * by byte range internally, and up to `maxConcurrentJobs` archive jobs
+    * run at once (Spark's scheduler interleaves their stages), so small
+    * archives don't serialize the cluster behind one another.
+    * Returns (archive path, ran?) per input for job-level auditing. */
+  def runPerFile(spark: SparkSession, warcGlob: String, outRoot: String,
+      format: String = "avro", quarantineRoot: Option[String] = None,
+      maxConcurrentJobs: Int = 4): Seq[(String, Boolean)] = {
+    val rootPath = new org.apache.hadoop.fs.Path(outRoot)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(warcGlob)))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile).map(_.getPath)
+    def stem(p: org.apache.hadoop.fs.Path): String = {
+      val n = p.getName
+      val cut = n.indexOf(".warc")
+      if (cut > 0) n.substring(0, cut) else n
+    }
+    val todo = inputs.map { p =>
+      val done = fs.exists(new org.apache.hadoop.fs.Path(
+        s"$outRoot/${stem(p)}", "_SUCCESS"))
+      (p, !done)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, maxConcurrentJobs))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val jobs = todo.collect { case (p, true) =>
+        scala.concurrent.Future {
+          run(spark, p.toString, s"$outRoot/${stem(p)}", format,
+            quarantineRoot.map(q => s"$q/${stem(p)}"))
+        }
+      }
+      // fail loudly on the FIRST job error (don't mask it behind later
+      // successes); completed units keep their _SUCCESS and are skipped
+      // on the restart this throw forces
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(jobs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    todo.map { case (p, ran) => (p.toString, ran) }
+  }
 }

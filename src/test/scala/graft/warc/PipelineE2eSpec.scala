@@ -86,4 +86,59 @@ class PipelineE2eSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = urls.result()
     assert(all.size == 30 && all.distinct.size == 30) // every good record, once
   }
+
+  test("runPerFile: restart redoes only the archives with missing outputs") {
+    val dir = Files.createTempDirectory("e2eperfile")
+    (0 until 3).foreach { f =>
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(WarcSource.toWireFormat("warcinfo", "", 0, "software: x\n".getBytes))
+      (0 until 8).foreach { i =>
+        val b = page(f * 10 + i)
+        out.write(WarcSource.toWireFormat("response",
+          s"https://pf$f.ex.gov.au/p/$i", b.length, b))
+      }
+      Files.write(dir.resolve(f"arch-$f%02d.warc"), out.toByteArray)
+    }
+    val outRoot = dir.resolve("out").toString
+
+    // first run: every archive is a fresh unit of work
+    val r1 = Pipeline.runPerFile(spark, s"$dir/*.warc", outRoot)
+    assert(r1.size == 3 && r1.forall(_._2), s"first run must do all: $r1")
+    (0 until 3).foreach { f =>
+      assert(Files.exists(Paths.get(outRoot, f"arch-$f%02d", "_SUCCESS")))
+    }
+
+    // second run: all units skipped (per-archive _SUCCESS probes)
+    val r2 = Pipeline.runPerFile(spark, s"$dir/*.warc", outRoot)
+    assert(r2.size == 3 && !r2.exists(_._2), s"re-run must skip all: $r2")
+
+    // delete ONE unit's output → only that archive reruns; the reference
+    // semantics (skip per output object) at crawl scale
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
+    deleteRec(Paths.get(outRoot, "arch-01"))
+    val r3 = Pipeline.runPerFile(spark, s"$dir/*.warc", outRoot).toMap
+    assert(r3(s"file:$dir/arch-01.warc"), s"missing unit must rerun: $r3")
+    assert(r3.count(_._2) == 1, s"exactly one unit reruns: $r3")
+
+    // outputs hold every record exactly once across the 3 unit dirs
+    // (plain Avro reader — the K1 cross-impl check)
+    val urls = Seq.newBuilder[String]
+    (0 until 3).foreach { f =>
+      new java.io.File(s"$outRoot/arch-0$f").listFiles()
+        .filter(_.getName.endsWith(".avro")).foreach { file =>
+          val r = new org.apache.avro.file.DataFileReader(file,
+            new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+          while (r.hasNext) urls += r.next().get("url").toString
+          r.close()
+        }
+    }
+    val all = urls.result()
+    assert(all.size == 24 && all.distinct.size == 24, s"got ${all.size}")
+  }
 }

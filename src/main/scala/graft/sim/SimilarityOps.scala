@@ -402,6 +402,26 @@ object SimilarityOps {
     })
   }
 
+  /** Assign + PQ-encode a batch of NEW vectors against an existing
+    * codebook pair — the streaming-ingest half of the s07 store. Purely
+    * map-side (both codebooks ride the closure as broadcast-sized
+    * arrays), producing rows in the store's exact column layout
+    * (vec_id, embedding, cid, code) so an append lands co-located in
+    * the bucketed table with zero shuffle of the existing corpus. */
+  private[graft] def encodeForStore(batch: DataFrame,
+      cb: Array[(Int, Seq[Float])],
+      pqCb: Array[Array[Array[Double]]]): DataFrame = {
+    val cbArr = cb.map { case (cid, c) => (cid, c.toArray) }
+    val assignU = udf { v: Seq[Float] =>
+      val va = v.toArray
+      cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
+    }
+    val encodeU = udf { v: Seq[Float] => pqEncode(pqCb, l2normalize(v)) }
+    batch.withColumn("cid", assignU(col("embedding")))
+      .withColumn("code", encodeU(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("cid"), col("code"))
+  }
+
   /** Run `body` with auto-bucketed-scan OFF (save/restore): the planner's
     * heuristic drops bucketed reading when no join exploits the
     * clustering — which also drops BUCKET PRUNING, the thing the s07
@@ -592,8 +612,17 @@ object SimilarityOps {
     * code-projected exactly as in s08/s09). */
   def annSearch(s: SparkSession, d: String, queryVecs: DataFrame,
       topK: Int = 5, rerank: Int = 50): DataFrame = {
-    import s.implicits._
     val (tbl, cb, pqCb) = ensureAnnStore(s, d)
+    annSearchOn(s, tbl, cb, pqCb, queryVecs, topK, rerank)
+  }
+
+  /** [[annSearch]] against a CALLER-NAMED store table (same layout as
+    * [[ensureAnnStore]]'s) — lets the streaming-ingest twin (st09) probe
+    * its own appended copy without mutating the session-shared store. */
+  private[graft] def annSearchOn(s: SparkSession, tbl: String,
+      cb: Array[(Int, Seq[Float])], pqCb: Array[Array[Array[Double]]],
+      queryVecs: DataFrame, topK: Int = 5, rerank: Int = 50): DataFrame = {
+    import s.implicits._
     val nprobe = ivfNprobe(cb.length)
     val probeU = udf { v: Seq[Float] =>
       cb.map { case (cid, c) => (cid, cosine(v, c)) }

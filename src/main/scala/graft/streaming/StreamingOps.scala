@@ -691,9 +691,72 @@ object StreamingOps {
 
   val st08Oracle: String = graft.dedup.DedupOps.oracle("d07_incremental_dedup")
 
+  /** st09: streaming ANN-STORE INGEST — st08's twin for the similarity
+    * side, closing the store symmetry: new embeddings arrive per
+    * micro-batch, are assigned + PQ-encoded map-side against the
+    * PERSISTED codebooks (no retraining, no corpus reshuffle — the
+    * append lands co-located in the bucketed inverted lists), and are
+    * immediately queryable: after the drain, every ingested vector
+    * probes the store through the full s09 read path (coarse probe →
+    * bucket-pruned ADC → exact re-rank) and must find ITSELF rank-1.
+    *
+    * The ingest targets a PRIVATE COPY of the session store: appending
+    * to the shared s07 table would mutate the results of every other
+    * store query running later in the same session. Ingested vectors
+    * are index-rotated copies (ids +300000) — same norm, scrambled
+    * direction — so self-match is a real retrieval, not an exact-dup
+    * tie. Output: store sizes before/after, ingested count, self-match
+    * count (spec asserts n_self_matched == n_ingested). */
+  def st09_stream_ann_ingest(s: SparkSession, d: String): DataFrame =
+    withStreamShuffle(s) {
+      import s.implicits._
+      import graft.sim.SimilarityOps
+      val (tbl, cb, pqCb) = SimilarityOps.ensureAnnStore(s, d)
+      val k = cb.length
+      val tbl9 = tbl + "_st09"
+      s.sql(s"DROP TABLE IF EXISTS $tbl9")
+      s.table(tbl).write.bucketBy(k, "cid").sortBy("cid")
+        .mode("overwrite").saveAsTable(tbl9)
+      try {
+        val before = s.table(tbl9).count()
+        val embSchema = s.read
+          .option("pathGlobFilter", "embeddings.parquet").parquet(d).schema
+        val stream = s.readStream.schema(embSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+        val rotU = udf { v: Seq[Float] => v.drop(7) ++ v.take(7) }
+        val batchStream = stream.filter($"vec_id" % 31 === 0)
+          .select(($"vec_id" + 300000L).as("vec_id"),
+            rotU($"embedding").as("embedding"))
+        val q = batchStream.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            SimilarityOps.encodeForStore(b, cb, pqCb)
+              .write.mode("append").bucketBy(k, "cid").sortBy("cid")
+              .saveAsTable(tbl9)
+          }
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // the appends ran in the micro-batch's CLONED session; only that
+        // clone's relation cache saw them — refresh ours or the probe
+        // reads the pre-ingest file listing (observed: n_ingested = 0)
+        s.catalog.refreshTable(tbl9)
+        val ingested = s.table(tbl9).filter($"vec_id" >= 300000L)
+          .select($"vec_id".as("query_id"), $"embedding")
+          .localCheckpoint(true) // probe input: batch-sized, read twice
+        val nIngested = ingested.count()
+        val res = SimilarityOps.annSearchOn(s, tbl9, cb, pqCb, ingested,
+          topK = 1, rerank = 50)
+        val nSelf = res
+          .filter($"rank" === 1 && $"neighbor_id" === $"query_id").count()
+        Seq((before, nIngested, s.table(tbl9).count(), nSelf))
+          .toDF("n_store_before", "n_ingested", "n_store_after",
+            "n_self_matched")
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl9")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st07_stream_quality_gate" -> (st07_stream_quality_gate _),
     "st08_stream_store_dedup" -> (st08_stream_store_dedup _),
+    "st09_stream_ann_ingest" -> (st09_stream_ann_ingest _),
     "st01_stream_window" -> (st01_stream_window _),
     "st02_session_window" -> (st02_session_window _),
     "st03_stream_dedup" -> (st03_stream_dedup _),

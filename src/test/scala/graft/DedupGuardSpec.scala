@@ -419,6 +419,25 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank-1 self-match cosine must be ~1.0: ${selfCos.toSeq}")
   }
 
+  test("st09 streaming ANN ingest: appended vectors immediately self-retrievable") {
+    // st08's twin for the similarity store: per-micro-batch vectors are
+    // assigned + PQ-encoded against the PERSISTED codebooks and appended
+    // co-located into a private copy of the bucketed store; every
+    // ingested vector must then find itself rank-1 through the full
+    // probe path (coarse probe → bucket-pruned ADC → exact re-rank).
+    // sf0.001: 17 planted arrivals (vec_id % 31) over the 500-vector
+    // corpus; deterministic, so a second run reproduces it exactly.
+    def run() = graft.streaming.StreamingOps
+      .st09_stream_ann_ingest(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val r = run()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((500L, 17L, 517L, 17L)), s"got ${r.toSeq}")
+    // idempotent re-run: the private store copy is rebuilt, not doubled
+    val r2 = run()
+    assert(r.toSeq == r2.toSeq, s"second run diverged: ${r2.toSeq}")
+  }
+
   test("ivf store geometry: corpus-scaled k/nprobe shrink the scan fraction with N") {
     // r6 verdict item 1: a fixed k=16 pinned the s07/s08/s09 probe at
     // ~37% of the corpus forever. With k ≈ √N and nprobe ≈ √k the

@@ -65,13 +65,24 @@ object SimilarityOps {
     * Numerics are IDENTICAL (same 2^-32 quantization, long sums, same
     * double→float rounding), so the s04/s06 determinism pins hold
     * unchanged. Only k centroid rows reach the driver. */
-  private[sim] def lloydStep(emb: DataFrame,
-      cb: Array[(Int, Seq[Float])]): Array[(Int, Seq[Float])] = {
+  /** THE coarse-assignment UDF: nearest centroid by cosine, min-cid
+    * tie-break. One definition shared by Lloyd training, every store
+    * build/ingest, and the IVF list builders — the tie-break is part of
+    * the store contract (a streamed append assigned differently from
+    * the stored corpus would land in the wrong bucket and vanish from
+    * pruned probes), so it must be impossible for copies to drift. */
+  private[sim] def coarseAssignU(cb: Array[(Int, Seq[Float])])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val cbArr = cb.map { case (cid, c) => (cid, c.toArray) }
-    val assignU = udf { v: Seq[Float] =>
+    udf { v: Seq[Float] =>
       val va = v.toArray
       cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
     }
+  }
+
+  private[sim] def lloydStep(emb: DataFrame,
+      cb: Array[(Int, Seq[Float])]): Array[(Int, Seq[Float])] = {
+    val assignU = coarseAssignU(cb)
     val cAgg = udaf(new CentroidSum(64),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
     emb.withColumn("cid", assignU(col("embedding")))
@@ -271,11 +282,7 @@ object SimilarityOps {
     // r4 posexplode shuffle)
     (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
     val cb = centroids
-    val cbArr = cb.map { case (cid, c) => (cid, c.toArray) }
-    val assignU = udf { v: Seq[Float] =>
-      val va = v.toArray
-      cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
-    }
+    val assignU = coarseAssignU(cb)
     val probeU = udf { v: Seq[Float] =>
       cb.map { case (cid, c) => (cid, cosine(v, c)) }
         .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
@@ -380,11 +387,7 @@ object SimilarityOps {
         .orderBy($"vec_id").collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
       (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
-      val cbArr = centroids.map { case (cid, c) => (cid, c.toArray) }
-      val assignU = udf { v: Seq[Float] =>
-        val va = v.toArray
-        cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
-      }
+      val assignU = coarseAssignU(centroids)
       // PQ training identical to s05: the 256 lowest-id NORMALIZED
       // vectors (sample-sized driver collect), 5 local Lloyd iterations
       val sample: Array[Seq[Float]] = emb.filter($"vec_id" < 256)
@@ -411,11 +414,7 @@ object SimilarityOps {
   private[graft] def encodeForStore(batch: DataFrame,
       cb: Array[(Int, Seq[Float])],
       pqCb: Array[Array[Array[Double]]]): DataFrame = {
-    val cbArr = cb.map { case (cid, c) => (cid, c.toArray) }
-    val assignU = udf { v: Seq[Float] =>
-      val va = v.toArray
-      cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
-    }
+    val assignU = coarseAssignU(cb)
     val encodeU = udf { v: Seq[Float] => pqEncode(pqCb, l2normalize(v)) }
     batch.withColumn("cid", assignU(col("embedding")))
       .withColumn("code", encodeU(col("embedding")))
@@ -887,12 +886,7 @@ object SimilarityOps {
       .orderBy($"vec_id").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
     (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
-    val cbArr = centroids.map { case (cid, c) => (cid, c.toArray) }
-    val assignU = udf { v: Seq[Float] =>
-      val va = v.toArray
-      cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
-    }
-    emb.withColumn("cid", assignU($"embedding"))
+    emb.withColumn("cid", coarseAssignU(centroids)($"embedding"))
   }
 
   /** [[s06_semantic_dedup]] with a caller-supplied overflow accumulator —

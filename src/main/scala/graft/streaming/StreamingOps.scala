@@ -739,7 +739,16 @@ object StreamingOps {
         // clone's relation cache saw them — refresh ours or the probe
         // reads the pre-ingest file listing (observed: n_ingested = 0)
         s.catalog.refreshTable(tbl9)
-        val ingested = s.table(tbl9).filter($"vec_id" >= 300000L)
+        // recover the ingested set by the SAME derivation the stream ran
+        // (batch replay of the id rule), never an absolute id threshold:
+        // a >= 300000 filter would misclassify every replica corpus
+        // vector on genScaled dirs, where vec_ids stride by 1,000,000
+        val ingestedIds = s.read.schema(embSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+          .filter($"vec_id" % 31 === 0)
+          .select(($"vec_id" + 300000L).as("vec_id"))
+        val ingested = s.table(tbl9)
+          .join(ingestedIds, Seq("vec_id"), "left_semi")
           .select($"vec_id".as("query_id"), $"embedding")
           .localCheckpoint(true) // probe input: batch-sized, read twice
         val nIngested = ingested.count()

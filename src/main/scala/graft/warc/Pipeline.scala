@@ -203,9 +203,13 @@ object Pipeline {
   def runPerFile(spark: SparkSession, warcGlob: String, outRoot: String,
       format: String = "avro", quarantineRoot: Option[String] = None,
       maxConcurrentJobs: Int = 4): Seq[(String, Boolean)] = {
-    val rootPath = new org.apache.hadoop.fs.Path(outRoot)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val inputs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(warcGlob)))
+    // inputs and outputs may live on DIFFERENT filesystems (s3a crawl →
+    // hdfs warehouse): list with the glob's own fs, probe with outRoot's
+    val conf = spark.sparkContext.hadoopConfiguration
+    val globPath = new org.apache.hadoop.fs.Path(warcGlob)
+    val inFs = globPath.getFileSystem(conf)
+    val outFs = new org.apache.hadoop.fs.Path(outRoot).getFileSystem(conf)
+    val inputs = Option(inFs.globStatus(globPath))
       .map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.isFile).map(_.getPath)
     def stem(p: org.apache.hadoop.fs.Path): String = {
@@ -213,8 +217,15 @@ object Pipeline {
       val cut = n.indexOf(".warc")
       if (cut > 0) n.substring(0, cut) else n
     }
+    // two inputs sharing a stem (a.warc + a.warc.gz) would race on one
+    // unit dir — run() deletes a partial dir, so the collision corrupts
+    // output that then gets a _SUCCESS. Refuse up front.
+    val dup = inputs.groupBy(stem).filter(_._2.lengthCompare(1) > 0)
+    require(dup.isEmpty,
+      s"runPerFile: inputs collide on output unit name(s) " +
+        s"${dup.map { case (k, v) => s"$k <- ${v.mkString(", ")}" }.mkString("; ")}")
     val todo = inputs.map { p =>
-      val done = fs.exists(new org.apache.hadoop.fs.Path(
+      val done = outFs.exists(new org.apache.hadoop.fs.Path(
         s"$outRoot/${stem(p)}", "_SUCCESS"))
       (p, !done)
     }

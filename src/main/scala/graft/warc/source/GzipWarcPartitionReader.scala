@@ -36,7 +36,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * member, a corrupt member yields the sentinel record (version "0",
   * the quarantine path's contract) and the reader rescans for the next
   * member magic — one bad record never fails the task or drops the
-  * rest of the archive. Members inflating beyond
+  * rest of the archive. One documented geometry dependence (shared
+  * with the plain reader's tentative rejects): a corrupt member whose
+  * first byte happens to BE a split start is indistinguishable from a
+  * false sync and is skipped without a sentinel, so sentinel COUNTS
+  * can vary with maxPartitionBytes — record recovery never does.
+  * Members inflating beyond
   * [[graft.warc.WarcSource.MaxBodyBytes]] are treated the same way
   * (task memory stays O(record), the F3 guard never parses bodies that
   * size anyway).
@@ -67,9 +72,22 @@ class GzipWarcPartitionReader(part: WarcInputPartition,
     if (!fill()) -1
     else { val b = buf(bufPos) & 0xff; bufPos += 1; pos += 1; b }
   }
+  /** Reposition WITHOUT discarding the read buffer when the target is
+    * inside the buffered window — the common case here is tiny
+    * backward/forward hops within one member (trailer fetch after the
+    * inflater's read-ahead, magic+1 rescans, next-member starts), and a
+    * naive seek would re-read 64 KiB and pay a positioned read per hop
+    * (per RECORD at ~1 KB members; on object stores a seek can reopen
+    * the connection). Only a target outside the window touches the FS. */
   private def seekTo(target: Long): Unit = {
-    in.seek(target)
-    pos = target; bufLen = 0; bufPos = 0
+    val bufAbsStart = pos - bufPos
+    if (target >= bufAbsStart && target <= bufAbsStart + bufLen) {
+      bufPos = (target - bufAbsStart).toInt
+      pos = target
+    } else {
+      in.seek(target)
+      pos = target; bufLen = 0; bufPos = 0
+    }
   }
 
   // ---- gzip member scan + decode ----

@@ -84,8 +84,24 @@ object Tables {
       lit("events.ts outside sane range [1990, 2100): "), c.cast("string"),
       lit(" — timestamp unit mismatch in the loader?"))))
   }
+  /** documents/embeddings are driver-regenerated between rounds like
+    * events — a column rename there would otherwise surface as dozens of
+    * unresolved-attribute errors deep inside operators instead of one
+    * named failure at the load (footer-only check, no data scan). */
+  private def expectCols(df: DataFrame, table: String,
+      cols: Seq[String]): DataFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$table table missing expected columns $missing; got " +
+        s"${df.columns.toSeq} — driver testdata shape changed?")
+    df
+  }
+  // only the LOAD-BEARING columns are asserted (spec fixtures synthesize
+  // minimal tables; optional columns fail naturally at the few queries
+  // that select them)
   def documents(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "documents")
+    expectCols(apply(s, d, "documents"), "documents", Seq("doc_id", "text"))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "embeddings")
+    expectCols(apply(s, d, "embeddings"), "embeddings",
+      Seq("vec_id", "embedding"))
 }

@@ -226,12 +226,13 @@ object Dev {
       "t08_tfidf", "t14_bpe_encode", "t15_shard_layout",
       "t16_tiered_sample",
       "q34_length_quantiles", "w07_link_graph", "w08_pagerank",
+      "w09_warcgz_pipeline",
       // streaming: windowed-agg state scales in values, keyed state
       // (sessions/running totals/join buffers) in keys — both certified
       "st01_stream_window", "st02_session_window",
       "st04_stream_stream_join", "st05_stream_warc_ingest",
       "st06_running_totals", "st07_stream_quality_gate",
-      "st08_stream_store_dedup")
+      "st08_stream_store_dedup", "st09_stream_ann_ingest")
     // late guard events: the 500 ms post-run sleep is best-effort — an
     // event landing after it would otherwise be silently charged to the
     // NEXT run; drain leftovers at run start and attribute them to the

@@ -10,9 +10,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Sessions.queries ++
       graft.warc.WarcQueries.queries ++
-      graft.text.TextOps.queries ++ graft.text.TieredSample.queries ++
+      graft.text.TextOps.queries ++ graft.text.BpeOps.queries ++
+      graft.text.QualityModel.queries ++ graft.text.LangId.queries ++
+      graft.text.TieredSample.queries ++
       graft.text.LangModel.queries ++
-      graft.dedup.DedupOps.queries ++ graft.dedup.Contamination.queries ++
+      graft.dedup.DedupOps.queries ++ graft.dedup.IncrementalDedup.queries ++
+      graft.dedup.LineDedup.queries ++ graft.dedup.Contamination.queries ++
       graft.dedup.SpanDedup.queries ++ graft.dedup.BloomDedup.queries ++
       graft.dedup.Materialize.queries ++
       graft.sim.SimilarityOps.queries ++ graft.sim.GraphOps.queries ++
@@ -24,9 +27,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Sessions.oracle ++
       graft.warc.WarcQueries.oracle ++
-      graft.text.TextOps.oracle ++ graft.text.TieredSample.oracle ++
+      graft.text.TextOps.oracle ++ graft.text.BpeOps.oracle ++
+      graft.text.QualityModel.oracle ++ graft.text.LangId.oracle ++
+      graft.text.TieredSample.oracle ++
       graft.text.LangModel.oracle ++
-      graft.dedup.DedupOps.oracle ++ graft.dedup.Contamination.oracle ++
+      graft.dedup.DedupOps.oracle ++ graft.dedup.IncrementalDedup.oracle ++
+      graft.dedup.LineDedup.oracle ++ graft.dedup.Contamination.oracle ++
       graft.dedup.SpanDedup.oracle ++ graft.dedup.BloomDedup.oracle ++
       graft.dedup.Materialize.oracle ++
       graft.sim.SimilarityOps.oracle ++ graft.sim.GraphOps.oracle ++

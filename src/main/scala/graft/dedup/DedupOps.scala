@@ -37,7 +37,7 @@ object DedupOps {
     * signature UDFs downstream are the expensive part, so spread rows
     * across the cluster first (at production scale parallelism comes
     * from the file count and this repartition is a no-op cost-wise). */
-  private def spread(df: DataFrame): DataFrame =
+  private[dedup] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Persist `toCache` for the duration of `build`, eagerly materialize
@@ -66,7 +66,7 @@ object DedupOps {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.dedup")
 
-  private val guardObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[dedup] val guardObsId = new java.util.concurrent.atomic.AtomicLong(0L)
   private val guardListenerSessions =
     java.util.Collections.synchronizedSet(
       java.util.Collections.newSetFromMap(
@@ -80,7 +80,7 @@ object DedupOps {
     * operator CONSTRUCTION — a full extra pass over the bucket table for
     * every guarded query (d02/d03/s02), even when nothing overflowed, and
     * it made building the DataFrame have side effects. */
-  private def ensureGuardListener(s: SparkSession): Unit =
+  private[dedup] def ensureGuardListener(s: SparkSession): Unit =
     if (guardListenerSessions.add(s))
       s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
@@ -161,18 +161,6 @@ object DedupOps {
         sum($"keeper_id").as("keeper_id_sum"))
   }
 
-  val d01Oracle: String =
-    """WITH all_docs AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 100000, text FROM documents),
-      |g AS (SELECT md5(text) AS digest, COUNT(*) AS n_copies,
-      |        MIN(doc_id) AS keeper_id
-      |      FROM all_docs GROUP BY 1)
-      |SELECT COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_rows,
-      |  CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_redundant,
-      |  CAST(SUM(keeper_id) AS BIGINT) AS keeper_id_sum
-      |FROM g""".stripMargin
-
   // ---- shingling + signatures (shared scalar core) ----
 
   /** Space-only trim matching Spark SQL / DuckDB `trim()` — Java's
@@ -201,7 +189,7 @@ object DedupOps {
   }
 
   /** Seeded odd multipliers for the multiply-shift permutation family. */
-  private val PermA: Array[Long] = {
+  private[dedup] val PermA: Array[Long] = {
     val r = new java.util.Random(0x5eed5eedL)
     Array.fill(64)(r.nextLong() | 1L)
   }
@@ -375,35 +363,6 @@ object DedupOps {
     }
   }
 
-  val d02Oracle: String =
-    """WITH all_docs AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 100000,
-      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
-      |      len(string_split_regex(trim(text), '\s+')) - 1)
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
-      |         ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
-      |  FROM all_docs,
-      |    UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS u(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |confirmed AS (
-      |  SELECT id_a, id_b FROM pairs
-      |    JOIN sizes sa ON sa.doc_id = id_a
-      |    JOIN sizes sb ON sb.doc_id = id_b
-      |  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8)
-      |SELECT COUNT(*) AS n_confirmed,
-      |  CAST(SUM(CASE WHEN id_b = id_a + 100000 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_planted_found
-      |FROM confirmed""".stripMargin
-
   /** d03: SimHash near-dup with pigeonhole banding (4×16 bits finds every
     * pair within hamming distance 3; verification bound 6 since planted
     * dups differ in few shingles). Oracle-checkable since the shingle
@@ -570,33 +529,6 @@ object DedupOps {
     }
   }
 
-  val d04Oracle: String =
-    """WITH all_docs AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 100000,
-      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
-      |      len(string_split_regex(trim(text), '\s+')) - 1)
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
-      |         ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
-      |  FROM all_docs,
-      |    UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS u(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b,
-      |  CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
-      |FROM pairs
-      |  JOIN sizes sa ON sa.doc_id = id_a
-      |  JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.6
-      |ORDER BY id_a, id_b""".stripMargin
-
   /** d05: benchmark-contamination check — the "is the eval set in the
     * training data?" gate every pretraining pipeline needs. A synthetic
     * benchmark is derived from every 97th document (even ids verbatim,
@@ -621,23 +553,6 @@ object DedupOps {
       .crossJoin(exactHits.agg(count(lit(1)).as("n_exact_contaminated")))
       .crossJoin(normHits.agg(count(lit(1)).as("n_norm_contaminated")))
   }
-
-  val d05Oracle: String =
-    """WITH bench AS (
-      |  SELECT doc_id + 100000 AS bench_id,
-      |    CASE WHEN doc_id % 2 = 0 THEN text ELSE upper(text) END AS text
-      |  FROM documents WHERE doc_id % 97 = 0),
-      |b AS (SELECT bench_id, md5(text) AS digest,
-      |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_digest
-      |      FROM bench),
-      |t AS (SELECT md5(text) AS digest,
-      |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_digest
-      |      FROM documents),
-      |e AS (SELECT DISTINCT bench_id FROM b JOIN t USING (digest)),
-      |nrm AS (SELECT DISTINCT bench_id FROM b JOIN t USING (norm_digest))
-      |SELECT (SELECT COUNT(*) FROM b) AS n_bench,
-      |  (SELECT COUNT(*) FROM e) AS n_exact_contaminated,
-      |  (SELECT COUNT(*) FROM nrm) AS n_norm_contaminated""".stripMargin
 
   /** d06: dedup CLUSTERING — the step that turns pair emission (d02/d04)
     * into an actionable keep/drop decision: connected components over the
@@ -712,408 +627,36 @@ object DedupOps {
         sum($"label").as("keeper_id_sum"))
   }
 
-  val d06Oracle: String =
-    """WITH RECURSIVE all_docs AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 100000,
-      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
-      |      len(string_split_regex(trim(text), '\s+')) - 1)
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
-      |         ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
-      |  FROM all_docs,
-      |    UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS u(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |conf AS (
-      |  SELECT id_a, id_b FROM pairs
-      |    JOIN sizes sa ON sa.doc_id = id_a
-      |    JOIN sizes sb ON sb.doc_id = id_b
-      |  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.6),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM conf
-      |          UNION ALL SELECT id_b, id_a FROM conf),
-      |nodes AS (SELECT DISTINCT a AS id FROM edges),
-      |reach(id, r) AS (
-      |  SELECT id, id FROM nodes
-      |  UNION
-      |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
-      |comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY 1),
-      |cl AS (SELECT root, COUNT(*) AS sz FROM comp GROUP BY 1)
-      |SELECT COUNT(*) AS n_clusters,
-      |  CAST(SUM(sz) AS BIGINT) AS n_docs_clustered,
-      |  CAST(MAX(sz) AS BIGINT) AS max_cluster_size,
-      |  CAST(SUM(root) AS BIGINT) AS keeper_id_sum
-      |FROM cl""".stripMargin
-
-  /** d07: INCREMENTAL dedup — the production ingest shape: a new batch of
-    * documents is admitted against an EXISTING corpus instead of
-    * re-deduplicating the world. Layer 1 drops new docs whose exact
-    * digest already exists (one digest join). Layer 2 runs MinHash+LSH
-    * over corpus ∪ survivors and verifies exact Jaccard ≥ 0.6 on
-    * CROSS-SIDE candidates only (new×corpus — never corpus×corpus, so
-    * the existing corpus is scanned but never re-paired against itself).
-    * At 100 TB the corpus band hashes are computed once and stored (they
-    * are a pure function of text), so steady-state cost is
-    * O(batch signatures + bucket join against the stored index); here
-    * they are recomputed because the testdata has no signature store.
-    * Recall: a J=0.6 pair misses all 32 bands with p=(1−0.36)³² ≈ 6e-7,
-    * and the seeded signatures make any given corpus's outcome
-    * DETERMINISTIC — the oracle (which recomputes the exact cross-side
-    * pair set in SQL) stays green or fails reproducibly, never flakily.
-    * New batch = exact copies of every 31st doc (+300000) and
-    * last-token-dropped near-dups of every 37th (+400000). */
-  /** Shared setup of the incremental-ingest queries (d07/d08): the
-    * planted new batch, the exact-digest admission layer, and its
-    * survivors. */
-  /** The planted incoming batch shared by d07/d08/d10: exact copies of
-    * every 31st corpus doc (+300000) and last-token-dropped near-dups of
-    * every 37th (+400000). */
-  private def plantedBatch(docs: DataFrame): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val droppedTok = array_join(slice(toks, lit(1), size(toks) - 1), " ")
-    docs.filter(col("doc_id") % 31 === 0)
-        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
-      .unionByName(docs.filter(col("doc_id") % 37 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"), droppedTok.as("text")))
-  }
-
-  /** Exact-digest admission layer shared by d07/d08/d10: split the batch
-    * into exact-duplicate ids and surviving (doc_id, text) rows against a
-    * corpus digest table (computed inline by d07/d08, read from the
-    * persisted store by d10 — where the `shuffle_hash` hints matter: at
-    * the 1 MiB broadcast threshold a small-sf digest table would
-    * otherwise BROADCAST, and a corpus-sized broadcast is exactly the
-    * shape the store layout exists to avoid; with the hint the bucketed
-    * store side reads co-located and only the batch shuffles). */
-  private def digestAdmission(newBatch: DataFrame, corpusDg: DataFrame)
-      : (DataFrame, DataFrame) = {
-    val newDg = newBatch.select(col("doc_id"), col("text"),
-      md5(col("text")).as("dg"))
-    // corpusDg is distinct ⇒ inner join matches each new doc at most once
-    val exactIds = newDg.join(corpusDg.hint("shuffle_hash"), "dg")
-      .select(col("doc_id"))
-    val survivors = newDg.join(corpusDg.hint("shuffle_hash"), Seq("dg"), "left_anti")
-      .select(col("doc_id"), col("text"))
-    (exactIds, survivors)
-  }
-
-  private[graft] def incrementalParts(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import s.implicits._
-    val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
-    val newBatch = plantedBatch(docs)
-    val corpusDg = docs.select(md5($"text").as("dg")).distinct()
-    val (exactIds, survivors) = digestAdmission(newBatch, corpusDg)
-    (docs, newBatch, exactIds, survivors)
-  }
-
-  /** Batch-level rollup of per-doc `(doc_id, ex, nr)` admission flags —
-    * the ONE definition of the admission summary schema, shared by the
-    * batch operators (via [[admissionSummary]]) and st08's streaming
-    * finish (which unions per-micro-batch flag frames and rolls them up
-    * here): a threshold or column change cannot diverge the two. */
-  private[graft] def decisionRollup(flags: DataFrame): DataFrame =
-    flags.agg(count(lit(1)).as("n_new"),
-      sum(col("ex")).as("n_exact_dropped"),
-      sum(col("nr")).as("n_neardup_dropped"),
-      sum(when(col("ex") === 0 && col("nr") === 0, 1L).otherwise(0L)).as("n_kept"),
-      sum(when(col("ex") === 1 || col("nr") === 1, col("doc_id")).otherwise(0L))
-        .as("dropped_id_sum"))
-
-  /** Per-doc admission flags from the id frames, then [[decisionRollup]]
-    * — shared by d07/d08. */
-  private def admissionSummary(newBatch: DataFrame, exactIds: DataFrame,
-      nearIds: DataFrame): DataFrame =
-    decisionRollup(newBatch.select(col("doc_id"))
-      .join(exactIds.withColumn("ex", lit(1L)), Seq("doc_id"), "left")
-      .join(nearIds.withColumn("nr", lit(1L)), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("ex"), lit(0L)).as("ex"),
-        coalesce(col("nr"), lit(0L)).as("nr")))
-
-  def d07_incremental_dedup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val (docs, newBatch, exactIds, survivors) = incrementalParts(s, d)
-    // side is carried as DATA (0 = corpus, 1 = new) rather than inferred
-    // from id ranges: the r3 classifier assumed every corpus id < the
-    // +300000 offset — true on the gate testdata but an unchecked
-    // invariant that would silently drop cross-side candidates on a
-    // corpus with larger ids. (Ids must still be globally unique across
-    // sides — they are the pair keys.)
-    val tagged = docs.withColumn("side", lit(0))
-      .unionByName(survivors.withColumn("side", lit(1)))
-    val nearIds = withCache(tagged.withColumn("bands", minhashBandsU($"text"))) { all =>
-      val buckets = all.select($"doc_id",
-        posexplode($"bands").as(Seq("band", "bucket")))
-      val sides = all.select($"doc_id", $"side")
-      // classify candidates BEFORE the text joins (two narrow long-to-int
-      // joins) so corpus×corpus pairs never reach the verify
-      val cand = guardedBucketPairs(buckets, Seq("band", "bucket"))
-        .join(sides.select($"doc_id".as("id_a"), $"side".as("side_a")), "id_a")
-        .join(sides.select($"doc_id".as("id_b"), $"side".as("side_b")), "id_b")
-        .filter($"side_a" + $"side_b" === 1)
-      val texts = all.select($"doc_id", $"text")
-      val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
-      cand
-        .join(texts.withColumnRenamed("doc_id", "id_a")
-          .withColumnRenamed("text", "text_a"), "id_a")
-        .join(texts.withColumnRenamed("doc_id", "id_b")
-          .withColumnRenamed("text", "text_b"), "id_b")
-        .filter(jacU($"text_a", $"text_b") >= 0.6)
-        .select(when($"side_b" === 1, $"id_b").otherwise($"id_a").as("doc_id"))
-        .distinct()
-    }
-    admissionSummary(newBatch, exactIds, nearIds)
-  }
-
-  /** d08: the PRECOMPUTED-SIGNATURE-STORE variant of incremental dedup —
-    * d07's scaladoc promise ("at 100 TB the corpus band hashes are
-    * computed once and stored") made executable. The corpus's exploded
-    * band table `(doc_id, band, bucket)` is written ONCE as a table
-    * BUCKETED BY the probe key (band, bucket); each incoming batch then
-    * joins its own (small) band table against the store, and the
-    * bucketed layout means the corpus side is read CO-LOCATED — no
-    * shuffle of corpus data at ingest time, ever (PlanSpec pins the
-    * single-Exchange shape). Candidates are cross-side by construction
-    * (store × batch), so no guard/self-join is needed here; a
-    * production store would also persist per-bucket sizes at build time
-    * and star-link its degenerate buckets exactly like
-    * [[guardedBucketPairs]]. The admission decision (and oracle) is
-    * IDENTICAL to d07 — the store is a layout change, not a semantics
-    * change; the store build itself is the one-off indexing job.
-    * The exact-Jaccard verify runs on the candidates like d07's. */
-  /** One-off store-build of d08/d10: the corpus band table, bucketed by
-    * the probe key, with per-bucket size and min-id representative
-    * PERSISTED alongside each row (`bkt_n`, `bkt_rep`) — the ingest-side
-    * guard reads them as data, so honoring the no-quadratic contract
-    * costs the probe nothing (the r4 store had no guard: a degenerate
-    * bucket yielded |store-bucket|×|batch-bucket| candidate rows). The
-    * sizing groupBy is one extra shuffle at BUILD time — the one-off
-    * indexing job, not the per-batch path. Shared with PlanSpec so the
-    * co-location pin runs against the REAL writer, not a replica. */
-  private[graft] def writeSignatureStore(s: SparkSession, docs: DataFrame,
-      table: String): Unit = {
-    val bands = docs.withColumn("bands", minhashBandsU(col("text")))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
-    val sizes = bands.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("bkt_rep"))
-    bands.join(sizes, Seq("band", "bucket"))
-      .write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
-      .mode("overwrite").saveAsTable(table)
-  }
-
-  /** Ingest-side candidate join against a stored signature table —
-    * the plan PlanSpec pins: the store side must read co-located (its
-    * bucketing matches the join key), so the only Exchange is the new
-    * batch's. Store buckets over `cap` are star-linked: only the
-    * persisted min-id representative joins the batch (same contract as
-    * [[guardedBucketPairs]] — a batch doc lands on the rep, O(batch)
-    * rows, instead of fanning out to every member of a degenerate
-    * bucket), and the suppressed members are observed in-flight on the
-    * rows already streaming through the store scan (zero extra jobs)
-    * and logged by the guard listener. Pair de-dup is the caller's. */
-  private[graft] def storeIngestCandidates(s: SparkSession, table: String,
-      newBands: DataFrame, cap: Int = 1000): DataFrame = {
-    ensureGuardListener(s)
-    s.table(table)
-      .observe(s"graft_bucket_guard_store_${guardObsId.incrementAndGet()}",
-        sum(when(col("bkt_n") > cap && col("doc_id") =!= col("bkt_rep"), 1L)
-          .otherwise(0L)).as("n_star_members"),
-        max(when(col("bkt_n") > cap, col("bkt_n"))).as("max_bucket"))
-      .filter(col("bkt_n") <= cap || col("doc_id") === col("bkt_rep"))
-      .withColumnRenamed("doc_id", "id_a")
-      .join(newBands, Seq("band", "bucket"))
-      .select(col("id_a"), col("id_b"))
-  }
-
-  def d08_signature_store(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val (docs, newBatch, exactIds, survivors) = incrementalParts(s, d)
-    val store = s"graft_sigstore_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    writeSignatureStore(s, docs, store)
-    try {
-      val nearIds = withCache(survivors.withColumn("bands", minhashBandsU($"text"))) { sv =>
-        val newBands = sv.select($"doc_id".as("id_b"),
-          posexplode($"bands").as(Seq("band", "bucket")))
-        val cand = storeIngestCandidates(s, store, newBands).distinct()
-        val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
-        cand
-          .join(docs.select($"doc_id".as("id_a"), $"text".as("text_a"))
-            .hint("shuffle_hash"), "id_a")
-          .join(sv.select($"doc_id".as("id_b"), $"text".as("text_b"))
-            .hint("shuffle_hash"), "id_b")
-          .filter(jacU($"text_a", $"text_b") >= 0.6)
-          .select($"id_b".as("doc_id")).distinct()
-      }
-      admissionSummary(newBatch, exactIds, nearIds).localCheckpoint(true)
-    } finally s.sql(s"DROP TABLE IF EXISTS $store")
-  }
-
-  /** d10 store registry: one (band table, digest table) pair per
-    * (application, corpus dir), built on first use and kept for the
-    * session — so repeated ingests (bench warm runs, production batch
-    * cadence) measure the STEADY STATE the store exists for. */
-  private val storeRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-
-  /** Build-once accessor for d10's persisted corpus index: the bucketed
-    * band table (see [[writeSignatureStore]]) plus a digest table
-    * bucketed by `dg` — so BOTH admission layers probe co-located. */
-  private[graft] def ensureIncrementalStore(s: SparkSession, d: String): (String, String) = {
-    val key = s.sparkContext.applicationId + ":" + d
-    storeRegistry.computeIfAbsent(key, _ => {
-      val suffix = (MurmurHash3.stringHash(key).toLong & 0xffffffffL).toString
-      val bandT = s"graft_d10_bands_$suffix"
-      val digT = s"graft_d10_digests_$suffix"
-      val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
-      writeSignatureStore(s, docs, bandT)
-      docs.select(md5(col("text")).as("dg")).distinct()
-        .write.bucketBy(16, "dg").sortBy("dg")
-        .mode("overwrite").saveAsTable(digT)
-      (bandT, digT)
-    })
-  }
-
-  /** d10: PRODUCTION incremental ingest — d07's semantics running
-    * end-to-end against d08's PERSISTED store, composed (the r4 verdict's
-    * top operator ask). The corpus is signed and digested ONCE
-    * ([[ensureIncrementalStore]], the one-off indexing job); every
-    * subsequent batch runs both admission layers as co-located probes of
-    * the bucketed store tables: exact-digest layer against the digest
-    * table, MinHash band layer against the band table (guarded, see
-    * [[storeIngestCandidates]]) — corpus text is touched only by the
-    * candidate-sized exact-Jaccard verify, and corpus signatures are
-    * NEVER recomputed (d07 re-signs corpus ∪ batch every run — its
-    * documented dominant cost; at 100 TB that difference is the whole
-    * point of maintaining an index). Candidates are cross-side by
-    * construction (store × batch). The admission decision is IDENTICAL
-    * to d07's — same oracle — because the store is layout, not
-    * semantics: band hashes and digests are pure functions of text.
-    * A production store would also absorb admitted survivors back into
-    * the index between batches; here each gate run ingests the same
-    * planted batch against the same corpus, which is exactly what makes
-    * the query deterministic and oracle-checkable. */
-  def d10_store_incremental(s: SparkSession, d: String): DataFrame =
-    d10Impl(s, d, eager = true)
-
-  /** Per-document admission decisions for ONE ingest batch against the
-    * persisted d10 store — the d10 admission with the final rollup left
-    * to the caller: `(doc_id, ex, nr)` flags per batch doc. Powers the
-    * STREAMING ingest (st08), whose micro-batches each run this exact
-    * plan inside `foreachBatch`; correctness under micro-batching is
-    * structural — both admission layers compare a batch doc against the
-    * STORE only (batch docs never interact), so any partition of the
-    * batch into micro-batches yields identical per-doc decisions. */
-  private[graft] def storeAdmissionDecisions(s: SparkSession, d: String,
-      batch: DataFrame, bandT: String, digT: String,
-      eager: Boolean = true): DataFrame = {
-    import s.implicits._
-    val (exactIds, survivors) = digestAdmission(batch, s.table(digT))
-    val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
-    val nearIds = withCacheImpl(
-        survivors.withColumn("bands", minhashBandsU($"text")), eager) { sv =>
-      val newBands = sv.select($"doc_id".as("id_b"),
-        posexplode($"bands").as(Seq("band", "bucket")))
-      val cand = storeIngestCandidates(s, bandT, newBands).distinct()
-      val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
-      cand
-        .join(docs.select($"doc_id".as("id_a"), $"text".as("text_a"))
-          .hint("shuffle_hash"), "id_a")
-        .join(sv.select($"doc_id".as("id_b"), $"text".as("text_b"))
-          .hint("shuffle_hash"), "id_b")
-        .filter(jacU($"text_a", $"text_b") >= 0.6)
-        .select($"id_b".as("doc_id")).distinct()
-    }
-    batch.select($"doc_id")
-      .join(exactIds.withColumn("ex", lit(1L)), Seq("doc_id"), "left")
-      .join(nearIds.withColumn("nr", lit(1L)), Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"ex", lit(0L)).as("ex"),
-        coalesce($"nr", lit(0L)).as("nr"))
-  }
-
-  private[graft] def d10Impl(s: SparkSession, d: String, eager: Boolean): DataFrame = {
-    import s.implicits._
-    val (bandT, digT) = ensureIncrementalStore(s, d)
-    val newBatch = plantedBatch(spread(Tables.documents(s, d).select("doc_id", "text")))
-    // the batch operator IS one ingest of the streaming admission: the
-    // same per-doc decision plan st08 runs per micro-batch, rolled up
-    val out = decisionRollup(
-      storeAdmissionDecisions(s, d, newBatch, bandT, digT, eager))
-    if (eager) out.localCheckpoint(true) else out
-  }
-
-  val d07Oracle: String =
-    """WITH docs AS (SELECT doc_id, text FROM documents),
-      |newb AS (
-      |  SELECT doc_id + 300000 AS doc_id, text FROM docs WHERE doc_id % 31 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 400000,
-      |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
-      |      len(string_split_regex(trim(text), '\s+')) - 1), ' ')
-      |  FROM docs WHERE doc_id % 37 = 0),
-      |cd AS (SELECT DISTINCT md5(text) AS dg FROM docs),
-      |nd AS (SELECT doc_id, text, md5(text) AS dg FROM newb),
-      |exd AS (SELECT doc_id FROM nd WHERE dg IN (SELECT dg FROM cd)),
-      |surv AS (SELECT doc_id, text FROM nd WHERE dg NOT IN (SELECT dg FROM cd)),
-      |side AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk, 0 AS sd
-      |  FROM docs
-      |  UNION ALL
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+'), 1 FROM surv),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, sd,
-      |    CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
-      |         ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
-      |  FROM side, UNNEST(range(1, GREATEST(len(tk) - 1, 2))) AS u(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-      |    AND a.sd = 0 AND b.sd = 1
-      |  GROUP BY 1, 2),
-      |nrd AS (
-      |  SELECT DISTINCT id_b AS doc_id FROM pairs
-      |    JOIN sizes sa ON sa.doc_id = id_a
-      |    JOIN sizes sb ON sb.doc_id = id_b
-      |  WHERE CAST(common AS DOUBLE) /
-      |    CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.6),
-      |dec AS (
-      |  SELECT n.doc_id,
-      |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
-      |    CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS nr
-      |  FROM newb n
-      |    LEFT JOIN exd e ON e.doc_id = n.doc_id
-      |    LEFT JOIN nrd r ON r.doc_id = n.doc_id)
-      |SELECT COUNT(*) AS n_new,
-      |  CAST(SUM(ex) AS BIGINT) AS n_exact_dropped,
-      |  CAST(SUM(nr) AS BIGINT) AS n_neardup_dropped,
-      |  CAST(SUM(CASE WHEN ex = 0 AND nr = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_kept,
-      |  CAST(SUM(CASE WHEN ex = 1 OR nr = 1 THEN doc_id ELSE 0 END) AS BIGINT)
-      |    AS dropped_id_sum
-      |FROM dec""".stripMargin
-
   /** d09: SKETCH-QUALITY audit — the d02-family twin of s03's LSH
     * recall dial: at extreme scale the exact verify can be skipped
     * entirely and pair similarity read off the signatures (Ĵ = matching
     * minhash slots / 64, the unbiased MinHash estimator with
     * std ≈ √(J(1−J)/64) ≈ 0.05); this query MEASURES that trade on the
-    * planted near-dup pairs, reporting the estimator's mean/max absolute
-    * error against the exact Jaccard. Seeded permutations make it
-    * deterministic (spec-pinned; the estimator itself is not
-    * SQL-expressible, so no oracle — rows-only at the gate). Map-side
-    * everything: signatures come from one cached pass (texts ride along
-    * for the collision-free exact-Jaccard baseline), pairs are formed by
-    * the id-shift join, one final aggregate. */
+    * planted near-dup pairs, emitting one row per pair: the estimate,
+    * the exact string-shingle Jaccard, and the absolute error.
+    *
+    * Fully ORACLE-CHECKED (r9 verdict item 6 — previously rows-only):
+    * the audit signature's base string hash is [[md5Hash64]] (the d03
+    * rule an md5-equipped SQL engine can replay bit-for-bit) instead of
+    * the production murmur [[hash64]], so DuckDB recomputes the ENTIRE
+    * multiply-shift MinHash — the seeded odd multipliers are embedded in
+    * the oracle SQL as literals, the 64-bit wraparound multiply is done
+    * in HUGEINT via 32-bit limb decomposition — plus the exact Jaccard,
+    * and every output column hash-matches. The mix family (Ĵ's
+    * distribution) is identical to production's; only the base hash
+    * differs. Per-pair output also kills the r4 mean-determinism
+    * concern: no cross-partition float summation at all.
+    *
+    * The exact baseline is the string-set Jaccard — computing it from
+    * the hashed sets would fold (negligible but nonzero) collision
+    * error into the measured estimator error, making the audited
+    * quantity itself approximate (r4 advisory). Map-side everything:
+    * signatures come from one cached pass (texts ride along), pairs are
+    * formed by the id-shift join. */
   def d09_minhash_estimate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sketchU = udf { text: String =>
-      val hs = shingles(text).iterator.map(hash64).toArray.distinct
+      val hs = shingles(text).iterator.map(md5Hash64).toArray.distinct
       java.util.Arrays.sort(hs)
       minhashFromHashes(hs).toSeq
     }
@@ -1129,249 +672,33 @@ object DedupOps {
         while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
         m
       }
-      // the audit BASELINE is the string-set Jaccard — computing it from
-      // the hash64 sets would fold (negligible but nonzero) collision
-      // error into the measured estimator error, making the audited
-      // quantity itself approximate (r4 advisory); d02/d04 use hash sets
-      // only for DECISIONS with an explicit collision-slack band, which
-      // an error MEASUREMENT has no analogue of
       val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
       base.join(copies, "doc_id")
         .select($"doc_id",
           (matchU($"sig_a", $"sig_b").cast("double") / 64.0).as("est_j"),
           jacU($"text_a", $"text_b").as("exact_j"))
-        .select(abs($"est_j" - $"exact_j").as("err"))
-        // 2^-32 fixed-point error sum: a double avg()'s partial-sum merge
-        // order is scheduling-dependent and would flake the spec pin in
-        // the last ulp (the s04/w08 determinism rule)
-        .agg(count(lit(1)).as("n_pairs"),
-          (sum(($"err" * 4294967296.0).cast("long")).cast("double") /
-            (count(lit(1)).cast("double") * 4294967296.0)).as("mean_abs_err"),
-          max($"err").as("max_abs_err"))
+        .withColumn("abs_err", abs($"est_j" - $"exact_j"))
+        .orderBy($"doc_id")
     }
   }
-
-  /** d11: cross-document LINE-level boilerplate detection — the
-    * RefinedWeb/CCNet curation stage that document-level dedup
-    * (d01–d04) cannot express: headers, footers, and navigation chrome
-    * repeat ACROSS documents that are otherwise distinct, so the unit of
-    * comparison drops to the line. The synthetic corpus has no newlines;
-    * "line" = each run of 10 tokens (the last one shorter), which gives
-    * the same sharing structure real line-splitting would. A line is
-    * boilerplate when its md5 digest appears in ≥ 2 distinct documents
-    * (the planted near-dup copies guarantee a known repeated-line set).
-    *
-    * Scale shape: explode lines (map-side), ONE shuffle on the line
-    * digest for the document-frequency aggregate, one digest join back,
-    * one final rollup — all linear in corpus size, no pairwise anything
-    * (the digest IS the equivalence class, the d01 device applied at
-    * line granularity). Fully SQL-expressible → oracle-checked. */
-  def d11_line_dedup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = withNearDups(s, d)
-    // empty-text guard: a 1-token doc's planted copy has text "" and an
-    // unguarded split would yield [""] ⇒ one phantom empty line, where
-    // the oracle's list_slice path yields a zero-element list ⇒ none
-    // (code-review finding; no gate corpus has 1-token docs, but the
-    // divergence would bite at the first sf that does)
-    val linesFromToks = docs
-      .withColumn("toks", when(length(trim($"text")) === 0,
-          array().cast("array<string>"))
-        .otherwise(split(trim($"text"), "\\s+")))
-      .select($"doc_id", explode(when(size($"toks") === 0,
-          array().cast("array<string>"))
-        .otherwise(expr(
-          "transform(sequence(0, (size(toks) + 9) div 10 - 1), " +
-            "i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"))).as("line"))
-    withCache(linesFromToks.select($"doc_id", md5($"line").as("h"),
-        size(split($"line", " ")).cast("long").as("ltok"))) { l =>
-      val freq = l.groupBy($"h").agg(countDistinct($"doc_id").as("ddf"))
-      l.join(freq, "h")
-        .agg(count(lit(1)).as("n_lines"),
-          countDistinct($"h").as("n_distinct_lines"),
-          countDistinct(when($"ddf" >= 2, $"h")).as("n_boilerplate_lines"),
-          countDistinct(when($"ddf" >= 2, $"doc_id")).as("n_affected_docs"),
-          sum(when($"ddf" < 2, $"ltok").otherwise(0L)).as("kept_tokens"))
-        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
-        .select($"n_docs", $"n_lines", $"n_distinct_lines",
-          $"n_boilerplate_lines", $"n_affected_docs", $"kept_tokens")
-    }
-  }
-
-  val d11Oracle: String =
-    // base-side toks are empty-token-filtered so an empty-text doc
-    // yields [] (0 lines) like the Spark guard; the planted slice can
-    // never contain '' (slicing non-empty tokens)
-    """WITH all_docs AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 100000,
-      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
-      |      len(string_split_regex(trim(text), '\s+')) - 1)
-      |  FROM documents),
-      |lines AS (
-      |  SELECT doc_id, array_to_string(toks[i*10+1 : i*10+10], ' ') AS line
-      |  FROM all_docs,
-      |    UNNEST(range(0, (len(toks) + 9) // 10)) AS u(i)),
-      |l AS (SELECT doc_id, md5(line) AS h,
-      |        len(string_split(line, ' ')) AS ltok FROM lines),
-      |f AS (SELECT h, COUNT(DISTINCT doc_id) AS ddf FROM l GROUP BY 1)
-      |SELECT (SELECT COUNT(*) FROM all_docs) AS n_docs,
-      |  COUNT(*) AS n_lines,
-      |  COUNT(DISTINCT l.h) AS n_distinct_lines,
-      |  COUNT(DISTINCT CASE WHEN ddf >= 2 THEN l.h END) AS n_boilerplate_lines,
-      |  COUNT(DISTINCT CASE WHEN ddf >= 2 THEN doc_id END) AS n_affected_docs,
-      |  CAST(SUM(CASE WHEN ddf < 2 THEN ltok ELSE 0 END) AS BIGINT) AS kept_tokens
-      |FROM l JOIN f USING (h)""".stripMargin
-
-  /** d12: duplicated-SPAN detection — the exact-substring dedup stage of
-    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
-    * Better"), at token granularity: every SLIDING 20-token window of
-    * every document is digested, and a window whose digest occurs in ≥ 2
-    * distinct documents marks a duplicated span. Sliding windows (stride
-    * 1) catch repeats at ANY alignment — the case d11's fixed blocks
-    * miss — at the cost of ~n_tok windows per doc, still linear in
-    * corpus tokens. The reference implementation uses a suffix array;
-    * the distributed shape is this digest-shuffle (explode map-side, ONE
-    * shuffle on the window digest, digest join back), which needs no
-    * global sorted structure and parallelizes by partition. Reported
-    * per corpus: window counts, duplicated-window mass, and how many
-    * documents contain at least one duplicated span (the planted
-    * near-dup copies guarantee a known large duplicated-span set).
-    * Fully SQL-expressible → oracle-checked. */
-  def d12_span_dedup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val W = 20
-    val docs = withNearDups(s, d)
-    val wins = docs
-      .withColumn("toks", when(length(trim($"text")) === 0,
-          array().cast("array<string>"))
-        .otherwise(split(trim($"text"), "\\s+")))
-      .filter(size($"toks") >= W)
-      .select($"doc_id", explode(expr(
-        s"transform(sequence(1, size(toks) - ${W - 1}), " +
-          s"i -> array_join(slice(toks, i, $W), ' '))")).as("win"))
-    withCache(wins.select($"doc_id", md5($"win").as("h"))) { l =>
-      val freq = l.groupBy($"h").agg(countDistinct($"doc_id").as("ddf"))
-      l.join(freq, "h")
-        .agg(count(lit(1)).as("n_windows"),
-          countDistinct($"h").as("n_distinct_windows"),
-          countDistinct(when($"ddf" >= 2, $"h")).as("n_dup_windows"),
-          sum(when($"ddf" >= 2, 1L).otherwise(0L)).as("n_dup_instances"),
-          countDistinct(when($"ddf" >= 2, $"doc_id")).as("n_docs_with_dup_span"))
-        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
-        .select($"n_docs", $"n_windows", $"n_distinct_windows",
-          $"n_dup_windows", $"n_dup_instances", $"n_docs_with_dup_span")
-    }
-  }
-
-  val d12Oracle: String =
-    """WITH all_docs AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 100000,
-      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
-      |      len(string_split_regex(trim(text), '\s+')) - 1)
-      |  FROM documents),
-      |wins AS (
-      |  SELECT doc_id, array_to_string(toks[i:i+19], ' ') AS win
-      |  FROM all_docs, UNNEST(range(1, len(toks) - 18)) AS u(i)
-      |  WHERE len(toks) >= 20),
-      |l AS (SELECT doc_id, md5(win) AS h FROM wins),
-      |f AS (SELECT h, COUNT(DISTINCT doc_id) AS ddf FROM l GROUP BY 1)
-      |SELECT (SELECT COUNT(*) FROM all_docs) AS n_docs,
-      |  COUNT(*) AS n_windows,
-      |  COUNT(DISTINCT l.h) AS n_distinct_windows,
-      |  COUNT(DISTINCT CASE WHEN ddf >= 2 THEN l.h END) AS n_dup_windows,
-      |  CAST(SUM(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_dup_instances,
-      |  COUNT(DISTINCT CASE WHEN ddf >= 2 THEN doc_id END)
-      |    AS n_docs_with_dup_span
-      |FROM l JOIN f USING (h)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d09_minhash_estimate" -> (d09_minhash_estimate _),
-    "d11_line_dedup" -> (d11_line_dedup _),
-    "d12_span_dedup" -> (d12_span_dedup _),
     "d01_exact_dedup" -> (d01_exact_dedup _),
     "d02_minhash_lsh" -> (d02_minhash_lsh _),
     "d03_simhash" -> (d03_simhash _),
     "d04_ngram_jaccard" -> (d04_ngram_jaccard _),
     "d05_contamination" -> (d05_contamination _),
     "d06_dedup_clusters" -> (d06_dedup_clusters _),
-    "d07_incremental_dedup" -> (d07_incremental_dedup _),
-    "d08_signature_store" -> (d08_signature_store _),
-    "d10_store_incremental" -> (d10_store_incremental _),
+    "d09_minhash_estimate" -> (d09_minhash_estimate _),
   )
 
-  /** The d03 pipeline in SQL: same planted union and shingle CTEs as
-    * [[d02Oracle]], then per-shingle md5 hashes ([[md5Hash64]]'s rule),
-    * the ±1 bit-majority accumulation per bit position, 4×16-bit band
-    * bucketing, and the hamming-≤6 verify — signatures live in UBIGINT
-    * (same bits as Spark's signed long; only equality and xor touch
-    * them). */
-  val d03Oracle: String =
-    """WITH all_docs AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 100000,
-      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
-      |      len(string_split_regex(trim(text), '\s+')) - 1)
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
-      |         ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
-      |  FROM all_docs,
-      |    UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS u(i)),
-      |h AS (
-      |  SELECT doc_id,
-      |    CAST(concat('0x', substr(md5(shingle), 1, 16)) AS UBIGINT) AS hv
-      |  FROM sh),
-      |acc AS (
-      |  SELECT doc_id, i,
-      |    SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS a
-      |  FROM h, UNNEST(range(0, 64)) AS r(i) GROUP BY 1, 2),
-      |sig AS (
-      |  SELECT doc_id,
-      |    CAST(SUM(CASE WHEN a > 0 THEN CAST(1 AS HUGEINT) << i
-      |             ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS sig
-      |  FROM acc GROUP BY 1),
-      |banded AS (
-      |  SELECT doc_id, b, sig & (CAST(65535 AS UBIGINT) << (b * 16)) AS bits
-      |  FROM sig, UNNEST(range(0, 4)) AS rb(b)),
-      |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM banded a JOIN banded b
-      |    ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id),
-      |confirmed AS (
-      |  SELECT id_a, id_b FROM pairs
-      |    JOIN sig sa ON sa.doc_id = id_a
-      |    JOIN sig sb ON sb.doc_id = id_b
-      |  WHERE bit_count(xor(sa.sig, sb.sig)) <= 6)
-      |SELECT COUNT(*) AS n_confirmed,
-      |  CAST(SUM(CASE WHEN id_b = id_a + 100000 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_planted_found
-      |FROM confirmed""".stripMargin
-
   val oracle: Map[String, String] = Map(
-    "d01_exact_dedup" -> d01Oracle,
-    "d02_minhash_lsh" -> d02Oracle,
-    "d03_simhash" -> d03Oracle,
-    "d04_ngram_jaccard" -> d04Oracle,
-    "d05_contamination" -> d05Oracle,
-    "d06_dedup_clusters" -> d06Oracle,
-    "d07_incremental_dedup" -> d07Oracle,
-    // the signature store is a LAYOUT change, not a semantics change —
-    // d08 and the composed store-backed ingest (d10) must produce d07's
-    // exact admission decision
-    "d08_signature_store" -> d07Oracle,
-    "d10_store_incremental" -> d07Oracle,
-    "d11_line_dedup" -> d11Oracle,
-    "d12_span_dedup" -> d12Oracle,
+    "d01_exact_dedup" -> DedupOracles.d01Oracle,
+    "d02_minhash_lsh" -> DedupOracles.d02Oracle,
+    "d03_simhash" -> DedupOracles.d03Oracle,
+    "d04_ngram_jaccard" -> DedupOracles.d04Oracle,
+    "d05_contamination" -> DedupOracles.d05Oracle,
+    "d06_dedup_clusters" -> DedupOracles.d06Oracle,
+    "d09_minhash_estimate" -> DedupOracles.d09Oracle,
   )
 }

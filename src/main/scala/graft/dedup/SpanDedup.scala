@@ -3,6 +3,8 @@ package graft.dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import DedupOps.{withCache, withNearDups}
+
 /** Exact-substring span REMOVAL — the second half of Lee et al. 2022
   * ("Deduplicating Training Data Makes Language Models Better"): d12
   * detects duplicated spans; d13 emits the CLEANED corpus, keeping the
@@ -128,9 +130,78 @@ object SpanDedup {
       |FROM all_docs a LEFT JOIN clean c USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** d12: duplicated-SPAN detection — the exact-substring dedup stage of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), at token granularity: every SLIDING 20-token window of
+    * every document is digested, and a window whose digest occurs in ≥ 2
+    * distinct documents marks a duplicated span. Sliding windows (stride
+    * 1) catch repeats at ANY alignment — the case d11's fixed blocks
+    * miss — at the cost of ~n_tok windows per doc, still linear in
+    * corpus tokens. The reference implementation uses a suffix array;
+    * the distributed shape is this digest-shuffle (explode map-side, ONE
+    * shuffle on the window digest, digest join back), which needs no
+    * global sorted structure and parallelizes by partition. Reported
+    * per corpus: window counts, duplicated-window mass, and how many
+    * documents contain at least one duplicated span (the planted
+    * near-dup copies guarantee a known large duplicated-span set).
+    * Fully SQL-expressible → oracle-checked. */
+  def d12_span_dedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = 20
+    val docs = withNearDups(s, d)
+    val wins = docs
+      .withColumn("toks", when(length(trim($"text")) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(trim($"text"), "\\s+")))
+      .filter(size($"toks") >= W)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, size(toks) - ${W - 1}), " +
+          s"i -> array_join(slice(toks, i, $W), ' '))")).as("win"))
+    withCache(wins.select($"doc_id", md5($"win").as("h"))) { l =>
+      val freq = l.groupBy($"h").agg(countDistinct($"doc_id").as("ddf"))
+      l.join(freq, "h")
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct($"h").as("n_distinct_windows"),
+          countDistinct(when($"ddf" >= 2, $"h")).as("n_dup_windows"),
+          sum(when($"ddf" >= 2, 1L).otherwise(0L)).as("n_dup_instances"),
+          countDistinct(when($"ddf" >= 2, $"doc_id")).as("n_docs_with_dup_span"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .select($"n_docs", $"n_windows", $"n_distinct_windows",
+          $"n_dup_windows", $"n_dup_instances", $"n_docs_with_dup_span")
+    }
+  }
+
+  val d12Oracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
+      |      len(string_split_regex(trim(text), '\s+')) - 1)
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+19], ' ') AS win
+      |  FROM all_docs, UNNEST(range(1, len(toks) - 18)) AS u(i)
+      |  WHERE len(toks) >= 20),
+      |l AS (SELECT doc_id, md5(win) AS h FROM wins),
+      |f AS (SELECT h, COUNT(DISTINCT doc_id) AS ddf FROM l GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM all_docs) AS n_docs,
+      |  COUNT(*) AS n_windows,
+      |  COUNT(DISTINCT l.h) AS n_distinct_windows,
+      |  COUNT(DISTINCT CASE WHEN ddf >= 2 THEN l.h END) AS n_dup_windows,
+      |  CAST(SUM(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_instances,
+      |  COUNT(DISTINCT CASE WHEN ddf >= 2 THEN doc_id END)
+      |    AS n_docs_with_dup_span
+      |FROM l JOIN f USING (h)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_span_dedup" -> (d12_span_dedup _),
     "d13_span_removal" -> (d13_span_removal _))
 
   val oracle: Map[String, String] = Map(
+    "d12_span_dedup" -> d12Oracle,
     "d13_span_removal" -> d13Oracle)
 }

@@ -33,6 +33,11 @@ object MultimodalOps {
   // sf0.1 from /tmp contention alone). All media here are in-memory
   // byte arrays; cache in heap. Object init runs once per executor JVM
   // (first helper call), so the setting lands wherever the codec runs.
+  // NOTE: this is a JVM-GLOBAL ImageIO mutation — acceptable here
+  // because every media column in this engine is an in-memory byte
+  // array; if another ImageIO consumer streaming genuinely large media
+  // ever shares the JVM, scope the behavior per-stream with
+  // MemoryCacheImageInputStream wrappers instead.
   ImageIO.setUseCache(false)
 
   /** Deterministic synthetic image parameters for a document. */

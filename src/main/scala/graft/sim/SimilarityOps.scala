@@ -516,7 +516,7 @@ object SimilarityOps {
     val total = emb.count()
     val topk = udaf(new TopKCosine(5))
     withBucketedScan(s) {
-      val approx = s08ProbePlan(s, tbl, queries, probedCids)
+      val approx = s08ProbePlan(s, Seq(tbl), queries, probedCids)
         .filter($"vec_id" =!= $"query_id")
         .withColumn("score", adcU($"q_v", $"code"))
         .groupBy($"query_id")
@@ -567,7 +567,7 @@ object SimilarityOps {
     val topk5 = udaf(new TopKCosine(5))
     withBucketedScan(s) {
       // stage 1 — codes-only nomination (the exact s08 probe plan)
-      val adcTop = s08ProbePlan(s, tbl, queries, probedCids)
+      val adcTop = s08ProbePlan(s, Seq(tbl), queries, probedCids)
         .filter($"vec_id" =!= $"query_id")
         .withColumn("score", adcU($"q_v", $"code"))
         .groupBy($"query_id")
@@ -612,13 +612,16 @@ object SimilarityOps {
   def annSearch(s: SparkSession, d: String, queryVecs: DataFrame,
       topK: Int = 5, rerank: Int = 50): DataFrame = {
     val (tbl, cb, pqCb) = ensureAnnStore(s, d)
-    annSearchOn(s, tbl, cb, pqCb, queryVecs, topK, rerank)
+    annSearchOn(s, Seq(tbl), cb, pqCb, queryVecs, topK, rerank)
   }
 
-  /** [[annSearch]] against a CALLER-NAMED store table (same layout as
-    * [[ensureAnnStore]]'s) — lets the streaming-ingest twin (st09) probe
-    * its own appended copy without mutating the session-shared store. */
-  private[graft] def annSearchOn(s: SparkSession, tbl: String,
+  /** [[annSearch]] against CALLER-NAMED store tables (each in
+    * [[ensureAnnStore]]'s layout), read as their UNION — the LSM read
+    * shape: a big immutable BASE plus an O(ingested) DELTA of streamed
+    * appends (st09). The cid filter pushes through the union into every
+    * child scan, so the base keeps its bucket pruning and the delta adds
+    * only batch-sized work; the base files are never rewritten. */
+  private[graft] def annSearchOn(s: SparkSession, tbls: Seq[String],
       cb: Array[(Int, Seq[Float])], pqCb: Array[Array[Array[Double]]],
       queryVecs: DataFrame, topK: Int = 5, rerank: Int = 50): DataFrame = {
     import s.implicits._
@@ -638,7 +641,7 @@ object SimilarityOps {
     val topkR = udaf(new TopKCosine(rerank))
     val topkOut = udaf(new TopKCosineScored(topK))
     withBucketedScan(s) {
-      val adcTop = s08ProbePlan(s, tbl,
+      val adcTop = s08ProbePlan(s, tbls,
           queries.select($"query_id", $"q_v", $"cid"), probedCids)
         .withColumn("score", adcU($"q_v", $"code"))
         .groupBy($"query_id")
@@ -646,7 +649,8 @@ object SimilarityOps {
         .localCheckpoint(true) // finalist-sized; feeds id-collect + re-rank
       val finalistIds = adcTop.select(explode($"cands").as("vec_id"))
         .distinct().collect().map(_.getLong(0)) // bounded: ≤ rerank×|queries|
-      val raw = s.table(tbl).select($"vec_id", $"embedding")
+      val raw = tbls.map(t => s.table(t).select($"vec_id", $"embedding"))
+        .reduce(_.unionByName(_))
         .filter($"vec_id".isin(finalistIds.toIndexedSeq.map(Long.box): _*))
       val qv = queries.select($"query_id", $"q_emb").distinct()
       adcTop.select($"query_id", explode($"cands").as("vec_id"))
@@ -666,10 +670,13 @@ object SimilarityOps {
     * raw embedding column. This is the SAME construction the operators
     * execute AND the one PlanSpec pins — one definition, so a plan
     * regression cannot hide behind a drifted copy. */
-  private[graft] def s08ProbePlan(s: SparkSession, tbl: String,
+  private[graft] def s08ProbePlan(s: SparkSession, tbls: Seq[String],
       queries: DataFrame, probedCids: Seq[Int]): DataFrame = {
     import s.implicits._
-    s.table(tbl).select($"vec_id", $"cid", $"code")
+    // multiple tables = base ∪ delta (st09); the cid predicate pushes
+    // through the union so each child scan stays bucket-pruned
+    tbls.map(t => s.table(t).select($"vec_id", $"cid", $"code"))
+      .reduce(_.unionByName(_))
       .filter($"cid".isin(probedCids: _*))
       .join(broadcast(queries), Seq("cid"))
   }

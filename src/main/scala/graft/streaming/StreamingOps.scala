@@ -480,16 +480,25 @@ object StreamingOps {
   private def st05Impl(s: SparkSession, d: String,
       fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
     import s.implicits._
-    val warcDir = java.nio.file.Files.createTempDirectory("graft-st05")
-    // temp-dir removal sits in a finally (r3 advisory: it leaked per
-    // invocation — and cleanup must also run when the query throws); by
-    // drain time the result is checkpointed off the staged files. The
-    // walk stream is closed explicitly — it holds directory handles.
+    // staging dir on the SESSION'S filesystem (hadoop.tmp.dir under the
+    // configured defaultFS): executors write through the driver's
+    // serialized Hadoop conf, so on a cluster the staged files land on
+    // the shared FS where the stream source can list them — a
+    // driver-local java.nio temp dir only works in local mode (r9
+    // advisory, same fix as w09). Removal sits in a finally (r3
+    // advisory) and must also run when the query throws; by drain time
+    // the result is checkpointed off the staged files.
+    val hconf = s.sparkContext.hadoopConfiguration
+    val serConf = new graft.warc.source.SerializableHadoopConf(hconf)
+    val warcDir = new org.apache.hadoop.fs.Path(
+      hconf.get("hadoop.tmp.dir", System.getProperty("java.io.tmpdir")),
+      "graft-st05-" + java.util.UUID.randomUUID())
+    val stagingFs = warcDir.getFileSystem(hconf)
+    stagingFs.mkdirs(warcDir)
     try {
       // Stage the containers from the EXECUTORS (foreachPartition through
-      // the Hadoop FS API — here the local file:// FS, on a cluster any
-      // shared scheme): the r4 shape collect()ed every WARC container to
-      // the driver and wrote them there — the one corpus-sized driver
+      // the Hadoop FS API): the r4 shape collect()ed every WARC container
+      // to the driver and wrote them there — the one corpus-sized driver
       // collect in the repo, a bottleneck at any real sf. File names are
       // partition-deterministic and creates overwrite, so a task retry
       // rewrites its own files idempotently.
@@ -497,11 +506,10 @@ object StreamingOps {
       graft.warc.WarcQueries.warcFiles(s, d).foreachPartition {
         (it: Iterator[(String, Array[Byte])]) =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val conf = new org.apache.hadoop.conf.Configuration()
           var i = 0
           it.foreach { case (_, bytes) =>
             val p = new org.apache.hadoop.fs.Path(dirStr, f"crawl-$pid%04d-$i%03d.warc")
-            val out = p.getFileSystem(conf).create(p, true)
+            val out = p.getFileSystem(serConf.value).create(p, true)
             try out.write(bytes) finally out.close()
             i += 1
           }
@@ -535,13 +543,7 @@ object StreamingOps {
           q.awaitTermination()
           drainSink(s, name, finish)
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(warcDir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
+    } finally stagingFs.delete(warcDir, true)
   }
 
   val st05Oracle: String =
@@ -639,7 +641,7 @@ object StreamingOps {
     * planted d07 batch is derived on the stream (stateless
     * select/filter/union), and every micro-batch runs BOTH admission
     * layers against the PERSISTED d10 store
-    * ([[graft.dedup.DedupOps.storeAdmissionDecisions]]) inside
+    * ([[graft.dedup.IncrementalDedup.storeAdmissionDecisions]]) inside
     * `foreachBatch` — the production crawl-ingest shape: corpus indexed
     * once, arrivals admitted incrementally, per-doc decisions appended
     * as parquet from the executors. Micro-batching cannot change the
@@ -663,7 +665,7 @@ object StreamingOps {
 
   private[graft] def st08_stream_store_dedup_files(s: SparkSession, d: String,
       dir: String): DataFrame = withStreamShuffle(s) {
-    val (bandT, digT) = graft.dedup.DedupOps.ensureIncrementalStore(s, d)
+    val (bandT, digT) = graft.dedup.IncrementalDedup.ensureIncrementalStore(s, d)
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -680,16 +682,16 @@ object StreamingOps {
         .select((col("doc_id") + 400000L).as("doc_id"), dropped.as("text")))
     // the rollup is the batch operators' own (decisionRollup) — the
     // summary schema cannot drift between d10 and its streaming twin
-    val finish = (t: DataFrame) => graft.dedup.DedupOps.decisionRollup(t)
+    val finish = (t: DataFrame) => graft.dedup.IncrementalDedup.decisionRollup(t)
     drainToParquet(s, dir, overwritePerBatch = false,
       fb => batchStream.writeStream.foreachBatch(
           (b: DataFrame, id: Long) => fb(
-            graft.dedup.DedupOps.storeAdmissionDecisions(s, d, b, bandT, digT), id))
+            graft.dedup.IncrementalDedup.storeAdmissionDecisions(s, d, b, bandT, digT), id))
         .outputMode("append").trigger(Trigger.AvailableNow()).start(),
       finish)
   }
 
-  val st08Oracle: String = graft.dedup.DedupOps.oracle("d07_incremental_dedup")
+  val st08Oracle: String = graft.dedup.IncrementalDedup.oracle("d07_incremental_dedup")
 
   /** st09: streaming ANN-STORE INGEST — st08's twin for the similarity
     * side, closing the store symmetry: new embeddings arrive per
@@ -700,66 +702,77 @@ object StreamingOps {
     * probes the store through the full s09 read path (coarse probe →
     * bucket-pruned ADC → exact re-rank) and must find ITSELF rank-1.
     *
-    * The ingest targets a PRIVATE COPY of the session store: appending
-    * to the shared s07 table would mutate the results of every other
-    * store query running later in the same session. Ingested vectors
-    * are index-rotated copies (ids +300000) — same norm, scrambled
-    * direction — so self-match is a real retrieval, not an exact-dup
-    * tie. Output: store sizes before/after, ingested count, self-match
-    * count (spec asserts n_self_matched == n_ingested). */
+    * The ingest lands in an O(ingested) DELTA table in the store's exact
+    * bucketed layout — never a copy of (or rewrite to) the base store:
+    * the base's files are immutable (spec fingerprints them) and probes
+    * read base ∪ delta, the LSM shape a 100 TB store actually runs
+    * (periodic compaction folds the delta in; the r9 shape copied the
+    * whole store per run, O(store) ingest cost). Appends are IDEMPOTENT
+    * via an ids-already-present anti-join against the delta, so a
+    * replayed micro-batch or a whole re-run over a surviving delta
+    * appends nothing twice. Ingested vectors are index-rotated copies —
+    * same norm, scrambled direction — so self-match is a real retrieval,
+    * not an exact-dup tie; their ids are offset by max(vec_id)+1 DERIVED
+    * from the observed id space (a fixed +300000 collides with real ids
+    * the moment a corpus holds >300k embeddings — r9 advisory). Output:
+    * store sizes before/after, ingested count, self-match count (spec
+    * asserts n_self_matched == n_ingested). */
   def st09_stream_ann_ingest(s: SparkSession, d: String): DataFrame =
     withStreamShuffle(s) {
       import s.implicits._
       import graft.sim.SimilarityOps
       val (tbl, cb, pqCb) = SimilarityOps.ensureAnnStore(s, d)
       val k = cb.length
-      val tbl9 = tbl + "_st09"
-      s.sql(s"DROP TABLE IF EXISTS $tbl9")
-      s.table(tbl).write.bucketBy(k, "cid").sortBy("cid")
-        .mode("overwrite").saveAsTable(tbl9)
+      val delta = tbl + "_st09_delta"
+      s.sql(s"DROP TABLE IF EXISTS $delta")
+      // O(1) setup: an EMPTY side table in the store's layout (limit 0
+      // scans nothing) — the base store is untouched from here on
+      s.table(tbl).limit(0).write.bucketBy(k, "cid").sortBy("cid")
+        .saveAsTable(delta)
       try {
-        val before = s.table(tbl9).count()
+        val before = s.table(tbl).count()
         val embSchema = s.read
           .option("pathGlobFilter", "embeddings.parquet").parquet(d).schema
+        val offset = s.read.schema(embSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+          .agg(max($"vec_id")).as[Long].head() + 1L
         val stream = s.readStream.schema(embSchema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(d)
         val rotU = udf { v: Seq[Float] => v.drop(7) ++ v.take(7) }
         val batchStream = stream.filter($"vec_id" % 31 === 0)
-          .select(($"vec_id" + 300000L).as("vec_id"),
+          .select(($"vec_id" + offset).as("vec_id"),
             rotU($"embedding").as("embedding"))
         val q = batchStream.writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
-            SimilarityOps.encodeForStore(b, cb, pqCb)
+            // high-water guard: the delta is batch-scale, so this
+            // anti-join is small×small; encode is map-side against the
+            // broadcast codebooks and the append lands co-located
+            val fresh = b.join(
+              b.sparkSession.table(delta).select("vec_id"),
+              Seq("vec_id"), "left_anti")
+            SimilarityOps.encodeForStore(fresh, cb, pqCb)
               .write.mode("append").bucketBy(k, "cid").sortBy("cid")
-              .saveAsTable(tbl9)
+              .saveAsTable(delta)
           }
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         // the appends ran in the micro-batch's CLONED session; only that
         // clone's relation cache saw them — refresh ours or the probe
         // reads the pre-ingest file listing (observed: n_ingested = 0)
-        s.catalog.refreshTable(tbl9)
-        // recover the ingested set by the SAME derivation the stream ran
-        // (batch replay of the id rule), never an absolute id threshold:
-        // a >= 300000 filter would misclassify every replica corpus
-        // vector on genScaled dirs, where vec_ids stride by 1,000,000
-        val ingestedIds = s.read.schema(embSchema)
-          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
-          .filter($"vec_id" % 31 === 0)
-          .select(($"vec_id" + 300000L).as("vec_id"))
-        val ingested = s.table(tbl9)
-          .join(ingestedIds, Seq("vec_id"), "left_semi")
+        s.catalog.refreshTable(delta)
+        // the delta IS the ingested set — no replay derivation needed
+        val ingested = s.table(delta)
           .select($"vec_id".as("query_id"), $"embedding")
           .localCheckpoint(true) // probe input: batch-sized, read twice
         val nIngested = ingested.count()
-        val res = SimilarityOps.annSearchOn(s, tbl9, cb, pqCb, ingested,
-          topK = 1, rerank = 50)
+        val res = SimilarityOps.annSearchOn(s, Seq(tbl, delta), cb, pqCb,
+          ingested, topK = 1, rerank = 50)
         val nSelf = res
           .filter($"rank" === 1 && $"neighbor_id" === $"query_id").count()
-        Seq((before, nIngested, s.table(tbl9).count(), nSelf))
+        Seq((before, nIngested, before + nIngested, nSelf))
           .toDF("n_store_before", "n_ingested", "n_store_after",
             "n_self_matched")
-      } finally s.sql(s"DROP TABLE IF EXISTS $tbl9")
+      } finally s.sql(s"DROP TABLE IF EXISTS $delta")
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

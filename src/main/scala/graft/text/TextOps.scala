@@ -190,120 +190,6 @@ object TextOps {
 
   // ---- t03 language ID (n-gram heuristic) ----
 
-  /** Character-trigram + function-word profiles for a handful of
-    * languages; scores by profile-hit density. Heuristic — rows-only
-    * check (the synthetic corpus shares one vocabulary across langs). */
-  private val langProfiles: Map[String, Set[String]] = Map(
-    "en" -> Set(" th", "the", "he ", " an", "and", "nd ", " of", "of ",
-      "ing", "ng ", " to", "to ", "ion", " is", "is "),
-    "de" -> Set("der", "er ", " de", "die", "ie ", "und", " un", "sch",
-      "ein", " ei", "ich", "ch ", "en ", "ung", " ge"),
-    "fr" -> Set(" de", "de ", "le ", " le", "es ", "ent", " la", "la ",
-      "et ", " et", "ion", "que", " qu", "ue ", "les"),
-    "es" -> Set(" de", "de ", "la ", " la", "el ", " el", "os ", "as ",
-      "que", " qu", "ue ", "ión", " en", "en ", "ado"),
-    "zh" -> Set.empty)
-
-  /** The scoring languages in sorted order (index = position in the
-    * per-trigram hit vectors below). */
-  private val scoredLangs: Array[String] =
-    langProfiles.collect { case (l, p) if p.nonEmpty => l }.toArray.sorted
-
-  /** All profiles merged into ONE map keyed by the trigram's three chars
-    * packed into a Long — one lookup and zero substring allocations per
-    * scanned position instead of four Set lookups on a fresh String
-    * (every profile trigram is BMP, so a char-level pack is lossless). */
-  private val mergedProfile: scala.collection.immutable.LongMap[Array[Int]] = {
-    // LongMap: a plain Map[Long, _] would box the key on every .get —
-    // one allocation per scanned character corpus-wide
-    val m = scala.collection.mutable.Map[Long, List[Int]]()
-    scoredLangs.zipWithIndex.foreach { case (lang, li) =>
-      langProfiles(lang).foreach { g =>
-        val key = (g.charAt(0).toLong << 32) | (g.charAt(1).toLong << 16) | g.charAt(2).toLong
-        m(key) = li :: m.getOrElse(key, Nil)
-      }
-    }
-    scala.collection.immutable.LongMap(m.view.mapValues(_.toArray).toSeq: _*)
-  }
-
-  def detectLang(text: String): String = {
-    if (text == null || text.isEmpty) return "und"
-    val cjk = text.codePoints().filter(cp =>
-      (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)).count()
-    if (cjk * 2 > text.length) return "zh"
-    val padded = " " + text.toLowerCase + " "
-    val hits = new Array[Int](scoredLangs.length)
-    var i = 0
-    while (i + 3 <= padded.length) {
-      val key = (padded.charAt(i).toLong << 32) |
-        (padded.charAt(i + 1).toLong << 16) | padded.charAt(i + 2).toLong
-      mergedProfile.get(key) match {
-        case Some(ls) =>
-          var k = 0
-          while (k < ls.length) { hits(ls(k)) += 1; k += 1 }
-        case None =>
-      }
-      i += 1
-    }
-    // same argmax tie-break as before: max hits, ties to the LARGER lang
-    // (scoredLangs is sorted ascending, so iterate with >=)
-    var best = 0
-    var bi = 1
-    while (bi < hits.length) { if (hits(bi) >= hits(best)) best = bi; bi += 1 }
-    if (hits(best) == 0) "und" else scoredLangs(best)
-  }
-
-  /** t03 oracle: the trigram scan is re-expressed as non-overlapping
-    * replace-counting — exact because no profile trigram can overlap
-    * itself (none has g[0]==g[2]) — and argmax-by-(hits, lang) matches
-    * `detectLang`'s maxBy tuple order. */
-  val t03Oracle: String = {
-    val profVals = langProfiles.toSeq.sortBy(_._1).collect {
-      case (lang, prof) if prof.nonEmpty =>
-        prof.toSeq.sorted.map(g => s"('$lang', '${g.replace("'", "''")}')")
-          .mkString(",\n    |    ")
-    }.mkString(",\n    |    ")
-    s"""WITH prof(lang, g) AS (VALUES
-      |    $profVals),
-      |d AS (
-      |  SELECT doc_id, lang AS true_lang, text,
-      |    ' ' || lower(text) || ' ' AS padded,
-      |    len(regexp_extract_all(text,
-      |      '[\\x{4e00}-\\x{9fff}\\x{3400}-\\x{4dbf}]')) AS cjk
-      |  FROM documents),
-      |hits AS (
-      |  SELECT d.doc_id, prof.lang,
-      |    SUM((length(d.padded) - length(replace(d.padded, prof.g, ''))) // 3)
-      |      AS n_hits
-      |  FROM d CROSS JOIN prof
-      |  GROUP BY 1, 2),
-      |best AS (
-      |  SELECT doc_id, lang, n_hits,
-      |    ROW_NUMBER() OVER (PARTITION BY doc_id
-      |      ORDER BY n_hits DESC, lang DESC) AS rn
-      |  FROM hits),
-      |pred AS (
-      |  SELECT d.doc_id, d.true_lang,
-      |    CASE WHEN length(d.text) = 0 THEN 'und'
-      |         WHEN d.cjk * 2 > length(d.text) THEN 'zh'
-      |         WHEN b.n_hits = 0 THEN 'und'
-      |         ELSE b.lang END AS predicted
-      |  FROM d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1)
-      |SELECT true_lang AS lang, predicted, COUNT(*) AS n_docs
-      |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
-
-  def t03_lang_id(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val lid = udf(detectLang _)
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism) // UDF-bound; spread the single-row-group scan
-      .withColumn("predicted", lid($"text"))
-      .groupBy($"lang", $"predicted")
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy($"lang", $"predicted")
-  }
-
   // ---- t04 fingerprinting (rolling hash / winnowing) ----
 
   /** 64-bit polynomial rolling hash over whitespace tokens plus a
@@ -453,7 +339,7 @@ object TextOps {
   /** Shared gate-signal frame (t07/t13): per-doc integer counts every
     * rule/feature derives from — token, stopword, punctuation, char, and
     * 3-gram totals. Map-side except the 3-gram count (one shuffle). */
-  private def gateSignals(s: SparkSession, d: String): DataFrame = {
+  private[text] def gateSignals(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = whitespaceTokens($"text")
     val base = Tables.documents(s, d)
@@ -706,351 +592,6 @@ object TextOps {
       |  CAST(n_shared10 AS DOUBLE) / CAST(n_distinct_bigrams AS DOUBLE) AS shared_frac
       |FROM agg ORDER BY doc_id""".stripMargin
 
-  /** Apply a learned merge list to a word — standard greedy BPE apply:
-    * symbols start as single characters (no end-of-word marker — kept
-    * simple and documented), each merge rewrites left-to-right. */
-  def bpeSymbols(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
-    merges.foreach { case (l, r) =>
-      val buf = Vector.newBuilder[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-          buf += (l + r); i += 2
-        } else { buf += syms(i); i += 1 }
-      }
-      syms = buf.result()
-    }
-    syms
-  }
-
-  /** t11: corpus BPE VOCABULARY INDUCTION — the byte-pair-merge loop
-    * every tokenizer build runs, expressed map-reduce style: the corpus
-    * collapses ONCE to a (word, freq) vocabulary table (one shuffle —
-    * after this no iteration ever touches corpus-sized data), then each
-    * merge round re-symbolizes the vocabulary under the merges learned
-    * so far (map-side UDF over the tiny driver-held merge list),
-    * explodes adjacent symbol pairs weighted by word frequency, and
-    * accepts a BATCH of top count pairs (ties broken lexicographically,
-    * symbol-disjoint within the round — see [[learnBpeMerges]] — so the
-    * learned vocabulary is deterministic and round-trips scale as
-    * target/batch, not target). 128 merges are learned (or fewer if the
-    * corpus exhausts first — every word fused to one symbol). The
-    * driver loop is iteration control exactly like d06/w08 — one keyed
-    * aggregation per round, one bounded candidate collect per round. No
-    * SQL oracle (the merge recurrence is not SQL-expressible) —
-    * rows-only at the gate plus a golden pin in DedupGuardSpec. */
-  /** The corpus (word, freq) vocabulary table t11/t14 iterate over. */
-  private def bpeVocab(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select(explode(whitespaceTokens(lower($"text"))).as("word"))
-      .filter($"word" =!= "")
-      .groupBy($"word").agg(count(lit(1)).as("freq"))
-  }
-
-  /** The t11 merge-learning loop over a CACHED vocabulary frame, BATCHED
-    * (r6 verdict item 5): classic sequential BPE needs one driver
-    * round-trip per merge — ~32k Spark jobs at a realistic vocab size.
-    * Each round here computes pair counts ONCE and greedily accepts up
-    * to `batchM` pairs in (count desc, l, r) order whose symbol sets are
-    * pairwise DISJOINT within the round (neither side nor the merged
-    * string of an accepted pair may appear in a later acceptance).
-    * Disjoint merges commute and cannot create or destroy each other's
-    * adjacencies — fusing (c,d) leaves one symbol between any a,b pair,
-    * so their counts stay exact under any application order — making
-    * each round's picks identical to running those merges sequentially;
-    * a pair sharing a symbol is deferred to the next round, where its
-    * count is recomputed post-merge. This is the standard batching of
-    * scalable BPE trainers: same determinism (total order on
-    * (cnt, l, r)), driver round-trips drop from `target` to
-    * `target/batch` (~8 per round at character level, more as the
-    * symbol alphabet grows). The candidate pool per round is a bounded
-    * `4 × batchM`-row collect — iteration control, not data. Returns
-    * the picked rows (rank, l, r, merged, count); the merge list is
-    * `_2`/`_3`. */
-  private def learnBpeMerges(w: DataFrame, target: Int, batchM: Int = 32)
-      : Vector[(Int, String, String, String, Long)] = {
-    val sp = w.sparkSession
-    import sp.implicits._
-    var merges = Vector.empty[(String, String)]
-    val picked = Vector.newBuilder[(Int, String, String, String, Long)]
-    var k = 1
-    var exhausted = false
-    while (k <= target && !exhausted) {
-      val m = merges
-      val symU = udf { word: String => bpeSymbols(word, m) }
-      val top = w.select($"freq", symU($"word").as("syms"))
-        .select($"freq", explode(when(size($"syms") >= 2,
-          expr("transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(syms[i-1] AS l, syms[i] AS r))"))
-          .otherwise(array().cast("array<struct<l:string,r:string>>")))
-          .as("p"))
-        .groupBy($"p.l".as("l"), $"p.r".as("r"))
-        .agg(sum($"freq").as("cnt"))
-        .orderBy($"cnt".desc, $"l", $"r")
-        .limit(4 * batchM).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val used = scala.collection.mutable.Set.empty[String]
-        var taken = 0
-        val it = top.iterator
-        while (it.hasNext && taken < batchM && k <= target) {
-          val row = it.next()
-          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
-          // the merged string is reserved too: a later pair whose side
-          // string-equals l+r would also match the instances this merge
-          // CREATES, invalidating its pre-batch count
-          if (!used(l) && !used(r) && !used(l + r)) {
-            used += l; used += r; used += (l + r)
-            merges :+= ((l, r))
-            picked += ((k, l, r, l + r, c))
-            k += 1
-            taken += 1
-          }
-        }
-      }
-    }
-    picked.result()
-  }
-
-  def t11_bpe_vocab(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val rows = graft.dedup.DedupOps.withCache(bpeVocab(s, d)) { w =>
-      learnBpeMerges(w, 128).toDF("rank", "left", "right", "merged", "pair_count")
-    }
-    rows.orderBy($"rank")
-  }
-
-  /** t14: BPE ENCODING under the learned merges — the tokenizer
-    * APPLICATION stage that follows t11's vocabulary induction (token
-    * counting under the actual subword tokenizer is what sizes training
-    * runs, not whitespace counts). The merges are learned exactly as in
-    * t11 (same deterministic loop), then the corpus token count is
-    * computed WITHOUT re-encoding per instance: each DISTINCT word is
-    * symbolized once, map-side over the vocabulary table, and instance
-    * totals are frequency-weighted sums — corpus-sized data is touched
-    * only by the initial vocab shuffle, the same one-collapse shape as
-    * t11. Deterministic (merge list + encoder are pure functions) →
-    * golden pin; the merge recurrence is not SQL-expressible →
-    * rows-only at the gate. */
-  def t14_bpe_encode(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    graft.dedup.DedupOps.withCache(bpeVocab(s, d)) { w =>
-      val merges = learnBpeMerges(w, 128).map(p => (p._2, p._3))
-      val symU = udf { word: String => bpeSymbols(word, merges).length }
-      w.select($"word", $"freq", symU($"word").as("n_syms"),
-          length($"word").cast("long").as("n_chars"))
-        .agg(count(lit(1)).as("n_words_distinct"),
-          sum($"freq").as("n_word_instances"),
-          sum($"freq" * $"n_chars").as("n_chars_total"),
-          sum($"freq" * $"n_syms").as("n_bpe_tokens"),
-          max($"n_syms").as("max_word_tokens"))
-        .select($"n_words_distinct", $"n_word_instances", $"n_chars_total",
-          $"n_bpe_tokens", $"max_word_tokens",
-          // integer ratio ×1000: chars per BPE token, drift-proof
-          expr("(n_chars_total * 1000) div n_bpe_tokens")
-            .as("chars_per_token_x1000"))
-    }
-  }
-
-  // ---- t12 sequence packing ----
-
-  /** t12: SEQUENCE PACKING — the last pipeline stage before training
-    * batches: pack quality-gated documents (≥ 30 ws tokens, the t07
-    * too_short rule) into fixed-length training sequences (L = 512
-    * tokens) by greedy first-fit in deterministic doc_id order,
-    * reporting per-group packing efficiency and boundary waste.
-    *
-    * Greedy packing is inherently sequential (each bin boundary depends
-    * on every prior document), so a single global greedy pass cannot
-    * be expressed as a window function NOR distributed without a
-    * serial scan. The scalable shape: packing restarts at fixed
-    * GROUP boundaries (`grp = doc_id div 64`) — groups are packed
-    * greedily and independently, one shuffle on grp, each task holding
-    * ≤ 64 (doc_id, count) pairs. The group size is the
-    * locality/parallelism dial: larger groups amortize boundary waste,
-    * smaller groups parallelize more; waste is REPORTED per group
-    * precisely so that trade is measurable. Deterministic by
-    * construction (fixed boundaries + in-group sort), so the outcome is
-    * a pure function of the corpus — unlike a partition-local greedy
-    * whose bins would depend on Spark's physical partitioning.
-    * A document longer than L gets a bin of its own (counted in
-    * `n_oversize`; a real tokenizer-aware pipeline would split it).
-    * All emitted columns are integers — no float thresholds to drift
-    * cross-engine. Oracle: the same greedy recurrence as a DuckDB
-    * recursive CTE (one row per group per step, all groups advance in
-    * parallel). */
-  /** Greedy first-fit packing of an IN-ORDER token-count sequence into
-    * bins of capacity `L`: returns (n_seqs, waste, n_oversize, total).
-    * Waste is Σ max(0, L − bin total) over all bins (an over-L
-    * single-doc bin wastes nothing — it overflows instead, counted in
-    * n_oversize). */
-  private[graft] def greedyPack(toks: Seq[Long], L: Long): (Long, Long, Long, Long) = {
-    var nSeqs = 0L; var binSum = 0L; var waste = 0L
-    var total = 0L; var oversize = 0L
-    toks.foreach { t =>
-      total += t
-      if (t > L) oversize += 1
-      if (nSeqs == 0L || binSum + t > L) {
-        if (nSeqs > 0L) waste += math.max(0L, L - binSum)
-        nSeqs += 1; binSum = t
-      } else binSum += t
-    }
-    if (nSeqs > 0L) waste += math.max(0L, L - binSum)
-    (nSeqs, waste, oversize, total)
-  }
-
-  def t12_sequence_pack(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val L = 512L
-    Tables.documents(s, d)
-      .select(expr("doc_id div 64").as("grp"), $"doc_id",
-        size(whitespaceTokens($"text")).cast("long").as("tok"))
-      .filter($"tok" >= 30)
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (grp, it) =>
-        val ds = it.map { case (_, id, t) => (id, t) }.toArray.sortBy(_._1)
-        val (nSeqs, waste, oversize, total) =
-          greedyPack(ds.map(_._2).toSeq, L)
-        (grp, ds.length.toLong, total, nSeqs, nSeqs * L, waste, oversize)
-      }
-      .toDF("grp", "n_docs", "total_tokens", "n_seqs", "capacity",
-        "waste_tokens", "n_oversize")
-      .orderBy($"grp")
-  }
-
-  val t12Oracle: String =
-    raw"""WITH RECURSIVE d AS (
-      |  SELECT doc_id // 64 AS grp, doc_id,
-      |    CAST(len(${oracleToks("text")}) AS BIGINT) AS tok,
-      |    ROW_NUMBER() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
-      |  FROM documents
-      |  WHERE len(${oracleToks("text")}) >= 30),
-      |step(grp, rn, bin_sum, n_seqs, waste) AS (
-      |  SELECT grp, rn, tok, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
-      |  FROM d WHERE rn = 1
-      |  UNION ALL
-      |  SELECT d.grp, d.rn,
-      |    CASE WHEN s.bin_sum + d.tok > 512 THEN d.tok
-      |         ELSE s.bin_sum + d.tok END,
-      |    CASE WHEN s.bin_sum + d.tok > 512 THEN s.n_seqs + 1
-      |         ELSE s.n_seqs END,
-      |    CASE WHEN s.bin_sum + d.tok > 512
-      |         THEN s.waste + GREATEST(0, 512 - s.bin_sum)
-      |         ELSE s.waste END
-      |  FROM step s JOIN d ON d.grp = s.grp AND d.rn = s.rn + 1),
-      |fin AS (
-      |  SELECT grp, bin_sum, n_seqs, waste,
-      |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rn DESC) AS rk
-      |  FROM step),
-      |agg AS (
-      |  SELECT grp, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
-      |    CAST(SUM(CASE WHEN tok > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
-      |  FROM d GROUP BY 1)
-      |SELECT a.grp, a.n_docs, a.total_tokens, f.n_seqs,
-      |  f.n_seqs * 512 AS capacity,
-      |  f.waste + GREATEST(0, 512 - f.bin_sum) AS waste_tokens,
-      |  a.n_oversize
-      |FROM agg a JOIN fin f ON f.grp = a.grp AND f.rk = 1
-      |ORDER BY a.grp""".stripMargin
-
-  // ---- t13 model-based quality scoring ----
-
-  /** t13: MODEL-BASED quality filtering — the classifier stage real
-    * curation pipelines run after rule gates (a fastText/logreg model
-    * scoring every document): logistic regression over the t07 gate
-    * signals, trained with 10 batch-gradient-descent iterations against
-    * the rule gate's own keep/drop verdict, then scored corpus-wide and
-    * compared back to the labels (confusion counts).
-    *
-    * Deterministic by the repo's iterative-algorithm discipline
-    * (d06/w08/t11): per-doc probabilities use `StrictMath.exp`
-    * (bit-identical on every JVM), each doc's gradient contribution is
-    * quantized to 2^-32 and summed as LONGS (shuffle-merge-order-proof),
-    * and the driver holds only the 5 weights — each iteration is one
-    * map-side pass over the cached feature frame ending in a 5-long
-    * aggregate (iteration control, not data movement; the feature frame
-    * is computed once). At 100 TB the shape is unchanged: training cost
-    * is iterations × one scan, scoring is a single map-side pass. Not
-    * SQL-expressible (the GD recurrence + exp) → rows-only at the gate
-    * plus a golden pin in DedupGuardSpec.
-    *
-    * Evaluation is HELD OUT (r5 verdict): docs are split by q30's
-    * deterministic content-hash rule (first 16 bits of md5(text) mod 10:
-    * 8 train / 1 valid / 1 test), GD sees ONLY the train split, and the
-    * confusion matrix is computed ONLY on the valid split — so the
-    * reported accuracy measures generalization to unseen documents, not
-    * memorization of the training rows. The split is content-hashed, so
-    * the same doc lands in the same split on every engine and run. */
-  def t13_quality_model(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val Scale = 4294967296.0 // 2^32 fixed-point quantum (s04/w08 rule)
-    val lr = 0.5
-    // q30's split rule verbatim — one map-side column, joined on doc_id
-    val split = Tables.documents(s, d).select($"doc_id",
-      (conv(substring(md5($"text"), 1, 4), 16, 10).cast("long") % 10)
-        .as("bucket"))
-    val feats = gateSignals(s, d).join(split, "doc_id").select($"doc_id",
-      $"bucket",
-      // O(1)-scaled features, integer-exact guards for empty docs; f1 is
-      // CENTERED on the too_short boundary (30 tokens) so the dominant
-      // rule is linearly separable through the origin
-      (($"n_tok" - 30).cast("double") / 30.0).as("f1"),
-      when($"n_tok" === 0, 0.0)
-        .otherwise($"n_stop".cast("double") / $"n_tok".cast("double")).as("f2"),
-      when($"n_chars_m" === 0, 0.0)
-        .otherwise($"n_punct".cast("double") / $"n_chars_m".cast("double")).as("f3"),
-      (($"n_grams" - $"n_distinct").cast("double") / $"n_grams".cast("double"))
-        .as("f4"),
-      when($"n_tok" >= 30 && !($"n_stop" * 1000 < $"n_tok" * 15) &&
-        !($"n_punct" * 10 > $"n_chars_m") &&
-        !(($"n_grams" - $"n_distinct") * 10 > $"n_grams"), 1.0)
-        .otherwise(0.0).as("y"))
-    graft.dedup.DedupOps.withCache(feats) { f =>
-      val train = f.filter($"bucket" < 8)
-      val valid = f.filter($"bucket" === 8)
-      var w = Array.fill(5)(0.0)
-      // scoring column: left-to-right double arithmetic identical to the
-      // former UDF's, with the exp inside whole-stage codegen via the
-      // StrictSigmoid expression (built-in exp() is Math.exp, whose
-      // platform intrinsic could shift the pinned weights by ulps)
-      def p(wv: Array[Double]) = graft.functions.GraftFunctions.strict_sigmoid(
-        lit(wv(0)) + lit(wv(1)) * $"f1" + lit(wv(2)) * $"f2" +
-          lit(wv(3)) * $"f3" + lit(wv(4)) * $"f4")
-      (1 to 30).foreach { _ =>
-        val r = train.withColumn("e", p(w) - $"y")
-          .agg(
-            sum(($"e" * Scale).cast("long")).as("g0"),
-            sum(($"e" * $"f1" * Scale).cast("long")).as("g1"),
-            sum(($"e" * $"f2" * Scale).cast("long")).as("g2"),
-            sum(($"e" * $"f3" * Scale).cast("long")).as("g3"),
-            sum(($"e" * $"f4" * Scale).cast("long")).as("g4"),
-            count(lit(1)).as("n"))
-          .head()
-        val n = r.getLong(5).toDouble
-        w = w.zipWithIndex.map { case (wi, i) =>
-          wi - lr * (r.getLong(i).toDouble / (n * Scale))
-        }
-      }
-      val wv = w
-      // scored output = VALID split only: no train row contributes to the
-      // reported confusion (train count rides along for the split audit)
-      valid.withColumn("p", p(wv))
-        .agg(count(lit(1)).as("n_valid"),
-          sum(when($"y" === 1.0, 1L).otherwise(0L)).as("n_keep"),
-          sum(when($"p" >= 0.5 && $"y" === 1.0, 1L).otherwise(0L)).as("tp"),
-          sum(when($"p" >= 0.5 && $"y" === 0.0, 1L).otherwise(0L)).as("fp"),
-          sum(when($"p" < 0.5 && $"y" === 0.0, 1L).otherwise(0L)).as("tn"),
-          sum(when($"p" < 0.5 && $"y" === 1.0, 1L).otherwise(0L)).as("fn"))
-        .crossJoin(train.agg(count(lit(1)).as("n_train")))
-        .select($"n_train", $"n_valid", $"n_keep", $"tp", $"fp", $"tn", $"fn",
-          lit(wv(0)).as("w0"), lit(wv(1)).as("w1"), lit(wv(2)).as("w2"),
-          lit(wv(3)).as("w3"), lit(wv(4)).as("w4"))
-    }
-  }
-
   /** t15: deterministic GLOBAL SHUFFLE + training-shard layout — the
     * last layout decision before shards hit disk: training-data order
     * affects the model, so the shuffle must be REPRODUCIBLE (same
@@ -1110,16 +651,11 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t15_shard_layout" -> (t15_shard_layout _),
-    "t14_bpe_encode" -> (t14_bpe_encode _),
-    "t13_quality_model" -> (t13_quality_model _),
-    "t12_sequence_pack" -> (t12_sequence_pack _),
-    "t11_bpe_vocab" -> (t11_bpe_vocab _),
     "t09_rare_tokens" -> (t09_rare_tokens _),
     "t10_bigram_novelty" -> (t10_bigram_novelty _),
     "t08_tfidf" -> (t08_tfidf _),
     "t01_token_stats" -> (t01_token_stats _),
     "t02_quality_score" -> (t02_quality_score _),
-    "t03_lang_id" -> (t03_lang_id _),
     "t04_fingerprint" -> (t04_fingerprint _),
     "t05_repetition" -> (t05_repetition _),
     "t06_pii_scrub" -> (t06_pii_scrub _),
@@ -1128,13 +664,11 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "t15_shard_layout" -> t15Oracle,
-    "t12_sequence_pack" -> t12Oracle,
     "t09_rare_tokens" -> t09Oracle,
     "t10_bigram_novelty" -> t10Oracle,
     "t08_tfidf" -> t08Oracle,
     "t01_token_stats" -> t01Oracle,
     "t02_quality_score" -> t02Oracle,
-    "t03_lang_id" -> t03Oracle,
     "t04_fingerprint" -> t04Oracle,
     "t05_repetition" -> t05Oracle,
     "t06_pii_scrub" -> t06Oracle,

@@ -240,12 +240,19 @@ object Pipeline {
             quarantineRoot.map(q => s"$q/${stem(p)}"))
         }
       }
-      // fail loudly on the FIRST job error (don't mask it behind later
-      // successes); completed units keep their _SUCCESS and are skipped
-      // on the restart this throw forces
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(jobs),
+      // settle ALL jobs (success or failure) BEFORE acting on any
+      // failure: rethrowing on the first error while sibling jobs were
+      // still writing would let an immediate restart launch run()
+      // against a unit whose first attempt is still live — and run()
+      // deletes the partial dir out from under it (r9 advisory). Then
+      // fail loudly on the first error; completed units keep their
+      // _SUCCESS and are skipped on the restart this throw forces.
+      val settled = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          jobs.map(_.transform(scala.util.Success(_)))),
         scala.concurrent.duration.Duration.Inf)
+      settled.collectFirst { case scala.util.Failure(e) => e }
+        .foreach(e => throw e)
     } finally pool.shutdown()
     todo.map { case (p, ran) => (p.toString, ran) }
   }

@@ -503,9 +503,22 @@ object WarcQueries {
     * aggregate-sized output, never the archives. */
   def w09_warcgz_pipeline(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-w09")
+    // stage on the SESSION'S filesystem (executors write through the
+    // driver's serialized Hadoop conf, same as the warc reader): with a
+    // shared defaultFS the staged archives are visible to every
+    // executor AND the subsequent read — a driver-local java.nio temp
+    // dir only works when executors share the driver's disk (r9
+    // advisory). In local mode this resolves to the local FS, same
+    // behavior as before.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val serConf = new graft.warc.source.SerializableHadoopConf(hconf)
+    val dirPath = new org.apache.hadoop.fs.Path(
+      hconf.get("hadoop.tmp.dir", System.getProperty("java.io.tmpdir")),
+      "graft-w09-" + java.util.UUID.randomUUID())
+    val stagingFs = dirPath.getFileSystem(hconf)
+    stagingFs.mkdirs(dirPath)
     try {
-      val dirStr = dir.toString
+      val dirStr = dirPath.toString
       // executor-side staging (the st05 rule: no corpus-sized driver
       // collect); file names are partition-deterministic, creates
       // overwrite, so task retries restage idempotently
@@ -536,8 +549,7 @@ object WarcQueries {
           }
           if (n > 0) {
             val p = new org.apache.hadoop.fs.Path(dirStr, f"crawl-$pid%04d.warc.gz")
-            val os = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-              .create(p, true)
+            val os = p.getFileSystem(serConf.value).create(p, true)
             try os.write(out.toByteArray) finally os.close()
           }
         }
@@ -563,13 +575,7 @@ object WarcQueries {
           $"html_errors")
         .orderBy($"url")
         .localCheckpoint(true) // materialize before the staging dir dies
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
+    } finally stagingFs.delete(dirPath, true)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -25,12 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Mid-split sync scans for the gzip magic (`1f 8b 08`) and then
   * validates hard before trusting a candidate: the member must inflate
   * cleanly, its CRC32 and ISIZE trailer must match the inflated bytes,
-  * and (for the TENTATIVE first member of a mid-file split) the
-  * payload must begin with `WARC/` — compressed bytes can contain the
-  * 3-byte magic by chance (~1 per 16 MiB), but they cannot contain a
-  * full member that inflates with a matching trailer. A failed
-  * candidate rewinds to magic+1 and rescans, so a false sync can never
-  * skip real members.
+  * and — whenever sync is UNPROVEN (the tentative first member of a
+  * mid-file split, or the first candidate after a corrupt-member
+  * rescan) — the payload must begin with `WARC/`. Compressed bytes can
+  * contain the 3-byte magic by chance (~1 per 16 MiB), and a stored
+  * block can even embed a complete valid INNER gzip member (e.g. a
+  * gzipped HTTP body); the payload check rejects those at every
+  * sync-establishment point. A failed candidate rewinds to magic+1 and
+  * rescans, so a false sync can never skip real members.
   *
   * Error containment (S5/D7 semantics): after the first accepted
   * member, a corrupt member yields the sentinel record (version "0",
@@ -204,6 +206,13 @@ class GzipWarcPartitionReader(part: WarcInputPartition,
     syncToMagic()
   }
   private var tentative = part.start > 0
+  // set after a corrupt established member forces a magic rescan: the
+  // next candidate must prove it is a WARC member boundary (payload
+  // check) before sync is re-established, exactly like the tentative
+  // split-start case — otherwise a stored-block-embedded INNER gzip body
+  // (valid member, HTTP payload) inside the damaged outer member could be
+  // adopted as the resync point and shift sync for the rest of it
+  private var resyncing = false
   private var pending: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
 
@@ -214,25 +223,29 @@ class GzipWarcPartitionReader(part: WarcInputPartition,
       val memberStart = nextMemberStart
       val decoded = readMember(memberStart)
       if (decoded == null) {
-        // malformed candidate. Tentative: silent rescan (almost always a
-        // false magic inside compressed data). Established: a genuinely
-        // corrupt member — surface the sentinel for quarantine, then
-        // rescan for the next member.
+        // malformed candidate. Tentative/resyncing: silent rescan (almost
+        // always a false magic inside compressed data). Established: a
+        // genuinely corrupt member — surface the sentinel for quarantine,
+        // then rescan for the next member.
         seekTo(memberStart + 3)
         nextMemberStart = syncToMagic()
-        if (!tentative) { current = sentinelRow(); return true }
+        if (!tentative && !resyncing) {
+          resyncing = true
+          current = sentinelRow(); return true
+        }
       } else {
         val (payload, memberEnd) = decoded
         val isWarc = payload.length >= 5 &&
           payload(0) == 'W' && payload(1) == 'A' && payload(2) == 'R' &&
           payload(3) == 'C' && payload(4) == '/'
-        if (tentative && !isWarc) {
+        if ((tentative || resyncing) && !isWarc) {
           // inflated cleanly but is not a record start: not a per-record
           // WARC member boundary — keep scanning
           seekTo(memberStart + 3)
           nextMemberStart = syncToMagic()
         } else {
           tentative = false
+          resyncing = false
           nextMemberStart = memberEnd
           // a member normally holds exactly one record, but the splitter
           // tolerates several (and emits the sentinel for malformed

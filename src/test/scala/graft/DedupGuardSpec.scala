@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.dedup.DedupOps
+import graft.dedup.{DedupOps, IncrementalDedup}
 
 /** Degenerate-bucket guard: a bucket of N near-identical docs must cost
   * O(N) candidate rows (star-linked through the representative), not the
@@ -177,12 +177,12 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = (0L until 120L).map(i => (i, text)).toDF("doc_id", "text")
     sp.sql("DROP TABLE IF EXISTS graft_guard_store_spec")
-    DedupOps.writeSignatureStore(sp, docs, "graft_guard_store_spec")
+    IncrementalDedup.writeSignatureStore(sp, docs, "graft_guard_store_spec")
     try {
       val newBands = Seq((900000L, text)).toDF("id_b", "text")
         .select($"id_b", org.apache.spark.sql.functions.posexplode(
           DedupOps.minhashBandsU($"text")).as(Seq("band", "bucket")))
-      val cand = DedupOps.storeIngestCandidates(
+      val cand = IncrementalDedup.storeIngestCandidates(
           sp, "graft_guard_store_spec", newBands, cap = 50)
         .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // all 120 store docs share every bucket; only the min-id rep joins
@@ -339,6 +339,26 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._2).distinct.length == 32, "a vector was picked twice")
   }
 
+  test("s11 checkpoint footprint: every round's blocks are released eagerly") {
+    // r9 verdict item 5: each of the T=32 rounds localCheckpoints a
+    // corpus-sized working frame; without the explicit per-round
+    // unpersist the superseded rounds' blocks linger until driver GC —
+    // up to T corpus-sized block sets in flight. With the eager release
+    // the persistent-RDD registry must return to its pre-run state the
+    // moment the operator returns (and s11b's candidate frame too).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    graft.sim.SelectOps.s11_coreset_select(spark, "/root/testdata/sf0.001")
+      .collect()
+    val leakedA = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leakedA.isEmpty,
+      s"s11 left ${leakedA.size} checkpointed RDD(s) persisted: $leakedA")
+    graft.sim.SelectOps.s11b_coreset_cluster(spark, "/root/testdata/sf0.001")
+      .collect()
+    val leakedB = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leakedB.isEmpty,
+      s"s11b left ${leakedB.size} checkpointed RDD(s) persisted: $leakedB")
+  }
+
   test("s11b cluster-local coreset: deterministic, valid greedy, near-s11 coverage") {
     val sp = spark
     import sp.implicits._
@@ -422,20 +442,29 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("st09 streaming ANN ingest: appended vectors immediately self-retrievable") {
     // st08's twin for the similarity store: per-micro-batch vectors are
     // assigned + PQ-encoded against the PERSISTED codebooks and appended
-    // co-located into a private copy of the bucketed store; every
-    // ingested vector must then find itself rank-1 through the full
-    // probe path (coarse probe → bucket-pruned ADC → exact re-rank).
+    // co-located into an O(ingested) DELTA table; every ingested vector
+    // must then find itself rank-1 through the full probe path over
+    // base ∪ delta (coarse probe → bucket-pruned ADC → exact re-rank).
     // sf0.001: 17 planted arrivals (vec_id % 31) over the 500-vector
     // corpus; deterministic, so a second run reproduces it exactly.
+    val (tbl, _, _) = graft.sim.SimilarityOps
+      .ensureAnnStore(spark, "/root/testdata/sf0.001")
+    // fingerprint the BASE store's physical files: the ingest must never
+    // copy or rewrite the store (r9 verdict item 2 — O(batch), not
+    // O(store))
+    def baseFiles() = spark.table(tbl).inputFiles.sorted.toSeq
+    val filesBefore = baseFiles()
     def run() = graft.streaming.StreamingOps
       .st09_stream_ann_ingest(spark, "/root/testdata/sf0.001")
       .collect()(0)
     val r = run()
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((500L, 17L, 517L, 17L)), s"got ${r.toSeq}")
-    // idempotent re-run: the private store copy is rebuilt, not doubled
+    // idempotent re-run: the delta is rebuilt, not doubled
     val r2 = run()
     assert(r.toSeq == r2.toSeq, s"second run diverged: ${r2.toSeq}")
+    assert(baseFiles() == filesBefore,
+      "st09 rewrote the base store's files — ingest must be O(batch)")
   }
 
   test("ivf store geometry: corpus-scaled k/nprobe shrink the scan fraction with N") {
@@ -492,14 +521,23 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d09 sketch-estimate pin at sf0.001: estimator error is deterministic") {
-    // seeded permutations + fixed-point error accumulation make the
-    // MinHash estimator audit a pure function of the corpus; the mean
-    // error ≈ the theoretical √(J(1−J)/64) ≈ 0.02 at the planted J≈0.97
-    val row = DedupOps.d09_minhash_estimate(spark, "/root/testdata/sf0.001")
-      .collect()(0)
-    assert(row.getLong(0) == 500L, s"n_pairs=${row.getLong(0)}")
-    assert(row.getDouble(1) == 0.014358554759528488, s"mean=${row.getDouble(1)}")
-    assert(row.getDouble(2) == 0.10416666666666663, s"max=${row.getDouble(2)}")
+    // seeded permutations + the md5 base hash make the per-pair MinHash
+    // estimator audit a pure function of the corpus (and now fully
+    // oracle-checked at the gate); the error magnitudes track the
+    // theoretical std √(J(1−J)/64) ≈ 0.02 at the planted J≈0.97
+    val rows = DedupOps.d09_minhash_estimate(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 500, s"n_pairs=${rows.length}")
+    assert(rows.forall { case (_, e, x, a) =>
+      math.abs(e - x) == a && e >= 0.0 && e <= 1.0 && x > 0.5 },
+      "per-pair invariants (err consistency, est range, planted J) broken")
+    val meanErr = rows.map(_._4).sum / rows.length
+    assert(meanErr < 0.05, s"estimator mean abs err drifted: $meanErr")
+    // golden pin: the first pair's full row
+    assert(rows.head ==
+      ((0L, 0.96875, 0.9523809523809523, 0.016369047619047672)),
+      s"got ${rows.head}")
   }
 
   test("t13 quality-model pin at sf0.001: fixed-point GD training is deterministic") {
@@ -514,7 +552,7 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // because the synthetic corpus contains no punctuation — the feature
     // is dead data here, not a wiring bug (asserted so a corpus change
     // that starts exercising it shows up).
-    val r = graft.text.TextOps.t13_quality_model(spark, "/root/testdata/sf0.001")
+    val r = graft.text.QualityModel.t13_quality_model(spark, "/root/testdata/sf0.001")
       .collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((397L, 57L, 38L)),
       s"split=${r.toSeq}")
@@ -536,7 +574,7 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 4.499 chars/token, the realistic tokenizer ratio the 10-merge era
     // (1.25) couldn't reach. All-integer output, pure function of the
     // corpus.
-    val r = graft.text.TextOps.t14_bpe_encode(spark, "/root/testdata/sf0.001")
+    val r = graft.text.BpeOps.t14_bpe_encode(spark, "/root/testdata/sf0.001")
       .collect()(0)
     assert(r.toSeq == Seq(31L, 27939L, 125717L, 27939L, 1L, 4499L),
       s"got ${r.toSeq}")
@@ -610,7 +648,7 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // recounts it post-merge — and rank 10 'm'+'er' builds on round 1's
     // output. The 31-word vocabulary exhausts at 89 merges (target
     // 128): every word ends as a single symbol.
-    val rows = graft.text.TextOps.t11_bpe_vocab(spark, "/root/testdata/sf0.001")
+    val rows = graft.text.BpeOps.t11_bpe_vocab(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
     assert(rows.length == 89, s"got ${rows.length}")
     assert(rows.take(3).toSeq ==

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.DedupOps
 import graft.sim.SimilarityOps
-import graft.text.TextOps
+import graft.text.{LangId, TextOps}
 import graft.multimodal.MultimodalOps
 
 /** Unit specs for the scalar cores of the training-data operators. */
@@ -91,7 +91,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("bpeSymbols: greedy left-to-right merge application in order") {
-    import graft.text.TextOps.bpeSymbols
+    import graft.text.BpeOps.bpeSymbols
     assert(bpeSymbols("abab", Nil) == Seq("a", "b", "a", "b"))
     assert(bpeSymbols("abab", Seq(("a", "b"))) == Seq("ab", "ab"))
     assert(bpeSymbols("abab", Seq(("a", "b"), ("ab", "ab"))) == Seq("abab"))
@@ -121,10 +121,10 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("detectLang: CJK detection and trigram profiles") {
-    assert(TextOps.detectLang("这是一个中文句子的测试文本内容") == "zh")
-    assert(TextOps.detectLang("the cat is sitting on the mat and singing") == "en")
-    assert(TextOps.detectLang("der hund und die katze sind schön") == "de")
-    assert(TextOps.detectLang("") == "und")
+    assert(LangId.detectLang("这是一个中文句子的测试文本内容") == "zh")
+    assert(LangId.detectLang("the cat is sitting on the mat and singing") == "en")
+    assert(LangId.detectLang("der hund und die katze sind schön") == "de")
+    assert(LangId.detectLang("") == "und")
   }
 
   test("simhash pigeonhole: any pair within hamming 3 shares one of the 4 16-bit bands") {
@@ -218,7 +218,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("greedyPack: first-fit bins, boundary waste, oversize docs") {
-    import graft.text.TextOps.greedyPack
+    import graft.text.BpeOps.greedyPack
     // (n_seqs, waste, n_oversize, total)
     assert(greedyPack(Seq.empty, 10L) == (0L, 0L, 0L, 0L))
     assert(greedyPack(Seq(10L), 10L) == (1L, 0L, 0L, 10L)) // exact fit

@@ -176,14 +176,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     import sp.implicits._
     sp.sql("DROP TABLE IF EXISTS graft_sigstore_spec")
     val docs = graft.analytics.Tables.documents(sp, sf).select($"doc_id", $"text")
-    graft.dedup.DedupOps.writeSignatureStore(sp, docs, "graft_sigstore_spec")
+    graft.dedup.IncrementalDedup.writeSignatureStore(sp, docs, "graft_sigstore_spec")
     sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val newBands = docs.filter($"doc_id" % 31 === 0)
         .select(($"doc_id" + 300000L).as("id_b"),
           posexplode(graft.dedup.DedupOps.minhashBandsU($"text"))
             .as(Seq("band", "bucket")))
-      val j = graft.dedup.DedupOps.storeIngestCandidates(
+      val j = graft.dedup.IncrementalDedup.storeIngestCandidates(
         sp, "graft_sigstore_spec", newBands)
       val plan = physical(j)
       val exchanges = "Exchange".r.findAllIn(plan).length
@@ -207,8 +207,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // corpus scan (the corpus text scan that feeds the candidate-sized
     // verify join carries no UDF)
     val sp = spark
-    graft.dedup.DedupOps.ensureIncrementalStore(sp, sf)
-    val df = graft.dedup.DedupOps.d10Impl(sp, sf, eager = false)
+    graft.dedup.IncrementalDedup.ensureIncrementalStore(sp, sf)
+    val df = graft.dedup.IncrementalDedup.d10Impl(sp, sf, eager = false)
     val plan = physical(df)
     assert("Bucketed: true".r.findAllIn(plan).length >= 3,
       s"store probes lost their bucketing:\n${plan.take(4000)}")
@@ -264,7 +264,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         org.apache.spark.sql.functions.explode(
           org.apache.spark.sql.functions.lit(probed.toArray)).as("cid"))
     graft.sim.SimilarityOps.withBucketedScan(sp) {
-      val df = graft.sim.SimilarityOps.s08ProbePlan(sp, tbl, q0, probed)
+      val df = graft.sim.SimilarityOps.s08ProbePlan(sp, Seq(tbl), q0, probed)
       val plan = physical(df)
       val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
       assert(sel.isDefined, s"no bucket pruning in:\n$plan")

@@ -205,6 +205,214 @@ class WarcSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(real == 41L) // 40 + warcinfo
   }
 
+  /** gzip ONE member with a FOREIGN writer's header shape (wget /
+    * warcio / Common Crawl): MTIME + OS set, optional
+    * FEXTRA/FNAME/FCOMMENT/FHCRC fields. Deliberately independent of
+    * [[WarcSource.gzip]] (bare JDK header, no optional fields) — manual
+    * RFC 1952 header + raw [[java.util.zip.Deflater]] — so the reader is
+    * exercised against bytes it did not round-trip itself. */
+  private def foreignGzip(payload: Array[Byte], fname: String = null,
+      comment: String = null, extra: Array[Byte] = null,
+      hcrc: Boolean = false): Array[Byte] = {
+    import java.util.zip.{CRC32, Deflater}
+    val hdr = new java.io.ByteArrayOutputStream()
+    var flg = 0
+    if (hcrc) flg |= 0x02
+    if (extra != null) flg |= 0x04
+    if (fname != null) flg |= 0x08
+    if (comment != null) flg |= 0x10
+    hdr.write(0x1f); hdr.write(0x8b); hdr.write(0x08); hdr.write(flg)
+    val mtime = 0x66aa1234 // wget stamps the source file's mtime
+    hdr.write(mtime & 0xff); hdr.write((mtime >> 8) & 0xff)
+    hdr.write((mtime >> 16) & 0xff); hdr.write((mtime >> 24) & 0xff)
+    hdr.write(0x00) // XFL
+    hdr.write(0x03) // OS = Unix
+    if (extra != null) {
+      hdr.write(extra.length & 0xff); hdr.write((extra.length >> 8) & 0xff)
+      hdr.write(extra, 0, extra.length)
+    }
+    if (fname != null) {
+      hdr.write(fname.getBytes(StandardCharsets.ISO_8859_1)); hdr.write(0)
+    }
+    if (comment != null) {
+      hdr.write(comment.getBytes(StandardCharsets.ISO_8859_1)); hdr.write(0)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val hb = hdr.toByteArray
+    out.write(hb, 0, hb.length)
+    if (hcrc) { // CRC16 of every header byte so far
+      val c = new CRC32; c.update(hb)
+      out.write((c.getValue & 0xff).toInt)
+      out.write(((c.getValue >> 8) & 0xff).toInt)
+    }
+    val defl = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    defl.setInput(payload); defl.finish()
+    val chunk = new Array[Byte](8192)
+    while (!defl.finished()) out.write(chunk, 0, defl.deflate(chunk))
+    defl.end()
+    val crc = new CRC32; crc.update(payload)
+    val cv = crc.getValue; val isz = payload.length.toLong
+    (0 until 4).foreach(i => out.write(((cv >> (8 * i)) & 0xff).toInt))
+    (0 until 4).foreach(i => out.write(((isz >> (8 * i)) & 0xff).toInt))
+    out.toByteArray
+  }
+
+  test("foreign member headers (FNAME/FCOMMENT/FEXTRA/FHCRC) + empty members, exactly once") {
+    // real crawls (wget, warcio) emit FNAME+MTIME members; warc-tools add
+    // FCOMMENT; FEXTRA subfields and FHCRC are rare but legal. Cycle all
+    // shapes, and interleave EMPTY members (zero-byte payload — some
+    // writers flush them) which must contribute no rows and never break
+    // sync.
+    val out = new java.io.ByteArrayOutputStream()
+    val n = 120
+    (0 until n).foreach { i =>
+      if (i % 10 == 0) out.write(foreignGzip(Array.emptyByteArray, fname = s"empty-$i"))
+      val rec = WarcSource.toWireFormat("response", s"https://ex.gov.au/fh/$i",
+        10, ("foreign body " + i + " " + ("q" * (i % 350))).getBytes)
+      val m = (i % 4) match {
+        case 0 => foreignGzip(rec, fname = s"rec-$i.warc")
+        case 1 => foreignGzip(rec, comment = s"written by warcio-ish tool $i")
+        case 2 => foreignGzip(rec, extra = Array[Byte]('s', 'l', 4, 0, 1, 2, 3, 4))
+        case _ => foreignGzip(rec, fname = s"rec-$i.warc", hcrc = true)
+      }
+      out.write(m)
+    }
+    val bytes = out.toByteArray
+    val dir = Files.createTempDirectory("warcv2gzf")
+    Files.write(dir.resolve("f.warc.gz"), bytes)
+
+    // trusted decode: JDK GZIPInputStream handles concatenated members
+    // with all optional header fields (and checks FHCRC)
+    val expected = WarcSource.splitWarc(WarcSource.gunzip(bytes).get, "f.warc.gz")
+      .toSeq.filter(_.version != "0")
+      .map(r => (r.header.getOrElse("warc-target-uri", ""), r.content.length))
+      .sorted
+    assert(expected.size == n)
+
+    val sp = spark
+    import sp.implicits._
+    val df = spark.read.format("warc")
+      .option("maxPartitionBytes", "2048").load(dir.toString)
+    assert(df.rdd.getNumPartitions >= 8)
+    val got = df.filter($"version" =!= "0")
+      .select($"header".getItem("warc-target-uri"), $"content")
+      .as[(String, Array[Byte])].collect()
+      .map { case (uri, c) => (Option(uri).getOrElse(""), c.length) }
+      .toSeq.sorted
+    assert(got == expected)
+    assert(df.filter($"version" === "0").count() == 0) // all members valid
+  }
+
+  test("member starting exactly on a split boundary is read exactly once") {
+    // splits are carved at fixed i*maxPartitionBytes offsets
+    // (WarcScan.planInputPartitions), so pad with FCOMMENT bytes until
+    // one member STARTS at exactly 4096: split 0's reader must stop
+    // there (memberEnd >= endExclusive) and split 1's tentative sync
+    // must adopt it at its own offset — an off-by-one on either side
+    // drops or double-reads it.
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (out.size < 2500) {
+      out.write(foreignGzip(WarcSource.toWireFormat("response",
+        s"https://ex.gov.au/pad/$i", 10, s"pre-boundary body $i".getBytes),
+        fname = s"p$i"))
+      i += 1
+    }
+    val nPre = i
+    val boundaryRec = WarcSource.toWireFormat("response",
+      "https://ex.gov.au/pad/filler", 10, "filler to the boundary".getBytes)
+    val probe = foreignGzip(boundaryRec, comment = "")
+    val need = 4096 - out.size - probe.length
+    assert(need >= 0, s"fixture geometry: need=$need")
+    out.write(foreignGzip(boundaryRec, comment = "c" * need))
+    assert(out.size == 4096)
+    (0 until 30).foreach { j =>
+      out.write(foreignGzip(WarcSource.toWireFormat("response",
+        s"https://ex.gov.au/post/$j", 10,
+        ("post-boundary body " + j + " " + ("r" * (j % 200))).getBytes)))
+    }
+    val dir = Files.createTempDirectory("warcv2gzb")
+    Files.write(dir.resolve("bnd.warc.gz"), out.toByteArray)
+
+    val sp = spark
+    import sp.implicits._
+    val df = spark.read.format("warc")
+      .option("maxPartitionBytes", "4096").load(dir.toString)
+    assert(df.rdd.getNumPartitions >= 2)
+    val got = df.filter($"version" =!= "0")
+      .select($"header".getItem("warc-target-uri")).as[String]
+      .collect().toSeq.sorted
+    val expected = ((0 until nPre).map(i => s"https://ex.gov.au/pad/$i") ++
+      Seq("https://ex.gov.au/pad/filler") ++
+      (0 until 30).map(j => s"https://ex.gov.au/post/$j")).sorted
+    assert(got == expected) // exactly once: no drop, no double-read
+  }
+
+  test("resync after corruption rejects an embedded non-WARC inner member") {
+    // a damaged region can embed a COMPLETE valid gzip member whose
+    // payload is not a WARC record (e.g. a gzipped HTTP body stored
+    // verbatim inside the outer member). Sync re-establishment must
+    // reject it via the WARC/ payload check — adopting it would emit
+    // phantom sentinel rows and shift sync through the damaged region.
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until 10).foreach { i =>
+      out.write(foreignGzip(WarcSource.toWireFormat("response",
+        s"https://ex.gov.au/rs/$i", 10, s"pre body $i".getBytes)))
+    }
+    // damaged region: magic-free filler wrapping a valid non-WARC member
+    out.write(Array.fill(50)('G'.toByte))
+    out.write(foreignGzip("HTTP/1.1 200 OK\r\n\r\nan inner http body, not a warc record".getBytes))
+    out.write(Array.fill(37)('G'.toByte))
+    (10 until 20).foreach { i =>
+      out.write(foreignGzip(WarcSource.toWireFormat("response",
+        s"https://ex.gov.au/rs/$i", 10, s"post body $i".getBytes)))
+    }
+    val dir = Files.createTempDirectory("warcv2gzr")
+    Files.write(dir.resolve("rs.warc.gz"), out.toByteArray)
+
+    val sp = spark
+    import sp.implicits._
+    // one split: deterministic sentinel accounting (no tentative starts)
+    val df = spark.read.format("warc").load(dir.toString)
+    val real = df.filter($"version" =!= "0")
+      .select($"header".getItem("warc-target-uri")).as[String]
+      .collect().toSeq.sorted
+    assert(real == (0 until 20).map(i => s"https://ex.gov.au/rs/$i").sorted)
+    // exactly ONE sentinel for the whole damaged region: the inner
+    // member was skipped silently during resync, not adopted
+    assert(df.filter($"version" === "0").count() == 1)
+  }
+
+  test("checked-in fixture from a foreign gzip implementation reads exactly once") {
+    // src/test/resources/foreign-python.warc.gz was produced by CPython's
+    // gzip module (FNAME + MTIME header fields, mixed compression
+    // levels) — bytes no code in this repo emitted, so the reader is
+    // validated against a second, independent RFC 1952 implementation.
+    val res = getClass.getResourceAsStream("/foreign-python.warc.gz")
+    assert(res != null, "fixture missing from test resources")
+    val bytes = res.readAllBytes(); res.close()
+    val dir = Files.createTempDirectory("warcv2py")
+    Files.write(dir.resolve("py.warc.gz"), bytes)
+    val expected = WarcSource
+      .splitWarc(WarcSource.gunzip(bytes).get, "py.warc.gz").toSeq
+      .filter(_.version != "0")
+      .map(r => (r.header.getOrElse("warc-target-uri", ""), r.content.length))
+      .sorted
+    assert(expected.size == 25)
+    val sp = spark
+    import sp.implicits._
+    val df = spark.read.format("warc")
+      .option("maxPartitionBytes", "1024").load(dir.toString)
+    assert(df.rdd.getNumPartitions >= 4)
+    val got = df.filter($"version" =!= "0")
+      .select($"header".getItem("warc-target-uri"), $"content")
+      .as[(String, Array[Byte])].collect()
+      .map { case (uri, c) => (Option(uri).getOrElse(""), c.length) }
+      .toSeq.sorted
+    assert(got == expected)
+    assert(df.filter($"version" === "0").count() == 0)
+  }
+
   test("single-split read matches whole-file read") {
     val dir = Files.createTempDirectory("warcv2b")
     Files.write(dir.resolve("one.warc"), makeWarc(20))

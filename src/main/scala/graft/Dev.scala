@@ -180,9 +180,9 @@ object Dev {
     val s06Stats = new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
     def runS06(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
       val n = 2L * s.read.parquet(s"$dir/embeddings.parquet").count()
-      val k = graft.sim.SimilarityOps.adaptiveK(n)
+      val k = graft.sim.SemanticDedup.adaptiveK(n)
       val acc = s.sparkContext.longAccumulator("scalebench_s06_overflow")
-      val out = graft.sim.SimilarityOps.s06Impl(s, dir, k, acc)
+      val out = graft.sim.SemanticDedup.s06Impl(s, dir, k, acc)
       val materialized = out.cache()
       materialized.count()
       s06Stats.merge(dir, (k, acc.value),
@@ -194,7 +194,7 @@ object Dev {
       val n = 2L * s.read.parquet(s"$dir/embeddings.parquet").count()
       val acc = s.sparkContext.longAccumulator("scalebench_s10_overflow")
       val out = graft.sim.GraphOps
-        .s10Impl(s, dir, graft.sim.SimilarityOps.adaptiveK(n), acc)
+        .s10Impl(s, dir, graft.sim.SemanticDedup.adaptiveK(n), acc)
       val materialized = out.cache()
       materialized.count()
       s10Stats.merge(dir, Long.box(acc.value),

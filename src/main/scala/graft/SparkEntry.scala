@@ -18,10 +18,12 @@ object SparkEntry {
       graft.dedup.LineDedup.queries ++ graft.dedup.Contamination.queries ++
       graft.dedup.SpanDedup.queries ++ graft.dedup.BloomDedup.queries ++
       graft.dedup.Materialize.queries ++
-      graft.sim.SimilarityOps.queries ++ graft.sim.GraphOps.queries ++
+      graft.sim.SimilarityOps.queries ++ graft.sim.AnnStore.queries ++
+      graft.sim.SemanticDedup.queries ++ graft.sim.GraphOps.queries ++
       graft.sim.SelectOps.queries ++
       graft.multimodal.MultimodalOps.queries ++
-      graft.streaming.StreamingOps.queries
+      graft.streaming.StreamingOps.queries ++
+      graft.streaming.StreamStoreIngest.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -35,8 +37,10 @@ object SparkEntry {
       graft.dedup.LineDedup.oracle ++ graft.dedup.Contamination.oracle ++
       graft.dedup.SpanDedup.oracle ++ graft.dedup.BloomDedup.oracle ++
       graft.dedup.Materialize.oracle ++
-      graft.sim.SimilarityOps.oracle ++ graft.sim.GraphOps.oracle ++
+      graft.sim.SimilarityOps.oracle ++ graft.sim.AnnStore.oracle ++
+      graft.sim.SemanticDedup.oracle ++ graft.sim.GraphOps.oracle ++
       graft.sim.SelectOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++
-      graft.streaming.StreamingOps.oracle
+      graft.streaming.StreamingOps.oracle ++
+      graft.streaming.StreamStoreIngest.oracle
 }

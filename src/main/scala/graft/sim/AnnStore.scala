@@ -1,0 +1,524 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Tables
+import SimilarityOps.{cosine, lloydStep, coarseAssignU, s01_ann_bruteforce,
+  annRecall, annRecallRollup}
+
+/** The PERSISTED-INDEX ANN family, split out of SimilarityOps (r9
+  * verdict item 4: per-family files, unchanged query names and
+  * semantics): product quantization (s05), the bucketed inverted-list
+  * store (s07), IVF-PQ probing over codes (s08), exact re-rank (s09),
+  * and the caller-facing [[annSearch]] service primitive. The
+  * teaching-shape operators (brute force, LSH, per-run IVF) and the
+  * shared vector math stay in [[SimilarityOps]]; this file owns
+  * everything whose contract involves a PERSISTED, bucket-pruned,
+  * code-projected index.
+  */
+object AnnStore {
+
+  /** s07/s08 ANN index-store registry: one (inverted-list table, coarse
+    * codebook, PQ codebooks) per (application, corpus dir) — the
+    * similarity twin of d10's signature store. Built once per session;
+    * every query run probes the PERSISTED index. */
+  private val annStoreRegistry = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(Int, Seq[Float])], Array[Array[Array[Double]]])]()
+
+  /** Corpus-scaled IVF geometry for the persisted store (r6 verdict
+    * item 1): k ≈ √N inverted lists keep each list ~√N long — the
+    * classical IVF sizing — so with [[ivfNprobe]] ≈ √k probed lists the
+    * scan fraction is ~nprobe/k ≈ N^(-1/4): it SHRINKS as the corpus
+    * grows, which is the reason IVF exists (a fixed k=16 pinned the
+    * fraction at ~37% forever). The 16-list floor keeps tiny corpora
+    * away from degenerate 1-member lists. */
+  private[graft] def ivfK(n: Long): Int =
+    math.max(16L, math.round(math.sqrt(n.toDouble))).min(1 << 20).toInt
+
+  /** nprobe for a k-list store: ≈ √k, floored at the historical 6 so
+    * the floor-regime (k=16) probe matches the s04 teaching defaults.
+    * Grows N^(1/4) — slower than k — so recall stays useful while the
+    * scanned fraction still drops with corpus size. */
+  private[graft] def ivfNprobe(k: Int): Int =
+    math.max(6, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** Build-once accessor: trains the CORPUS-SCALED coarse codebook
+    * (k = [[ivfK]](N), same deterministic Lloyd as s04) AND the s05 PQ
+    * codebooks (256-vector sample), then writes the assigned corpus as
+    * an inverted-list table BUCKETED BY cid carrying
+    * `(vec_id, embedding, cid, code)` — one bucket per cluster, so a
+    * probe that names its clusters reads ONLY those buckets (bucket
+    * pruning: `SelectedBucketsCount` < total, PlanSpec-pinned). Raw
+    * vectors and 16-byte PQ codes live side by side: the s07 probe
+    * column-prunes to the raw vectors, the s08 probe to the codes (its
+    * scan never reads `embedding` — PlanSpec-pinned), and the s09
+    * re-ranker reads both (codes for the scan, raw vectors for the
+    * bounded finalist fetch). */
+  private[graft] def ensureAnnStore(s: SparkSession, d: String)
+      : (String, Array[(Int, Seq[Float])], Array[Array[Array[Double]]]) = {
+    val key = s.sparkContext.applicationId + ":" + d
+    annStoreRegistry.computeIfAbsent(key, _ => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        .repartition(s.sparkContext.defaultParallelism)
+      // metadata-cheap count (parquet row-group stats) sizes the codebook
+      val k = ivfK(Tables.embeddings(s, d).count())
+      var centroids: Array[(Int, Seq[Float])] = emb.filter($"vec_id" < k)
+        .orderBy($"vec_id").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+      (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
+      val assignU = coarseAssignU(centroids)
+      // PQ training identical to s05: the 256 lowest-id NORMALIZED
+      // vectors (sample-sized driver collect), 5 local Lloyd iterations
+      val sample: Array[Seq[Float]] = emb.filter($"vec_id" < 256)
+        .orderBy($"vec_id").collect()
+        .map(r => l2normalize(r.getSeq[Float](1)))
+      val pqCb = trainPqCodebooks(sample)
+      val encodeU = udf { v: Seq[Float] => pqEncode(pqCb, l2normalize(v)) }
+      val tbl = "graft_s07_lists_" +
+        (scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+      emb.withColumn("cid", assignU($"embedding"))
+        .withColumn("code", encodeU($"embedding"))
+        .write.bucketBy(k, "cid").sortBy("cid")
+        .mode("overwrite").saveAsTable(tbl)
+      (tbl, centroids, pqCb)
+    })
+  }
+
+  /** Assign + PQ-encode a batch of NEW vectors against an existing
+    * codebook pair — the streaming-ingest half of the s07 store. Purely
+    * map-side (both codebooks ride the closure as broadcast-sized
+    * arrays), producing rows in the store's exact column layout
+    * (vec_id, embedding, cid, code) so an append lands co-located in
+    * the bucketed table with zero shuffle of the existing corpus. */
+  private[graft] def encodeForStore(batch: DataFrame,
+      cb: Array[(Int, Seq[Float])],
+      pqCb: Array[Array[Array[Double]]]): DataFrame = {
+    val assignU = coarseAssignU(cb)
+    val encodeU = udf { v: Seq[Float] => pqEncode(pqCb, l2normalize(v)) }
+    batch.withColumn("cid", assignU(col("embedding")))
+      .withColumn("code", encodeU(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("cid"), col("code"))
+  }
+
+  /** Run `body` with auto-bucketed-scan OFF (save/restore): the planner's
+    * heuristic drops bucketed reading when no join exploits the
+    * clustering — which also drops BUCKET PRUNING, the thing the s07
+    * probe is built on (a broadcast probe join never "exploits"
+    * partitioning, so the heuristic would re-read all k buckets). */
+  private[graft] def withBucketedScan[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prior)
+  }
+
+  /** The probe plan PlanSpec pins: inverted lists filtered to the named
+    * clusters (bucket-pruned scan — only nprobe of k buckets are READ;
+    * plan under [[withBucketedScan]]) joined to the broadcast query
+    * set. No Exchange anywhere: the store side is a pruned co-located
+    * scan, the query side is broadcast-sized by construction. */
+  private[graft] def storeProbe(s: SparkSession, tbl: String,
+      queries: DataFrame, probedCids: Seq[Int]): DataFrame =
+    s.table(tbl).filter(col("cid").isin(probedCids: _*))
+      .join(broadcast(queries), Seq("cid"))
+
+  /** s07: STORE-BACKED IVF ANN — s04's semantics composed with a
+    * persisted index, the d10 pattern applied to similarity search (the
+    * production ANN shape: index built offline, queries probe online).
+    * The codebook is trained and the corpus assigned ONCE
+    * ([[ensureAnnStore]], corpus-scaled k = [[ivfK]](N)); each query run
+    * computes its nprobe = [[ivfNprobe]](k) clusters against the k-row
+    * codebook, collects the probed cluster ids (a ≤ nprobe·|queries|
+    * driver list — iteration-control-sized, not data), and scans ONLY
+    * those buckets of the store. Identical probe math to s04 at the same
+    * (k, nprobe) ⇒ identical recall/scan-fraction output — the store is
+    * layout, not semantics (spec asserts s07 == s04(ivfK, ivfNprobe)
+    * row-for-row); steady-state cost drops the per-run training
+    * entirely. No SQL oracle (ANN), so rows-only at the gate plus the
+    * equality pin. */
+  def s07_ann_store(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (tbl, cb, _) = ensureAnnStore(s, d)
+    val nprobe = ivfNprobe(cb.length)
+    val probeU = udf { v: Seq[Float] =>
+      cb.map { case (cid, c) => (cid, cosine(v, c)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    }
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        explode(probeU($"embedding")).as("cid"))
+      .localCheckpoint(true) // tiny (queries×nprobe); probed twice below
+    val probedCids = queries.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val total = emb.count()
+    // annRecall is eager (withCache checkpoints), so the bucketed-scan
+    // override covers the probe's actual execution
+    withBucketedScan(s) {
+      annRecall(s, d, storeProbe(s, tbl, queries, probedCids), total)
+    }
+  }
+
+  /** s08: IVF-PQ — the s07 inverted-list store probed over its PQ CODES
+    * (the composition s05's scaladoc prescribes; r5 verdict item 2).
+    * This is the actual 100 TB ANN memory story: bucket pruning cuts the
+    * SCAN to nprobe/k of the corpus (s07's half) and asymmetric-distance
+    * scoring over 16-byte codes cuts the BYTES TOUCHED per scanned row
+    * 16× (s05's half) — the probe never reads the raw embedding column
+    * at all (column pruning on the store scan, PlanSpec-pinned alongside
+    * `SelectedBucketsCount` < total). Queries stay full-precision
+    * (normalized, so ADC inner product approximates cosine); candidates
+    * are scored from codes only and the top-k is reported as recall@5
+    * against the exact s01 baseline plus the scanned fraction and
+    * compression ratio. No re-rank pass: the reported recall is the
+    * honest codes-only quality (a consumer wanting re-ranking reads the
+    * store's co-resident raw vectors for the k finalists). Deterministic
+    * end-to-end (same coarse Lloyd as s04/s07, same sample-trained PQ as
+    * s05) → golden pin; not SQL-expressible → rows-only at the gate. */
+  def s08_ann_ivfpq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (tbl, cb, pqCb) = ensureAnnStore(s, d)
+    val nprobe = ivfNprobe(cb.length)
+    val probeU = udf { v: Seq[Float] =>
+      cb.map { case (cid, c) => (cid, cosine(v, c)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    }
+    val normU = udf { v: Seq[Float] => l2normalize(v) }
+    val adcU = udf { (q: Seq[Float], code: Array[Byte]) => pqAdc(pqCb, q, code) }
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), normU($"embedding").as("q_v"),
+        explode(probeU($"embedding")).as("cid"))
+      .localCheckpoint(true) // tiny (queries×nprobe); probed twice below
+    val probedCids = queries.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val total = emb.count()
+    val topk = udaf(new TopKCosine(5))
+    withBucketedScan(s) {
+      val approx = s08ProbePlan(s, Seq(tbl), queries, probedCids)
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("score", adcU($"q_v", $"code"))
+        .groupBy($"query_id")
+        .agg(topk($"score", $"vec_id").as("nbrs"), count(lit(1)).as("n_scanned"))
+      annRecallRollup(s, d, approx, total)
+        .select($"recall_at_5", $"scan_fraction", $"n_queries",
+          lit(PqM.toLong).as("code_bytes_per_vector"),
+          lit(256L).as("raw_bytes_per_vector"))
+    }
+  }
+
+  /** s09: IVF-PQ with EXACT RE-RANK — the full production ANN read path:
+    * the s08 codes-only ADC scan nominates `rerank` = 50 finalists per
+    * query (bucket-pruned, 16 bytes per scanned row), and ONLY those
+    * finalists' raw vectors are fetched back from the store for an exact
+    * cosine top-5. The raw 256-byte embedding column is read under a
+    * pushed `vec_id IN (finalists)` point-lookup — ≤ rerank×|queries|
+    * rows (500 here), never the probed buckets' full vector payload —
+    * so the bytes story at 100 TB is: codes for the bulk scan, raw
+    * vectors only for a bounded finalist set. Recall returns to the
+    * exact-over-candidates level (the ADC approximation only has to put
+    * a true neighbor anywhere in the top-50, not the top-5); the scan
+    * fraction is unchanged from s08 (same inverted lists). The finalist
+    * id list is a bounded driver collect (rerank×|queries|,
+    * iteration-control-sized — the same discipline as s07's probed-cid
+    * list). Deterministic end-to-end → golden pin; not SQL-expressible →
+    * rows-only at the gate. */
+  def s09_ann_ivfpq_rerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rerank = 50
+    val (tbl, cb, pqCb) = ensureAnnStore(s, d)
+    val nprobe = ivfNprobe(cb.length)
+    val probeU = udf { v: Seq[Float] =>
+      cb.map { case (cid, c) => (cid, cosine(v, c)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    }
+    val normU = udf { v: Seq[Float] => l2normalize(v) }
+    val adcU = udf { (q: Seq[Float], code: Array[Byte]) => pqAdc(pqCb, q, code) }
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), normU($"embedding").as("q_v"),
+        explode(probeU($"embedding")).as("cid"))
+      .localCheckpoint(true)
+    val probedCids = queries.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val total = emb.count()
+    val topkR = udaf(new TopKCosine(rerank))
+    val topk5 = udaf(new TopKCosine(5))
+    withBucketedScan(s) {
+      // stage 1 — codes-only nomination (the exact s08 probe plan)
+      val adcTop = s08ProbePlan(s, Seq(tbl), queries, probedCids)
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("score", adcU($"q_v", $"code"))
+        .groupBy($"query_id")
+        .agg(topkR($"score", $"vec_id").as("cands"), count(lit(1)).as("n_scanned"))
+        .localCheckpoint(true) // finalist-sized; feeds id-collect + re-rank
+      val finalistIds = adcTop.select(explode($"cands").as("vec_id"))
+        .distinct().collect().map(_.getLong(0)) // bounded: ≤ rerank×|queries|
+      // stage 2 — exact re-rank over the finalists' raw vectors only
+      val raw = s.table(tbl).select($"vec_id", $"embedding")
+        .filter($"vec_id".isin(finalistIds.toIndexedSeq.map(Long.box): _*))
+      val qv = queries.select($"query_id", $"q_v").distinct()
+      val exactTop = adcTop.select($"query_id", explode($"cands").as("vec_id"))
+        .join(raw, "vec_id")
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_v", $"embedding"))
+        .groupBy($"query_id").agg(topk5($"cos", $"vec_id").as("nbrs"))
+      annRecallRollup(s, d,
+        exactTop.join(adcTop.select($"query_id", $"n_scanned"), Seq("query_id")),
+        total)
+        .select($"recall_at_5", $"scan_fraction", $"n_queries",
+          lit(rerank.toLong).as("rerank_depth"),
+          lit(PqM.toLong).as("code_bytes_per_vector"))
+    }
+  }
+
+  /** SERVICE-PRIMITIVE ANN search (r6 stretch): the s07/s08/s09 gate
+    * queries draw their query set from the corpus (`vec_id < 10`) so the
+    * recall oracle is self-contained; a real consumer brings its OWN
+    * vectors. This overload runs the full production read path — coarse
+    * probe of nprobe = [[ivfNprobe]](k) lists against the persisted
+    * corpus-scaled store, ADC scoring over the 16-byte codes
+    * (raw embedding column untouched in the scan), exact re-rank of
+    * `rerank` finalists fetched under a pushed `vec_id IN` point-lookup
+    * — for a caller-supplied `(query_id: Long,
+    * embedding: Array[Float])` DataFrame, returning `(query_id, rank,
+    * neighbor_id, cos)` top-`topK` rows per query. Unlike the gate
+    * queries there is no self-exclusion: a query identical to a stored
+    * vector returns that vector at rank 1 (spec-pinned). The query set
+    * is broadcast-sized by contract (it is the SMALL side of a
+    * store-probe join — the corpus side stays bucket-pruned and
+    * code-projected exactly as in s08/s09). */
+  def annSearch(s: SparkSession, d: String, queryVecs: DataFrame,
+      topK: Int = 5, rerank: Int = 50): DataFrame = {
+    val (tbl, cb, pqCb) = ensureAnnStore(s, d)
+    annSearchOn(s, Seq(tbl), cb, pqCb, queryVecs, topK, rerank)
+  }
+
+  /** [[annSearch]] against CALLER-NAMED store tables (each in
+    * [[ensureAnnStore]]'s layout), read as their UNION — the LSM read
+    * shape: a big immutable BASE plus an O(ingested) DELTA of streamed
+    * appends (st09). The cid filter pushes through the union into every
+    * child scan, so the base keeps its bucket pruning and the delta adds
+    * only batch-sized work; the base files are never rewritten. */
+  private[graft] def annSearchOn(s: SparkSession, tbls: Seq[String],
+      cb: Array[(Int, Seq[Float])], pqCb: Array[Array[Array[Double]]],
+      queryVecs: DataFrame, topK: Int = 5, rerank: Int = 50): DataFrame = {
+    import s.implicits._
+    val nprobe = ivfNprobe(cb.length)
+    val probeU = udf { v: Seq[Float] =>
+      cb.map { case (cid, c) => (cid, cosine(v, c)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    }
+    val normU = udf { v: Seq[Float] => l2normalize(v) }
+    val adcU = udf { (q: Seq[Float], code: Array[Byte]) => pqAdc(pqCb, q, code) }
+    val queries = queryVecs
+      .select($"query_id", normU($"embedding").as("q_v"),
+        $"embedding".as("q_emb"), explode(probeU($"embedding")).as("cid"))
+      .localCheckpoint(true) // caller query set: broadcast-sized, probed twice
+    val probedCids = queries.select($"cid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val topkR = udaf(new TopKCosine(rerank))
+    val topkOut = udaf(new TopKCosineScored(topK))
+    withBucketedScan(s) {
+      val adcTop = s08ProbePlan(s, tbls,
+          queries.select($"query_id", $"q_v", $"cid"), probedCids)
+        .withColumn("score", adcU($"q_v", $"code"))
+        .groupBy($"query_id")
+        .agg(topkR($"score", $"vec_id").as("cands"))
+        .localCheckpoint(true) // finalist-sized; feeds id-collect + re-rank
+      val finalistIds = adcTop.select(explode($"cands").as("vec_id"))
+        .distinct().collect().map(_.getLong(0)) // bounded: ≤ rerank×|queries|
+      val raw = tbls.map(t => s.table(t).select($"vec_id", $"embedding"))
+        .reduce(_.unionByName(_))
+        .filter($"vec_id".isin(finalistIds.toIndexedSeq.map(Long.box): _*))
+      val qv = queries.select($"query_id", $"q_emb").distinct()
+      adcTop.select($"query_id", explode($"cands").as("vec_id"))
+        .join(raw, "vec_id")
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos", graft.functions.GraftFunctions.cosine_sim($"q_emb", $"embedding"))
+        .groupBy($"query_id").agg(topkOut($"cos", $"vec_id").as("nbrs"))
+        .select($"query_id", posexplode($"nbrs").as(Seq("pos", "nbr")))
+        .select($"query_id", ($"pos" + 1).as("rank"),
+          $"nbr._2".as("neighbor_id"), $"nbr._1".as("cos"))
+        .orderBy($"query_id", $"rank")
+    }
+  }
+
+  /** The s08/s09 candidate probe: codes selected BEFORE the join so the
+    * store scan's ReadSchema carries (vec_id, cid, code) and never the
+    * raw embedding column. This is the SAME construction the operators
+    * execute AND the one PlanSpec pins — one definition, so a plan
+    * regression cannot hide behind a drifted copy. */
+  private[graft] def s08ProbePlan(s: SparkSession, tbls: Seq[String],
+      queries: DataFrame, probedCids: Seq[Int]): DataFrame = {
+    import s.implicits._
+    // multiple tables = base ∪ delta (st09); the cid predicate pushes
+    // through the union so each child scan stays bucket-pruned
+    tbls.map(t => s.table(t).select($"vec_id", $"cid", $"code"))
+      .reduce(_.unionByName(_))
+      .filter($"cid".isin(probedCids: _*))
+      .join(broadcast(queries), Seq("cid"))
+  }
+
+  /** s05: product-quantization ANN (the PQ half of IVF-PQ) — the MEMORY
+    * scale path: each 64-dim f32 vector (256 bytes) is compressed to
+    * m = 16 one-byte codes (16×), and queries scan the CODES with
+    * asymmetric distance computation — per (query, subspace) the dot
+    * products against the 16 subspace centroids replace any touch of the
+    * raw vectors. At 100 TB this is what lets the candidate scan live in
+    * memory; compose with s04's inverted lists for IVF-PQ proper.
+    *
+    * Codebooks are trained on a deterministic SAMPLE (the 256 lowest-id
+    * normalized vectors) with five local Lloyd iterations per subspace —
+    * the sample-based training the s04 note prescribes at scale; only
+    * the sample ever reaches the driver. Vectors are L2-normalized first
+    * so inner product equals cosine and the recall is measured against
+    * the exact s01 baseline. Deterministic end-to-end (seedless: sample +
+    * fixed iterations + lowest-index argmin ties) → spec-pinned.
+    * (This corpus is near-uniform — PQ's hardest case, same caveat as
+    * s04; real embedding corpora cluster and quantize far better.) */
+  // PQ geometry shared by s05 (standalone PQ) and s08 (IVF-PQ): 16
+  // subspaces × 4 dims, 16 centroids per subspace ⇒ 16 code bytes per
+  // 256-byte vector (16× compression)
+  private[graft] val PqM = 16
+  private[graft] val PqSub = 4
+  private[graft] val PqKs = 16
+
+  private[graft] def l2normalize(v: Seq[Float]): Seq[Float] = {
+    val n = math.sqrt(v.iterator.map(x => x.toDouble * x).sum)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** Per-subspace PQ codebooks from a (driver-side, sample-sized) set of
+    * normalized vectors: 5 local Lloyd iterations, lowest-index argmin
+    * ties — deterministic, seedless (extracted verbatim from s05 so the
+    * s05 pin is untouched). */
+  private[graft] def trainPqCodebooks(
+      sample: Array[Seq[Float]]): Array[Array[Array[Double]]] = {
+    val m = PqM; val sub = PqSub; val ks = PqKs
+    Array.tabulate(m) { mi =>
+      var cents = Array.tabulate(ks)(c =>
+        sample(c).slice(mi * sub, mi * sub + sub).map(_.toDouble).toArray)
+      for (_ <- 1 to 5) {
+        val sums = Array.fill(ks, sub)(0.0)
+        val counts = Array.fill(ks)(0)
+        sample.foreach { v =>
+          val x = v.slice(mi * sub, mi * sub + sub).map(_.toDouble).toArray
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            var dd = 0.0
+            var i = 0
+            while (i < sub) { val df = x(i) - cents(c)(i); dd += df * df; i += 1 }
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += x(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ks)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+  }
+
+  /** Nearest-centroid code per subspace for a NORMALIZED vector. */
+  private[graft] def pqEncode(cb: Array[Array[Array[Double]]],
+      v: Seq[Float]): Array[Byte] = {
+    val m = PqM; val sub = PqSub; val ks = PqKs
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        var dd = 0.0
+        var i = 0
+        while (i < sub) {
+          val df = v(mi * sub + i).toDouble - cb(mi)(c)(i)
+          dd += df * df
+          i += 1
+        }
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      out(mi) = best.toByte
+      mi += 1
+    }
+    out
+  }
+
+  /** Asymmetric distance: full-precision query dotted against the code's
+    * reconstruction — per row only m centroid lookups, never the raw
+    * corpus vector. */
+  private[graft] def pqAdc(cb: Array[Array[Array[Double]]],
+      q: Seq[Float], code: Array[Byte]): Double = {
+    val m = PqM; val sub = PqSub
+    var sc = 0.0
+    var mi = 0
+    while (mi < m) {
+      val cent = cb(mi)(code(mi) & 0xff)
+      var i = 0
+      while (i < sub) { sc += q(mi * sub + i).toDouble * cent(i); i += 1 }
+      mi += 1
+    }
+    sc
+  }
+
+  def s05_ann_pq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = PqM
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition(s.sparkContext.defaultParallelism)
+    val normU = udf { v: Seq[Float] => l2normalize(v) }
+    val nv = emb.select($"vec_id", normU($"embedding").as("v"))
+    val sample: Array[Seq[Float]] = nv.filter($"vec_id" < 256).orderBy($"vec_id")
+      .collect().map(_.getSeq[Float](1))
+    val cb = trainPqCodebooks(sample)
+    val encodeU = udf { v: Seq[Float] => pqEncode(cb, v) }
+    // asymmetric distance: the query side stays full-precision, the
+    // corpus side is 8 code bytes — the only per-row work is m table rows
+    val adcU = udf { (q: Seq[Float], code: Array[Byte]) => pqAdc(cb, q, code) }
+    val topk = udaf(new TopKCosine(5))
+    graft.dedup.DedupOps.withCache(nv) { nvc =>
+      val codes = nvc.select($"vec_id", encodeU($"v").as("code"))
+      val queries = nvc.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"v".as("q_v"))
+      val approx = codes.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("score", adcU($"q_v", $"code"))
+        .groupBy($"query_id").agg(topk($"score", $"vec_id").as("nbrs"))
+      graft.dedup.DedupOps.withCache(s01_ann_bruteforce(s, d)
+          .select($"query_id", $"neighbor_id".as("vec_id"))) { exact =>
+        val hits = approx.select($"query_id", explode($"nbrs").as("vec_id"))
+          .join(exact, Seq("query_id", "vec_id"), "inner")
+          .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+        exact.groupBy($"query_id").agg(count(lit(1)).as("n_true"))
+          .join(hits, Seq("query_id"), "left")
+          .agg((sum(coalesce($"n_hit", lit(0L))).cast("double") /
+            sum($"n_true").cast("double")).as("recall_at_5"),
+            count(lit(1)).as("n_queries"))
+          .select($"recall_at_5", $"n_queries",
+            lit(m.toLong).as("code_bytes_per_vector"),
+            lit(256L).as("raw_bytes_per_vector"))
+      }
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s05_ann_pq" -> (s05_ann_pq _),
+    "s07_ann_store" -> (s07_ann_store _),
+    "s08_ann_ivfpq" -> (s08_ann_ivfpq _),
+    "s09_ann_ivfpq_rerank" -> (s09_ann_ivfpq_rerank _),
+  )
+
+  /** ANN (codebook-trained, not SQL-expressible) — rows-only at the
+    * gate, spec-pinned recall; see SURVEY §2.6b's pinned list. */
+  val oracle: Map[String, String] = Map.empty
+}

@@ -18,7 +18,7 @@ object GraphOps {
     * neighbors WITHIN its k-means cluster (the s06 quantizer reused as
     * the candidate bound: at 100 TB an exact all-pairs k-NN graph is
     * O(N²); restricting edges to the cluster makes the cost
-    * Σ|cluster|², which [[SimilarityOps.adaptiveK]] keeps ≈ N×⟨cluster⟩
+    * Σ|cluster|², which [[SemanticDedup.adaptiveK]] keeps ≈ N×⟨cluster⟩
     * — linear at fixed target cluster size, the same contract s06
     * certifies). The corpus moves ONCE (one hash repartition on cid);
     * task memory is O(cap) via the same streamed-run device as s06's
@@ -37,7 +37,7 @@ object GraphOps {
     * gate. */
   def s10_knn_graph(s: SparkSession, d: String): DataFrame = {
     val n = 2L * Tables.embeddings(s, d).count()
-    s10Impl(s, d, SimilarityOps.adaptiveK(n),
+    s10Impl(s, d, SemanticDedup.adaptiveK(n),
       s.sparkContext.longAccumulator("graft_s10_overflow"))
   }
 
@@ -47,7 +47,7 @@ object GraphOps {
     val knn = 5
     val emb = SimilarityOps.withNearDups(s, d).persist()
     val out = graft.dedup.DedupOps.withCache(
-        SimilarityOps.trainAndAssign(s, d, k, emb)) { assigned =>
+        SemanticDedup.trainAndAssign(s, d, k, emb)) { assigned =>
       val edges = clusterKnnEdges(assigned, knn, cap = 1000, overflow)
       graft.dedup.DedupOps.withCache(edges) { e =>
         // mutual edges: (src,dst) whose reverse also exists — one

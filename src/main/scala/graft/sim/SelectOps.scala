@@ -155,9 +155,9 @@ object SelectOps {
     val T = 32
     val cap = 4096
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-    val k = SimilarityOps.adaptiveK(emb.count())
+    val k = SemanticDedup.adaptiveK(emb.count())
     val overflow = s.sparkContext.longAccumulator("graft_s11b_cap_overflow")
-    val assigned = SimilarityOps.trainAndAssign(s, d, k, emb)
+    val assigned = SemanticDedup.trainAndAssign(s, d, k, emb)
 
     // cluster-local greedy: rows arrive grouped by cid and sorted by
     // vec_id (the same shuffle the grouping needs), each run buffers at

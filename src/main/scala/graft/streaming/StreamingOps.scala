@@ -46,7 +46,7 @@ object StreamingOps {
     * The restore is save/restore, not a reset to the GraftSession
     * default — the r4 shape clobbered any caller-set value in a shared
     * session. */
-  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+  private[streaming] def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
     val prior = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try body finally s.conf.set("spark.sql.shuffle.partitions", prior)
@@ -636,149 +636,9 @@ object StreamingOps {
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
-  /** st08: STREAMING STORE-BACKED DEDUP INGEST — the d10 composition run
-    * as a continuous pipeline: documents arrive as a file stream, the
-    * planted d07 batch is derived on the stream (stateless
-    * select/filter/union), and every micro-batch runs BOTH admission
-    * layers against the PERSISTED d10 store
-    * ([[graft.dedup.IncrementalDedup.storeAdmissionDecisions]]) inside
-    * `foreachBatch` — the production crawl-ingest shape: corpus indexed
-    * once, arrivals admitted incrementally, per-doc decisions appended
-    * as parquet from the executors. Micro-batching cannot change the
-    * outcome (each doc is admitted against the store only, never
-    * against other batch docs), so the drained rollup equals d07's
-    * batch decision exactly — same oracle. No memory-sink variant: the
-    * per-batch plan is a multi-join DAG that only the foreachBatch
-    * batch API can express (a single streaming plan would need a
-    * stream-stream join for the decision assembly). */
-  def st08_stream_store_dedup(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-st08")
-    try st08_stream_store_dedup_files(s, d, dir.toString)
-    finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
-  }
-
-  private[graft] def st08_stream_store_dedup_files(s: SparkSession, d: String,
-      dir: String): DataFrame = withStreamShuffle(s) {
-    val (bandT, digT) = graft.dedup.IncrementalDedup.ensureIncrementalStore(s, d)
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val stream = s.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
-    val toks = split(trim(col("text")), "\\s+")
-    val dropped = array_join(slice(toks, lit(1), size(toks) - 1), " ")
-    val batchStream = stream.filter(col("doc_id") % 31 === 0)
-      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
-      .unionByName(stream.filter(col("doc_id") % 37 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"), dropped.as("text")))
-    // the rollup is the batch operators' own (decisionRollup) — the
-    // summary schema cannot drift between d10 and its streaming twin
-    val finish = (t: DataFrame) => graft.dedup.IncrementalDedup.decisionRollup(t)
-    drainToParquet(s, dir, overwritePerBatch = false,
-      fb => batchStream.writeStream.foreachBatch(
-          (b: DataFrame, id: Long) => fb(
-            graft.dedup.IncrementalDedup.storeAdmissionDecisions(s, d, b, bandT, digT), id))
-        .outputMode("append").trigger(Trigger.AvailableNow()).start(),
-      finish)
-  }
-
-  val st08Oracle: String = graft.dedup.IncrementalDedup.oracle("d07_incremental_dedup")
-
-  /** st09: streaming ANN-STORE INGEST — st08's twin for the similarity
-    * side, closing the store symmetry: new embeddings arrive per
-    * micro-batch, are assigned + PQ-encoded map-side against the
-    * PERSISTED codebooks (no retraining, no corpus reshuffle — the
-    * append lands co-located in the bucketed inverted lists), and are
-    * immediately queryable: after the drain, every ingested vector
-    * probes the store through the full s09 read path (coarse probe →
-    * bucket-pruned ADC → exact re-rank) and must find ITSELF rank-1.
-    *
-    * The ingest lands in an O(ingested) DELTA table in the store's exact
-    * bucketed layout — never a copy of (or rewrite to) the base store:
-    * the base's files are immutable (spec fingerprints them) and probes
-    * read base ∪ delta, the LSM shape a 100 TB store actually runs
-    * (periodic compaction folds the delta in; the r9 shape copied the
-    * whole store per run, O(store) ingest cost). Appends are IDEMPOTENT
-    * via an ids-already-present anti-join against the delta, so a
-    * replayed micro-batch or a whole re-run over a surviving delta
-    * appends nothing twice. Ingested vectors are index-rotated copies —
-    * same norm, scrambled direction — so self-match is a real retrieval,
-    * not an exact-dup tie; their ids are offset by max(vec_id)+1 DERIVED
-    * from the observed id space (a fixed +300000 collides with real ids
-    * the moment a corpus holds >300k embeddings — r9 advisory). Output:
-    * store sizes before/after, ingested count, self-match count (spec
-    * asserts n_self_matched == n_ingested). */
-  def st09_stream_ann_ingest(s: SparkSession, d: String): DataFrame =
-    withStreamShuffle(s) {
-      import s.implicits._
-      import graft.sim.SimilarityOps
-      val (tbl, cb, pqCb) = SimilarityOps.ensureAnnStore(s, d)
-      val k = cb.length
-      val delta = tbl + "_st09_delta"
-      s.sql(s"DROP TABLE IF EXISTS $delta")
-      // O(1) setup: an EMPTY side table in the store's layout (limit 0
-      // scans nothing) — the base store is untouched from here on
-      s.table(tbl).limit(0).write.bucketBy(k, "cid").sortBy("cid")
-        .saveAsTable(delta)
-      try {
-        val before = s.table(tbl).count()
-        val embSchema = s.read
-          .option("pathGlobFilter", "embeddings.parquet").parquet(d).schema
-        val offset = s.read.schema(embSchema)
-          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
-          .agg(max($"vec_id")).as[Long].head() + 1L
-        val stream = s.readStream.schema(embSchema)
-          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
-        val rotU = udf { v: Seq[Float] => v.drop(7) ++ v.take(7) }
-        val batchStream = stream.filter($"vec_id" % 31 === 0)
-          .select(($"vec_id" + offset).as("vec_id"),
-            rotU($"embedding").as("embedding"))
-        val q = batchStream.writeStream
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            // high-water guard: the delta is batch-scale, so this
-            // anti-join is small×small; encode is map-side against the
-            // broadcast codebooks and the append lands co-located
-            val fresh = b.join(
-              b.sparkSession.table(delta).select("vec_id"),
-              Seq("vec_id"), "left_anti")
-            SimilarityOps.encodeForStore(fresh, cb, pqCb)
-              .write.mode("append").bucketBy(k, "cid").sortBy("cid")
-              .saveAsTable(delta)
-          }
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        // the appends ran in the micro-batch's CLONED session; only that
-        // clone's relation cache saw them — refresh ours or the probe
-        // reads the pre-ingest file listing (observed: n_ingested = 0)
-        s.catalog.refreshTable(delta)
-        // the delta IS the ingested set — no replay derivation needed
-        val ingested = s.table(delta)
-          .select($"vec_id".as("query_id"), $"embedding")
-          .localCheckpoint(true) // probe input: batch-sized, read twice
-        val nIngested = ingested.count()
-        val res = SimilarityOps.annSearchOn(s, Seq(tbl, delta), cb, pqCb,
-          ingested, topK = 1, rerank = 50)
-        val nSelf = res
-          .filter($"rank" === 1 && $"neighbor_id" === $"query_id").count()
-        Seq((before, nIngested, before + nIngested, nSelf))
-          .toDF("n_store_before", "n_ingested", "n_store_after",
-            "n_self_matched")
-      } finally s.sql(s"DROP TABLE IF EXISTS $delta")
-    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st07_stream_quality_gate" -> (st07_stream_quality_gate _),
-    "st08_stream_store_dedup" -> (st08_stream_store_dedup _),
-    "st09_stream_ann_ingest" -> (st09_stream_ann_ingest _),
     "st01_stream_window" -> (st01_stream_window _),
     "st02_session_window" -> (st02_session_window _),
     "st03_stream_dedup" -> (st03_stream_dedup _),
@@ -789,7 +649,6 @@ object StreamingOps {
 
   val oracle: Map[String, String] = Map(
     "st07_stream_quality_gate" -> st07Oracle,
-    "st08_stream_store_dedup" -> st08Oracle,
     "st01_stream_window" -> st01Oracle,
     "st02_session_window" -> st02Oracle,
     "st03_stream_dedup" -> st03Oracle,

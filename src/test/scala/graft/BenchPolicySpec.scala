@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench re-run policy's two strong suspicion predicates
+  * (Bench.runsDisagree / Bench.runDrifted). The thresholds are part of
+  * the measurement contract the judge certifies against — a silent
+  * loosening (e.g. back to the pre-r10 2× drift trigger that waved
+  * through m06's 1.37× and d11's 1.31× drift) must fail a test, not
+  * slip into an artifact. */
+class BenchPolicySpec extends AnyFunSuite {
+
+  test("runsDisagree: >3x cold/warm split or a failed run is suspect") {
+    assert(!Bench.runsDisagree(Some(1.0), Some(2.9)))
+    assert(!Bench.runsDisagree(Some(2.9), Some(1.0))) // symmetric
+    assert(Bench.runsDisagree(Some(1.0), Some(3.1)))
+    assert(Bench.runsDisagree(None, Some(1.0))) // failed cold
+    assert(Bench.runsDisagree(Some(1.0), None)) // failed warm
+    assert(Bench.runsDisagree(None, None))
+  }
+
+  test("runDrifted: best > 1.3x the prior snapshot's min is suspect") {
+    assert(!Bench.runDrifted(Some(1.29), Some(1.0)))
+    assert(Bench.runDrifted(Some(1.31), Some(1.0)))
+    // the two r9 drifts the 2x trigger missed must now fire
+    assert(Bench.runDrifted(Some(1.136), Some(0.832))) // m06 r9 vs r8
+    assert(Bench.runDrifted(Some(1.332), Some(1.017))) // d11 r9 vs r8
+    // no prior (first round / new query) or no successful run: not drift
+    assert(!Bench.runDrifted(Some(5.0), None))
+    assert(!Bench.runDrifted(None, Some(1.0)))
+  }
+}

@@ -84,7 +84,7 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hardest case): 0.40 recall@5 vs a 0.005 random baseline at 16
     // code bytes per 256-byte vector. Seedless-deterministic (sample
     // init + fixed Lloyd iterations + lowest-index argmin ties).
-    val row = graft.sim.SimilarityOps.s05_ann_pq(spark, "/root/testdata/sf0.001")
+    val row = graft.sim.AnnStore.s05_ann_pq(spark, "/root/testdata/sf0.001")
       .collect()(0)
     assert(row.getDouble(0) == 0.4, s"recall_at_5=${row.getDouble(0)}")
     assert(row.getLong(1) == 10L)
@@ -103,15 +103,15 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sample-trained codebooks as s05). n_scanned counts candidate rows
     // from the probed buckets, so scan_fraction here must equal s04's at
     // the same (k, nprobe) — same inverted lists.
-    val row = graft.sim.SimilarityOps.s08_ann_ivfpq(spark, "/root/testdata/sf0.001")
+    val row = graft.sim.AnnStore.s08_ann_ivfpq(spark, "/root/testdata/sf0.001")
       .collect()(0)
     assert(row.getDouble(0) == 22.0 / 50.0, s"recall_at_5=${row.getDouble(0)}")
     assert(row.getDouble(1) == 1363.0 / 5000.0, s"scan_fraction=${row.getDouble(1)}")
     assert(row.getLong(2) == 10L)
     assert(row.getLong(3) == 16L && row.getLong(4) == 256L)
-    val k = graft.sim.SimilarityOps.ivfK(500L)
+    val k = graft.sim.AnnStore.ivfK(500L)
     val s04 = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001",
-      k, graft.sim.SimilarityOps.ivfNprobe(k)).collect()(0)
+      k, graft.sim.AnnStore.ivfNprobe(k)).collect()(0)
     assert(row.getDouble(1) == s04.getDouble(1),
       s"s08 scan_fraction ${row.getDouble(1)} != s04's ${s04.getDouble(1)}")
   }
@@ -125,15 +125,15 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scan fraction and 16 code bytes per scanned row. Deterministic
     // (same trained codebooks, same tie rules); the equality with s04 is
     // asserted, not assumed.
-    val row = graft.sim.SimilarityOps
+    val row = graft.sim.AnnStore
       .s09_ann_ivfpq_rerank(spark, "/root/testdata/sf0.001").collect()(0)
     assert(row.getDouble(0) == 47.0 / 50.0, s"recall_at_5=${row.getDouble(0)}")
     assert(row.getDouble(1) == 1363.0 / 5000.0, s"scan_fraction=${row.getDouble(1)}")
     assert(row.getLong(2) == 10L)
     assert(row.getLong(3) == 50L && row.getLong(4) == 16L)
-    val k = graft.sim.SimilarityOps.ivfK(500L)
+    val k = graft.sim.AnnStore.ivfK(500L)
     val s04 = graft.sim.SimilarityOps.s04_ann_ivf(spark, "/root/testdata/sf0.001",
-      k, graft.sim.SimilarityOps.ivfNprobe(k)).collect()(0)
+      k, graft.sim.AnnStore.ivfNprobe(k)).collect()(0)
     assert(row.getDouble(0) == s04.getDouble(0),
       s"re-rank recall ${row.getDouble(0)} != s04's ${s04.getDouble(0)}")
   }
@@ -155,7 +155,7 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // must re-justify itself here. 494 of the 500 planted near-identical
     // pairs co-cluster and drop; 6 are split by the coarse quantizer
     // (reported, not silently missed).
-    val row = graft.sim.SimilarityOps.s06_semantic_dedup(spark, "/root/testdata/sf0.001")
+    val row = graft.sim.SemanticDedup.s06_semantic_dedup(spark, "/root/testdata/sf0.001")
       .collect()(0)
     assert(row.getLong(0) == 1000L, s"n_vectors=${row.getLong(0)}")
     assert(row.getLong(1) == 16L, s"n_clusters_used=${row.getLong(1)}")
@@ -197,10 +197,10 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (persisted bucketed inverted lists, bucket-pruned probe) — any
     // divergence means the store changed semantics
     val sf = "/root/testdata/sf0.001"
-    val k = graft.sim.SimilarityOps.ivfK(500L)
+    val k = graft.sim.AnnStore.ivfK(500L)
     val a = graft.sim.SimilarityOps.s04_ann_ivf(spark, sf,
-      k, graft.sim.SimilarityOps.ivfNprobe(k)).collect()
-    val b = graft.sim.SimilarityOps.s07_ann_store(spark, sf).collect()
+      k, graft.sim.AnnStore.ivfNprobe(k)).collect()
+    val b = graft.sim.AnnStore.s07_ann_store(spark, sf).collect()
     assert(a.length == 1 && b.length == 1)
     assert(a(0).getDouble(0) == b(0).getDouble(0), "recall differs")
     assert(a(0).getDouble(1) == b(0).getDouble(1), "scan_fraction differs")
@@ -222,7 +222,7 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val assigned = sp.createDataFrame(flood ++ small ++ lone)
       .toDF("cid", "vec_id", "embedding")
     val acc = sp.sparkContext.longAccumulator("test_s06_overflow")
-    val pairs = graft.sim.SimilarityOps
+    val pairs = graft.sim.SemanticDedup
       .clusterLocalPairs(assigned, cap = 100, minCos = 0.9, acc)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // flooded cluster: exactly N−1 star pairs through rep 0
@@ -243,9 +243,9 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the default entry's adaptiveK to 40 ⇒ ~500-member clusters, exact
     // all-pairs everywhere; the same corpus forced to k=16 must trip the
     // overflow accumulator.
-    assert(graft.sim.SimilarityOps.adaptiveK(4000L) == 16)   // test SFs: unchanged
-    assert(graft.sim.SimilarityOps.adaptiveK(20000L) == 40)
-    assert(graft.sim.SimilarityOps.adaptiveK(2000000L) == 4000)
+    assert(graft.sim.SemanticDedup.adaptiveK(4000L) == 16)   // test SFs: unchanged
+    assert(graft.sim.SemanticDedup.adaptiveK(20000L) == 40)
+    assert(graft.sim.SemanticDedup.adaptiveK(2000000L) == 4000)
     val sp = spark
     import sp.implicits._
     val rnd = new scala.util.Random(0xf100dL)
@@ -258,12 +258,12 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
         .write.parquet(s"$dir/embeddings.parquet")
       val kFixed = 16
       val accFixed = sp.sparkContext.longAccumulator("s06_flood_fixed")
-      graft.sim.SimilarityOps.s06Impl(sp, dir.toString, kFixed, accFixed).collect()
+      graft.sim.SemanticDedup.s06Impl(sp, dir.toString, kFixed, accFixed).collect()
       assert(accFixed.value > 0L,
         s"k=16 on a 20k-vector union must overflow the cap (got ${accFixed.value})")
-      val kAdaptive = graft.sim.SimilarityOps.adaptiveK(2L * 10000L)
+      val kAdaptive = graft.sim.SemanticDedup.adaptiveK(2L * 10000L)
       val accAdaptive = sp.sparkContext.longAccumulator("s06_flood_adaptive")
-      val row = graft.sim.SimilarityOps
+      val row = graft.sim.SemanticDedup
         .s06Impl(sp, dir.toString, kAdaptive, accAdaptive).collect()(0)
       assert(accAdaptive.value == 0L,
         s"adaptive k=$kAdaptive must keep every cluster under the cap " +
@@ -426,7 +426,7 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ext = graft.analytics.Tables.embeddings(sp, sf)
       .filter($"vec_id".isin(42L, 123L, 400L))
       .select(($"vec_id" + 9000L).as("query_id"), $"embedding")
-    val rows = graft.sim.SimilarityOps.annSearch(sp, sf, ext, topK = 3).collect()
+    val rows = graft.sim.AnnStore.annSearch(sp, sf, ext, topK = 3).collect()
     val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(got.length == 9, s"expected 3 queries x top-3, got ${got.toSeq}")
     assert(got.filter(_._2 == 1).toSeq.sortBy(_._1) ==
@@ -447,14 +447,14 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // base ∪ delta (coarse probe → bucket-pruned ADC → exact re-rank).
     // sf0.001: 17 planted arrivals (vec_id % 31) over the 500-vector
     // corpus; deterministic, so a second run reproduces it exactly.
-    val (tbl, _, _) = graft.sim.SimilarityOps
+    val (tbl, _, _) = graft.sim.AnnStore
       .ensureAnnStore(spark, "/root/testdata/sf0.001")
     // fingerprint the BASE store's physical files: the ingest must never
     // copy or rewrite the store (r9 verdict item 2 — O(batch), not
     // O(store))
     def baseFiles() = spark.table(tbl).inputFiles.sorted.toSeq
     val filesBefore = baseFiles()
-    def run() = graft.streaming.StreamingOps
+    def run() = graft.streaming.StreamStoreIngest
       .st09_stream_ann_ingest(spark, "/root/testdata/sf0.001")
       .collect()(0)
     val r = run()
@@ -472,7 +472,7 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ~37% of the corpus forever. With k ≈ √N and nprobe ≈ √k the
     // uniform-corpus scan-fraction bound nprobe/k ≈ N^(-1/4) strictly
     // DROPS as the corpus grows — the reason IVF exists.
-    import graft.sim.SimilarityOps.{ivfK, ivfNprobe}
+    import graft.sim.AnnStore.{ivfK, ivfNprobe}
     assert(ivfK(500L) == 22 && ivfNprobe(22) == 6)       // sf0.001/sf0.01 store
     assert(ivfK(2000L) == 45 && ivfNprobe(45) == 7)      // sf0.1 store
     assert(ivfK(20000L) == 141 && ivfNprobe(141) == 12)  // 10x certification corpus

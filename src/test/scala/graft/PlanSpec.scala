@@ -226,7 +226,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast query set with no shuffle Exchange anywhere
     val sp = spark
     import sp.implicits._
-    val (tbl, cb, _) = graft.sim.SimilarityOps.ensureAnnStore(sp, sf)
+    val (tbl, cb, _) = graft.sim.AnnStore.ensureAnnStore(sp, sf)
     // probe clusters for one query: a strict subset of the k buckets
     val probed = Seq(0, 1, 2)
     val q0 = sp.read.parquet(s"$sf/embeddings.parquet")
@@ -234,8 +234,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         $"embedding".as("q_emb"),
         org.apache.spark.sql.functions.explode(
           org.apache.spark.sql.functions.lit(probed.toArray)).as("cid"))
-    graft.sim.SimilarityOps.withBucketedScan(sp) {
-      val df = graft.sim.SimilarityOps.storeProbe(sp, tbl, q0, probed)
+    graft.sim.AnnStore.withBucketedScan(sp) {
+      val df = graft.sim.AnnStore.storeProbe(sp, tbl, q0, probed)
       val plan = physical(df)
       val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
       assert(sel.isDefined, s"no bucket pruning in:\n$plan")
@@ -256,15 +256,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // disk; only the 16 ADC code bytes per scanned row move
     val sp = spark
     import sp.implicits._
-    val (tbl, _, _) = graft.sim.SimilarityOps.ensureAnnStore(sp, sf)
+    val (tbl, _, _) = graft.sim.AnnStore.ensureAnnStore(sp, sf)
     val probed = Seq(0, 1, 2)
     val q0 = sp.read.parquet(s"$sf/embeddings.parquet")
       .filter($"vec_id" === 0).select($"vec_id".as("query_id"),
         $"embedding".as("q_v"),
         org.apache.spark.sql.functions.explode(
           org.apache.spark.sql.functions.lit(probed.toArray)).as("cid"))
-    graft.sim.SimilarityOps.withBucketedScan(sp) {
-      val df = graft.sim.SimilarityOps.s08ProbePlan(sp, Seq(tbl), q0, probed)
+    graft.sim.AnnStore.withBucketedScan(sp) {
+      val df = graft.sim.AnnStore.s08ProbePlan(sp, Seq(tbl), q0, probed)
       val plan = physical(df)
       val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
       assert(sel.isDefined, s"no bucket pruning in:\n$plan")

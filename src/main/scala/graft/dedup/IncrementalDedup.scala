@@ -42,7 +42,7 @@ object IncrementalDedup {
   /** The planted incoming batch shared by d07/d08/d10: exact copies of
     * every 31st corpus doc (+300000) and last-token-dropped near-dups of
     * every 37th (+400000). */
-  private def plantedBatch(docs: DataFrame): DataFrame = {
+  private[graft] def plantedBatch(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val droppedTok = array_join(slice(toks, lit(1), size(toks) - 1), " ")
     docs.filter(col("doc_id") % 31 === 0)
@@ -283,14 +283,27 @@ object IncrementalDedup {
     import s.implicits._
     val (exactIds, survivors) = digestAdmission(batch, s.table(digT))
     val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
+    // a store that has ABSORBED previous batches (see [[absorbAdmitted]])
+    // carries a band delta and an absorbed-docs text extension; admission
+    // probes base ∪ delta and verifies against corpus ∪ absorbed. The
+    // gate queries (d10/st08) never absorb, so neither table exists there
+    // and their plan — and oracle — is byte-identical to the pre-absorb
+    // shape.
+    val bandTables = Seq(bandT) ++
+      (if (s.catalog.tableExists(bandDelta(bandT))) Seq(bandDelta(bandT)) else Nil)
+    val corpusText =
+      if (s.catalog.tableExists(absorbedDocs(bandT)))
+        docs.unionByName(s.table(absorbedDocs(bandT)))
+      else docs
     val nearIds = withCacheImpl(
         survivors.withColumn("bands", minhashBandsU($"text")), eager) { sv =>
       val newBands = sv.select($"doc_id".as("id_b"),
         posexplode($"bands").as(Seq("band", "bucket")))
-      val cand = storeIngestCandidates(s, bandT, newBands).distinct()
+      val cand = bandTables.map(t => storeIngestCandidates(s, t, newBands))
+        .reduce(_.unionByName(_)).distinct()
       val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
       cand
-        .join(docs.select($"doc_id".as("id_a"), $"text".as("text_a"))
+        .join(corpusText.select($"doc_id".as("id_a"), $"text".as("text_a"))
           .hint("shuffle_hash"), "id_a")
         .join(sv.select($"doc_id".as("id_b"), $"text".as("text_b"))
           .hint("shuffle_hash"), "id_b")
@@ -313,6 +326,89 @@ object IncrementalDedup {
     val out = decisionRollup(
       storeAdmissionDecisions(s, d, newBatch, bandT, digT, eager))
     if (eager) out.localCheckpoint(true) else out
+  }
+
+  private[graft] def bandDelta(bandT: String): String = bandT + "_delta"
+  private[graft] def absorbedDocs(bandT: String): String = bandT + "_absorbed"
+
+  /** ABSORB admitted survivors into the persisted store between batches
+    * — the production half the d10 scaladoc promises ("a production
+    * store would also absorb admitted survivors back into the index"):
+    * after a batch's admission decisions are final, its admitted
+    * `(doc_id, text)` rows become part of the corpus the NEXT batch is
+    * admitted against. Three co-located appends, all O(batch):
+    *
+    *  1. digest layer — the admitted docs' md5 digests append into the
+    *     digest table (idempotent: an already-present digest is
+    *     anti-joined away), so a replayed doc is an exact-dup next time;
+    *  2. band layer — band rows land in an O(absorbed) DELTA table in
+    *     the base store's exact bucketed layout (the st09 LSM shape:
+    *     base files immutable, probes read base ∪ delta; idempotent on
+    *     doc_id). Per-bucket guard stats are computed per-absorb-call —
+    *     they bound degradation within the delta only, and
+    *     [[compactStore]] restores globally-exact stats;
+    *  3. text extension — admitted `(doc_id, text)` appends into an
+    *     absorbed-docs table, the verify-join text source for ids that
+    *     are not corpus rows (at 100 TB this is the corpus lake's
+    *     append path; without it a band match on an absorbed doc could
+    *     never be verified and would be dropped SILENTLY).
+    *
+    * The gate queries never absorb — their decisions stay pure functions
+    * of (corpus, batch), which is what makes them oracle-checkable. */
+  private[graft] def absorbAdmitted(s: SparkSession, bandT: String,
+      digT: String, admitted: DataFrame): Unit = {
+    import s.implicits._
+    val delta = bandDelta(bandT)
+    val fresh =
+      if (s.catalog.tableExists(delta))
+        admitted.join(s.table(delta).select($"doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+      else admitted
+    // localCheckpoint: `fresh` feeds three writes; absorb is batch-sized
+    val f = fresh.localCheckpoint(true)
+    f.select(md5($"text").as("dg")).distinct()
+      .join(s.table(digT), Seq("dg"), "left_anti")
+      .write.mode("append").bucketBy(16, "dg").sortBy("dg").saveAsTable(digT)
+    val bands = f.withColumn("bands", minhashBandsU($"text"))
+      .select($"doc_id", posexplode($"bands").as(Seq("band", "bucket")))
+    val sizes = bands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bkt_n"), min($"doc_id").as("bkt_rep"))
+    bands.join(sizes, Seq("band", "bucket"))
+      .write.mode("append").bucketBy(16, "band", "bucket")
+      .sortBy("band", "bucket").saveAsTable(delta)
+    f.select($"doc_id", $"text")
+      .write.mode("append").saveAsTable(absorbedDocs(bandT))
+  }
+
+  /** COMPACTION — fold the absorbed band DELTA into a new base
+    * generation with globally-recomputed per-bucket guard stats
+    * (bkt_n/bkt_rep over base ∪ delta — per-absorb stats only bound
+    * degradation within their own append), swapped in by the shared
+    * rename-aside ([[graft.analytics.TableSwap]]) so the old generation
+    * is never deleted before the new one holds the name. The
+    * absorbed-docs text extension is NOT folded — it is corpus content,
+    * not index, and remains the verify text source for absorbed ids.
+    * No-op when nothing was absorbed. */
+  private[graft] def compactStore(s: SparkSession, bandT: String): Unit = {
+    val delta = bandDelta(bandT)
+    if (!s.catalog.tableExists(delta)) return
+    val gen = bandT + "_compacting"
+    s.sql(s"DROP TABLE IF EXISTS $gen")
+    try {
+      val all = s.table(bandT).select("doc_id", "band", "bucket")
+        .unionByName(s.table(delta).select("doc_id", "band", "bucket"))
+      val sizes = all.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("bkt_rep"))
+      all.join(sizes, Seq("band", "bucket"))
+        .write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
+        .saveAsTable(gen)
+      graft.analytics.TableSwap.swapIn(s, bandT, gen)
+      s.sql(s"DROP TABLE $delta")
+    } catch {
+      case e: Throwable =>
+        try s.sql(s"DROP TABLE IF EXISTS $gen") catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   val d07Oracle: String =

@@ -346,6 +346,42 @@ object AnnStore {
     }
   }
 
+  /** COMPACTION — the fold-the-delta-in half of the store's LSM
+    * lifecycle (st09 appends into an O(ingested) delta; probes read
+    * base ∪ delta; this periodically merges the two so the delta never
+    * grows unbounded). The merged generation is written as a NEW
+    * bucketed table (same k buckets on cid, same layout — one full
+    * shuffle-free-per-bucket rewrite of base+delta, the cost compaction
+    * pays by definition), then swapped in by metastore RENAME — readers
+    * either see the old base or the complete new one, never a partial
+    * write, and the delta is dropped only after the swap. On failure
+    * before the swap the temp generation is dropped and base/delta are
+    * untouched (crash-safe: re-run compaction). Returns the (unchanged)
+    * base table name. The base's bucket count is preserved — probes'
+    * bucket pruning and PlanSpec pins hold across generations; a
+    * long-lived store would re-train its codebook (and re-bucket) only
+    * on a full rebuild, which is a different operation by design. */
+  private[graft] def compactDelta(s: SparkSession, baseTbl: String,
+      deltaTbl: String, nBuckets: Int): String = {
+    val gen = baseTbl + "_compacting"
+    s.sql(s"DROP TABLE IF EXISTS $gen")
+    try {
+      s.table(baseTbl).unionByName(s.table(deltaTbl))
+        .write.bucketBy(nBuckets, "cid").sortBy("cid")
+        .saveAsTable(gen)
+      // rename-aside swap (see TableSwap for the crash-safety contract)
+      graft.analytics.TableSwap.swapIn(s, baseTbl, gen)
+      s.sql(s"DROP TABLE $deltaTbl")
+      baseTbl
+    } catch {
+      case e: Throwable =>
+        // pre-swap failure: discard the partial generation, keep
+        // base+delta readable; re-running compaction is the recovery
+        try s.sql(s"DROP TABLE IF EXISTS $gen") catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
   /** The s08/s09 candidate probe: codes selected BEFORE the join so the
     * store scan's ReadSchema carries (vec_id, cid, code) and never the
     * raw embedding column. This is the SAME construction the operators

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{array_join, transform, split, trim, slice, size, lit, concat}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -465,6 +466,136 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.toSeq == r2.toSeq, s"second run diverged: ${r2.toSeq}")
     assert(baseFiles() == filesBefore,
       "st09 rewrote the base store's files — ingest must be O(batch)")
+  }
+
+  test("dedup store absorb: admitted docs are corpus for the next batch; compact folds the delta") {
+    // the production half the d10 scaladoc promises: after a batch's
+    // decisions are final, its ADMITTED docs join the store — digests
+    // append co-located, band rows land in an O(absorbed) delta, text
+    // extends the verify source. Then: (1) replaying an absorbed doc is
+    // an exact-dup; (2) a NEAR-dup of an absorbed doc is caught through
+    // the delta bands AND verified against the absorbed text (without
+    // the text extension the candidate would be dropped silently);
+    // (3) absorb is idempotent; (4) compaction folds the delta into a
+    // new base generation without changing any decision.
+    val sp = spark
+    import sp.implicits._
+    import graft.dedup.IncrementalDedup
+    val sf = "/root/testdata/sf0.001"
+    val (bandT, digT) = IncrementalDedup.ensureIncrementalStore(sp, sf)
+    // isolated copies: absorbing into the registry store would change
+    // d10/st08's oracle-checked decisions
+    val bandT2 = bandT + "_absorb_spec"
+    val digT2 = digT + "_absorb_spec"
+    for (t <- Seq(bandT2, digT2, IncrementalDedup.bandDelta(bandT2),
+        IncrementalDedup.absorbedDocs(bandT2), bandT2 + "_compacting"))
+      sp.sql(s"DROP TABLE IF EXISTS $t")
+    sp.table(bandT).write.bucketBy(16, "band", "bucket")
+      .sortBy("band", "bucket").saveAsTable(bandT2)
+    sp.table(digT).write.bucketBy(16, "dg").sortBy("dg").saveAsTable(digT2)
+    // NOVEL batch: 5 corpus docs with every token prefixed — zero shared
+    // shingles with the corpus, so all 5 must be admitted
+    val docs = graft.analytics.Tables.documents(sp, sf).select($"doc_id", $"text")
+    val novel = docs.filter($"doc_id".isin(3L, 11L, 29L, 57L, 83L))
+      .select(($"doc_id" + 700000L).as("doc_id"),
+        array_join(transform(split(trim($"text"), "\\s+"),
+          t => concat(lit("zq"), t)), " ").as("text"))
+      .localCheckpoint(true)
+    def decide(batch: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.storeAdmissionDecisions(sp, sf, batch, bandT2, digT2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val run1 = decide(novel)
+    assert(run1.forall(t => t._2 == 0L && t._3 == 0L),
+      s"novel docs must all be admitted: $run1")
+    IncrementalDedup.absorbAdmitted(sp, bandT2, digT2, novel)
+    // (1) replay: every absorbed doc is now an exact duplicate
+    val run2 = decide(novel)
+    assert(run2.forall(_._2 == 1L), s"replayed absorbed docs must be exact dups: $run2")
+    // (2) near-dup of an ABSORBED doc: last token dropped, new id — must
+    // band-match in the delta and verify against the absorbed text
+    val toks = split(trim($"text"), "\\s+")
+    val near = novel.select(($"doc_id" + 1000L).as("doc_id"),
+      array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text"))
+    val run3 = decide(near)
+    assert(run3.forall(t => t._2 == 0L && t._3 == 1L),
+      s"near-dups of absorbed docs must be caught via the delta: $run3")
+    // (3) idempotency: re-absorbing the same docs appends nothing
+    val deltaN = sp.table(IncrementalDedup.bandDelta(bandT2)).count()
+    val digN = sp.table(digT2).count()
+    IncrementalDedup.absorbAdmitted(sp, bandT2, digT2, novel)
+    assert(sp.table(IncrementalDedup.bandDelta(bandT2)).count() == deltaN &&
+      sp.table(digT2).count() == digN, "absorb must be idempotent")
+    // (4) compaction: decisions unchanged, delta gone, layout preserved
+    IncrementalDedup.compactStore(sp, bandT2)
+    assert(!sp.catalog.tableExists(IncrementalDedup.bandDelta(bandT2)))
+    assert(!sp.catalog.tableExists(bandT2 + "_compacting"))
+    assert(!sp.catalog.tableExists(bandT2 + "_pre_swap"))
+    assert(decide(novel) == run2, "compaction changed exact-dup decisions")
+    assert(decide(near) == run3, "compaction changed near-dup decisions")
+    val bs = sp.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(bandT2)).bucketSpec
+    assert(bs.exists(b => b.numBuckets == 16 &&
+      b.bucketColumnNames == Seq("band", "bucket")), s"bucket spec lost: $bs")
+    for (t <- Seq(bandT2, digT2, IncrementalDedup.absorbedDocs(bandT2)))
+      sp.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("ann store compaction: delta folds into a new base generation, probes unchanged") {
+    // the fold-the-delta-in half of the store's LSM lifecycle: st09
+    // appends land in an O(ingested) delta probed as base ∪ delta;
+    // compactDelta merges the two into a NEW bucketed generation and
+    // swaps it in by metastore rename-aside (old base data is never
+    // deleted before the new generation holds the name). Contract:
+    // post-compaction single-table probes return exactly what the
+    // base ∪ delta probes returned, the delta and transient tables are
+    // gone, and the bucket layout (count + column) survives so bucket
+    // pruning keeps holding.
+    val sp = spark
+    import sp.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val (tbl, cb, pqCb) = graft.sim.AnnStore.ensureAnnStore(sp, sf)
+    val k = cb.length
+    // isolated base COPY: compacting the shared registry store would
+    // fold test vectors into the corpus other pins probe
+    val base = tbl + "_compact_spec_base"
+    val delta = tbl + "_compact_spec_delta"
+    sp.sql(s"DROP TABLE IF EXISTS $base"); sp.sql(s"DROP TABLE IF EXISTS $delta")
+    sp.table(tbl).write.bucketBy(k, "cid").sortBy("cid").saveAsTable(base)
+    // index-rotated copies (st09's device): same norm, scrambled
+    // direction — self-match is a real unique retrieval, not a cosine-1.0
+    // tie with the corpus original that the min-id tie-break would win
+    val rotU = org.apache.spark.sql.functions.udf {
+      v: Seq[Float] => v.drop(7) ++ v.take(7) }
+    val batch = graft.analytics.Tables.embeddings(sp, sf)
+      .filter($"vec_id".isin(7L, 77L, 177L, 277L, 377L))
+      .select(($"vec_id" + 50000L).as("vec_id"), rotU($"embedding").as("embedding"))
+    graft.sim.AnnStore.encodeForStore(batch, cb, pqCb)
+      .write.bucketBy(k, "cid").sortBy("cid").saveAsTable(delta)
+    val queries = sp.table(delta)
+      .select($"vec_id".as("query_id"), $"embedding").localCheckpoint(true)
+    def probe(tbls: Seq[String]) = graft.sim.AnnStore
+      .annSearchOn(sp, tbls, cb, pqCb, queries, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val before = probe(Seq(base, delta))
+    assert(before.count(_._2 == 1) == 5 &&
+      before.filter(_._2 == 1).forall(t => t._1 == t._3),
+      s"pre-compaction self-match failed: $before")
+    val returned = graft.sim.AnnStore.compactDelta(sp, base, delta, k)
+    assert(returned == base)
+    assert(probe(Seq(base)) == before,
+      "compaction changed probe results")
+    // lifecycle: delta and both transient tables are gone
+    for (t <- Seq(delta, base + "_compacting", base + "_pre_swap"))
+      assert(!sp.catalog.tableExists(t), s"$t must not survive compaction")
+    // layout: bucket spec (count + column) preserved across generations
+    val bs = sp.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(base)).bucketSpec
+    assert(bs.exists(b => b.numBuckets == k && b.bucketColumnNames == Seq("cid")),
+      s"bucket spec lost in compaction: $bs")
+    // row accounting: new generation = old base + delta
+    assert(sp.table(base).count() == sp.table(tbl).count() + 5)
+    sp.sql(s"DROP TABLE IF EXISTS $base")
   }
 
   test("ivf store geometry: corpus-scaled k/nprobe shrink the scan fraction with N") {

@@ -17,7 +17,8 @@ object SparkEntry {
       graft.dedup.DedupOps.queries ++ graft.dedup.IncrementalDedup.queries ++
       graft.dedup.LineDedup.queries ++ graft.dedup.Contamination.queries ++
       graft.dedup.SpanDedup.queries ++ graft.dedup.BloomDedup.queries ++
-      graft.dedup.Materialize.queries ++
+      graft.dedup.Materialize.queries ++ graft.dedup.Recrawl.queries ++
+      graft.pipeline.TrainingPipeline.queries ++
       graft.sim.SimilarityOps.queries ++ graft.sim.AnnStore.queries ++
       graft.sim.SemanticDedup.queries ++ graft.sim.GraphOps.queries ++
       graft.sim.SelectOps.queries ++
@@ -36,7 +37,8 @@ object SparkEntry {
       graft.dedup.DedupOps.oracle ++ graft.dedup.IncrementalDedup.oracle ++
       graft.dedup.LineDedup.oracle ++ graft.dedup.Contamination.oracle ++
       graft.dedup.SpanDedup.oracle ++ graft.dedup.BloomDedup.oracle ++
-      graft.dedup.Materialize.oracle ++
+      graft.dedup.Materialize.oracle ++ graft.dedup.Recrawl.oracle ++
+      graft.pipeline.TrainingPipeline.oracle ++
       graft.sim.SimilarityOps.oracle ++ graft.sim.AnnStore.oracle ++
       graft.sim.SemanticDedup.oracle ++ graft.sim.GraphOps.oracle ++
       graft.sim.SelectOps.oracle ++

@@ -1,0 +1,231 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Tables
+
+/** END-TO-END TRAINING-DATA PIPELINE composition (p01) and the JSONL
+  * interchange round-trip (io01) — the two ways a user actually SHIPS
+  * this library rather than running one operator at a time.
+  *
+  * p01 chains the canonical pre-training stages in one declarative DAG —
+  * quality gate (t07's exact rule) → exact dedup (d01's keeper rule) →
+  * per-domain cap (the Gopher/FineWeb anti-domination stage) → the
+  * reproducible shard layout (t15's device) — and emits a per-shard
+  * audit row whose `corpus_md5` fingerprints the exact BYTES that
+  * survived, in the exact order a trainer would read them. Every stage
+  * is SQL-expressible, so the whole composition is oracle-checked
+  * end-to-end: this is the strongest single correctness statement in the
+  * suite (any wrong decision at any stage moves a checksum).
+  *
+  * Catalyst sees ONE logical plan for the whole pipeline, so filters
+  * prune before the gram shuffle, the projection is minimal per stage,
+  * and AQE sizes each of the four exchanges independently — composition
+  * costs no materialization boundaries, unlike a stage-per-job shell
+  * pipeline around the reference binary.
+  */
+object TrainingPipeline {
+
+  /** Docs any single domain may contribute after gating+dedup. 15 bites
+    * on this corpus (sources carry ~17–23 gate survivors each at every
+    * SF) so the stage is genuinely exercised, not a pass-through. */
+  private val DomainCap = 15L
+
+  /** p01: the composed pipeline. Output: one audit row per shard —
+    * (shard, n_docs, n_tokens, order_checksum, corpus_md5).
+    *
+    * Scale shape (100 TB posture): four shuffles, each on a key chosen
+    * to stay cool — the gate's per-doc 3-gram count (keys = doc ids,
+    * uniform), the dedup window on `doc_md5` (near-unique by
+    * construction), the cap window on `source`, and the shard rollup
+    * (8 groups after an order-key ranking window on `shard`). The one
+    * key that CAN run hot at crawl scale is `source` (a mega-domain
+    * holds billions of docs); the exact-rank window here is the
+    * correctness-first choice, and the documented escape hatch for
+    * skewed domains is t16's salted-hash THRESHOLD device — a map-side
+    * keep decision at the price of an approximate (± hash variance)
+    * rather than exact cap. Nothing driver-side anywhere: the audit is
+    * 8 rows. */
+  def p01_training_pipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Stage 1 — t07's gate, bit-for-bit (same signal frame the gate and
+    // the t13 classifier train on).
+    val tooShort = $"n_tok" < 30
+    val lowStop = $"n_stop" * 1000 < $"n_tok" * 15
+    val highPunct = $"n_punct" * 10 > $"n_chars_m"
+    val repetitive = ($"n_grams" - $"n_distinct") * 10 > $"n_grams"
+    val kept = graft.text.TextOps.gateSignals(s, d)
+      .filter(!tooShort && !lowStop && !highPunct && !repetitive)
+      .select($"doc_id", $"n_tok")
+    // text/source rejoin on doc_id (the gate's gram aggregation cannot
+    // carry the text through); co-partitioned equi-join, no skew
+    val docs = Tables.documents(s, d).select($"doc_id", $"text", $"source")
+    val gated = kept.join(docs, "doc_id")
+      .withColumn("doc_md5", md5($"text"))
+    // Stage 2 — exact dedup, d01's keeper rule: min doc_id per digest
+    val byDigest = Window.partitionBy($"doc_md5").orderBy($"doc_id")
+    val deduped = gated
+      .withColumn("rn", row_number().over(byDigest))
+      .filter($"rn" === 1).drop("rn")
+    // Stage 3 — per-domain cap: a deterministic salted order (t15's
+    // md5 device) so the ≤15 survivors per source are a reproducible
+    // uniform choice, not an input-order artifact
+    val capKey = md5(concat(lit("p01cap:"), $"doc_id".cast("string")))
+    val bySource = Window.partitionBy($"source").orderBy($"cap_key", $"doc_id")
+    val capped = deduped.withColumn("cap_key", capKey)
+      .withColumn("crn", row_number().over(bySource))
+      .filter($"crn" <= DomainCap)
+    // Stage 4 — t15's reproducible shard layout over the survivors
+    val orderKey = md5(concat(lit("p01shuf:"), $"doc_id".cast("string")))
+    val sharded = capped.withColumn("order_key", orderKey)
+      .withColumn("shard",
+        conv(substring($"order_key", 1, 4), 16, 10).cast("long") % 8)
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy($"shard").orderBy($"order_key", $"doc_id"))
+        .cast("long"))
+    // Audit: corpus_md5 hashes the kept docs' md5s in READ ORDER — the
+    // bytes a trainer consumes, position-sensitive
+    sharded.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        sum($"doc_id" * $"rank").as("order_checksum"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct($"order_key", $"doc_id", $"doc_md5"))),
+          x => x.getField("doc_md5")), ",")).as("corpus_md5"))
+      .orderBy($"shard")
+  }
+
+  /** The whole pipeline replayed in SQL: t07's gate CTEs, then three
+    * window stages, then the per-shard rollup with an ordered
+    * string_agg for the corpus fingerprint. */
+  val p01Oracle: String = {
+    val toks = graft.text.TextOps.oracleToks("text")
+    raw"""WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len($toks) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter($toks,
+      |      x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS BIGINT) AS n_stop,
+      |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct,
+      |    CAST(length(text) AS BIGINT) AS n_chars_m
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+      |         ELSE array_to_string(ts[i:i+2], ' ') END AS gram
+      |  FROM tk, UNNEST(range(1, GREATEST(len(ts) - 1, 2))) AS u(i)),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      |          COUNT(*) AS n_distinct FROM c GROUP BY 1),
+      |kept AS (
+      |  SELECT b.doc_id, b.n_tok FROM base b JOIN rep r USING (doc_id)
+      |  WHERE NOT (b.n_tok < 30 OR b.n_stop * 1000 < b.n_tok * 15
+      |    OR b.n_punct * 10 > b.n_chars_m
+      |    OR (r.n_grams - r.n_distinct) * 10 > r.n_grams)),
+      |gated AS (
+      |  SELECT k.doc_id, k.n_tok, d.source, md5(d.text) AS doc_md5
+      |  FROM kept k JOIN documents d USING (doc_id)),
+      |dd AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_md5 ORDER BY doc_id) AS rn
+      |  FROM gated),
+      |deduped AS (SELECT doc_id, n_tok, source, doc_md5 FROM dd WHERE rn = 1),
+      |cap AS (
+      |  SELECT *, md5('p01cap:' || CAST(doc_id AS VARCHAR)) AS cap_key
+      |  FROM deduped),
+      |cr AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY cap_key, doc_id) AS crn FROM cap),
+      |capped AS (SELECT doc_id, n_tok, doc_md5 FROM cr WHERE crn <= 15),
+      |sh AS (
+      |  SELECT *, md5('p01shuf:' || CAST(doc_id AS VARCHAR)) AS order_key
+      |  FROM capped),
+      |sd AS (
+      |  SELECT *, CAST(concat('0x', substr(order_key, 1, 4)) AS BIGINT) % 8
+      |    AS shard FROM sh),
+      |rk AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY shard
+      |    ORDER BY order_key, doc_id) AS BIGINT) AS rank FROM sd)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(doc_id * rank) AS BIGINT) AS order_checksum,
+      |  md5(string_agg(doc_md5, ',' ORDER BY order_key, doc_id)) AS corpus_md5
+      |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** io01: JSONL INTERCHANGE ROUND-TRIP — jsonl(.gz) is the lingua
+    * franca of LLM corpus exchange (every public corpus release ships
+    * it), so the engine must both EMIT and INGEST it without value
+    * drift. The query writes the documents table as gzipped JSON Lines,
+    * reads it back with an EXPLICIT schema, and rolls the re-read rows
+    * into a per-language audit (count, char mass, ordered corpus md5).
+    * The oracle computes the same audit from the PARQUET truth — any
+    * serialization loss anywhere (quoting, unicode escapes, newline
+    * handling, numeric formatting, gzip framing) moves the checksum.
+    *
+    * Scale notes: the explicit read schema means NO inference pre-scan
+    * of the corpus (a silent full extra pass at 100 TB, and the
+    * documented failure mode of schema drift between shards); gzip
+    * members make each written file one atomic unit (jsonl.gz is not
+    * splittable — the write keeps the input partitioning so file count
+    * = write parallelism, and a production re-read parallelizes across
+    * FILES, which is why corpus releases ship thousands of shards). */
+  def io01_jsonl_roundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io01")
+    try {
+      import s.implicits._
+      val out = dir.resolve("docs-jsonl").toString
+      Tables.documents(s, d)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .write.mode("overwrite").option("compression", "gzip").json(out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      s.read.schema(schema).json(out)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          sum(length($"text")).cast("long").as("sum_text_len"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct($"doc_id", md5($"text").as("m")))),
+            x => x.getField("m")), ",")).as("corpus_md5"))
+        .orderBy($"lang")
+        // the audit is 5 rows; materialize BEFORE the temp dir vanishes
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
+  /** The audit computed from the parquet truth — equality proves the
+    * jsonl write→read cycle preserved every value byte-for-byte. */
+  val io01Oracle: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+      |  md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS corpus_md5
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_training_pipeline" -> (p01_training_pipeline _),
+    "io01_jsonl_roundtrip" -> (io01_jsonl_roundtrip _))
+
+  val oracle: Map[String, String] = Map(
+    "p01_training_pipeline" -> p01Oracle,
+    "io01_jsonl_roundtrip" -> io01Oracle)
+}

@@ -339,7 +339,7 @@ object TextOps {
   /** Shared gate-signal frame (t07/t13): per-doc integer counts every
     * rule/feature derives from — token, stopword, punctuation, char, and
     * 3-gram totals. Map-side except the 3-gram count (one shuffle). */
-  private[text] def gateSignals(s: SparkSession, d: String): DataFrame = {
+  private[graft] def gateSignals(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = whitespaceTokens($"text")
     val base = Tables.documents(s, d)

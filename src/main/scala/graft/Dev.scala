@@ -225,6 +225,10 @@ object Dev {
       "m06_audio_neardup",
       "t08_tfidf", "t14_bpe_encode", "t15_shard_layout",
       "t16_tiered_sample",
+      // round-10 additions: the composed pipeline (4 windows/shuffles
+      // over the full corpus), url-level latest-wins (one max_by agg),
+      // and the jsonl write→read cycle (I/O-bound, linear by shape)
+      "p01_training_pipeline", "d17_recrawl_latest", "io01_jsonl_roundtrip",
       "q34_length_quantiles", "w07_link_graph", "w08_pagerank",
       "w09_warcgz_pipeline",
       // streaming: windowed-agg state scales in values, keyed state

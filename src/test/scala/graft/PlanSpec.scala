@@ -341,4 +341,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.rdd.getNumPartitions >= 1)
     assert(df.count() == 1)
   }
+
+  test("d17: latest-wins is one aggregate with map-side partials, no window sort") {
+    val plan = physical(graft.dedup.Recrawl.d17_recrawl_latest(spark, sf))
+    // max_by must run as a partial-then-final aggregate pair: the shuffle
+    // moves one (seq, text) pair per URL per map task — a row_number()
+    // formulation would instead show a Window + full per-URL Sort here
+    assert("partial".r.findFirstIn(plan.toLowerCase).isDefined, plan)
+    assert(!plan.contains("Window"), s"d17 regressed to a window plan:\n$plan")
+    // one exchange for the final agg, one for the presentation orderBy —
+    // anything more means the union stopped being map-side
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("p01: composed pipeline — equi-joins only, exactly the three rank windows") {
+    val plan = physical(
+      graft.pipeline.TrainingPipeline.p01_training_pipeline(spark, sf))
+    // every join in the pipeline is a key equi-join (doc_id / gram):
+    // nothing may plan as a nested loop or cartesian at ANY size — and
+    // the stage structure is exactly three rank windows (dedup keeper,
+    // domain cap, shard rank; a 4th means a stage stopped fusing).
+    // Whether the tiny-side joins broadcast is Catalyst's size call
+    // (correct at sf0.001, flips to shuffle past the 10 MB threshold) —
+    // deliberately NOT pinned.
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 3, s"expected 3 rank windows, got $windows:\n$plan")
+    // the dedup rn===1 and cap crn<=15 filters must push down as
+    // WindowGroupLimit (partial+final per filter): each task drops
+    // beyond-limit rows BEFORE the window shuffle+sort — at crawl scale
+    // this is the difference between sorting every duplicate/domain row
+    // and sorting only the per-group head
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      s"rank-limit pushdown lost:\n$plan")
+  }
 }

@@ -29,26 +29,15 @@ import graft.analytics.Tables
 object TrainingPipeline {
 
   /** Docs any single domain may contribute after gating+dedup. 15 bites
-    * on this corpus (sources carry ~17–23 gate survivors each at every
-    * SF) so the stage is genuinely exercised, not a pass-through. */
-  private val DomainCap = 15L
+    * on this corpus (sources carry ~14–23 post-dedup survivors, most
+    * above 15 at every SF) so the stage is genuinely exercised — and the
+    * spec asserts the exact stage identity Σ min(survivors, cap). */
+  private[graft] val DomainCap = 15L
 
-  /** p01: the composed pipeline. Output: one audit row per shard —
-    * (shard, n_docs, n_tokens, order_checksum, corpus_md5).
-    *
-    * Scale shape (100 TB posture): four shuffles, each on a key chosen
-    * to stay cool — the gate's per-doc 3-gram count (keys = doc ids,
-    * uniform), the dedup window on `doc_md5` (near-unique by
-    * construction), the cap window on `source`, and the shard rollup
-    * (8 groups after an order-key ranking window on `shard`). The one
-    * key that CAN run hot at crawl scale is `source` (a mega-domain
-    * holds billions of docs); the exact-rank window here is the
-    * correctness-first choice, and the documented escape hatch for
-    * skewed domains is t16's salted-hash THRESHOLD device — a map-side
-    * keep decision at the price of an approximate (± hash variance)
-    * rather than exact cap. Nothing driver-side anywhere: the audit is
-    * 8 rows. */
-  def p01_training_pipeline(s: SparkSession, d: String): DataFrame = {
+  /** The per-document survivor frame all p01 surfaces share: gate →
+    * dedup → cap → shard+rank, one row per surviving doc with its text
+    * carried through (the audit drops it; the shard WRITER ships it). */
+  private def shardedSurvivors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // Stage 1 — t07's gate, bit-for-bit (same signal frame the gate and
     // the t13 classifier train on).
@@ -79,15 +68,23 @@ object TrainingPipeline {
       .filter($"crn" <= DomainCap)
     // Stage 4 — t15's reproducible shard layout over the survivors
     val orderKey = md5(concat(lit("p01shuf:"), $"doc_id".cast("string")))
-    val sharded = capped.withColumn("order_key", orderKey)
+    capped.withColumn("order_key", orderKey)
       .withColumn("shard",
         conv(substring($"order_key", 1, 4), 16, 10).cast("long") % 8)
       .withColumn("rank", row_number()
         .over(Window.partitionBy($"shard").orderBy($"order_key", $"doc_id"))
         .cast("long"))
-    // Audit: corpus_md5 hashes the kept docs' md5s in READ ORDER — the
-    // bytes a trainer consumes, position-sensitive
-    sharded.groupBy($"shard")
+  }
+
+  /** The per-shard audit rollup BOTH p01 surfaces must share — the
+    * written-files audit is only evidence because it is the SAME
+    * aggregation as the logical pipeline's (spec compares them for
+    * equality; a formula that drifted in one copy would misread as a
+    * serialization bug). corpus_md5 hashes the kept docs' md5s in READ
+    * ORDER — the bytes a trainer consumes, position-sensitive. */
+  private def auditRollup(survivors: DataFrame): DataFrame = {
+    import survivors.sparkSession.implicits._
+    survivors.groupBy($"shard")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tok").as("n_tokens"),
         sum($"doc_id" * $"rank").as("order_checksum"),
@@ -95,6 +92,64 @@ object TrainingPipeline {
           array_sort(collect_list(struct($"order_key", $"doc_id", $"doc_md5"))),
           x => x.getField("doc_md5")), ",")).as("corpus_md5"))
       .orderBy($"shard")
+  }
+
+  /** p01: the composed pipeline. Output: one audit row per shard —
+    * (shard, n_docs, n_tokens, order_checksum, corpus_md5).
+    *
+    * Scale shape (100 TB posture): four shuffles, each on a key chosen
+    * to stay cool — the gate's per-doc 3-gram count (keys = doc ids,
+    * uniform), the dedup window on `doc_md5` (near-unique by
+    * construction), the cap window on `source`, and the shard rollup
+    * (8 groups after an order-key ranking window on `shard`). The one
+    * key that CAN run hot at crawl scale is `source` (a mega-domain
+    * holds billions of docs); the exact-rank window here is the
+    * correctness-first choice, and the documented escape hatch for
+    * skewed domains is t16's salted-hash THRESHOLD device — a map-side
+    * keep decision at the price of an approximate (± hash variance)
+    * rather than exact cap. Nothing driver-side anywhere: the audit is
+    * 8 rows. */
+  def p01_training_pipeline(s: SparkSession, d: String): DataFrame =
+    auditRollup(shardedSurvivors(s, d))
+
+  /** Materialize the pipeline's survivors as TRAINING SHARDS — the
+    * artifact a trainer actually mounts, not just the audit rows. One
+    * `shard=N/` directory per shard (Hive layout, so a reader can
+    * partition-prune to any shard subset), rows sorted by
+    * (order_key, doc_id) WITHIN each shard's files so a file-order read
+    * replays the exact sequence `p01_training_pipeline`'s `corpus_md5`
+    * fingerprints, and `maxRecordsPerFile` bounds file size the same
+    * way the warehouse sink does (Pipeline K3 discipline).
+    *
+    * Scale shape: one repartition on `shard` (8-way here; at crawl
+    * scale pick shards ≈ cluster write parallelism), a per-partition
+    * sort (no global sort — `sortWithinPartitions`, not `orderBy`), and
+    * a streaming write. The returned frame is the p01 audit computed
+    * FROM THE WRITTEN FILES, so callers get the write verified against
+    * nothing-up-my-sleeve bytes: recompute `p01_training_pipeline` and
+    * compare. */
+  def materializeShards(s: SparkSession, d: String, outDir: String,
+      maxRecordsPerFile: Long = 50000L): DataFrame = {
+    import s.implicits._
+    shardedSurvivors(s, d)
+      .select($"shard", $"order_key", $"doc_id", $"n_tok", $"doc_md5", $"text")
+      .repartition($"shard")
+      .sortWithinPartitions($"shard", $"order_key", $"doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(outDir)
+    // audit of what LANDED: same rollup as p01, re-ranked from the
+    // written bytes (rank recomputed — the write dropped it by design:
+    // it is derivable, and persisting it would freeze a value the
+    // audit is supposed to re-derive)
+    val back = s.read.parquet(outDir)
+      // Hive partition-dir values type-infer to INT; restore the
+      // pipeline's LONG so this audit is schema-identical to p01's
+      .withColumn("shard", $"shard".cast("long"))
+    auditRollup(back.withColumn("rank", row_number()
+      .over(Window.partitionBy($"shard").orderBy($"order_key", $"doc_id"))
+      .cast("long")))
   }
 
   /** The whole pipeline replayed in SQL: t07's gate CTEs, then three

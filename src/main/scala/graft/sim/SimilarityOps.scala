@@ -98,6 +98,54 @@ object SimilarityOps {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Rademacher (±1) hyperplanes derived from md5 — the d09 device
+    * applied to sign-LSH, so an md5-equipped SQL engine can replay the
+    * ENTIRE signature bit-for-bit: component (b,i) is +1 iff the first
+    * hex digit of md5("lsh:b:i") is even. Sign-LSH over ±1 projections
+    * is the SimHash family (Charikar 2002): same collision-probability
+    * monotonicity in angle as Gaussian planes (each ±1 projection is a
+    * 64-term CLT approximation of one), so the recall dial it feeds
+    * measures the same trade. */
+  def md5Planes(nBits: Int, dim: Int): Array[Array[Int]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { i =>
+        digest.reset()
+        val h = digest.digest(s"lsh:$b:$i".getBytes("UTF-8"))
+        // first hex digit = high nibble of byte 0
+        if ((((h(0) >> 4) & 0xf) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Sign bits over [[md5Planes]] with FIXED-POINT integer dot products:
+    * each component is floored to a 2^-24 quantum and the projection is
+    * summed as a long, so the sign is exactly reproducible in any engine
+    * regardless of float summation order (a double dot product near zero
+    * could flip a bit between engines; an integer sum cannot). float ×
+    * 2^24 is an exponent shift — exact in double — so the quantization
+    * itself is lossless on float32 inputs. */
+  def md5SignBits(v: Seq[Float], planes: Array[Array[Int]]): Long = {
+    val q = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) {
+      q(i) = math.floor(v(i).toDouble * 16777216.0).toLong
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      var dot = 0L
+      val p = planes(b)
+      var j = 0
+      val n = math.min(p.length, q.length)
+      while (j < n) { dot += p(j) * q(j); j += 1 }
+      if (dot > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   def signBits(v: Seq[Float], planes: Array[Array[Double]]): Long = {
     var sig = 0L
     var b = 0
@@ -203,16 +251,26 @@ object SimilarityOps {
 
   /** s03: approximate top-k through LSH bucket probing, reported as
     * recall@5 against the exact baseline — the quality/​cost dial of the
-    * approximate path made observable. */
+    * approximate path made observable.
+    *
+    * Fully ORACLE-CHECKED (was spec-pinned through r9): the signature
+    * uses [[md5Planes]] + [[md5SignBits]] — ±1 hyperplanes any
+    * md5-equipped SQL engine can regenerate, integer fixed-point
+    * projections immune to float summation order — so DuckDB recomputes
+    * every band bucket, the candidate set, the approximate top-5, the
+    * exact top-5, and the recall, and the output hash-matches. The LSH
+    * family (sign-LSH / SimHash) and the measured trade are unchanged;
+    * only the plane distribution moved from seeded Gaussian to
+    * md5-Rademacher. */
   def s03_ann_lsh_recall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       .repartition(s.sparkContext.defaultParallelism)
     val nBands = 16
     val bitsPerBand = 4
-    val planes = hyperplanes(nBands * bitsPerBand, 64)
+    val planes = md5Planes(nBands * bitsPerBand, 64)
     val bandsU = udf { v: Seq[Float] =>
-      val sig = signBits(v, planes)
+      val sig = md5SignBits(v, planes)
       (0 until nBands).map(b =>
         (b.toLong << 32) | ((sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1)))
     }
@@ -344,8 +402,73 @@ object SimilarityOps {
     "s04_ann_ivf" -> ((s: SparkSession, d: String) => s04_ann_ivf(s, d)),
   )
 
+  /** The full s03 computation replayed in SQL: regenerate the ±1 planes
+    * from md5, quantize each embedding to 2^-24 longs, form the 64 sign
+    * bits as integer dot products, group them into 16 nibble buckets,
+    * bucket-join queries to candidates, rank the approximate and exact
+    * top-5 identically (cos DESC, id ASC), and emit recall@5. */
+  val s03Oracle: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 16777216) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |sgn AS (
+      |  SELECT b,
+      |    list_transform(range(0, 64), i -> CASE WHEN
+      |        strpos('02468ace', substr(md5('lsh:' || b || ':' || i), 1, 1)) > 0
+      |      THEN 1 ELSE -1 END) AS srow
+      |  FROM (SELECT unnest(range(0, 64)) AS b)),
+      |bits AS (
+      |  SELECT qv.vec_id, sgn.b,
+      |    CASE WHEN list_sum(
+      |        list_transform(range(0, 64), i -> sgn.srow[i + 1] * qv.qv[i + 1])
+      |      ) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM qv CROSS JOIN sgn),
+      |bucket AS (
+      |  SELECT vec_id, b // 4 AS band,
+      |    CAST(SUM(bit * (1 << (b % 4))) AS BIGINT) AS nibble
+      |  FROM bits GROUP BY vec_id, b // 4),
+      |cand AS (
+      |  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS vec_id
+      |  FROM bucket bq JOIN bucket bc
+      |    ON bq.band = bc.band AND bq.nibble = bc.nibble
+      |  WHERE bq.vec_id < 10 AND bc.vec_id <> bq.vec_id),
+      |approx AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+      |        list_cosine_similarity(eq.embedding, ec.embedding) DESC,
+      |        c.vec_id) AS rk
+      |    FROM cand c
+      |    JOIN embeddings eq ON eq.vec_id = c.query_id
+      |    JOIN embeddings ec ON ec.vec_id = c.vec_id)
+      |  WHERE rk <= 5),
+      |exact AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_cosine_similarity(q.embedding, e.embedding) DESC,
+      |        e.vec_id) AS rk
+      |    FROM embeddings q CROSS JOIN embeddings e
+      |    WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+      |  WHERE rk <= 5),
+      |hits AS (
+      |  SELECT a.query_id, COUNT(*) AS n_hit
+      |  FROM approx a JOIN exact e
+      |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      |  GROUP BY a.query_id),
+      |truth AS (
+      |  SELECT query_id, COUNT(*) AS n_true FROM exact GROUP BY query_id)
+      |SELECT
+      |  CAST(SUM(COALESCE(h.n_hit, 0)) AS DOUBLE) /
+      |    CAST(SUM(t.n_true) AS DOUBLE) AS recall_at_5,
+      |  COUNT(*) AS n_queries
+      |FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Oracle,
     "s02_embedding_neardup" -> s02Oracle,
+    "s03_ann_lsh_recall" -> s03Oracle,
   )
 }

@@ -68,15 +68,15 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(1) == 386L, s"n_planted_found=${row.getLong(1)}")
   }
 
-  test("s03 LSH recall pin at sf0.001: seeded hyperplanes are deterministic") {
-    // recall@5 of sign-LSH bucket probing vs the exact baseline: seeded
-    // hyperplanes + exact verify make it a pure function of the data, so
-    // any change to banding, hashing, or probing semantics must
-    // re-justify itself against this pin (the last probabilistic query
-    // without one — d03/s04/q27 are pinned below/elsewhere)
+  test("s03 LSH recall pin at sf0.001: md5-Rademacher planes are deterministic") {
+    // recall@5 of sign-LSH bucket probing vs the exact baseline: the
+    // md5-derived ±1 planes + fixed-point signs make it a pure function
+    // of the data (and SQL-replayable — s03 is oracle-checked at the
+    // gate since r10), so any change to banding, hashing, or probing
+    // semantics must re-justify itself against this pin too
     val row = graft.sim.SimilarityOps.s03_ann_lsh_recall(spark, "/root/testdata/sf0.001")
       .collect()(0)
-    assert(row.getDouble(0) == 0.96, s"recall_at_5=${row.getDouble(0)}")
+    assert(row.getDouble(0) == 0.9, s"recall_at_5=${row.getDouble(0)}")
     assert(row.getLong(1) == 10L)
   }
 

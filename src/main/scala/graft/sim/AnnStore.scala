@@ -136,7 +136,7 @@ object AnnStore {
     * (k, nprobe) ⇒ identical recall/scan-fraction output — the store is
     * layout, not semantics (spec asserts s07 == s04(ivfK, ivfNprobe)
     * row-for-row); steady-state cost drops the per-run training
-    * entirely. No SQL oracle (ANN), so rows-only at the gate plus the
+    * entirely. Oracle-checked since r10 ([[s07Oracle]]) on top of the
     * equality pin. */
   def s07_ann_store(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -554,7 +554,25 @@ object AnnStore {
     "s09_ann_ivfpq_rerank" -> (s09_ann_ivfpq_rerank _),
   )
 
-  /** ANN (codebook-trained, not SQL-expressible) — rows-only at the
-    * gate, spec-pinned recall; see SURVEY §2.6b's pinned list. */
-  val oracle: Map[String, String] = Map.empty
+  /** s05/s08/s09 stay rows-only at the gate (their PQ codebooks come
+    * from a 5-round driver-local Lloyd over doubles — replayable in
+    * principle but far past sensible SQL); spec-pinned recall covers
+    * them (SURVEY §2.6b). s07 is oracle-checked: */
+  /** s07's oracle is s04's IVF unroll ([[SimilarityOps.ivfRecallSql]])
+    * at the CORPUS-SCALED (k, nprobe): the [[ivfK]]/[[ivfNprobe]]
+    * formulas become scalar subqueries over COUNT(*) (DuckDB round() is
+    * half-up on positives like Java's math.round; √integer never lands
+    * on an exact .5, so the two can't disagree). The store itself is
+    * layout, not semantics — the oracle replays the semantics, the
+    * equality pin (s07 == s04 at the same dials) and PlanSpec's
+    * bucket-pruning pin cover the layout. */
+  private val ivfKSql =
+    "SELECT GREATEST(16, CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) FROM embeddings"
+  val s07Oracle: String = SimilarityOps.ivfRecallSql(
+    ivfKSql,
+    s"SELECT GREATEST(6, CAST(ceil(sqrt(CAST(($ivfKSql) AS DOUBLE))) AS BIGINT))")
+
+  val oracle: Map[String, String] = Map(
+    "s07_ann_store" -> s07Oracle,
+  )
 }

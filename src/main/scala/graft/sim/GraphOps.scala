@@ -33,8 +33,8 @@ object GraphOps {
     * cosine ≈ 0.999) appear as mutual top-1 edges — ground truth that
     * the graph puts strongest-similarity mass where it belongs.
     * Deterministic (fixed-point Lloyd + id-ascending tie-break) →
-    * golden pin; k-means is not SQL-expressible → rows-only at the
-    * gate. */
+    * golden pin, and oracle-checked since r10 ([[s10Oracle]] unrolls
+    * the fixed Lloyd rounds in SQL). */
   def s10_knn_graph(s: SparkSession, d: String): DataFrame = {
     val n = 2L * Tables.embeddings(s, d).count()
     s10Impl(s, d, SemanticDedup.adaptiveK(n),
@@ -142,5 +142,43 @@ object GraphOps {
     "s10_knn_graph" -> (s10_knn_graph _),
   )
 
-  val oracle: Map[String, String] = Map.empty
+  /** The k-NN graph replayed in SQL (oracle-checked since r10): planted
+    * union + deterministic Lloyd (shared CTes), per-node top-5 within
+    * the cluster ranked exactly like the streamed selection ((cos DESC,
+    * id ASC) — [[clusterKnnEdges]]' `better`), mutual-edge self-join,
+    * planted-top-1 rollup. Replays the under-cap semantics (see
+    * [[SemanticDedup.s06Oracle]]'s note — identical cap story). */
+  val s10Oracle: String =
+    s"""WITH ${SimilarityOps.nearDupsSqlCtes},
+       |${SimilarityOps.lloydSqlChain(SimilarityOps.adaptiveKSql, "base")},
+       |edges AS (
+       |  SELECT src, dst, rank FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_cosine_similarity(ea.embedding, eb.embedding) DESC,
+       |        b.vec_id) AS rank
+       |    FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |    JOIN emb ea ON ea.vec_id = a.vec_id
+       |    JOIN emb eb ON eb.vec_id = b.vec_id)
+       |  WHERE rank <= 5),
+       |mutual AS (
+       |  SELECT a.src, a.dst, a.rank AS rank_fwd, b.rank AS rank_rev
+       |  FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+       |  WHERE a.src < a.dst)
+       |SELECT
+       |  (SELECT COUNT(*) FROM emb) AS n_nodes,
+       |  (SELECT COUNT(DISTINCT cid) FROM a3) AS n_clusters,
+       |  (SELECT COUNT(*) FROM edges) AS n_edges,
+       |  (SELECT COUNT(*) FROM mutual) AS n_mutual_pairs,
+       |  (SELECT COUNT(*) FROM mutual
+       |     WHERE dst = src + 100000 AND rank_fwd = 1 AND rank_rev = 1)
+       |    AS n_planted_mutual_top1,
+       |  (SELECT COUNT(*) FROM emb) // 2 -
+       |    (SELECT COUNT(*) FROM mutual
+       |     WHERE dst = src + 100000 AND rank_fwd = 1 AND rank_rev = 1)
+       |    AS n_planted_not_top1""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s10_knn_graph" -> s10Oracle,
+  )
 }

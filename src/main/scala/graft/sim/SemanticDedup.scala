@@ -46,8 +46,9 @@ object SemanticDedup {
     * cluster size⟩ — it is a parameter for exactly that reason;
     * SemDeDup itself prescribes corpus-scaled k) to keep clusters
     * under the cap and the pairing exact.
-    * No SQL oracle (k-means is not SQL-expressible) — deterministic
-    * end-to-end, pinned in DedupGuardSpec like s04/s05. */
+    * Oracle-checked since r10 (see [[s06Oracle]]: the two fixed Lloyd
+    * rounds unroll into SQL because every step is integer fixed-point);
+    * also pinned in DedupGuardSpec like s04/s05. */
   def s06_semantic_dedup(s: SparkSession, d: String): DataFrame = {
     // corpus-scaled k (SemDeDup's own prescription; r5 verdict): clusters
     // average n/k members, so a FIXED k at 100× corpus puts every cluster
@@ -195,7 +196,37 @@ object SemanticDedup {
     "s06_semantic_dedup" -> ((s: SparkSession, d: String) => s06_semantic_dedup(s, d)),
   )
 
-  /** k-means is not SQL-expressible — rows-only at the gate, pinned in
-    * DedupGuardSpec; see SURVEY §2.6b's pinned list. */
-  val oracle: Map[String, String] = Map.empty
+  /** The whole SemDeDup decision replayed in SQL (oracle-checked since
+    * r10; spec-pinned only through r9): the planted union
+    * ([[SimilarityOps.nearDupsSqlCtes]]), the deterministic two-round
+    * Lloyd ([[SimilarityOps.lloydSqlChain]] — fixed-point centroid
+    * sums, tie-broken assignment), the within-cluster ≥0.9-cosine
+    * compare, and the min-id keeper rollup. The SQL replays the
+    * UNDER-CAP semantics — exactly what runs at the gate SFs (every
+    * cluster sits far below the 1000-member cap; the overflow
+    * accumulator + flooded-corpus spec cover the star-fallback path,
+    * which is a deliberate degradation, not the oracle contract). */
+  val s06Oracle: String =
+    s"""WITH ${SimilarityOps.nearDupsSqlCtes},
+       |${SimilarityOps.lloydSqlChain(SimilarityOps.adaptiveKSql, "base")},
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN emb ea ON ea.vec_id = a.vec_id
+       |  JOIN emb eb ON eb.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.9),
+       |dropped AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+       |SELECT
+       |  (SELECT COUNT(*) FROM emb) AS n_vectors,
+       |  (SELECT COUNT(DISTINCT cid) FROM a3) AS n_clusters_used,
+       |  (SELECT COUNT(*) FROM dropped) AS n_dropped,
+       |  (SELECT COUNT(*) FROM emb) - (SELECT COUNT(*) FROM dropped) AS n_kept,
+       |  (SELECT COUNT(*) FROM pairs WHERE id_b = id_a + 100000) AS n_planted_found,
+       |  (SELECT COUNT(*) FROM emb) // 2 -
+       |    (SELECT COUNT(*) FROM pairs WHERE id_b = id_a + 100000) AS n_planted_split,
+       |  (SELECT COALESCE(SUM(vec_id), 0) FROM dropped) AS dropped_id_sum""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s06_semantic_dedup" -> s06Oracle,
+  )
 }

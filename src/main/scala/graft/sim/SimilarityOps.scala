@@ -466,9 +466,135 @@ object SimilarityOps {
       |  COUNT(*) AS n_queries
       |FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id""".stripMargin
 
+  /** The full s04 computation replayed in SQL — the two Lloyd
+    * iterations UNROLLED as CTE pairs (assign → fixed-point centroid
+    * update, twice), then the final assignment, the nprobe=6 probe, and
+    * the recall/scan rollup. Replayable because every
+    * non-order-invariant step is integer fixed-point ([[CentroidSum]]'s
+    * 2^-32 truncation quantization and long sums; the final
+    * double→float cast is IEEE round-to-nearest in both engines) and
+    * every comparison (argmin assignment, top-k ranks) breaks ties
+    * identically (cos DESC, id ASC). Centroid ids follow the k=16
+    * lowest-id seed vectors; empty clusters drop out of the GROUP BY on
+    * both sides.
+    *
+    * `ivfRecallSql(k, nprobe)` is shared with s07's oracle, which runs
+    * the same semantics at the corpus-scaled (k, nprobe) — there the
+    * constants become scalar subqueries over COUNT(*). */
+  /** The deterministic-Lloyd CTE chain shared by every SQL replay of
+    * this family (s04/s07's IVF recall, s06's SemDeDup, s10's k-NN
+    * graph): `pos` + seed codebook `c0` (the k lowest-id vectors of
+    * `seedFrom`) + two unrolled assign→update iterations + the final
+    * assignment `a3`. Callers must have defined a CTE `emb` holding the
+    * corpus `(vec_id, embedding)` (and `seedFrom`, if different) before
+    * splicing this in. Why it replays bit-for-bit: assignment ties
+    * break (cos DESC, cid ASC) like [[coarseAssignU]]; the centroid
+    * update is [[CentroidSum]]'s integer fixed point (truncating 2^-32
+    * quantization, long sums, IEEE double→float final cast) — nothing
+    * depends on float summation order. */
+  private[sim] def lloydSqlChain(kExpr: String, seedFrom: String): String = {
+    val q = (x: String) => s"CAST(trunc(CAST($x AS DOUBLE) * 4294967296) AS BIGINT)"
+    def assign(emb: String, cents: String, out: String): String =
+      s"""${out}_r AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding, c.c) DESC, c.cid) AS rk
+         |  FROM $emb e CROSS JOIN $cents c),
+         |$out AS (SELECT vec_id, cid FROM ${out}_r WHERE rk = 1)""".stripMargin
+    def update(a: String, out: String): String =
+      s"""${out}_s AS (
+         |  SELECT a.cid, p.i,
+         |    SUM(${q("e.embedding[p.i]")}) AS s, COUNT(*) AS n
+         |  FROM $a a JOIN emb e USING (vec_id) CROSS JOIN pos p
+         |  GROUP BY a.cid, p.i),
+         |$out AS (
+         |  SELECT cid, list(CAST(CAST(s AS DOUBLE) / (n * 4294967296.0) AS FLOAT)
+         |    ORDER BY i) AS c
+         |  FROM ${out}_s GROUP BY cid)""".stripMargin
+    s"""pos AS (SELECT unnest(range(1, 65)) AS i),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS c
+       |       FROM $seedFrom WHERE vec_id < ($kExpr)),
+       |${assign("emb", "c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("emb", "c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("emb", "c2", "a3")}""".stripMargin
+  }
+
+  /** The `base`(= raw embeddings) + `emb`(= base ∪ perturbed copies)
+    * CTE pair replaying [[withNearDups]]: the +0.05f float addition is
+    * exact to replay because a single float add double-rounds
+    * innocuously (p_double ≥ 2·p_float + 2). */
+  private[sim] val nearDupsSqlCtes: String =
+    """base AS (SELECT vec_id, embedding FROM embeddings),
+      |emb AS (
+      |  SELECT vec_id, embedding FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    list_prepend(CAST(embedding[1] + CAST(0.05 AS FLOAT) AS FLOAT),
+      |      embedding[2:]) AS embedding
+      |  FROM base)""".stripMargin
+
+  /** adaptiveK(2N) as SQL — [[SemanticDedup.adaptiveK]] over the
+    * doubled (planted-union) corpus; both sides truncate the integer
+    * division. */
+  private[sim] val adaptiveKSql: String =
+    "SELECT GREATEST(16, (2 * COUNT(*)) // 500) FROM embeddings"
+
+  private[sim] def ivfRecallSql(kExpr: String, nprobeExpr: String): String = {
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |${lloydSqlChain(kExpr, "emb")},
+       |probe_r AS (
+       |  SELECT e.vec_id AS query_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding, c.c) DESC, c.cid) AS rk
+       |  FROM emb e CROSS JOIN c2 c WHERE e.vec_id < 10),
+       |probe AS (SELECT query_id, cid FROM probe_r WHERE rk <= ($nprobeExpr)),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probe p JOIN a3 a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id),
+       |scans AS (SELECT query_id, COUNT(*) AS n_scanned FROM cand GROUP BY query_id),
+       |approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT c.query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |        list_cosine_similarity(eq.embedding, ec.embedding) DESC, c.vec_id) AS rk
+       |    FROM cand c
+       |    JOIN emb eq ON eq.vec_id = c.query_id
+       |    JOIN emb ec ON ec.vec_id = c.vec_id)
+       |  WHERE rk <= 5),
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+       |    FROM emb q CROSS JOIN emb e
+       |    WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+       |  WHERE rk <= 5),
+       |hits AS (
+       |  SELECT a.query_id, COUNT(*) AS n_hit
+       |  FROM approx a JOIN exact e
+       |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |  GROUP BY a.query_id),
+       |truth AS (SELECT query_id, COUNT(*) AS n_true FROM exact GROUP BY query_id)
+       |SELECT
+       |  CAST(SUM(COALESCE(h.n_hit, 0)) AS DOUBLE) /
+       |    CAST(SUM(t.n_true) AS DOUBLE) AS recall_at_5,
+       |  CAST(SUM(COALESCE(s.n_scanned, 0)) AS DOUBLE) /
+       |    CAST(COUNT(*) * (SELECT COUNT(*) FROM emb) AS DOUBLE) AS scan_fraction,
+       |  COUNT(*) AS n_queries
+       |FROM truth t
+       |LEFT JOIN hits h ON t.query_id = h.query_id
+       |LEFT JOIN scans s ON t.query_id = s.query_id""".stripMargin
+  }
+
+  val s04Oracle: String = ivfRecallSql("16", "6")
+
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Oracle,
     "s02_embedding_neardup" -> s02Oracle,
     "s03_ann_lsh_recall" -> s03Oracle,
+    "s04_ann_ivf" -> s04Oracle,
   )
 }

@@ -17,6 +17,10 @@ object Dev {
         (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted.mkString(","))
       spark.stop(); return
     }
+    if (args.headOption.contains("oracle")) {
+      println(SparkEntry.oracleSql(args(1)))
+      spark.stop(); return
+    }
     if (args.headOption.contains("d03probe")) { d03probe(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("gen-sf")) {
       genScaled(spark, args(1), args(2), args(3).toInt); spark.stop(); return

@@ -39,17 +39,44 @@ import graft.analytics.Tables
   * scan by that same factor while the one corpus-wide pass is the
   * cluster assignment it shares with s06/s10.
   *
-  * Not SQL-expressible (T-deep sequential argmax recurrence) →
-  * rows-only at the gate + deterministic pins (seedless: lowest-id
-  * seed, quantized dists, id tie-break). */
+  * Oracle-checked since r10: the T-deep sequential argmax recurrence
+  * IS SQL-expressible — as a recursive CTE whose working rows carry
+  * (vec_id, quantized components, running min, picked-rank), with the
+  * per-round argmax read off a window (see [[s11Oracle]]); and the
+  * distances replay exactly because [[quantDist]] computes them from
+  * 2^-24-quantized integer components (order-free integer sums +
+  * IEEE-correctly-rounded scalar ops). Deterministic pins (seedless:
+  * lowest-id seed, quantized dists, id tie-break) stay as the
+  * spec-level fast guard. */
 object SelectOps {
 
   /** floor(K·(1−cos)) quantization shared by every selection stage:
     * floor is monotone, so a running min over per-center quantized
     * distances equals quantizing the exact min — comparison keys stay
-    * exact longs and shuffle/merge order cannot flip a near-tie. */
-  private[sim] def quantDist(v: Array[Float], c: Array[Float]): Long =
-    math.floor((1.0 - SimilarityOps.cosineArr(v, c)) * 4294967296.0).toLong
+    * exact longs and shuffle/merge order cannot flip a near-tie.
+    *
+    * CROSS-ENGINE exact (r10, for the SQL oracle): the cosine is
+    * computed over components first floored to 2^-24 quanta (exact on
+    * float32 — an exponent shift in double), so dot/‖a‖²/‖b‖² are exact
+    * integer sums no engine can order-drift, and the remaining ops
+    * (long→double, ·, √, ÷, −, floor) are each IEEE-correctly-rounded
+    * on identical inputs — any SQL engine with 64-bit floats replays
+    * the long bit-for-bit. Bounds: |component| < 2⁶ ⇒ quanta < 2³⁰,
+    * per-term products < 2⁶⁰/64 summed over 64 dims stays in a long. */
+  private[sim] def quantDist(v: Array[Float], c: Array[Float]): Long = {
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    val n = math.min(v.length, c.length)
+    while (i < n) {
+      val a = math.floor(v(i).toDouble * 16777216.0).toLong
+      val b = math.floor(c(i).toDouble * 16777216.0).toLong
+      dot += a * b; na += a * a; nb += b * b
+      i += 1
+    }
+    val cos = if (na == 0L || nb == 0L) 0.0
+      else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    math.floor((1.0 - cos) * 4294967296.0).toLong
+  }
 
   /** The checkpointed RDD backing an eagerly-localCheckpointed frame —
     * the handle needed to RELEASE a round's blocks the moment the next
@@ -240,5 +267,116 @@ object SelectOps {
     "s11_coreset_select" -> (s11_coreset_select _),
     "s11b_coreset_cluster" -> (s11b_coreset_cluster _))
 
-  val oracle: Map[String, String] = Map.empty
+  /** [[quantDist]] in SQL over pre-quantized component lists `{a}`/`{b}`
+    * with pre-computed squared norms `{na}`/`{nb}` — bit-identical (see
+    * quantDist's cross-engine note). */
+  private def qdSql(a: String, b: String, na: String, nb: String): String = {
+    val dot =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
+    s"""CAST(floor((1.0 - CASE WHEN $na = 0 OR $nb = 0 THEN 0.0
+       |  ELSE CAST($dot AS DOUBLE) / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)) END
+       |  ) * 4294967296.0) AS BIGINT)""".stripMargin
+  }
+
+  /** One greedy walk as a recursive CTE over a candidate CTE `src`
+    * (columns vec_id, qv, nrm) seeded by CTE `seedCte` (same columns):
+    * iteration r's rows are the working set with the running quantized
+    * min-distance; the round's pick is the window argmax ((picked
+    * first) DESC puts eligible rows ahead, then mind DESC, vec_id ASC —
+    * greedySelect's exact order); picked rows freeze their mind (the
+    * pick-time distance the output reports). `partition` optionally
+    * runs one walk per cluster (s11b's phase 1). */
+  private def walkSql(name: String, src: String, seedCte: String,
+      joinSeedOnCid: Boolean): String = {
+    val (baseJoin, part, cidCol, cidSel) =
+      if (joinSeedOnCid)
+        (s"FROM $src q JOIN $seedCte s ON q.cid = s.cid AND q.vec_id <> s.vec_id",
+          "PARTITION BY cid ", "cid, ", "q.cid, ")
+      else
+        (s"FROM $src q, $seedCte s WHERE q.vec_id <> s.vec_id", "", "", "")
+    s"""$name(r, ${cidCol}vec_id, qv, nrm, mind, picked_rank) AS (
+       |  SELECT 1, $cidSel q.vec_id, q.qv, q.nrm,
+       |    ${qdSql("q.qv", "s.qv", "q.nrm", "s.nrm")},
+       |    CAST(NULL AS INTEGER)
+       |  $baseJoin
+       |  UNION ALL
+       |  SELECT r + 1, ${cidCol}vec_id, qv, nrm,
+       |    CASE WHEN picked_rank IS NOT NULL OR vec_id = pick_id THEN mind
+       |         ELSE LEAST(mind, ${qdSql("qv", "pick_qv", "nrm", "pick_nrm")}) END,
+       |    CASE WHEN picked_rank IS NOT NULL THEN picked_rank
+       |         WHEN vec_id = pick_id THEN r + 1 END
+       |  FROM (
+       |    SELECT *,
+       |      FIRST_VALUE(vec_id) OVER w AS pick_id,
+       |      FIRST_VALUE(qv) OVER w AS pick_qv,
+       |      FIRST_VALUE(nrm) OVER w AS pick_nrm
+       |    FROM $name
+       |    WINDOW w AS ($part
+       |      ORDER BY (picked_rank IS NULL) DESC, mind DESC, vec_id)
+       |  ) WHERE r < 32
+       |)""".stripMargin
+  }
+
+  /** Quantized component lists + squared norms. `cid` (optional, from
+    * an `a3` join) rides along for the per-cluster walk. */
+  private def quantCtes(withCid: Boolean): String = {
+    val (from, cidA, cid) =
+      if (withCid) ("emb e JOIN a3 a USING (vec_id)", "a.cid, ", "cid, ")
+      else ("emb", "", "")
+    s"""qn AS (
+       |  SELECT vec_id, ${cidA}list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 16777216) AS BIGINT)) AS qv
+       |  FROM $from),
+       |qn2 AS (
+       |  SELECT vec_id, ${cid}qv,
+       |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+       |  FROM qn)""".stripMargin
+  }
+
+  private val pickTail: String =
+    """picks AS (
+      |  SELECT picked_rank AS rank, vec_id, mind AS min_dist_fp
+      |  FROM gwalk WHERE r = 32 AND picked_rank IS NOT NULL
+      |  UNION ALL
+      |  SELECT 1, vec_id, CAST(-1 AS BIGINT) FROM gseed)
+      |SELECT CAST(rank AS INTEGER) AS rank, vec_id, min_dist_fp
+      |FROM picks ORDER BY rank""".stripMargin
+
+  /** s11 replayed: one global walk over the whole corpus. */
+  val s11Oracle: String =
+    s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings),
+       |${quantCtes(withCid = false)},
+       |gseed AS (SELECT vec_id, qv, nrm FROM qn2 ORDER BY vec_id LIMIT 1),
+       |${walkSql("gwalk", "qn2", "gseed", joinSeedOnCid = false)},
+       |$pickTail""".stripMargin
+
+  /** s11b replayed: the s06 Lloyd chain assigns clusters
+    * ([[SimilarityOps.lloydSqlChain]] at adaptiveK(N)), phase 1 runs
+    * the SAME walk partitioned per cluster (every cluster advances one
+    * pick per recursion round; clusters smaller than T stall once
+    * exhausted), phase 2 re-walks globally over seed ∪ picked
+    * candidates. Replays the under-cap semantics (cap 4096 — the gate
+    * corpora sit far below; the overflow accumulator covers the rest). */
+  val s11bOracle: String =
+    s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings),
+       |${SimilarityOps.lloydSqlChain(
+           "SELECT GREATEST(16, COUNT(*) // 500) FROM embeddings", "emb")},
+       |${quantCtes(withCid = true)},
+       |cseed AS (
+       |  SELECT cid, vec_id, qv, nrm FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rk
+       |    FROM qn2)
+       |  WHERE rk = 1),
+       |${walkSql("cwalk", "qn2", "cseed", joinSeedOnCid = true)},
+       |cand AS (
+       |  SELECT vec_id, qv, nrm FROM cwalk WHERE r = 32 AND picked_rank IS NOT NULL
+       |  UNION ALL
+       |  SELECT vec_id, qv, nrm FROM cseed),
+       |gseed AS (SELECT vec_id, qv, nrm FROM cand ORDER BY vec_id LIMIT 1),
+       |${walkSql("gwalk", "cand", "gseed", joinSeedOnCid = false)},
+       |$pickTail""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s11_coreset_select" -> s11Oracle,
+    "s11b_coreset_cluster" -> s11bOracle)
 }

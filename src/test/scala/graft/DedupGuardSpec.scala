@@ -323,8 +323,9 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("s11 k-center greedy: deterministic pick sequence with non-increasing distances") {
-    // no SQL oracle by design (T-deep sequential argmax recurrence);
     // seedless determinism: lowest-id seed, 2^-32-quantized distances
+    // over 2^-24-quantized components (cross-engine exact — the same
+    // recurrence is oracle-replayed as a recursive CTE since r10)
     // compared as exact longs, id tie-break. Farthest-point theory:
     // adding a center only shrinks min-distances, so the picked max-min
     // distance sequence must be non-increasing — both the golden pin and
@@ -332,8 +333,8 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = graft.sim.SelectOps.s11_coreset_select(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(rows.length == 32)
-    assert(rows.take(3).toSeq == Seq((1, 0L, -1L), (2, 310L, 5882811883L),
-      (3, 74L, 5037774481L)), s"got ${rows.take(3).toSeq}")
+    assert(rows.take(3).toSeq == Seq((1, 0L, -1L), (2, 310L, 5882811927L),
+      (3, 74L, 5037774557L)), s"got ${rows.take(3).toSeq}")
     val dists = rows.drop(1).map(_._3)
     assert(dists.zip(dists.tail).forall { case (a, b) => b <= a },
       s"pick distances must be non-increasing: ${dists.toSeq}")

@@ -163,6 +163,36 @@ case class StrictSigmoid(child: Expression)
   override def prettyName: String = "strict_sigmoid"
 }
 
+/** `elliott_sigmoid(double) -> double`: the rational squash
+  * σ̃(z) = 0.5 + 0.5·z/(1+|z|) (Elliott 1993's "fast sigmoid") —
+  * monotone, symmetric, decision boundary IDENTICAL to the logistic
+  * (σ̃(z) ≥ 0.5 ⇔ z ≥ 0). Exists because it is built ONLY from
+  * IEEE-correctly-rounded ops (+ · / abs): unlike any exp()-based
+  * sigmoid — StrictMath pins a JVM-specific fdlibm polynomial no SQL
+  * engine reproduces — every engine with 64-bit floats evaluates this
+  * bit-for-bit, which is what lets t13's quantized-gradient GD
+  * recurrence be replayed as a SQL oracle. Codegen'd. */
+case class ElliottSigmoid(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a double argument, got ${child.dataType.simpleString}")
+  override def nullSafeEval(z: Any): Any = {
+    val x = z.asInstanceOf[Double]
+    0.5 + 0.5 * (x / (1.0 + Math.abs(x)))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, z =>
+      s"0.5 + 0.5 * (($z) / (1.0 + java.lang.Math.abs($z)))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "elliott_sigmoid"
+}
+
 /** Column-API entry points. */
 object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
@@ -176,6 +206,8 @@ object GraftFunctions {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def strict_sigmoid(z: Column): Column =
     GraftColumnBridge.column(StrictSigmoid(GraftColumnBridge.expression(z)))
+  def elliott_sigmoid(z: Column): Column =
+    GraftColumnBridge.column(ElliottSigmoid(GraftColumnBridge.expression(z)))
 }
 
 /** SQL registration via SparkSessionExtensions — enables
@@ -200,5 +232,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("strict_sigmoid"),
       new ExpressionInfo(classOf[StrictSigmoid].getName, "strict_sigmoid"),
       (children: Seq[Expression]) => StrictSigmoid(children(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("elliott_sigmoid"),
+      new ExpressionInfo(classOf[ElliottSigmoid].getName, "elliott_sigmoid"),
+      (children: Seq[Expression]) => ElliottSigmoid(children(0))))
   }
 }

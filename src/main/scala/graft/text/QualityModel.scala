@@ -20,16 +20,22 @@ object QualityModel {
     * compared back to the labels (confusion counts).
     *
     * Deterministic by the repo's iterative-algorithm discipline
-    * (d06/w08/t11): per-doc probabilities use `StrictMath.exp`
-    * (bit-identical on every JVM), each doc's gradient contribution is
+    * (d06/w08/t11): per-doc probabilities use the Elliott rational
+    * sigmoid ([[graft.functions.ElliottSigmoid]] — built only from
+    * IEEE-correctly-rounded ops, so it is bit-identical on every JVM
+    * AND every SQL engine; the pre-r10 `StrictMath.exp` logistic was
+    * JVM-reproducible but not SQL-replayable — decision boundaries are
+    * identical, p ≥ 0.5 ⇔ z ≥ 0), each doc's gradient contribution is
     * quantized to 2^-32 and summed as LONGS (shuffle-merge-order-proof),
     * and the driver holds only the 5 weights — each iteration is one
     * map-side pass over the cached feature frame ending in a 5-long
     * aggregate (iteration control, not data movement; the feature frame
     * is computed once). At 100 TB the shape is unchanged: training cost
-    * is iterations × one scan, scoring is a single map-side pass. Not
-    * SQL-expressible (the GD recurrence + exp) → rows-only at the gate
-    * plus a golden pin in DedupGuardSpec.
+    * is iterations × one scan, scoring is a single map-side pass.
+    * Oracle-checked since r10: the 30-round GD recurrence replays as a
+    * recursive CTE whose single state row carries the 5 weights, with
+    * the per-round quantized-gradient sums read off window aggregates
+    * (see [[t13Oracle]]); the golden pin in DedupGuardSpec stays.
     *
     * Evaluation is HELD OUT (r5 verdict): docs are split by q30's
     * deterministic content-hash rule (first 16 bits of md5(text) mod 10:
@@ -66,11 +72,10 @@ object QualityModel {
       val train = f.filter($"bucket" < 8)
       val valid = f.filter($"bucket" === 8)
       var w = Array.fill(5)(0.0)
-      // scoring column: left-to-right double arithmetic identical to the
-      // former UDF's, with the exp inside whole-stage codegen via the
-      // StrictSigmoid expression (built-in exp() is Math.exp, whose
-      // platform intrinsic could shift the pinned weights by ulps)
-      def p(wv: Array[Double]) = graft.functions.GraftFunctions.strict_sigmoid(
+      // scoring column: left-to-right double arithmetic, squashed by the
+      // codegen'd ElliottSigmoid (see the object doc: exact on every
+      // engine, which is what makes the GD oracle-replayable)
+      def p(wv: Array[Double]) = graft.functions.GraftFunctions.elliott_sigmoid(
         lit(wv(0)) + lit(wv(1)) * $"f1" + lit(wv(2)) * $"f2" +
           lit(wv(3)) * $"f3" + lit(wv(4)) * $"f4")
       (1 to 30).foreach { _ =>
@@ -108,5 +113,94 @@ object QualityModel {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t13_quality_model" -> (t13_quality_model _))
 
-  val oracle: Map[String, String] = Map.empty
+  /** z = w·(1,f) with the exact left-associated op order the scoring
+    * column uses. `p`/`f` prefix the weight/feature columns' relations. */
+  private def zSql(p: String, f: String): String =
+    s"${p}w0 + ${p}w1 * ${f}f1 + ${p}w2 * ${f}f2 + ${p}w3 * ${f}f3 + ${p}w4 * ${f}f4"
+
+  /** The Elliott squash, op-for-op ([[graft.functions.ElliottSigmoid]]). */
+  private def ellSql(z: String): String =
+    s"(0.5 + 0.5 * ($z / (1.0 + abs($z))))"
+
+  /** The whole t13 training + held-out evaluation replayed in SQL: the
+    * t07 signal CTEs ([[TextOps.gateSignalsSqlCtes]]) rebuild the
+    * feature frame (features are single IEEE-exact ops on integer
+    * counts; the label is t07's integer-comparison rule; the split is
+    * q30's md5-bucket device), then a recursive CTE carries ONE state
+    * row (round, w0..w4) through the 30 batch-GD rounds — each round
+    * cross-joins the state to the train split, computes e = σ̃(z) − y
+    * per row, reads the five 2^-32-truncated gradient LONG sums off
+    * window aggregates (order-free integer sums), and steps the
+    * weights with the exact double op sequence the driver uses. The
+    * final SELECT scores the held-out valid split with the round-30
+    * weights and emits the confusion row, weights included — every
+    * column hash-matches because no step depends on float summation
+    * order or on a transcendental (the r10 Elliott switch). The base
+    * literals are CAST to DOUBLE — a bare 0.0 would type the whole
+    * recursion DECIMAL(2,1) and corrupt training silently. */
+  val t13Oracle: String =
+    s"""WITH RECURSIVE ${TextOps.gateSignalsSqlCtes},
+       |sig AS (SELECT * FROM base JOIN rep USING (doc_id)),
+       |feats AS (
+       |  SELECT s.doc_id,
+       |    CAST(concat('0x', substr(md5(d.text), 1, 4)) AS BIGINT) % 10 AS bucket,
+       |    CAST(n_tok - 30 AS DOUBLE) / 30.0 AS f1,
+       |    CASE WHEN n_tok = 0 THEN 0.0
+       |         ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS f2,
+       |    CASE WHEN n_chars_m = 0 THEN 0.0
+       |         ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE) END AS f3,
+       |    CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS f4,
+       |    CASE WHEN n_tok >= 30 AND NOT (n_stop * 1000 < n_tok * 15)
+       |         AND NOT (n_punct * 10 > n_chars_m)
+       |         AND NOT ((n_grams - n_distinct) * 10 > n_grams)
+       |      THEN 1.0 ELSE 0.0 END AS y
+       |  FROM sig s JOIN documents d USING (doc_id)),
+       |train AS (SELECT * FROM feats WHERE bucket < 8),
+       |gd(r, w0, w1, w2, w3, w4) AS (
+       |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT r + 1,
+       |    w0 - 0.5 * (CAST(g0 AS DOUBLE) / (CAST(n AS DOUBLE) * 4294967296.0)),
+       |    w1 - 0.5 * (CAST(g1 AS DOUBLE) / (CAST(n AS DOUBLE) * 4294967296.0)),
+       |    w2 - 0.5 * (CAST(g2 AS DOUBLE) / (CAST(n AS DOUBLE) * 4294967296.0)),
+       |    w3 - 0.5 * (CAST(g3 AS DOUBLE) / (CAST(n AS DOUBLE) * 4294967296.0)),
+       |    w4 - 0.5 * (CAST(g4 AS DOUBLE) / (CAST(n AS DOUBLE) * 4294967296.0))
+       |  FROM (
+       |    SELECT r, w0, w1, w2, w3, w4,
+       |      SUM(CAST(trunc(e * 4294967296.0) AS BIGINT)) OVER () AS g0,
+       |      SUM(CAST(trunc(e * f1 * 4294967296.0) AS BIGINT)) OVER () AS g1,
+       |      SUM(CAST(trunc(e * f2 * 4294967296.0) AS BIGINT)) OVER () AS g2,
+       |      SUM(CAST(trunc(e * f3 * 4294967296.0) AS BIGINT)) OVER () AS g3,
+       |      SUM(CAST(trunc(e * f4 * 4294967296.0) AS BIGINT)) OVER () AS g4,
+       |      COUNT(*) OVER () AS n,
+       |      ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+       |    FROM (
+       |      SELECT *, ${ellSql("z")} - y AS e
+       |      FROM (
+       |        SELECT t.r, t.w0, t.w1, t.w2, t.w3, t.w4,
+       |          f.doc_id, f.f1, f.f2, f.f3, f.f4, f.y,
+       |          ${zSql("t.", "f.")} AS z
+       |        FROM gd t CROSS JOIN train f))
+       |  ) WHERE rn = 1 AND r < 30),
+       |fw AS (SELECT * FROM gd WHERE r = 30),
+       |scored AS (
+       |  SELECT y, ${ellSql("z")} AS p FROM (
+       |    SELECT v.y, ${zSql("w.", "v.")} AS z
+       |    FROM (SELECT * FROM feats WHERE bucket = 8) v CROSS JOIN fw w))
+       |SELECT
+       |  (SELECT COUNT(*) FROM train) AS n_train,
+       |  COUNT(*) AS n_valid,
+       |  CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(SUM(CASE WHEN p >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN p >= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN p < 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST(SUM(CASE WHEN p < 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  (SELECT w0 FROM fw) AS w0, (SELECT w1 FROM fw) AS w1,
+       |  (SELECT w2 FROM fw) AS w2, (SELECT w3 FROM fw) AS w3,
+       |  (SELECT w4 FROM fw) AS w4
+       |FROM scored""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t13_quality_model" -> t13Oracle)
 }

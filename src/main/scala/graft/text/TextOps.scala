@@ -378,8 +378,11 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  val t07Oracle: String =
-    raw"""WITH base AS (
+  /** The [[gateSignals]] frame in SQL — CTEs `base`/`toks`/`g`/`c`/`rep`
+    * (join base×rep on doc_id for the full signal row). Shared by the
+    * t07 oracle and t13's GD-replay oracle. */
+  private[graft] val gateSignalsSqlCtes: String =
+    raw"""base AS (
       |  SELECT doc_id,
       |    CAST(len(${oracleToks("text")}) AS BIGINT) AS n_tok,
       |    CAST(len(list_filter(${oracleToks("text")},
@@ -398,7 +401,10 @@ object TextOps {
       |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
       |rep AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
       |          COUNT(*) AS n_distinct
-      |        FROM c GROUP BY 1),
+      |        FROM c GROUP BY 1)""".stripMargin
+
+  val t07Oracle: String =
+    s"""WITH $gateSignalsSqlCtes,
       |j AS (SELECT * FROM base JOIN rep USING (doc_id))
       |SELECT doc_id,
       |  NOT (n_tok < 30 OR n_stop * 1000 < n_tok * 15

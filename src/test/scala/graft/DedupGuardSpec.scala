@@ -673,17 +673,19 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("t13 quality-model pin at sf0.001: fixed-point GD training is deterministic") {
-    // no SQL oracle by design (GD recurrence + exp); StrictMath.exp +
-    // 2^-32-quantized long gradient sums make the trained weights a pure
-    // function of the corpus — and the content-hash split makes the
-    // train/valid partition one too (397 train / 57 valid / 46 test of
-    // 500). Evaluation is HELD OUT (r5 verdict): GD sees only the train
-    // split, the confusion only the valid split, so the pinned 51/57 =
-    // 89.5% accuracy measures generalization to unseen docs and must
-    // beat the all-keep valid baseline (38/57 = 66.7%). w3 is exactly 0
-    // because the synthetic corpus contains no punctuation — the feature
-    // is dead data here, not a wiring bug (asserted so a corpus change
-    // that starts exercising it shows up).
+    // oracle-checked since r10 (Elliott sigmoid + quantized gradients
+    // replay as a recursive CTE); this pin stays as the fast spec-level
+    // guard. The Elliott squash + 2^-32-quantized long gradient sums
+    // make the trained weights a pure function of the corpus — and the
+    // content-hash split makes the train/valid partition one too (397
+    // train / 57 valid / 46 test of 500). Evaluation is HELD OUT (r5
+    // verdict): GD sees only the train split, the confusion only the
+    // valid split, so the pinned 51/57 = 89.5% accuracy measures
+    // generalization to unseen docs and must beat the all-keep valid
+    // baseline (38/57 = 66.7%). w3 is exactly 0 because the synthetic
+    // corpus contains no punctuation — the feature is dead data here,
+    // not a wiring bug (asserted so a corpus change that starts
+    // exercising it shows up).
     val r = graft.text.QualityModel.t13_quality_model(spark, "/root/testdata/sf0.001")
       .collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((397L, 57L, 38L)),
@@ -692,9 +694,9 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((38L, 6L, 13L, 0L)), s"confusion=${r.toSeq}")
     val validAcc = (r.getLong(3) + r.getLong(5)).toDouble / r.getLong(1)
     assert(validAcc > 38.0 / 57.0, s"valid accuracy $validAcc below all-keep")
-    assert(r.getDouble(7) == 0.33487929615646045, s"w0=${r.getDouble(7)}")
-    assert(r.getDouble(8) == 2.007716568672774, s"w1=${r.getDouble(8)}")
-    assert(r.getDouble(11) == 5.171691320874081e-4, s"w4=${r.getDouble(11)}")
+    assert(r.getDouble(7) == 0.5468455781510347, s"w0=${r.getDouble(7)}")
+    assert(r.getDouble(8) == 2.5528424412589183, s"w1=${r.getDouble(8)}")
+    assert(r.getDouble(11) == 8.789298584407911e-4, s"w4=${r.getDouble(11)}")
     assert(r.getDouble(10) == 0.0) // dead punct feature on this corpus
   }
 

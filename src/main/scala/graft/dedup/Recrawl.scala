@@ -63,9 +63,77 @@ object Recrawl {
       |  md5(max_by(text, fetch_seq)) AS kept_md5
       |FROM snaps GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** d18: CRAWL-SNAPSHOT DIFF — the day-over-day question the
+    * reference's warehouse exists to answer (its BigQuery table is
+    * day-partitioned precisely so consecutive crawls can be compared):
+    * per domain, how many URLs appeared, disappeared, changed content,
+    * or stayed identical between snapshot A and snapshot B.
+    *
+    * Snapshots are synthesized deterministically from the documents
+    * table (the d17 device): A drops every doc_id ≡ 3 (mod 7) ("new
+    * today"), B drops every doc_id ≡ 5 (mod 11) ("gone today"), and B
+    * drifts the text of every doc_id ≡ 0 (mod 5) ("edited today") — so
+    * all four diff classes are populated at every SF.
+    *
+    * Scale shape: content digests are computed MAP-SIDE and the text
+    * column is projected away BEFORE the join, so the one wide stage —
+    * a full-outer equi-join on url_id — moves 32-char digests, never
+    * page bytes; URLs are effectively unique so the key cannot skew;
+    * the per-domain rollup is an ordinary partial-aggregated groupBy.
+    * At 100 TB this is the minimal diff: corpus bytes are read once,
+    * shuffled never. */
+  def d18_crawl_diff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+    val a = docs.filter($"doc_id" % 7 =!= 3)
+      .select($"doc_id".as("url_id"), $"source".as("source_a"),
+        md5($"text").as("digest_a"))
+    val b = docs.filter($"doc_id" % 11 =!= 5)
+      .select($"doc_id".as("url_id"), $"source".as("source_b"),
+        md5(when($"doc_id" % 5 === 0, concat($"text", lit(" [edited]")))
+          .otherwise($"text")).as("digest_b"))
+    a.join(b, Seq("url_id"), "full_outer")
+      .select(coalesce($"source_a", $"source_b").as("source"),
+        $"digest_a", $"digest_b")
+      .groupBy($"source")
+      .agg(
+        sum(when($"digest_a".isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when($"digest_b".isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when($"digest_a".isNotNull && $"digest_b".isNotNull &&
+          $"digest_a" =!= $"digest_b", 1L).otherwise(0L)).as("n_changed"),
+        sum(when($"digest_a" === $"digest_b", 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .orderBy($"source")
+  }
+
+  val d18Oracle: String =
+    """WITH a AS (
+      |  SELECT doc_id AS url_id, source AS source_a, md5(text) AS digest_a
+      |  FROM documents WHERE doc_id % 7 <> 3),
+      |b AS (
+      |  SELECT doc_id AS url_id, source AS source_b,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]'
+      |             ELSE text END) AS digest_b
+      |  FROM documents WHERE doc_id % 11 <> 5),
+      |j AS (
+      |  SELECT COALESCE(source_a, source_b) AS source, digest_a, digest_b
+      |  FROM a FULL OUTER JOIN b USING (url_id))
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN digest_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_added,
+      |  CAST(SUM(CASE WHEN digest_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(SUM(CASE WHEN digest_a IS NOT NULL AND digest_b IS NOT NULL
+      |    AND digest_a <> digest_b THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(SUM(CASE WHEN digest_a = digest_b THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unchanged
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d17_recrawl_latest" -> (d17_recrawl_latest _))
+    "d17_recrawl_latest" -> (d17_recrawl_latest _),
+    "d18_crawl_diff" -> (d18_crawl_diff _))
 
   val oracle: Map[String, String] = Map(
-    "d17_recrawl_latest" -> d17Oracle)
+    "d17_recrawl_latest" -> d17Oracle,
+    "d18_crawl_diff" -> d18Oracle)
 }

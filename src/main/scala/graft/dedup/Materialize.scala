@@ -28,7 +28,7 @@ object Materialize {
   def d16_dedup_materialize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = DedupOps.withNearDups(s, d) // doc_id, text
-    val pairs = DedupOps.d04_ngram_jaccard(s, d).select($"id_a", $"id_b")
+    val pairs = DedupOps.ensureVerifiedPairs(s, d).select($"id_a", $"id_b")
     // labels: (id, label) for clustered docs only; label = component min id
     val labels = DedupOps.connectedComponents(pairs)
       .withColumnRenamed("id", "doc_id")

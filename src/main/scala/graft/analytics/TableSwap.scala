@@ -17,7 +17,27 @@ object TableSwap {
     val aside = target + "_pre_swap"
     s.sql(s"DROP TABLE IF EXISTS $aside")
     s.sql(s"ALTER TABLE $target RENAME TO $aside")
-    s.sql(s"ALTER TABLE $gen RENAME TO $target")
-    s.sql(s"DROP TABLE $aside")
+    try s.sql(s"ALTER TABLE $gen RENAME TO $target")
+    catch {
+      case e: Throwable =>
+        // ROLL BACK the aside rename before rethrowing: callers clean up
+        // by dropping `gen`, which must never leave the store nameless —
+        // without this restore, a failed gen→target rename followed by
+        // the caller's DROP gen would destroy the only complete
+        // generation (r10 review)
+        try s.sql(s"ALTER TABLE $aside RENAME TO $target")
+        catch { case e2: Throwable => e.addSuppressed(e2) }
+        throw e
+    }
+    // the swap IS complete here; a failed aside-drop must not abort the
+    // caller's post-swap bookkeeping (e.g. compaction's delta drop —
+    // skipping that would fold the delta twice on rerun). The leaked
+    // aside is reclaimed by the next swap's DROP IF EXISTS.
+    try s.sql(s"DROP TABLE $aside")
+    catch {
+      case e: Throwable => org.slf4j.LoggerFactory.getLogger("graft.analytics")
+        .warn(s"swapIn: superseded generation $aside not dropped " +
+          "(swap itself is complete; next swap reclaims it)", e)
+    }
   }
 }

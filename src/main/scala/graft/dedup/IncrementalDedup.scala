@@ -359,9 +359,15 @@ object IncrementalDedup {
       digT: String, admitted: DataFrame): Unit = {
     import s.implicits._
     val delta = bandDelta(bandT)
+    // idempotency keys off the absorbed-docs LEDGER, not the delta: the
+    // delta is dropped by compaction, so a crash-retried absorb of an
+    // already-absorbed batch would re-append band rows post-compaction
+    // (r10 review); the ledger is corpus content and survives every
+    // compaction, making replay a no-op at any point in the lifecycle
+    val ledger = absorbedDocs(bandT)
     val fresh =
-      if (s.catalog.tableExists(delta))
-        admitted.join(s.table(delta).select($"doc_id").distinct(),
+      if (s.catalog.tableExists(ledger))
+        admitted.join(s.table(ledger).select($"doc_id").distinct(),
           Seq("doc_id"), "left_anti")
       else admitted
     // localCheckpoint: `fresh` feeds three writes; absorb is batch-sized
@@ -376,8 +382,12 @@ object IncrementalDedup {
     bands.join(sizes, Seq("band", "bucket"))
       .write.mode("append").bucketBy(16, "band", "bucket")
       .sortBy("band", "bucket").saveAsTable(delta)
+    // bucketed by doc_id: both consumers key on it (the idempotency
+    // anti-join above and the verify-join text lookup), so the ledger
+    // side reads co-located instead of reshuffling per absorb
     f.select($"doc_id", $"text")
-      .write.mode("append").saveAsTable(absorbedDocs(bandT))
+      .write.mode("append").bucketBy(16, "doc_id").sortBy("doc_id")
+      .saveAsTable(absorbedDocs(bandT))
   }
 
   /** COMPACTION — fold the absorbed band DELTA into a new base
@@ -395,8 +405,13 @@ object IncrementalDedup {
     val gen = bandT + "_compacting"
     s.sql(s"DROP TABLE IF EXISTS $gen")
     try {
+      // distinct: band rows are unique per (doc_id, band) in a healthy
+      // store; duplicates arise only from a rerun after a failed
+      // post-swap delta drop (the delta already folded into base) — the
+      // distinct makes that rerun idempotent instead of doubling bkt_n
       val all = s.table(bandT).select("doc_id", "band", "bucket")
         .unionByName(s.table(delta).select("doc_id", "band", "bucket"))
+        .distinct()
       val sizes = all.groupBy("band", "bucket")
         .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("bkt_rep"))
       all.join(sizes, Seq("band", "bucket"))

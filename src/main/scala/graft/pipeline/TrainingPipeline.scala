@@ -228,11 +228,12 @@ object TrainingPipeline {
     * splittable — the write keeps the input partitioning so file count
     * = write parallelism, and a production re-read parallelizes across
     * FILES, which is why corpus releases ship thousands of shards). */
-  def io01_jsonl_roundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-io01")
-    try {
+  def io01_jsonl_roundtrip(s: SparkSession, d: String): DataFrame =
+    // staging on the SESSION'S filesystem (not a driver-local java.nio
+    // dir — r10 review; see StagingDir for the cluster failure modes)
+    graft.analytics.StagingDir.withStagingDir(s, "graft-io01") { dir =>
       import s.implicits._
-      val out = dir.resolve("docs-jsonl").toString
+      val out = new org.apache.hadoop.fs.Path(dir, "docs-jsonl").toString
       Tables.documents(s, d)
         .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
         .write.mode("overwrite").option("compression", "gzip").json(out)
@@ -258,14 +259,7 @@ object TrainingPipeline {
         .orderBy($"lang")
         // the audit is 5 rows; materialize BEFORE the temp dir vanishes
         .localCheckpoint(true)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally walk.close()
     }
-  }
 
   /** The audit computed from the parquet truth — equality proves the
     * jsonl write→read cycle preserved every value byte-for-byte. */

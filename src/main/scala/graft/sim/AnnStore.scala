@@ -366,7 +366,10 @@ object AnnStore {
     val gen = baseTbl + "_compacting"
     s.sql(s"DROP TABLE IF EXISTS $gen")
     try {
-      s.table(baseTbl).unionByName(s.table(deltaTbl))
+      // distinct: makes a rerun after a failed post-swap delta drop
+      // idempotent (the delta's rows are already in base then — without
+      // it they would fold in twice; see compactStore's matching note)
+      s.table(baseTbl).unionByName(s.table(deltaTbl)).distinct()
         .write.bucketBy(nBuckets, "cid").sortBy("cid")
         .saveAsTable(gen)
       // rename-aside swap (see TableSwap for the crash-safety contract)

@@ -61,8 +61,13 @@ object SelectOps {
     * integer sums no engine can order-drift, and the remaining ops
     * (long→double, ·, √, ÷, −, floor) are each IEEE-correctly-rounded
     * on identical inputs — any SQL engine with 64-bit floats replays
-    * the long bit-for-bit. Bounds: |component| < 2⁶ ⇒ quanta < 2³⁰,
-    * per-term products < 2⁶⁰/64 summed over 64 dims stays in a long. */
+    * the long bit-for-bit. Bounds: |component| ≤ 8 ⇒ quanta < 2²⁷,
+    * per-term products < 2⁵⁴, 64-term sums < 2⁶⁰ — safely in a long.
+    * Components beyond that COULD wrap a plain sum (the r10 review
+    * caught the original comment overstating the bound as 2⁶), so the
+    * sums use add/multiplyExact: an out-of-range corpus throws loudly —
+    * mirroring DuckDB's HUGEINT→BIGINT overflow error on the oracle
+    * side — instead of silently diverging from the oracle. */
   private[sim] def quantDist(v: Array[Float], c: Array[Float]): Long = {
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
@@ -70,7 +75,9 @@ object SelectOps {
     while (i < n) {
       val a = math.floor(v(i).toDouble * 16777216.0).toLong
       val b = math.floor(c(i).toDouble * 16777216.0).toLong
-      dot += a * b; na += a * a; nb += b * b
+      dot = Math.addExact(dot, Math.multiplyExact(a, b))
+      na = Math.addExact(na, Math.multiplyExact(a, a))
+      nb = Math.addExact(nb, Math.multiplyExact(b, b))
       i += 1
     }
     val cos = if (na == 0L || nb == 0L) 0.0

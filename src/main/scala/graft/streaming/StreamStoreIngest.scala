@@ -33,17 +33,12 @@ object StreamStoreIngest {
     * per-batch plan is a multi-join DAG that only the foreachBatch
     * batch API can express (a single streaming plan would need a
     * stream-stream join for the decision assembly). */
-  def st08_stream_store_dedup(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-st08")
-    try st08_stream_store_dedup_files(s, d, dir.toString)
-    finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally walk.close()
+  def st08_stream_store_dedup(s: SparkSession, d: String): DataFrame =
+    // drain dir on the session's FS (not driver-local — r10 review;
+    // see StagingDir for the cluster failure modes)
+    graft.analytics.StagingDir.withStagingDir(s, "graft-st08") { dir =>
+      st08_stream_store_dedup_files(s, d, dir.toString)
     }
-  }
 
   private[graft] def st08_stream_store_dedup_files(s: SparkSession, d: String,
       dir: String): DataFrame = withStreamShuffle(s) {

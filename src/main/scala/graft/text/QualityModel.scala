@@ -15,7 +15,7 @@ object QualityModel {
   /** t13: MODEL-BASED quality filtering — the classifier stage real
     * curation pipelines run after rule gates (a fastText/logreg model
     * scoring every document): logistic regression over the t07 gate
-    * signals, trained with 10 batch-gradient-descent iterations against
+    * signals, trained with 30 batch-gradient-descent iterations against
     * the rule gate's own keep/drop verdict, then scored corpus-wide and
     * compared back to the labels (confusion counts).
     *

@@ -538,7 +538,21 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.catalyst.TableIdentifier(bandT2)).bucketSpec
     assert(bs.exists(b => b.numBuckets == 16 &&
       b.bucketColumnNames == Seq("band", "bucket")), s"bucket spec lost: $bs")
-    for (t <- Seq(bandT2, digT2, IncrementalDedup.absorbedDocs(bandT2)))
+    // (5) idempotency SURVIVES compaction (r10 review): the absorbed-docs
+    // ledger, not the dropped delta, carries the absorbed ids — a
+    // crash-retried absorb of the same batch after compaction must
+    // append nothing anywhere and change no decision
+    val baseN = sp.table(bandT2).count()
+    IncrementalDedup.absorbAdmitted(sp, bandT2, digT2, novel)
+    assert(!sp.catalog.tableExists(IncrementalDedup.bandDelta(bandT2)) ||
+      sp.table(IncrementalDedup.bandDelta(bandT2)).count() == 0L,
+      "post-compaction replay re-appended band rows")
+    assert(sp.table(bandT2).count() == baseN, "replay grew the base")
+    assert(sp.table(digT2).count() == digN, "replay grew the digest table")
+    assert(decide(novel) == run2 && decide(near) == run3,
+      "post-compaction replay changed decisions")
+    for (t <- Seq(bandT2, digT2, IncrementalDedup.absorbedDocs(bandT2),
+        IncrementalDedup.bandDelta(bandT2)))
       sp.sql(s"DROP TABLE IF EXISTS $t")
   }
 

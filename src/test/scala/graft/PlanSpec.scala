@@ -110,6 +110,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus-sized per-doc set aggregation crept back into d04:\n$plan")
   }
 
+  test("d18 crawl diff: no shuffle carries page text — digests only") {
+    // the operator's whole scale claim: content digests are computed
+    // map-side and the text column is projected away BEFORE the one
+    // wide stage, so the full-outer join (and every other exchange)
+    // moves 32-char digests, never page bytes. Assert it on the actual
+    // exchanges rather than the plan text — the scan/project below the
+    // exchange legitimately mentions text.
+    val df = graft.dedup.Recrawl.d18_crawl_diff(spark, sf)
+    // unwrap the AQE root: collect() does not descend into it
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected at least the join exchange")
+    exchanges.foreach { e =>
+      val cols = e.output.map(_.name)
+      assert(!cols.exists(_.contains("text")),
+        s"page text crossed a shuffle in d18: $cols")
+    }
+  }
+
   test("t05 repetition: built-in expressions only, no UDF in the plan") {
     val plan = physical(graft.text.TextOps.t05_repetition(spark, sf))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),

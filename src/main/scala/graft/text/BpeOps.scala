@@ -43,9 +43,11 @@ object BpeOps {
     * target/batch, not target). 128 merges are learned (or fewer if the
     * corpus exhausts first — every word fused to one symbol). The
     * driver loop is iteration control exactly like d06/w08 — one keyed
-    * aggregation per round, one bounded candidate collect per round. No
-    * SQL oracle (the merge recurrence is not SQL-expressible) —
-    * rows-only at the gate plus a golden pin in DedupGuardSpec. */
+    * aggregation per round, one bounded candidate collect per round.
+    * Oracle-checked since r10 (see [[t11Oracle]]: wrapped-symbol
+    * strings + list_reduce merge folds + unrolled rounds with tiny
+    * per-round greedy recursions); the DedupGuardSpec golden pin
+    * stays. */
   /** The corpus (word, freq) vocabulary table t11/t14 iterate over. */
   private def bpeVocab(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -138,8 +140,9 @@ object BpeOps {
     * totals are frequency-weighted sums — corpus-sized data is touched
     * only by the initial vocab shuffle, the same one-collapse shape as
     * t11. Deterministic (merge list + encoder are pure functions) →
-    * golden pin; the merge recurrence is not SQL-expressible →
-    * rows-only at the gate. */
+    * golden pin, and oracle-checked since r10 ([[t14Oracle]] re-derives
+    * the merges through the same unrolled chain and encodes each
+    * distinct word with one list_reduce fold). */
   def t14_bpe_encode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.dedup.DedupOps.withCache(bpeVocab(s, d)) { w =>
@@ -268,6 +271,135 @@ object BpeOps {
     "t14_bpe_encode" -> (t14_bpe_encode _),
   )
 
+  // ---- t11/t14 SQL oracles (oracle-checked since r10) ----
+  //
+  // The batched merge loop IS SQL-expressible after all. Three devices:
+  //
+  //  1. WRAPPED-SYMBOL STRINGS: a segmentation [a, bc, d] is encoded
+  //     ␁a␁␁bc␁␁d␁ (every symbol individually delimited), so applying
+  //     ONE merge (l, r) is a plain `replace(w, ␁l␁␁r␁, ␁lr␁)` — SQL
+  //     replace is left-to-right non-overlapping, exactly
+  //     [[bpeSymbols]]' scan (consuming a pair cannot eat the next
+  //     pair's delimiters, so [a,a,a,a] → [aa,aa] and [a,a,a] → [aa,a]
+  //     on both engines).
+  //  2. list_reduce FOLDS THE MERGE LIST: the segmentation under k
+  //     merges is a left fold of device 1 over the accepted-order merge
+  //     list, with the char-wrapped word (one regexp_replace) as the
+  //     initial accumulator — no recursion needed for merge APPLY.
+  //  3. UNROLLED ROUNDS + tiny per-round greedy recursions: rounds
+  //     become 16 repeated CTE blocks (the Lloyd-unroll device; k
+  //     reaches its fixed point by round 12 at the gate corpora and
+  //     later blocks no-op — a corpus needing more rounds would
+  //     hash-MISMATCH loudly, never silently truncate). Within a
+  //     round, the symbol-disjoint greedy over the ≤128 ordered
+  //     candidates is a single-chain recursive CTE whose state carries
+  //     (pos, k, taken, used-symbols, accepted) — the used set probes
+  //     by delimited substring, replicating the Scala used-set exactly,
+  //     including the merged-string reservation and the
+  //     taken<32 / k≤128 stop conditions.
+  //
+  // Every compared quantity is integer (counts, ranks) or string — no
+  // float anywhere — so the replay is exact by construction. CTEs are
+  // MATERIALIZED: without it the per-round scalar subqueries re-expand
+  // the whole upstream chain per reference (measured: >300 s → 1.6 s).
+  private val Rounds = 16
+  private val W = "chr(1)" // symbol-wrap delimiter (never in corpus text)
+  private val U = "chr(2)" // field separator inside encoded entries
+
+  private def segSql(mergesSrc: String): String =
+    s"""list_reduce(
+       |      list_prepend(regexp_replace(word, '(.)', $W || '\\1' || $W, 'g'),
+       |                   (SELECT merges FROM $mergesSrc)),
+       |      (acc, m) -> replace(acc,
+       |        $W || split_part(m, $U, 1) || $W || $W || split_part(m, $U, 2) || $W,
+       |        $W || split_part(m, $U, 1) || split_part(m, $U, 2) || $W))""".stripMargin
+
+  private def roundBlockSql(r: Int): String = {
+    val prev = s"mrg_${r - 1}"
+    val ok =
+      s"""strpos(g.used, $W || c.l || $W) = 0
+         |          AND strpos(g.used, $W || c.r || $W) = 0
+         |          AND strpos(g.used, $W || c.l || c.r || $W) = 0""".stripMargin
+    s"""seg_$r AS MATERIALIZED (
+       |  SELECT word, freq, ${segSql(prev)} AS w FROM vocab),
+       |sym_$r AS MATERIALIZED (
+       |  SELECT word, freq, str_split(w[2:len(w) - 1], $W || $W) AS syms
+       |  FROM seg_$r),
+       |pr_$r AS MATERIALIZED (
+       |  SELECT t.p[1] AS l, t.p[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM sym_$r, UNNEST(list_zip(syms[1:len(syms) - 1], syms[2:len(syms)])) AS t(p)
+       |  WHERE len(syms) >= 2
+       |  GROUP BY 1, 2),
+       |cd_$r AS MATERIALIZED (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS pos
+       |  FROM pr_$r QUALIFY pos <= 128),
+       |g_$r(pos, k, taken, used, acc) AS (
+       |  SELECT CAST(0 AS BIGINT), (SELECT k FROM $prev), 0, $W,
+       |    CAST([] AS VARCHAR[])
+       |  UNION ALL
+       |  SELECT c.pos,
+       |    CASE WHEN $ok THEN g.k + 1 ELSE g.k END,
+       |    CASE WHEN $ok THEN g.taken + 1 ELSE g.taken END,
+       |    CASE WHEN $ok
+       |      THEN g.used || $W || c.l || $W || $W || c.r || $W || $W || c.l || c.r || $W
+       |      ELSE g.used END,
+       |    CASE WHEN $ok
+       |      THEN list_append(g.acc, c.l || $U || c.r || $U || CAST(c.cnt AS VARCHAR))
+       |      ELSE g.acc END
+       |  FROM g_$r g JOIN cd_$r c ON c.pos = g.pos + 1
+       |  WHERE g.taken < 32 AND g.k <= 128),
+       |gf_$r AS MATERIALIZED (SELECT k, acc FROM g_$r ORDER BY pos DESC LIMIT 1),
+       |mrg_$r AS MATERIALIZED (
+       |  SELECT m.merges || list_transform(f.acc,
+       |      s -> split_part(s, $U, 1) || $U || split_part(s, $U, 2)) AS merges,
+       |    f.k AS k,
+       |    m.picked || list_transform(f.acc,
+       |      (s, i) -> CAST(m.k + i - 1 AS VARCHAR) || $U || s) AS picked
+       |  FROM $prev m, gf_$r f)""".stripMargin
+  }
+
+  /** The shared WITH-chain: lowercased whitespace vocabulary + the 16
+    * unrolled merge rounds. */
+  private def bpeChainSql: String =
+    s"""WITH RECURSIVE vocab AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(
+       |      string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+       |    FROM documents)
+       |  GROUP BY 1),
+       |mrg_0 AS (
+       |  SELECT CAST([] AS VARCHAR[]) AS merges, 1 AS k,
+       |    CAST([] AS VARCHAR[]) AS picked),
+       |${(1 to Rounds).map(roundBlockSql).mkString(",\n")}""".stripMargin
+
+  val t11Oracle: String =
+    s"""$bpeChainSql
+       |SELECT CAST(split_part(p, $U, 1) AS INTEGER) AS rank,
+       |  split_part(p, $U, 2) AS "left",
+       |  split_part(p, $U, 3) AS "right",
+       |  split_part(p, $U, 2) || split_part(p, $U, 3) AS merged,
+       |  CAST(split_part(p, $U, 4) AS BIGINT) AS pair_count
+       |FROM (SELECT unnest(picked) AS p FROM mrg_$Rounds)
+       |ORDER BY rank""".stripMargin
+
+  val t14Oracle: String =
+    s"""$bpeChainSql,
+       |enc AS MATERIALIZED (
+       |  SELECT freq,
+       |    CAST(len(str_split(w[2:len(w) - 1], $W || $W)) AS BIGINT) AS n_syms,
+       |    CAST(length(word) AS BIGINT) AS n_chars
+       |  FROM (SELECT word, freq, ${segSql(s"mrg_$Rounds")} AS w FROM vocab))
+       |SELECT COUNT(*) AS n_words_distinct,
+       |  CAST(SUM(freq) AS BIGINT) AS n_word_instances,
+       |  CAST(SUM(freq * n_chars) AS BIGINT) AS n_chars_total,
+       |  CAST(SUM(freq * n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(MAX(n_syms) AS BIGINT) AS max_word_tokens,
+       |  CAST((SUM(freq * n_chars) * 1000) // SUM(freq * n_syms) AS BIGINT)
+       |    AS chars_per_token_x1000
+       |FROM enc""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "t12_sequence_pack" -> t12Oracle)
+    "t11_bpe_vocab" -> t11Oracle,
+    "t12_sequence_pack" -> t12Oracle,
+    "t14_bpe_encode" -> t14Oracle)
 }

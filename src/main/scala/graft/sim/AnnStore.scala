@@ -176,7 +176,9 @@ object AnnStore {
     * honest codes-only quality (a consumer wanting re-ranking reads the
     * store's co-resident raw vectors for the k finalists). Deterministic
     * end-to-end (same coarse Lloyd as s04/s07, same sample-trained PQ as
-    * s05) → golden pin; not SQL-expressible → rows-only at the gate. */
+    * s05) → golden pin, and oracle-checked since r10 ([[s08Oracle]]
+    * mirrors the PQ training's exact double op sequence — see the
+    * PQ-oracle block below). */
   def s08_ann_ivfpq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (tbl, cb, pqCb) = ensureAnnStore(s, d)
@@ -223,8 +225,9 @@ object AnnStore {
     * fraction is unchanged from s08 (same inverted lists). The finalist
     * id list is a bounded driver collect (rerank×|queries|,
     * iteration-control-sized — the same discipline as s07's probed-cid
-    * list). Deterministic end-to-end → golden pin; not SQL-expressible →
-    * rows-only at the gate. */
+    * list). Deterministic end-to-end → golden pin, and oracle-checked
+    * since r10 ([[s09Oracle]]: ADC nomination + exact re-rank both
+    * replayed). */
   def s09_ann_ivfpq_rerank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rerank = 50
@@ -557,10 +560,225 @@ object AnnStore {
     "s09_ann_ivfpq_rerank" -> (s09_ann_ivfpq_rerank _),
   )
 
-  /** s05/s08/s09 stay rows-only at the gate (their PQ codebooks come
-    * from a 5-round driver-local Lloyd over doubles — replayable in
-    * principle but far past sensible SQL); spec-pinned recall covers
-    * them (SURVEY §2.6b). s07 is oracle-checked: */
+  // ---- PQ-family SQL oracles (oracle-checked since r10) ----
+  //
+  // The PQ codebooks train driver-local over DOUBLES — but every one of
+  // those doubles is the result of a deterministic op sequence, and SQL
+  // can mirror the sequence exactly: sums become `list_reduce` folds
+  // over `list(... ORDER BY ...)` aggregates (fold order = the Scala
+  // loop order; the leading 0.0+ is an IEEE no-op on non-negative
+  // first terms), argmins become ROW_NUMBER ranks over bit-identical
+  // distances (strict-< first-min = ORDER BY dd, c), per-centroid mean
+  // sums fold over the FILTERed ordered member list (skipping
+  // non-members exactly as the Scala accumulation does), and the final
+  // ADC score folds the 64 products in (subspace, dim) order. With
+  // every input float identical (the l2-normalization itself replays:
+  // ordered square-sum fold → IEEE sqrt → per-component divide+round),
+  // the trained codebooks, codes, and scores are bit-identical — so
+  // s05/s08/s09 hash-match, ending their spec-pin-only era. CTEs are
+  // MATERIALIZED for the same re-expansion reason as the BPE oracles.
+
+  /** The shared PQ chain: l2-normalized vectors (`nv`), the 256-sample
+    * per-subspace training set (`smp`), 5 unrolled Lloyd rounds
+    * (`pc_1`..`pc_5`), and the corpus codes (`codes`). Expects the
+    * `embeddings` table. */
+  private def pqChainSql: String = {
+    val fold = "(a, b) -> a + b"
+    def lloydIter(t: Int): String = {
+      val prev = s"pc_${t - 1}"
+      s"""a_$t AS MATERIALIZED (
+         |  SELECT mi, sid, c AS best FROM (
+         |    SELECT s.mi, s.sid, p.c,
+         |      ROW_NUMBER() OVER (PARTITION BY s.mi, s.sid ORDER BY
+         |        list_reduce(list_transform(range(1, 5),
+         |          i -> (s.x[i] - p.vals[i]) * (s.x[i] - p.vals[i])), $fold),
+         |        p.c) AS rk
+         |    FROM smp s JOIN $prev p ON p.mi = s.mi)
+         |  WHERE rk = 1),
+         |ps_$t AS MATERIALIZED (
+         |  SELECT a.mi, a.best AS c, d.i, list(s.x[d.i] ORDER BY s.sid) AS xs
+         |  FROM a_$t a JOIN smp s ON s.mi = a.mi AND s.sid = a.sid
+         |  CROSS JOIN dims d
+         |  GROUP BY a.mi, a.best, d.i),
+         |pc_$t AS MATERIALIZED (
+         |  SELECT p.mi, p.c,
+         |    list(CASE WHEN s.xs IS NULL THEN p.vals[d.i]
+         |         ELSE list_reduce(s.xs, $fold) / len(s.xs) END ORDER BY d.i) AS vals
+         |  FROM $prev p CROSS JOIN dims d
+         |  LEFT JOIN ps_$t s ON s.mi = p.mi AND s.c = p.c AND s.i = d.i
+         |  GROUP BY p.mi, p.c)""".stripMargin
+    }
+    s"""nvn AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_reduce(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), $fold) AS ss
+       |  FROM embeddings),
+       |nv AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    CASE WHEN sqrt(n.ss) = 0 THEN e.embedding
+       |      ELSE list_transform(e.embedding,
+       |        x -> CAST(CAST(x AS DOUBLE) / sqrt(n.ss) AS FLOAT)) END AS v
+       |  FROM embeddings e JOIN nvn n USING (vec_id)),
+       |dims AS (SELECT unnest(range(1, 5)) AS i),
+       |subs AS (SELECT unnest(range(0, 16)) AS mi),
+       |smp AS MATERIALIZED (
+       |  SELECT n.vec_id AS sid, s.mi,
+       |    list_transform(range(1, 5), i -> CAST(v[s.mi * 4 + i] AS DOUBLE)) AS x
+       |  FROM nv n CROSS JOIN subs s WHERE n.vec_id < 256),
+       |pc_0 AS MATERIALIZED (
+       |  SELECT mi, sid AS c, x AS vals FROM smp WHERE sid < 16),
+       |${(1 to 5).map(lloydIter).mkString(",\n")},
+       |vx AS MATERIALIZED (
+       |  SELECT n.vec_id, s.mi,
+       |    list_transform(range(1, 5), i -> CAST(v[s.mi * 4 + i] AS DOUBLE)) AS x
+       |  FROM nv n CROSS JOIN subs s),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, mi, c AS code FROM (
+       |    SELECT v.vec_id, v.mi, p.c,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.mi ORDER BY
+       |        list_reduce(list_transform(range(1, 5),
+       |          i -> (v.x[i] - p.vals[i]) * (v.x[i] - p.vals[i])), $fold),
+       |        p.c) AS rk
+       |    FROM vx v JOIN pc_5 p ON p.mi = v.mi)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  /** The s01-identical exact baseline + per-query truth counts. */
+  private val exactSqlCtes: String =
+    """exact AS MATERIALIZED (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT qq.vec_id AS query_id, e.vec_id AS vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+      |        list_cosine_similarity(qq.embedding, e.embedding) DESC,
+      |        e.vec_id) AS rk
+      |    FROM embeddings qq CROSS JOIN embeddings e
+      |    WHERE qq.vec_id < 10 AND e.vec_id <> qq.vec_id)
+      |  WHERE rk <= 5),
+      |truth AS (SELECT query_id, COUNT(*) AS n_true FROM exact GROUP BY query_id)""".stripMargin
+
+  val s05Oracle: String =
+    s"""WITH $pqChainSql,
+       |q AS (SELECT vec_id AS query_id, v AS q_v FROM nv WHERE vec_id < 10),
+       |adcterms AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    list(CAST(q.q_v[c.mi * 4 + d.i] AS DOUBLE) * p.vals[d.i]
+       |      ORDER BY c.mi, d.i) AS terms
+       |  FROM q CROSS JOIN codes c
+       |  JOIN pc_5 p ON p.mi = c.mi AND p.c = c.code
+       |  CROSS JOIN dims d
+       |  WHERE c.vec_id <> q.query_id
+       |  GROUP BY q.query_id, c.vec_id),
+       |scored AS (SELECT query_id, vec_id,
+       |  list_reduce(terms, (a, b) -> a + b) AS score FROM adcterms),
+       |approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, vec_id) AS rk
+       |    FROM scored) WHERE rk <= 5),
+       |$exactSqlCtes,
+       |hits AS (
+       |  SELECT a.query_id, COUNT(*) AS n_hit
+       |  FROM approx a JOIN exact e
+       |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |  GROUP BY a.query_id)
+       |SELECT
+       |  CAST(SUM(COALESCE(h.n_hit, 0)) AS DOUBLE) /
+       |    CAST(SUM(t.n_true) AS DOUBLE) AS recall_at_5,
+       |  COUNT(*) AS n_queries,
+       |  CAST(16 AS BIGINT) AS code_bytes_per_vector,
+       |  CAST(256 AS BIGINT) AS raw_bytes_per_vector
+       |FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id""".stripMargin
+
+  /** The shared s08/s09 front: corpus-scaled IVF chain (prefixed so it
+    * can sit beside the PQ chain), the nprobe probe, candidates,
+    * per-candidate ADC scores, and the exact baseline. */
+  private def ivfPqProbeSql: String = {
+    val np = s"SELECT GREATEST(6, CAST(ceil(sqrt(CAST(($ivfKSql) AS DOUBLE))) AS BIGINT))"
+    s"""emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |${SimilarityOps.lloydSqlChain(ivfKSql, "emb",
+           prefix = "i", materialized = true)},
+       |$pqChainSql,
+       |probe_r AS (
+       |  SELECT e.vec_id AS query_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding, c.c) DESC, c.cid) AS rk
+       |  FROM emb e CROSS JOIN ic2 c WHERE e.vec_id < 10),
+       |probe AS (SELECT query_id, cid FROM probe_r WHERE rk <= ($np)),
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probe p JOIN ia3 a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id),
+       |scans AS (SELECT query_id, COUNT(*) AS n_scanned FROM cand GROUP BY query_id),
+       |adcterms AS (
+       |  SELECT cn.query_id, cn.vec_id,
+       |    list(CAST(q.v[c.mi * 4 + d.i] AS DOUBLE) * p.vals[d.i]
+       |      ORDER BY c.mi, d.i) AS terms
+       |  FROM cand cn
+       |  JOIN nv q ON q.vec_id = cn.query_id
+       |  JOIN codes c ON c.vec_id = cn.vec_id
+       |  JOIN pc_5 p ON p.mi = c.mi AND p.c = c.code
+       |  CROSS JOIN dims d
+       |  GROUP BY cn.query_id, cn.vec_id),
+       |scored AS MATERIALIZED (SELECT query_id, vec_id,
+       |  list_reduce(terms, (a, b) -> a + b) AS score FROM adcterms),
+       |$exactSqlCtes""".stripMargin
+  }
+
+  private def ivfPqTailSql(extra: String): String =
+    s"""SELECT
+       |  CAST(SUM(COALESCE(h.n_hit, 0)) AS DOUBLE) /
+       |    CAST(SUM(t.n_true) AS DOUBLE) AS recall_at_5,
+       |  CAST(SUM(COALESCE(s.n_scanned, 0)) AS DOUBLE) /
+       |    CAST(COUNT(*) * (SELECT COUNT(*) FROM emb) AS DOUBLE) AS scan_fraction,
+       |  COUNT(*) AS n_queries,
+       |  $extra
+       |FROM truth t
+       |LEFT JOIN hits h ON t.query_id = h.query_id
+       |LEFT JOIN scans s ON t.query_id = s.query_id""".stripMargin
+
+  // lazy: ivfPqProbeSql reads ivfKSql, declared further down the object
+  lazy val s08Oracle: String =
+    s"""WITH $ivfPqProbeSql,
+       |approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, vec_id) AS rk
+       |    FROM scored) WHERE rk <= 5),
+       |hits AS (
+       |  SELECT a.query_id, COUNT(*) AS n_hit
+       |  FROM approx a JOIN exact e
+       |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |  GROUP BY a.query_id)
+       |${ivfPqTailSql("""CAST(16 AS BIGINT) AS code_bytes_per_vector,
+       |  CAST(256 AS BIGINT) AS raw_bytes_per_vector""".stripMargin)}""".stripMargin
+
+  lazy val s09Oracle: String =
+    s"""WITH $ivfPqProbeSql,
+       |cands50 AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, vec_id) AS rk
+       |    FROM scored) WHERE rk <= 50),
+       |rr AS (
+       |  SELECT c.query_id, c.vec_id FROM (
+       |    SELECT c.query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |        list_cosine_similarity(q.v, e.embedding) DESC, c.vec_id) AS rk
+       |    FROM cands50 c
+       |    JOIN nv q ON q.vec_id = c.query_id
+       |    JOIN emb e ON e.vec_id = c.vec_id) c
+       |  WHERE rk <= 5),
+       |hits AS (
+       |  SELECT a.query_id, COUNT(*) AS n_hit
+       |  FROM rr a JOIN exact e
+       |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |  GROUP BY a.query_id)
+       |${ivfPqTailSql("""CAST(50 AS BIGINT) AS rerank_depth,
+       |  CAST(16 AS BIGINT) AS code_bytes_per_vector""".stripMargin)}""".stripMargin
+
   /** s07's oracle is s04's IVF unroll ([[SimilarityOps.ivfRecallSql]])
     * at the CORPUS-SCALED (k, nprobe): the [[ivfK]]/[[ivfNprobe]]
     * formulas become scalar subqueries over COUNT(*) (DuckDB round() is
@@ -576,6 +794,9 @@ object AnnStore {
     s"SELECT GREATEST(6, CAST(ceil(sqrt(CAST(($ivfKSql) AS DOUBLE))) AS BIGINT))")
 
   val oracle: Map[String, String] = Map(
+    "s05_ann_pq" -> s05Oracle,
     "s07_ann_store" -> s07Oracle,
+    "s08_ann_ivfpq" -> s08Oracle,
+    "s09_ann_ivfpq_rerank" -> s09Oracle,
   )
 }

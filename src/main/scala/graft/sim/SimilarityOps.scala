@@ -492,7 +492,17 @@ object SimilarityOps {
     * update is [[CentroidSum]]'s integer fixed point (truncating 2^-32
     * quantization, long sums, IEEE double→float final cast) — nothing
     * depends on float summation order. */
-  private[sim] def lloydSqlChain(kExpr: String, seedFrom: String): String = {
+  /** `prefix` renames the numbered CTEs (`a1` → `${prefix}a1`, …) so a
+    * caller can splice this chain next to OTHER CTE families without
+    * collisions (the s08/s09 oracles run it beside the PQ chain);
+    * `materialized` marks the per-step output CTEs MATERIALIZED — needed
+    * when a downstream query references the chain's outputs repeatedly
+    * (DuckDB would otherwise re-expand the whole upstream chain per
+    * reference). Defaults generate byte-identical text to the original
+    * (the already-gate-validated s04/s06/s07/s10/s11b oracles). */
+  private[sim] def lloydSqlChain(kExpr: String, seedFrom: String,
+      prefix: String = "", materialized: Boolean = false): String = {
+    val M = if (materialized) " MATERIALIZED" else ""
     val q = (x: String) => s"CAST(trunc(CAST($x AS DOUBLE) * 4294967296) AS BIGINT)"
     def assign(emb: String, cents: String, out: String): String =
       s"""${out}_r AS (
@@ -500,25 +510,27 @@ object SimilarityOps {
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |      ORDER BY list_cosine_similarity(e.embedding, c.c) DESC, c.cid) AS rk
          |  FROM $emb e CROSS JOIN $cents c),
-         |$out AS (SELECT vec_id, cid FROM ${out}_r WHERE rk = 1)""".stripMargin
+         |$out AS$M (SELECT vec_id, cid FROM ${out}_r WHERE rk = 1)""".stripMargin
     def update(a: String, out: String): String =
       s"""${out}_s AS (
          |  SELECT a.cid, p.i,
          |    SUM(${q("e.embedding[p.i]")}) AS s, COUNT(*) AS n
          |  FROM $a a JOIN emb e USING (vec_id) CROSS JOIN pos p
          |  GROUP BY a.cid, p.i),
-         |$out AS (
+         |$out AS$M (
          |  SELECT cid, list(CAST(CAST(s AS DOUBLE) / (n * 4294967296.0) AS FLOAT)
          |    ORDER BY i) AS c
          |  FROM ${out}_s GROUP BY cid)""".stripMargin
+    val (a1, c1, a2, c2, a3) = (s"${prefix}a1", s"${prefix}c1",
+      s"${prefix}a2", s"${prefix}c2", s"${prefix}a3")
     s"""pos AS (SELECT unnest(range(1, 65)) AS i),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS c
        |       FROM $seedFrom WHERE vec_id < ($kExpr)),
-       |${assign("emb", "c0", "a1")},
-       |${update("a1", "c1")},
-       |${assign("emb", "c1", "a2")},
-       |${update("a2", "c2")},
-       |${assign("emb", "c2", "a3")}""".stripMargin
+       |${assign("emb", "c0", a1)},
+       |${update(a1, c1)},
+       |${assign("emb", c1, a2)},
+       |${update(a2, c2)},
+       |${assign("emb", c2, a3)}""".stripMargin
   }
 
   /** The `base`(= raw embeddings) + `emb`(= base ∪ perturbed copies)

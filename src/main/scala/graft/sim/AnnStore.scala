@@ -690,15 +690,24 @@ object AnnStore {
        |  CAST(256 AS BIGINT) AS raw_bytes_per_vector
        |FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id""".stripMargin
 
-  /** The shared s08/s09 front: corpus-scaled IVF chain (prefixed so it
-    * can sit beside the PQ chain), the nprobe probe, candidates,
-    * per-candidate ADC scores, and the exact baseline. */
-  private def ivfPqProbeSql: String = {
-    val np = s"SELECT GREATEST(6, CAST(ceil(sqrt(CAST(($ivfKSql) AS DOUBLE))) AS BIGINT))"
+  private def ivfNprobeSql: String =
+    s"SELECT GREATEST(6, CAST(ceil(sqrt(CAST(($ivfKSql) AS DOUBLE))) AS BIGINT))"
+
+  /** The persisted store rebuilt in SQL: corpus + corpus-scaled IVF
+    * chain (prefixed so it can sit beside the PQ chain) + the PQ
+    * chain — i.e. everything [[ensureAnnStore]] materializes. Shared by
+    * the s08/s09 probes and st09's ingest replay. */
+  private def ivfPqBaseSql: String =
     s"""emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
        |${SimilarityOps.lloydSqlChain(ivfKSql, "emb",
            prefix = "i", materialized = true)},
-       |$pqChainSql,
+       |$pqChainSql""".stripMargin
+
+  /** The shared s08/s09 front: the store base, the nprobe probe,
+    * candidates, per-candidate ADC scores, and the exact baseline. */
+  private def ivfPqProbeSql: String = {
+    val np = ivfNprobeSql
+    s"""$ivfPqBaseSql,
        |probe_r AS (
        |  SELECT e.vec_id AS query_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -778,6 +787,106 @@ object AnnStore {
        |  GROUP BY a.query_id)
        |${ivfPqTailSql("""CAST(50 AS BIGINT) AS rerank_depth,
        |  CAST(16 AS BIGINT) AS code_bytes_per_vector""".stripMargin)}""".stripMargin
+
+  /** st09's streaming ingest replayed in SQL (oracle-checked since r10
+    * — the micro-batch execution is a delivery mechanism; the RESULT is
+    * a pure function of the embeddings table): the ingest batch is the
+    * %31 vectors rotated by 7 with ids offset past max(vec_id); the
+    * delta rows are coarse-assigned + PQ-encoded exactly like
+    * [[encodeForStore]] (assignment on the raw rotated vector, codes on
+    * its l2-normalization — the square-sum folds run in ROTATED
+    * component order, as the executor's UDF does); the self-probe runs
+    * [[annSearchOn]]'s read path over base ∪ delta — raw-vector coarse
+    * probe, ADC over codes, top-50 nomination, exact re-rank on the RAW
+    * query embedding (annSearchOn re-ranks with `q_emb`, not the
+    * normalized `q_v` the gate s09 uses), rank-1 self-match count. */
+  lazy val st09Oracle: String =
+    s"""WITH $ivfPqBaseSql,
+       |ing AS MATERIALIZED (
+       |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+       |    embedding[8:64] || embedding[1:7] AS embedding
+       |  FROM embeddings WHERE vec_id % 31 = 0),
+       |ingn AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS ss
+       |  FROM ing),
+       |ingv AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN sqrt(ss) = 0 THEN embedding
+       |      ELSE list_transform(embedding,
+       |        x -> CAST(CAST(x AS DOUBLE) / sqrt(ss) AS FLOAT)) END AS v
+       |  FROM ingn),
+       |dass AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT i.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY i.vec_id
+       |        ORDER BY list_cosine_similarity(i.embedding, c.c) DESC, c.cid) AS rk
+       |    FROM ing i CROSS JOIN ic2 c)
+       |  WHERE rk = 1),
+       |dvx AS MATERIALIZED (
+       |  SELECT n.vec_id, s.mi,
+       |    list_transform(range(1, 5), i -> CAST(v[s.mi * 4 + i] AS DOUBLE)) AS x
+       |  FROM ingv n CROSS JOIN subs s),
+       |dcodes AS MATERIALIZED (
+       |  SELECT vec_id, mi, c AS code FROM (
+       |    SELECT v.vec_id, v.mi, p.c,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.mi ORDER BY
+       |        list_reduce(list_transform(range(1, 5),
+       |          i -> (v.x[i] - p.vals[i]) * (v.x[i] - p.vals[i])), (a, b) -> a + b),
+       |        p.c) AS rk
+       |    FROM dvx v JOIN pc_5 p ON p.mi = v.mi)
+       |  WHERE rk = 1),
+       |sall AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, a.cid FROM emb e JOIN ia3 a USING (vec_id)
+       |  UNION ALL
+       |  SELECT i.vec_id, i.embedding, a.cid FROM ing i JOIN dass a USING (vec_id)),
+       |callcodes AS MATERIALIZED (
+       |  SELECT vec_id, mi, code FROM codes
+       |  UNION ALL
+       |  SELECT vec_id, mi, code FROM dcodes),
+       |qprobe AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT i.vec_id AS query_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY i.vec_id
+       |        ORDER BY list_cosine_similarity(i.embedding, c.c) DESC, c.cid) AS rk
+       |    FROM ing i CROSS JOIN ic2 c)
+       |  WHERE rk <= ($ivfNprobeSql)),
+       |qcand AS MATERIALIZED (
+       |  SELECT p.query_id, s.vec_id
+       |  FROM qprobe p JOIN sall s ON s.cid = p.cid),
+       |qadc AS MATERIALIZED (
+       |  SELECT query_id, vec_id, list_reduce(terms, (a, b) -> a + b) AS score FROM (
+       |    SELECT cn.query_id, cn.vec_id,
+       |      list(CAST(q.v[c.mi * 4 + d.i] AS DOUBLE) * p.vals[d.i]
+       |        ORDER BY c.mi, d.i) AS terms
+       |    FROM qcand cn
+       |    JOIN ingv q ON q.vec_id = cn.query_id
+       |    JOIN callcodes c ON c.vec_id = cn.vec_id
+       |    JOIN pc_5 p ON p.mi = c.mi AND p.c = c.code
+       |    CROSS JOIN dims d
+       |    GROUP BY cn.query_id, cn.vec_id)),
+       |qc50 AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, vec_id) AS rk
+       |    FROM qadc) WHERE rk <= 50),
+       |rr1 AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT c.query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |        list_cosine_similarity(q.embedding, s.embedding) DESC, c.vec_id) AS rk
+       |    FROM qc50 c
+       |    JOIN ing q ON q.vec_id = c.query_id
+       |    JOIN sall s ON s.vec_id = c.vec_id)
+       |  WHERE rk = 1)
+       |SELECT
+       |  (SELECT COUNT(*) FROM embeddings) AS n_store_before,
+       |  (SELECT COUNT(*) FROM ing) AS n_ingested,
+       |  (SELECT COUNT(*) FROM embeddings) + (SELECT COUNT(*) FROM ing)
+       |    AS n_store_after,
+       |  (SELECT COUNT(*) FROM rr1 WHERE vec_id = query_id) AS n_self_matched""".stripMargin
 
   /** s07's oracle is s04's IVF unroll ([[SimilarityOps.ivfRecallSql]])
     * at the CORPUS-SCALED (k, nprobe): the [[ivfK]]/[[ivfNprobe]]

@@ -156,9 +156,13 @@ object StreamStoreIngest {
     "st09_stream_ann_ingest" -> (st09_stream_ann_ingest _),
   )
 
-  /** st09 has no SQL oracle (ANN store probe) — rows-only at the gate,
-    * spec-pinned self-match + idempotent re-run (SURVEY §2.6b). */
+  /** st09 is oracle-checked since r10 (the streaming micro-batch is a
+    * delivery mechanism — the result is a pure function of the
+    * embeddings table; see [[graft.sim.AnnStore.st09Oracle]]); the
+    * idempotent-re-run + base-untouched spec pins stay, since THOSE
+    * assert execution properties SQL cannot see. */
   val oracle: Map[String, String] = Map(
     "st08_stream_store_dedup" -> st08Oracle,
+    "st09_stream_ann_ingest" -> graft.sim.AnnStore.st09Oracle,
   )
 }

@@ -608,17 +608,7 @@ object AnnStore {
          |  LEFT JOIN ps_$t s ON s.mi = p.mi AND s.c = p.c AND s.i = d.i
          |  GROUP BY p.mi, p.c)""".stripMargin
     }
-    s"""nvn AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    list_reduce(list_transform(embedding,
-       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), $fold) AS ss
-       |  FROM embeddings),
-       |nv AS MATERIALIZED (
-       |  SELECT e.vec_id,
-       |    CASE WHEN sqrt(n.ss) = 0 THEN e.embedding
-       |      ELSE list_transform(e.embedding,
-       |        x -> CAST(CAST(x AS DOUBLE) / sqrt(n.ss) AS FLOAT)) END AS v
-       |  FROM embeddings e JOIN nvn n USING (vec_id)),
+    s"""${l2NormalizeSql("embeddings", "nvn", "nv")},
        |dims AS (SELECT unnest(range(1, 5)) AS i),
        |subs AS (SELECT unnest(range(0, 16)) AS mi),
        |smp AS MATERIALIZED (
@@ -626,22 +616,50 @@ object AnnStore {
        |    list_transform(range(1, 5), i -> CAST(v[s.mi * 4 + i] AS DOUBLE)) AS x
        |  FROM nv n CROSS JOIN subs s WHERE n.vec_id < 256),
        |pc_0 AS MATERIALIZED (
-       |  SELECT mi, sid AS c, x AS vals FROM smp WHERE sid < 16),
+       |  SELECT mi, CAST(rn - 1 AS BIGINT) AS c, x AS vals FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY mi ORDER BY sid) AS rn
+       |    FROM smp)
+       |  WHERE rn <= 16),
        |${(1 to 5).map(lloydIter).mkString(",\n")},
-       |vx AS MATERIALIZED (
+       |${pqEncodeSql("nv", "vx", "codes")}""".stripMargin
+  }
+
+  /** l2-normalization CTE pair for a `(vec_id, embedding)` source —
+    * ordered square-sum fold, IEEE sqrt, per-component divide+round
+    * ([[l2normalize]] op-for-op). One definition (r10 review): the PQ
+    * chain normalizes the corpus, st09's replay normalizes the rotated
+    * ingest batch; a drift between two hand-kept copies would silently
+    * break the op-for-op parity claim. */
+  private def l2NormalizeSql(src: String, ssCte: String, out: String): String =
+    s"""$ssCte AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS ss
+       |  FROM $src),
+       |$out AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN sqrt(ss) = 0 THEN embedding
+       |      ELSE list_transform(embedding,
+       |        x -> CAST(CAST(x AS DOUBLE) / sqrt(ss) AS FLOAT)) END AS v
+       |  FROM $ssCte)""".stripMargin
+
+  /** Subspace slicing + nearest-centroid codes vs `pc_5` for a
+    * normalized source CTE (column `v`) — [[pqEncode]] op-for-op; shared
+    * by the corpus chain and st09's ingest replay (r10 review). */
+  private def pqEncodeSql(nvSrc: String, vxName: String, out: String): String =
+    s"""$vxName AS MATERIALIZED (
        |  SELECT n.vec_id, s.mi,
        |    list_transform(range(1, 5), i -> CAST(v[s.mi * 4 + i] AS DOUBLE)) AS x
-       |  FROM nv n CROSS JOIN subs s),
-       |codes AS MATERIALIZED (
+       |  FROM $nvSrc n CROSS JOIN subs s),
+       |$out AS MATERIALIZED (
        |  SELECT vec_id, mi, c AS code FROM (
        |    SELECT v.vec_id, v.mi, p.c,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.mi ORDER BY
        |        list_reduce(list_transform(range(1, 5),
-       |          i -> (v.x[i] - p.vals[i]) * (v.x[i] - p.vals[i])), $fold),
+       |          i -> (v.x[i] - p.vals[i]) * (v.x[i] - p.vals[i])), (a, b) -> a + b),
        |        p.c) AS rk
-       |    FROM vx v JOIN pc_5 p ON p.mi = v.mi)
+       |    FROM $vxName v JOIN pc_5 p ON p.mi = v.mi)
        |  WHERE rk = 1)""".stripMargin
-  }
 
   /** The s01-identical exact baseline + per-query truth counts. */
   private val exactSqlCtes: String =
@@ -806,17 +824,7 @@ object AnnStore {
        |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
        |    embedding[8:64] || embedding[1:7] AS embedding
        |  FROM embeddings WHERE vec_id % 31 = 0),
-       |ingn AS MATERIALIZED (
-       |  SELECT vec_id, embedding,
-       |    list_reduce(list_transform(embedding,
-       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS ss
-       |  FROM ing),
-       |ingv AS MATERIALIZED (
-       |  SELECT vec_id, embedding,
-       |    CASE WHEN sqrt(ss) = 0 THEN embedding
-       |      ELSE list_transform(embedding,
-       |        x -> CAST(CAST(x AS DOUBLE) / sqrt(ss) AS FLOAT)) END AS v
-       |  FROM ingn),
+       |${l2NormalizeSql("ing", "ingn", "ingv")},
        |dass AS MATERIALIZED (
        |  SELECT vec_id, cid FROM (
        |    SELECT i.vec_id, c.cid,
@@ -824,19 +832,7 @@ object AnnStore {
        |        ORDER BY list_cosine_similarity(i.embedding, c.c) DESC, c.cid) AS rk
        |    FROM ing i CROSS JOIN ic2 c)
        |  WHERE rk = 1),
-       |dvx AS MATERIALIZED (
-       |  SELECT n.vec_id, s.mi,
-       |    list_transform(range(1, 5), i -> CAST(v[s.mi * 4 + i] AS DOUBLE)) AS x
-       |  FROM ingv n CROSS JOIN subs s),
-       |dcodes AS MATERIALIZED (
-       |  SELECT vec_id, mi, c AS code FROM (
-       |    SELECT v.vec_id, v.mi, p.c,
-       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.mi ORDER BY
-       |        list_reduce(list_transform(range(1, 5),
-       |          i -> (v.x[i] - p.vals[i]) * (v.x[i] - p.vals[i])), (a, b) -> a + b),
-       |        p.c) AS rk
-       |    FROM dvx v JOIN pc_5 p ON p.mi = v.mi)
-       |  WHERE rk = 1),
+       |${pqEncodeSql("ingv", "dvx", "dcodes")},
        |sall AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, a.cid FROM emb e JOIN ia3 a USING (vec_id)
        |  UNION ALL
@@ -898,9 +894,8 @@ object AnnStore {
     * bucket-pruning pin cover the layout. */
   private val ivfKSql =
     "SELECT GREATEST(16, CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) FROM embeddings"
-  val s07Oracle: String = SimilarityOps.ivfRecallSql(
-    ivfKSql,
-    s"SELECT GREATEST(6, CAST(ceil(sqrt(CAST(($ivfKSql) AS DOUBLE))) AS BIGINT))")
+  lazy val s07Oracle: String =
+    SimilarityOps.ivfRecallSql(ivfKSql, ivfNprobeSql)
 
   val oracle: Map[String, String] = Map(
     "s05_ann_pq" -> s05Oracle,

@@ -302,7 +302,17 @@ object BpeOps {
   // float anywhere — so the replay is exact by construction. CTEs are
   // MATERIALIZED: without it the per-round scalar subqueries re-expand
   // the whole upstream chain per reference (measured: >300 s → 1.6 s).
-  private val Rounds = 16
+  /** Unroll depth. Every non-exhausted round accepts ≥ 1 merge (the
+    * used-set is empty at round start, so the top candidate always
+    * lands), so 32 rounds certainly suffice whenever per-round
+    * acceptance averages ≥ 4 — the gate corpora reach their fixed point
+    * by round 12-13, and a 400-random-word stress corpus needs 17 (r10
+    * review). A corpus needing more rounds fails LOUDLY as a gate hash
+    * mismatch (fewer oracle merges than the engine's), never silently;
+    * raise this constant if that ever fires. 128 would be a guarantee
+    * for any corpus, but measures 65 s per oracle run vs 1.8 s at 32 —
+    * not worth it for a fixed-corpus gate. */
+  private val Rounds = 32
   private val W = "chr(1)" // symbol-wrap delimiter (never in corpus text)
   private val U = "chr(2)" // field separator inside encoded entries
 
@@ -358,13 +368,14 @@ object BpeOps {
        |  FROM $prev m, gf_$r f)""".stripMargin
   }
 
-  /** The shared WITH-chain: lowercased whitespace vocabulary + the 16
-    * unrolled merge rounds. */
+  /** The shared WITH-chain: lowercased whitespace vocabulary (the one
+    * [[TextOps.oracleToks]] tokenization — r10 review: keep one copy of
+    * the empty-string-subtle split expression) + the unrolled merge
+    * rounds. */
   private def bpeChainSql: String =
     s"""WITH RECURSIVE vocab AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(list_filter(
-       |      string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+       |    SELECT unnest(${oracleToks("lower(text)")}) AS word
        |    FROM documents)
        |  GROUP BY 1),
        |mrg_0 AS (

@@ -32,7 +32,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def physical(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The 10×-scaled cert corpus (`graft.Dev gen-sf`) carries only
+    * documents/embeddings/events — TPC-H-table pins CANCEL (not fail)
+    * when re-run against it via GRAFT_PLANSPEC_SF. */
+  private def requireTable(name: String): Unit =
+    assume(new java.io.File(s"$sf/$name.parquet").exists(),
+      s"$name.parquet absent in $sf (scaled cert corpus)")
+
   test("q02: predicates pushed into the parquet scan, columns pruned") {
+    requireTable("lineitem")
     val plan = physical(graft.analytics.Relational.q02_filter_project(spark, sf))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
     assert(plan.contains("GreaterThanOrEqual(l_shipdate"))
@@ -43,6 +51,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q05: dimensions broadcast, at most one fact-fact shuffle join") {
+    requireTable("customer")
     val plan = physical(graft.analytics.Relational.q05_multi_join(spark, sf))
     assert(plan.contains("BroadcastHashJoin"))
     val merges = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length

@@ -556,6 +556,31 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       sp.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("table swap: a failed gen rename rolls the old generation back under the name") {
+    // the r10 crash-safety fix: swapIn renames target aside, then gen in;
+    // if the SECOND rename fails, the rollback must restore the aside
+    // table under the target name before rethrowing — otherwise the
+    // caller's cleanup (DROP gen) would leave the store NAMELESS. A
+    // missing gen table exercises exactly that branch.
+    val sp = spark
+    import sp.implicits._
+    sp.sql("DROP TABLE IF EXISTS graft_swap_t")
+    sp.sql("DROP TABLE IF EXISTS graft_swap_t_pre_swap")
+    sp.sql("DROP TABLE IF EXISTS graft_swap_missing_gen")
+    sp.range(0, 7).toDF("x").write.saveAsTable("graft_swap_t")
+    val thrown = intercept[Exception] {
+      graft.analytics.TableSwap.swapIn(sp, "graft_swap_t", "graft_swap_missing_gen")
+    }
+    assert(thrown != null)
+    assert(sp.catalog.tableExists("graft_swap_t"),
+      "rollback must restore the target name")
+    assert(sp.table("graft_swap_t").count() == 7L,
+      "restored target must hold the original generation's rows")
+    assert(!sp.catalog.tableExists("graft_swap_t_pre_swap"),
+      "rollback must not leave the aside name occupied")
+    sp.sql("DROP TABLE IF EXISTS graft_swap_t")
+  }
+
   test("ann store compaction: delta folds into a new base generation, probes unchanged") {
     // the fold-the-delta-in half of the store's LSM lifecycle: st09
     // appends land in an O(ingested) delta probed as base ∪ delta;

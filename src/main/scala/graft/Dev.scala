@@ -221,7 +221,7 @@ object Dev {
     val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
       "d04_ngram_jaccard", "d06_dedup_clusters", "d10_store_incremental",
       "d11_line_dedup", "d12_span_dedup", "d13_span_removal",
-      "d14_bloom_dedup", "d16_dedup_materialize",
+      "d14_bloom_dedup", "d16_dedup_materialize", "d18_crawl_diff",
       "s02_embedding_neardup", "s06_semantic_dedup",
       "s07_ann_store", "s08_ann_ivfpq", "s09_ann_ivfpq_rerank",
       "s10_knn_graph", "s11_coreset_select", "s11b_coreset_cluster",

@@ -11,8 +11,8 @@ import TextOps._
 object LangId {
 
   /** Character-trigram + function-word profiles for a handful of
-    * languages; scores by profile-hit density. Heuristic — rows-only
-    * check (the synthetic corpus shares one vocabulary across langs). */
+    * languages; scores by profile-hit density. Heuristic, but
+    * oracle-checked ([[t03Oracle]] replays the trigram scan). */
   private val langProfiles: Map[String, Set[String]] = Map(
     "en" -> Set(" th", "the", "he ", " an", "and", "nd ", " of", "of ",
       "ing", "ng ", " to", "to ", "ion", " is", "is "),

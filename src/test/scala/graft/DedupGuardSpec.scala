@@ -556,6 +556,55 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       sp.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("compaction rerun after a failed delta drop folds nothing twice") {
+    // the r10 review's double-fold hazard: if compaction's post-swap
+    // DROP of the delta fails, a rerun sees a delta whose rows are
+    // ALREADY in the folded base; the compaction union is DISTINCT
+    // precisely so that rerun is idempotent. Simulate the failure by
+    // re-creating the delta from rows the base already holds, re-run,
+    // and require identical base contents and guard stats.
+    val sp = spark
+    import sp.implicits._
+    import graft.dedup.IncrementalDedup
+    val sf = "/root/testdata/sf0.001"
+    val (bandT, digT) = IncrementalDedup.ensureIncrementalStore(sp, sf)
+    val bandT3 = bandT + "_refold_spec"
+    val digT3 = digT + "_refold_spec"
+    for (t <- Seq(bandT3, digT3, IncrementalDedup.bandDelta(bandT3),
+        IncrementalDedup.absorbedDocs(bandT3), bandT3 + "_compacting",
+        bandT3 + "_pre_swap"))
+      sp.sql(s"DROP TABLE IF EXISTS $t")
+    sp.table(bandT).write.bucketBy(16, "band", "bucket")
+      .sortBy("band", "bucket").saveAsTable(bandT3)
+    sp.table(digT).write.bucketBy(16, "dg").sortBy("dg").saveAsTable(digT3)
+    val docs = graft.analytics.Tables.documents(sp, sf).select($"doc_id", $"text")
+    val novel = docs.filter($"doc_id".isin(7L, 13L))
+      .select(($"doc_id" + 800000L).as("doc_id"),
+        array_join(transform(split(trim($"text"), "\\s+"),
+          t => concat(lit("zr"), t)), " ").as("text"))
+      .localCheckpoint(true)
+    IncrementalDedup.absorbAdmitted(sp, bandT3, digT3, novel)
+    val deltaRows = sp.table(IncrementalDedup.bandDelta(bandT3))
+      .collect() // re-planted below as the "undropped" delta
+    IncrementalDedup.compactStore(sp, bandT3)
+    val after1 = sp.table(bandT3).collect()
+      .map(_.toString).sorted.toSeq
+    // the "failed drop": the delta reappears with rows the base now holds
+    import sp.implicits._
+    sp.createDataFrame(sp.sparkContext.parallelize(deltaRows.toIndexedSeq),
+        sp.table(bandT3).schema)
+      .write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(IncrementalDedup.bandDelta(bandT3))
+    IncrementalDedup.compactStore(sp, bandT3)
+    val after2 = sp.table(bandT3).collect()
+      .map(_.toString).sorted.toSeq
+    assert(after2 == after1,
+      "rerun after a failed delta drop changed the base (double fold)")
+    for (t <- Seq(bandT3, digT3, IncrementalDedup.absorbedDocs(bandT3),
+        IncrementalDedup.bandDelta(bandT3)))
+      sp.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("table swap: a failed gen rename rolls the old generation back under the name") {
     // the r10 crash-safety fix: swapIn renames target aside, then gen in;
     // if the SECOND rename fails, the rollback must restore the aside

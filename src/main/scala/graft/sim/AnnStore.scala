@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Tables
-import SimilarityOps.{cosine, lloydStep, coarseAssignU, s01_ann_bruteforce,
+import SimilarityOps.{lloydStep, coarseAssignU, probeUdf, s01_ann_bruteforce,
   annRecall, annRecallRollup}
 
 /** The PERSISTED-INDEX ANN family, split out of SimilarityOps (r9
@@ -142,10 +142,7 @@ object AnnStore {
     import s.implicits._
     val (tbl, cb, _) = ensureAnnStore(s, d)
     val nprobe = ivfNprobe(cb.length)
-    val probeU = udf { v: Seq[Float] =>
-      cb.map { case (cid, c) => (cid, cosine(v, c)) }
-        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
-    }
+    val probeU = probeUdf(cb, nprobe)
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
@@ -183,10 +180,7 @@ object AnnStore {
     import s.implicits._
     val (tbl, cb, pqCb) = ensureAnnStore(s, d)
     val nprobe = ivfNprobe(cb.length)
-    val probeU = udf { v: Seq[Float] =>
-      cb.map { case (cid, c) => (cid, cosine(v, c)) }
-        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
-    }
+    val probeU = probeUdf(cb, nprobe)
     val normU = udf { v: Seq[Float] => l2normalize(v) }
     val adcU = udf { (q: Seq[Float], code: Array[Byte]) => pqAdc(pqCb, q, code) }
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
@@ -233,10 +227,7 @@ object AnnStore {
     val rerank = 50
     val (tbl, cb, pqCb) = ensureAnnStore(s, d)
     val nprobe = ivfNprobe(cb.length)
-    val probeU = udf { v: Seq[Float] =>
-      cb.map { case (cid, c) => (cid, cosine(v, c)) }
-        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
-    }
+    val probeU = probeUdf(cb, nprobe)
     val normU = udf { v: Seq[Float] => l2normalize(v) }
     val adcU = udf { (q: Seq[Float], code: Array[Byte]) => pqAdc(pqCb, q, code) }
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
@@ -310,10 +301,7 @@ object AnnStore {
       queryVecs: DataFrame, topK: Int = 5, rerank: Int = 50): DataFrame = {
     import s.implicits._
     val nprobe = ivfNprobe(cb.length)
-    val probeU = udf { v: Seq[Float] =>
-      cb.map { case (cid, c) => (cid, cosine(v, c)) }
-        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
-    }
+    val probeU = probeUdf(cb, nprobe)
     val normU = udf { v: Seq[Float] => l2normalize(v) }
     val adcU = udf { (q: Seq[Float], code: Array[Byte]) => pqAdc(pqCb, q, code) }
     val queries = queryVecs
@@ -667,7 +655,7 @@ object AnnStore {
       |  SELECT query_id, vec_id FROM (
       |    SELECT qq.vec_id AS query_id, e.vec_id AS vec_id,
       |      ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
-      |        list_cosine_similarity(qq.embedding, e.embedding) DESC,
+      |        CAST(trunc((list_cosine_similarity(qq.embedding, e.embedding)) * 4294967296) AS BIGINT) DESC,
       |        e.vec_id) AS rk
       |    FROM embeddings qq CROSS JOIN embeddings e
       |    WHERE qq.vec_id < 10 AND e.vec_id <> qq.vec_id)
@@ -692,7 +680,7 @@ object AnnStore {
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY score DESC, vec_id) AS rk
+       |        ORDER BY CAST(trunc((score) * 4294967296) AS BIGINT) DESC, vec_id) AS rk
        |    FROM scored) WHERE rk <= 5),
        |$exactSqlCtes,
        |hits AS (
@@ -729,7 +717,7 @@ object AnnStore {
        |probe_r AS (
        |  SELECT e.vec_id AS query_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY list_cosine_similarity(e.embedding, c.c) DESC, c.cid) AS rk
+       |      ORDER BY CAST(trunc((list_cosine_similarity(e.embedding, c.c)) * 4294967296) AS BIGINT) DESC, c.cid) AS rk
        |  FROM emb e CROSS JOIN ic2 c WHERE e.vec_id < 10),
        |probe AS (SELECT query_id, cid FROM probe_r WHERE rk <= ($np)),
        |cand AS MATERIALIZED (
@@ -771,7 +759,7 @@ object AnnStore {
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY score DESC, vec_id) AS rk
+       |        ORDER BY CAST(trunc((score) * 4294967296) AS BIGINT) DESC, vec_id) AS rk
        |    FROM scored) WHERE rk <= 5),
        |hits AS (
        |  SELECT a.query_id, COUNT(*) AS n_hit
@@ -787,13 +775,13 @@ object AnnStore {
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY score DESC, vec_id) AS rk
+       |        ORDER BY CAST(trunc((score) * 4294967296) AS BIGINT) DESC, vec_id) AS rk
        |    FROM scored) WHERE rk <= 50),
        |rr AS (
        |  SELECT c.query_id, c.vec_id FROM (
        |    SELECT c.query_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
-       |        list_cosine_similarity(q.v, e.embedding) DESC, c.vec_id) AS rk
+       |        CAST(trunc((list_cosine_similarity(q.v, e.embedding)) * 4294967296) AS BIGINT) DESC, c.vec_id) AS rk
        |    FROM cands50 c
        |    JOIN nv q ON q.vec_id = c.query_id
        |    JOIN emb e ON e.vec_id = c.vec_id) c
@@ -829,7 +817,7 @@ object AnnStore {
        |  SELECT vec_id, cid FROM (
        |    SELECT i.vec_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY i.vec_id
-       |        ORDER BY list_cosine_similarity(i.embedding, c.c) DESC, c.cid) AS rk
+       |        ORDER BY CAST(trunc((list_cosine_similarity(i.embedding, c.c)) * 4294967296) AS BIGINT) DESC, c.cid) AS rk
        |    FROM ing i CROSS JOIN ic2 c)
        |  WHERE rk = 1),
        |${pqEncodeSql("ingv", "dvx", "dcodes")},
@@ -845,7 +833,7 @@ object AnnStore {
        |  SELECT query_id, cid FROM (
        |    SELECT i.vec_id AS query_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY i.vec_id
-       |        ORDER BY list_cosine_similarity(i.embedding, c.c) DESC, c.cid) AS rk
+       |        ORDER BY CAST(trunc((list_cosine_similarity(i.embedding, c.c)) * 4294967296) AS BIGINT) DESC, c.cid) AS rk
        |    FROM ing i CROSS JOIN ic2 c)
        |  WHERE rk <= ($ivfNprobeSql)),
        |qcand AS MATERIALIZED (
@@ -866,13 +854,13 @@ object AnnStore {
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY score DESC, vec_id) AS rk
+       |        ORDER BY CAST(trunc((score) * 4294967296) AS BIGINT) DESC, vec_id) AS rk
        |    FROM qadc) WHERE rk <= 50),
        |rr1 AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT c.query_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
-       |        list_cosine_similarity(q.embedding, s.embedding) DESC, c.vec_id) AS rk
+       |        CAST(trunc((list_cosine_similarity(q.embedding, s.embedding)) * 4294967296) AS BIGINT) DESC, c.vec_id) AS rk
        |    FROM qc50 c
        |    JOIN ing q ON q.vec_id = c.query_id
        |    JOIN sall s ON s.vec_id = c.vec_id)

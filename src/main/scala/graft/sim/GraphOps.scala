@@ -101,13 +101,15 @@ object GraphOps {
         def topkOf(id: Long, v: Array[Float],
             others: scala.collection.IndexedSeq[(Long, Array[Float])])
             : Iterator[(Long, Long, Int)] = {
-          // bounded selection: same (score desc, id asc) rule as TopKCosine
-          var best = List.empty[(Double, Long)] // ascending-worst-first kept sorted
+          // bounded selection: same (score desc, id asc) rule as
+          // TopKCosine, on the same qCosKey-quantized compare key (so
+          // the SQL replay's quantized rank can't diverge by an ulp)
+          var best = List.empty[(Long, Long)] // ascending-worst-first kept sorted
           others.foreach { case (oid, ov) =>
             if (oid != id) {
-              val c = SimilarityOps.cosineArr(v, ov)
+              val c = SimilarityOps.qCosKey(SimilarityOps.cosineArr(v, ov))
               val cand = (c, oid)
-              def better(a: (Double, Long), x: (Double, Long)) =
+              def better(a: (Long, Long), x: (Long, Long)) =
                 a._1 > x._1 || (a._1 == x._1 && a._2 < x._2)
               if (best.length < knn) best = (cand :: best).sortWith(better)
               else if (better(cand, best.last)) best = (cand :: best.init).sortWith(better)
@@ -155,7 +157,8 @@ object GraphOps {
        |  SELECT src, dst, rank FROM (
        |    SELECT a.vec_id AS src, b.vec_id AS dst,
        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-       |        list_cosine_similarity(ea.embedding, eb.embedding) DESC,
+       |        ${SimilarityOps.qCosKeySql(
+                  "list_cosine_similarity(ea.embedding, eb.embedding)")} DESC,
        |        b.vec_id) AS rank
        |    FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
        |    JOIN emb ea ON ea.vec_id = a.vec_id

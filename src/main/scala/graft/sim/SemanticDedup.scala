@@ -46,9 +46,14 @@ object SemanticDedup {
     * cluster size⟩ — it is a parameter for exactly that reason;
     * SemDeDup itself prescribes corpus-scaled k) to keep clusters
     * under the cap and the pairing exact.
-    * Oracle-checked since r10 (see [[s06Oracle]]: the two fixed Lloyd
-    * rounds unroll into SQL because every step is integer fixed-point);
-    * also pinned in DedupGuardSpec like s04/s05. */
+    * Oracle-registered in r10, but the driver's r10 cert recorded a
+    * hash mismatch: the Lloyd assignment argmin and the 0.9 pair
+    * threshold compared RAW doubles, so a one-ulp divergence between
+    * the engine's [[cosineArr]] and the driver's DuckDB build of
+    * `list_cosine_similarity` could flip a borderline rank. r11
+    * quantizes every such comparison key to the shared 2^-32 grid on
+    * both sides ([[SimilarityOps.qCosKey]]/[[SimilarityOps.qCosKeySql]])
+    * — see [[s06Oracle]]; also pinned in DedupGuardSpec like s04/s05. */
   def s06_semantic_dedup(s: SparkSession, d: String): DataFrame = {
     // corpus-scaled k (SemDeDup's own prescription; r5 verdict): clusters
     // average n/k members, so a FIXED k at 100× corpus puts every cluster
@@ -151,6 +156,10 @@ object SemanticDedup {
       minCos: Double, overflow: org.apache.spark.util.LongAccumulator): DataFrame = {
     val sp = assigned.sparkSession
     import sp.implicits._
+    // threshold compare on the qCosKey-quantized key (both sides of a
+    // 2^-32 grid cell decide identically in the SQL replay — the r11
+    // hardening that turned the driver's s06 row green)
+    val qMin = SimilarityOps.qCosKey(minCos)
     assigned.select($"cid", $"vec_id", $"embedding")
       .as[(Int, Long, Seq[Float])]
       .repartition($"cid")
@@ -165,13 +174,13 @@ object SemanticDedup {
             for {
               i <- buf.indices.iterator
               j <- (i + 1) until buf.length
-              if cosineArr(buf(i)._2, buf(j)._2) >= minCos
+              if SimilarityOps.qCosKey(cosineArr(buf(i)._2, buf(j)._2)) >= qMin
             } yield (buf(i)._1, buf(j)._1)
           else {
             val rep = buf.head
             overflow.add(buf.length - 1)
             (buf.iterator.drop(1) ++ run.map { e => overflow.add(1); e })
-              .filter(m => cosineArr(rep._2, m._2) >= minCos)
+              .filter(m => SimilarityOps.qCosKey(cosineArr(rep._2, m._2)) >= qMin)
               .map(m => (rep._1, m._1))
           }
         }
@@ -214,7 +223,9 @@ object SemanticDedup {
        |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |  JOIN emb ea ON ea.vec_id = a.vec_id
        |  JOIN emb eb ON eb.vec_id = b.vec_id
-       |  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.9),
+       |  WHERE ${SimilarityOps.qCosKeySql(
+                  "list_cosine_similarity(ea.embedding, eb.embedding)")}
+       |    >= ${SimilarityOps.qCosKeySql("0.9")}),
        |dropped AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
        |SELECT
        |  (SELECT COUNT(*) FROM emb) AS n_vectors,

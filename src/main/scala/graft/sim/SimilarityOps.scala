@@ -26,6 +26,31 @@ object SimilarityOps {
 
   val Shift = 100000L
 
+  /** 2^-32 fixed-point quantization of every CROSS-ENGINE float
+    * comparison key (r10 verdict item 1, the s06 red row): the engine
+    * computes cosines with [[cosineArr]], the oracles with DuckDB's
+    * `list_cosine_similarity` — an opaque builtin whose low bits can
+    * differ by an ulp between DuckDB builds (FMA, summation order).
+    * A raw-float argmin/rank over near-continuum cosines lets that one
+    * ulp flip a borderline assignment and cascade through a Lloyd
+    * round. Truncating the key to a 2^-32 grid on BOTH sides makes the
+    * comparison an exact integer compare: a sub-ulp divergence only
+    * matters if the true value sits within an ulp of a grid boundary
+    * AND another candidate occupies the adjacent cell — two rare events
+    * that must coincide, vs. certainty-on-near-ties before. Exact ties
+    * (planted copies) quantize identically and fall to the id
+    * tie-break, deterministic on both sides. `.toLong` truncates toward
+    * zero, exactly like DuckDB `trunc` (and unlike `floor` — keep them
+    * matched); ×2^32 is an exponent shift, exact in double. */
+  val CosKeyScale = 4294967296.0 // 2^32
+  @inline def qCosKey(x: Double): Long = (x * CosKeyScale).toLong
+
+  /** SQL twin of [[qCosKey]] — splice around every oracle rank/compare
+    * of `list_cosine_similarity` (or an ADC score) that mirrors an
+    * engine-side float compare. */
+  def qCosKeySql(x: String): String =
+    s"CAST(trunc(($x) * 4294967296) AS BIGINT)"
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.sim")
 
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
@@ -76,7 +101,25 @@ object SimilarityOps {
     val cbArr = cb.map { case (cid, c) => (cid, c.toArray) }
     udf { v: Seq[Float] =>
       val va = v.toArray
-      cbArr.minBy { case (cid, c) => (-cosineArr(va, c), cid) }._1
+      // quantized argmax ([[qCosKey]]): a one-ulp cosine divergence
+      // between this and the oracle's DuckDB builtin cannot flip it
+      cbArr.minBy { case (cid, c) => (-qCosKey(cosineArr(va, c)), cid) }._1
+    }
+  }
+
+  /** THE nprobe-probe UDF: top-`nprobe` centroids by cosine, (cos DESC,
+    * cid ASC) order on the [[qCosKey]]-quantized key — one definition
+    * shared by s04 and every store probe (s07/s08/s09/annSearch), the
+    * same single-definition rule as [[coarseAssignU]] (probe and
+    * assignment ranks must agree or a stored vector's own bucket could
+    * fall outside its probe set). */
+  private[sim] def probeUdf(cb: Array[(Int, Seq[Float])], nprobe: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cbArr = cb.map { case (cid, c) => (cid, c.toArray) }
+    udf { v: Seq[Float] =>
+      val va = v.toArray
+      cbArr.map { case (cid, c) => (cid, qCosKey(cosineArr(va, c))) }
+        .sortBy { case (cid, q) => (-q, cid) }.take(nprobe).map(_._1).toSeq
     }
   }
 
@@ -184,7 +227,7 @@ object SimilarityOps {
   }
 
   val s01Oracle: String =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
       |           FROM embeddings WHERE vec_id < 10),
       |scored AS (
       |  SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -193,7 +236,7 @@ object SimilarityOps {
       |ranked AS (
       |  SELECT query_id, neighbor_id,
       |    ROW_NUMBER() OVER (PARTITION BY query_id
-      |      ORDER BY cos DESC, neighbor_id) AS rank
+      |      ORDER BY ${qCosKeySql("cos")} DESC, neighbor_id) AS rank
       |  FROM scored)
       |SELECT query_id, rank, neighbor_id FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
@@ -259,9 +302,13 @@ object SimilarityOps {
     * projections immune to float summation order — so DuckDB recomputes
     * every band bucket, the candidate set, the approximate top-5, the
     * exact top-5, and the recall, and the output hash-matches. The LSH
-    * family (sign-LSH / SimHash) and the measured trade are unchanged;
-    * only the plane distribution moved from seeded Gaussian to
-    * md5-Rademacher. */
+    * family (sign-LSH / SimHash) and the dial it measures are
+    * unchanged, but the swap was NOT quality-free: the sf0.001 recall@5
+    * pin moved 0.96 (seeded Gaussian planes, through r9) → 0.90
+    * (md5-Rademacher) — ±1 projections are a coarser approximation of
+    * Gaussian planes at 64 dims, and the replayability of the oracle
+    * was judged worth the ~6-point recall cost at this band/bit budget
+    * (recoverable by raising nBands if a consumer needs it). */
   def s03_ann_lsh_recall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
@@ -341,10 +388,7 @@ object SimilarityOps {
     (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
     val cb = centroids
     val assignU = coarseAssignU(cb)
-    val probeU = udf { v: Seq[Float] =>
-      cb.map { case (cid, c) => (cid, cosine(v, c)) }
-        .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
-    }
+    val probeU = probeUdf(cb, nprobe)
     val listed = emb.withColumn("cid", assignU($"embedding"))
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
@@ -408,7 +452,7 @@ object SimilarityOps {
     * bucket-join queries to candidates, rank the approximate and exact
     * top-5 identically (cos DESC, id ASC), and emit recall@5. */
   val s03Oracle: String =
-    """WITH qv AS (
+    s"""WITH qv AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 16777216) AS BIGINT)) AS qv
@@ -438,7 +482,7 @@ object SimilarityOps {
       |  SELECT query_id, vec_id FROM (
       |    SELECT c.query_id, c.vec_id,
       |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
-      |        list_cosine_similarity(eq.embedding, ec.embedding) DESC,
+      |        ${qCosKeySql("list_cosine_similarity(eq.embedding, ec.embedding)")} DESC,
       |        c.vec_id) AS rk
       |    FROM cand c
       |    JOIN embeddings eq ON eq.vec_id = c.query_id
@@ -448,7 +492,7 @@ object SimilarityOps {
       |  SELECT query_id, vec_id FROM (
       |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-      |        list_cosine_similarity(q.embedding, e.embedding) DESC,
+      |        ${qCosKeySql("list_cosine_similarity(q.embedding, e.embedding)")} DESC,
       |        e.vec_id) AS rk
       |    FROM embeddings q CROSS JOIN embeddings e
       |    WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
@@ -508,7 +552,7 @@ object SimilarityOps {
       s"""${out}_r AS (
          |  SELECT e.vec_id, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_cosine_similarity(e.embedding, c.c) DESC, c.cid) AS rk
+         |      ORDER BY ${qCosKeySql("list_cosine_similarity(e.embedding, c.c)")} DESC, c.cid) AS rk
          |  FROM $emb e CROSS JOIN $cents c),
          |$out AS$M (SELECT vec_id, cid FROM ${out}_r WHERE rk = 1)""".stripMargin
     def update(a: String, out: String): String =
@@ -559,7 +603,7 @@ object SimilarityOps {
        |probe_r AS (
        |  SELECT e.vec_id AS query_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY list_cosine_similarity(e.embedding, c.c) DESC, c.cid) AS rk
+       |      ORDER BY ${qCosKeySql("list_cosine_similarity(e.embedding, c.c)")} DESC, c.cid) AS rk
        |  FROM emb e CROSS JOIN c2 c WHERE e.vec_id < 10),
        |probe AS (SELECT query_id, cid FROM probe_r WHERE rk <= ($nprobeExpr)),
        |cand AS (
@@ -571,7 +615,7 @@ object SimilarityOps {
        |  SELECT query_id, vec_id FROM (
        |    SELECT c.query_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
-       |        list_cosine_similarity(eq.embedding, ec.embedding) DESC, c.vec_id) AS rk
+       |        ${qCosKeySql("list_cosine_similarity(eq.embedding, ec.embedding)")} DESC, c.vec_id) AS rk
        |    FROM cand c
        |    JOIN emb eq ON eq.vec_id = c.query_id
        |    JOIN emb ec ON ec.vec_id = c.vec_id)
@@ -580,7 +624,7 @@ object SimilarityOps {
        |  SELECT query_id, vec_id FROM (
        |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-       |        list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+       |        ${qCosKeySql("list_cosine_similarity(q.embedding, e.embedding)")} DESC, e.vec_id) AS rk
        |    FROM emb q CROSS JOIN emb e
        |    WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
        |  WHERE rk <= 5),

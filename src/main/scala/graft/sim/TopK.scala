@@ -12,14 +12,21 @@ import org.apache.spark.sql.expressions.Aggregator
   * handful of query vectors the window plan is Q hot reducers each
   * receiving the corpus; this plan ships Q·k rows per map partition.
   *
-  * Ordering: cosine descending, id ascending on ties — deterministic,
-  * and identical to the window formulation it replaces.
+  * Ordering: score descending, id ascending on ties — deterministic,
+  * and identical to the window formulation it replaces. The score
+  * compare runs on the [[SimilarityOps.qCosKey]]-quantized key (r11):
+  * every oracle replaying a top-k this aggregator produced ranks on
+  * the same 2^-32 fixed-point key, so a sub-ulp score divergence
+  * between engines (DuckDB's builtin cosine, a float-summation
+  * difference in an ADC fold) cannot flip a rank.
   */
 class TopKCosine(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Long]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val qa = SimilarityOps.qCosKey(a._1); val qb = SimilarityOps.qCosKey(b._1)
+    qa > qb || (qa == qb && a._2 < b._2)
+  }
 
   def zero: Seq[(Double, Long)] = Vector.empty
 

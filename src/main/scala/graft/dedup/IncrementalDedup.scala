@@ -19,6 +19,8 @@ import DedupOps._
   */
 object IncrementalDedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.dedup")
+
   /** d07: INCREMENTAL dedup — the production ingest shape: a new batch of
     * documents is admitted against an EXISTING corpus instead of
     * re-deduplicating the world. Layer 1 drops new docs whose exact
@@ -34,22 +36,36 @@ object IncrementalDedup {
     * and the seeded signatures make any given corpus's outcome
     * DETERMINISTIC — the oracle (which recomputes the exact cross-side
     * pair set in SQL) stays green or fails reproducibly, never flakily.
-    * New batch = exact copies of every 31st doc (+300000) and
-    * last-token-dropped near-dups of every 37th (+400000). */
+    * New batch = exact copies of every 31st doc and last-token-dropped
+    * near-dups of every 37th, at ids offset past the observed
+    * max(doc_id) (see [[plantedBatch]]). */
   /** Shared setup of the incremental-ingest queries (d07/d08): the
     * planted new batch, the exact-digest admission layer, and its
     * survivors. */
-  /** The planted incoming batch shared by d07/d08/d10: exact copies of
-    * every 31st corpus doc (+300000) and last-token-dropped near-dups of
-    * every 37th (+400000). */
+  /** The planted incoming batch shared by d07/d08/d10/st08: exact
+    * copies of every 31st corpus doc and last-token-dropped near-dups
+    * of every 37th. Batch ids are DERIVED from the observed id space
+    * (r10 verdict item 3 — the fixed +300000/+400000 offsets collide
+    * with real ids the moment a corpus holds >300k docs, exactly the
+    * latent assumption the r3 side-tag fix removed from the pair
+    * classifier): with `off` = max(doc_id)+1, copies land in
+    * [off, 2·off) and near-dups in [2·off, 3·off) — disjoint from the
+    * corpus and from each other for any 0-based id space. One bounded
+    * max() aggregation (column-pruned scan) per gate run, the same
+    * device st09 uses for its ingest ids. */
   private[graft] def plantedBatch(docs: DataFrame): DataFrame = {
+    val off = plantedOffset(docs)
     val toks = split(trim(col("text")), "\\s+")
     val droppedTok = array_join(slice(toks, lit(1), size(toks) - 1), " ")
     docs.filter(col("doc_id") % 31 === 0)
-        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 37 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"), droppedTok.as("text")))
+        .select((col("doc_id") + 2L * off).as("doc_id"), droppedTok.as("text")))
   }
+
+  /** max(doc_id)+1 over the corpus — the planted-batch id base. */
+  private[graft] def plantedOffset(docs: DataFrame): Long =
+    docs.agg(coalesce(max(col("doc_id")), lit(-1L))).collect()(0).getLong(0) + 1L
 
   /** Exact-digest admission layer shared by d07/d08/d10: split the batch
     * into exact-duplicate ids and surviving (doc_id, text) rows against a
@@ -164,15 +180,23 @@ object IncrementalDedup {
     * sizing groupBy is one extra shuffle at BUILD time — the one-off
     * indexing job, not the per-batch path. Shared with PlanSpec so the
     * co-location pin runs against the REAL writer, not a replica. */
+  /** `persistent = true` writes through the store lifecycle (external
+    * table at the content-addressed warehouse path, reusable across
+    * sessions); the default keeps d08's per-run temp store MANAGED so
+    * its `DROP TABLE` in the finally also reclaims the files. */
   private[graft] def writeSignatureStore(s: SparkSession, docs: DataFrame,
-      table: String): Unit = {
+      table: String, persistent: Boolean = false): Unit = {
     val bands = docs.withColumn("bands", minhashBandsU(col("text")))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
     val sizes = bands.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("bkt_rep"))
-    bands.join(sizes, Seq("band", "bucket"))
-      .write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
-      .mode("overwrite").saveAsTable(table)
+    val joined = bands.join(sizes, Seq("band", "bucket"))
+    if (persistent)
+      graft.analytics.StoreLifecycle.saveStoreTable(joined, table,
+        16, Seq("band", "bucket"), Seq("band", "bucket"))
+    else
+      joined.write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
+        .mode("overwrite").saveAsTable(table)
   }
 
   /** Ingest-side candidate join against a stored signature table —
@@ -222,27 +246,58 @@ object IncrementalDedup {
     } finally s.sql(s"DROP TABLE IF EXISTS $store")
   }
 
-  /** d10 store registry: one (band table, digest table) pair per
-    * (application, corpus dir), built on first use and kept for the
-    * session — so repeated ingests (bench warm runs, production batch
-    * cadence) measure the STEADY STATE the store exists for. */
+  /** d10 store registry: one (band table, digest table) pair per CORPUS
+    * GENERATION (content-addressed names —
+    * [[graft.analytics.StoreLifecycle]]), built on first use and kept
+    * for the session — so repeated ingests (bench warm runs, production
+    * batch cadence) measure the STEADY STATE the store exists for, and
+    * a LATER session re-registers the surviving tables instead of
+    * rebuilding and abandoning a generation (r10 verdict item 2). */
   private val storeRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Build counter + registry reset, exposed for the lifecycle spec
+    * (reuse must not rebuild; reset simulates a fresh session). */
+  private[graft] val sigStoreBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def resetRegistryForTest(): Unit = storeRegistry.clear()
 
   /** Build-once accessor for d10's persisted corpus index: the bucketed
     * band table (see [[writeSignatureStore]]) plus a digest table
     * bucketed by `dg` — so BOTH admission layers probe co-located. */
   private[graft] def ensureIncrementalStore(s: SparkSession, d: String): (String, String) = {
-    val key = s.sparkContext.applicationId + ":" + d
-    storeRegistry.computeIfAbsent(key, _ => {
-      val suffix = (MurmurHash3.stringHash(key).toLong & 0xffffffffL).toString
-      val bandT = s"graft_d10_bands_$suffix"
-      val digT = s"graft_d10_digests_$suffix"
-      val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
-      writeSignatureStore(s, docs, bandT)
-      docs.select(md5(col("text")).as("dg")).distinct()
-        .write.bucketBy(16, "dg").sortBy("dg")
-        .mode("overwrite").saveAsTable(digT)
+    import graft.analytics.StoreLifecycle
+    val (fam, fp) = StoreLifecycle.corpusTags(s, d, Seq("documents"))
+    val bandT = StoreLifecycle.storeName("graft_d10_bands", fam, fp)
+    val digT = StoreLifecycle.storeName("graft_d10_digests", fam, fp)
+    // warehouse-scoped key: a session with an isolated warehouse builds
+    // its own physical store under the same content-addressed name
+    val regKey = s.conf.get("spark.sql.warehouse.dir") + ":" + bandT
+    val cached = storeRegistry.get(regKey)
+    if (cached != null) {
+      // JVM-wide registry, per-session catalog: after a session restart
+      // re-declare the surviving tables in the new catalog
+      val ok = Seq((bandT, Seq("band", "bucket")), (digT, Seq("dg")))
+        .forall { case (t, cols) =>
+          s.catalog.tableExists(t) || StoreLifecycle.reRegister(s, t, 16, cols, cols) }
+      require(ok, s"signature store $bandT cached in registry but data missing")
+      return cached
+    }
+    storeRegistry.computeIfAbsent(regKey, _ => {
+      val reusable = StoreLifecycle.isComplete(s, bandT) &&
+        StoreLifecycle.reRegister(s, bandT, 16, Seq("band", "bucket"),
+          Seq("band", "bucket")) &&
+        StoreLifecycle.reRegister(s, digT, 16, Seq("dg"), Seq("dg"))
+      if (!reusable) {
+        sigStoreBuilds.incrementAndGet()
+        val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
+        writeSignatureStore(s, docs, bandT, persistent = true)
+        StoreLifecycle.saveStoreTable(
+          docs.select(md5(col("text")).as("dg")).distinct(),
+          digT, 16, Seq("dg"), Seq("dg"))
+        StoreLifecycle.markComplete(s, Seq(bandT, digT), d)
+        StoreLifecycle.sweep(s, Seq("graft_d10_bands", "graft_d10_digests"),
+          fam, fp)
+      }
       (bandT, digT)
     })
   }
@@ -355,8 +410,20 @@ object IncrementalDedup {
     *
     * The gate queries never absorb — their decisions stay pure functions
     * of (corpus, batch), which is what makes them oracle-checkable. */
+  /** `compactAtDeltaRows` is the AUTOMATIC-compaction high-water mark
+    * (r10 verdict item 4 — absorb and compaction existed as APIs but
+    * nothing triggered them, so a production stream would grow the
+    * delta unboundedly): when the band delta reaches the mark after an
+    * absorb, [[compactStore]] fires in-line — the delta folds into a
+    * new base generation and drops, restoring O(base) probe cost. The
+    * default (MaxValue) keeps the gate queries' decisions pure
+    * functions of (corpus, batch); returns true iff a compaction ran,
+    * so callers (and the spec) can observe exactly when the policy
+    * fires. The mark is a delta ROW count — one delta-sized metadata
+    * count per absorb, negligible next to the absorb's own writes. */
   private[graft] def absorbAdmitted(s: SparkSession, bandT: String,
-      digT: String, admitted: DataFrame): Unit = {
+      digT: String, admitted: DataFrame,
+      compactAtDeltaRows: Long = Long.MaxValue): Boolean = {
     import s.implicits._
     val delta = bandDelta(bandT)
     // idempotency keys off the absorbed-docs LEDGER, not the delta: the
@@ -388,6 +455,13 @@ object IncrementalDedup {
     f.select($"doc_id", $"text")
       .write.mode("append").bucketBy(16, "doc_id").sortBy("doc_id")
       .saveAsTable(absorbedDocs(bandT))
+    if (s.catalog.tableExists(delta) &&
+        s.table(delta).count() >= compactAtDeltaRows) {
+      log.info(s"absorb: band delta for $bandT crossed the " +
+        s"$compactAtDeltaRows-row high-water mark; compacting")
+      compactStore(s, bandT)
+      true
+    } else false
   }
 
   /** COMPACTION — fold the absorbed band DELTA into a new base
@@ -428,10 +502,12 @@ object IncrementalDedup {
 
   val d07Oracle: String =
     """WITH docs AS (SELECT doc_id, text FROM documents),
+      |off AS (SELECT 1 + COALESCE(MAX(doc_id), -1) AS o FROM docs),
       |newb AS (
-      |  SELECT doc_id + 300000 AS doc_id, text FROM docs WHERE doc_id % 31 = 0
+      |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text FROM docs
+      |  WHERE doc_id % 31 = 0
       |  UNION ALL
-      |  SELECT doc_id + 400000,
+      |  SELECT doc_id + 2 * (SELECT o FROM off),
       |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
       |      len(string_split_regex(trim(text), '\s+')) - 1), ' ')
       |  FROM docs WHERE doc_id % 37 = 0),

@@ -20,11 +20,21 @@ import SimilarityOps.{lloydStep, coarseAssignU, probeUdf, s01_ann_bruteforce,
 object AnnStore {
 
   /** s07/s08 ANN index-store registry: one (inverted-list table, coarse
-    * codebook, PQ codebooks) per (application, corpus dir) — the
-    * similarity twin of d10's signature store. Built once per session;
-    * every query run probes the PERSISTED index. */
+    * codebook, PQ codebooks) per CORPUS GENERATION (content-addressed
+    * table name — [[graft.analytics.StoreLifecycle]]), the similarity
+    * twin of d10's signature store. Within a session this caches the
+    * driver-side codebook arrays; across sessions the tables themselves
+    * persist and are re-registered, not rebuilt. */
   private val annStoreRegistry = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[(Int, Seq[Float])], Array[Array[Array[Double]]])]()
+
+  /** Build counter, exposed for the lifecycle spec: reuse must NOT
+    * increment it. */
+  private[graft] val annStoreBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Session-registry reset for the lifecycle spec (simulates a fresh
+    * session's empty in-memory state over surviving warehouse files). */
+  private[graft] def resetRegistryForTest(): Unit = annStoreRegistry.clear()
 
   /** Corpus-scaled IVF geometry for the persisted store (r6 verdict
     * item 1): k ≈ √N inverted lists keep each list ~√N long — the
@@ -57,32 +67,88 @@ object AnnStore {
     * bounded finalist fetch). */
   private[graft] def ensureAnnStore(s: SparkSession, d: String)
       : (String, Array[(Int, Seq[Float])], Array[Array[Array[Double]]]) = {
-    val key = s.sparkContext.applicationId + ":" + d
-    annStoreRegistry.computeIfAbsent(key, _ => {
+    import graft.analytics.StoreLifecycle
+    // content-addressed generation names: same corpus snapshot → same
+    // tables in EVERY session (r10 verdict item 2 — the applicationId
+    // key abandoned a corpus-scale generation per session)
+    val (fam, fp) = StoreLifecycle.corpusTags(s, d, Seq("embeddings"))
+    val tbl = StoreLifecycle.storeName("graft_s07_lists", fam, fp)
+    val cbT = StoreLifecycle.storeName("graft_s07_cb", fam, fp)
+    val pqT = StoreLifecycle.storeName("graft_s07_pq", fam, fp)
+    // registry key includes the warehouse: sessions with different
+    // warehouse dirs (spec suites isolate theirs) hold independent
+    // physical stores under the same content-addressed name
+    val regKey = s.conf.get("spark.sql.warehouse.dir") + ":" + tbl
+    val cached = annStoreRegistry.get(regKey)
+    if (cached != null) {
+      // the registry is JVM-wide but catalog entries are per-session: a
+      // session restart (spec suites stop/rebuild the session) keeps
+      // the cached codebooks valid while the table entry needs
+      // re-declaring over the surviving files
+      if (!s.catalog.tableExists(tbl))
+        require(StoreLifecycle.reRegister(s, tbl,
+          ivfK(Tables.embeddings(s, d).count()), Seq("cid"), Seq("cid")),
+          s"ANN store $tbl cached in registry but data missing")
+      return cached
+    }
+    annStoreRegistry.computeIfAbsent(regKey, _ => {
       import s.implicits._
-      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        .repartition(s.sparkContext.defaultParallelism)
-      // metadata-cheap count (parquet row-group stats) sizes the codebook
-      val k = ivfK(Tables.embeddings(s, d).count())
-      var centroids: Array[(Int, Seq[Float])] = emb.filter($"vec_id" < k)
-        .orderBy($"vec_id").collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-      (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
-      val assignU = coarseAssignU(centroids)
-      // PQ training identical to s05: the 256 lowest-id NORMALIZED
-      // vectors (sample-sized driver collect), 5 local Lloyd iterations
-      val sample: Array[Seq[Float]] = emb.filter($"vec_id" < 256)
-        .orderBy($"vec_id").collect()
-        .map(r => l2normalize(r.getSeq[Float](1)))
-      val pqCb = trainPqCodebooks(sample)
-      val encodeU = udf { v: Seq[Float] => pqEncode(pqCb, l2normalize(v)) }
-      val tbl = "graft_s07_lists_" +
-        (scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
-      emb.withColumn("cid", assignU($"embedding"))
-        .withColumn("code", encodeU($"embedding"))
-        .write.bucketBy(k, "cid").sortBy("cid")
-        .mode("overwrite").saveAsTable(tbl)
-      (tbl, centroids, pqCb)
+      val reusable = StoreLifecycle.isComplete(s, tbl) &&
+        StoreLifecycle.reRegister(s, cbT) && StoreLifecycle.reRegister(s, pqT)
+      if (reusable) {
+        // a previous session built this generation: read back the
+        // driver-side codebooks (k + 16·256 rows — bounded) and
+        // re-declare the bucketed lists; NO corpus pass, no new files
+        val cb = s.table(cbT).collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+        val pq = s.table(pqT).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+          .groupBy(_._1).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3.toArray))
+        // bucket count = the k the WRITER used = ivfK(N), recomputed
+        // from the same (fingerprint-pinned) corpus — NOT cb.length,
+        // which undercounts if a Lloyd round emptied a cluster; a wrong
+        // bucket count would silently misdirect bucket pruning
+        val k = ivfK(Tables.embeddings(s, d).count())
+        require(StoreLifecycle.reRegister(s, tbl, k, Seq("cid"), Seq("cid")),
+          s"ANN store $tbl marked complete but lists data missing")
+        (tbl, cb, pq)
+      } else {
+        annStoreBuilds.incrementAndGet()
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+          .repartition(s.sparkContext.defaultParallelism)
+        // metadata-cheap count (parquet row-group stats) sizes the codebook
+        val k = ivfK(Tables.embeddings(s, d).count())
+        var centroids: Array[(Int, Seq[Float])] = emb.filter($"vec_id" < k)
+          .orderBy($"vec_id").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+        (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
+        val assignU = coarseAssignU(centroids)
+        // PQ training identical to s05: the 256 lowest-id NORMALIZED
+        // vectors (sample-sized driver collect), 5 local Lloyd iterations
+        val sample: Array[Seq[Float]] = emb.filter($"vec_id" < 256)
+          .orderBy($"vec_id").collect()
+          .map(r => l2normalize(r.getSeq[Float](1)))
+        val pqCb = trainPqCodebooks(sample)
+        val encodeU = udf { v: Seq[Float] => pqEncode(pqCb, l2normalize(v)) }
+        StoreLifecycle.saveStoreTable(
+          emb.withColumn("cid", assignU($"embedding"))
+            .withColumn("code", encodeU($"embedding")),
+          tbl, k, Seq("cid"), Seq("cid"))
+        // codebooks persist beside the lists so a later session reuses
+        // the store WITHOUT retraining (two corpus passes at scale)
+        StoreLifecycle.saveStoreTable(
+          centroids.toSeq.toDF("cid", "c"), cbT)
+        StoreLifecycle.saveStoreTable(
+          pqCb.zipWithIndex.flatMap { case (cents, mi) =>
+            cents.zipWithIndex.map { case (vals, c) =>
+              (mi, c, vals.toSeq) }
+          }.toSeq.toDF("mi", "cc", "vals"), pqT)
+        StoreLifecycle.markComplete(s, Seq(tbl, cbT, pqT), d)
+        StoreLifecycle.sweep(s,
+          Seq("graft_s07_lists", "graft_s07_cb", "graft_s07_pq"), fam, fp)
+        (tbl, centroids, pqCb)
+      }
     })
   }
 
@@ -375,6 +441,24 @@ object AnnStore {
         throw e
     }
   }
+
+  /** AUTOMATIC-compaction policy for the ANN delta (r10 verdict item 4
+    * — the manual [[compactDelta]] API needed a trigger): folds the
+    * delta into a new base generation iff it has reached
+    * `maxDeltaRows`. Returns true iff a compaction ran. One delta-sized
+    * metadata count per call; with the default MaxValue mark this is
+    * the no-op the gate queries rely on (their base files are
+    * fingerprint-pinned immutable). */
+  private[graft] def maybeCompactDelta(s: SparkSession, baseTbl: String,
+      deltaTbl: String, nBuckets: Int, maxDeltaRows: Long): Boolean =
+    s.catalog.tableExists(deltaTbl) &&
+      s.table(deltaTbl).count() >= maxDeltaRows && {
+        org.slf4j.LoggerFactory.getLogger("graft.sim").info(
+          s"ANN delta $deltaTbl crossed the $maxDeltaRows-row high-water " +
+            "mark; compacting into a new base generation")
+        compactDelta(s, baseTbl, deltaTbl, nBuckets)
+        true
+      }
 
   /** The s08/s09 candidate probe: codes selected BEFORE the join so the
     * store scan's ReadSchema carries (vec_id, cid, code) and never the

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{array_join, concat, lit, size, slice, split, transform, trim}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AUTOMATIC compaction (r10 verdict item 4): the absorb/compaction
+  * APIs existed with crash-safety specs, but nothing TRIGGERED a
+  * compaction — a production stream would grow its delta unboundedly.
+  * These specs drive the high-water-mark policy past its threshold and
+  * assert (a) exactly one compaction fires, (b) admission / probe
+  * decisions are invariant across it, (c) the default mark never fires
+  * (the gate queries' immutable-base contract). */
+class StoreCompactionPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("compaction-policy-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("absorb high-water mark: one auto-compaction, decisions invariant vs manual-free twin") {
+    val sp = spark
+    import sp.implicits._
+    import graft.dedup.IncrementalDedup
+    val (bandT, digT) = IncrementalDedup.ensureIncrementalStore(sp, sf)
+    // twin copies: A absorbs with the default mark (delta kept), B with
+    // a 1-row mark (auto-compacts); every decision must agree
+    val copies = Seq("a", "b").map { tag =>
+      val b2 = bandT + s"_policy_$tag"; val g2 = digT + s"_policy_$tag"
+      for (t <- Seq(b2, g2, IncrementalDedup.bandDelta(b2),
+          IncrementalDedup.absorbedDocs(b2), b2 + "_compacting", b2 + "_pre_swap"))
+        sp.sql(s"DROP TABLE IF EXISTS $t")
+      sp.table(bandT).write.bucketBy(16, "band", "bucket")
+        .sortBy("band", "bucket").saveAsTable(b2)
+      sp.table(digT).write.bucketBy(16, "dg").sortBy("dg").saveAsTable(g2)
+      (b2, g2)
+    }
+    val Seq((bandA, digA), (bandB, digB)) = copies
+    val docs = graft.analytics.Tables.documents(sp, sf).select($"doc_id", $"text")
+    val novel = docs.filter($"doc_id".isin(3L, 11L, 29L, 57L, 83L))
+      .select(($"doc_id" + 800000L).as("doc_id"),
+        array_join(transform(split(trim($"text"), "\\s+"),
+          t => concat(lit("zx"), t)), " ").as("text"))
+      .localCheckpoint(true)
+    def decide(bT: String, gT: String, batch: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.storeAdmissionDecisions(sp, sf, batch, bT, gT)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+
+    // default mark: absorb keeps the delta, returns false (no compaction)
+    assert(!IncrementalDedup.absorbAdmitted(sp, bandA, digA, novel))
+    assert(sp.catalog.tableExists(IncrementalDedup.bandDelta(bandA)),
+      "default mark must not compact")
+    // 1-row mark: the same absorb crosses it and compacts exactly once
+    assert(IncrementalDedup.absorbAdmitted(sp, bandB, digB, novel,
+      compactAtDeltaRows = 1L), "absorb past the mark must compact")
+    assert(!sp.catalog.tableExists(IncrementalDedup.bandDelta(bandB)),
+      "auto-compaction must fold and drop the delta")
+    assert(!sp.catalog.tableExists(bandB + "_compacting") &&
+      !sp.catalog.tableExists(bandB + "_pre_swap"))
+    // a replay absorb appends nothing (ledger-keyed idempotency) and so
+    // cannot re-cross the mark — no second compaction
+    assert(!IncrementalDedup.absorbAdmitted(sp, bandB, digB, novel,
+      compactAtDeltaRows = 1L), "idempotent replay must not re-compact")
+
+    // decisions invariant: exact-dup replay and near-dup probes agree
+    // between the compacted store and its delta-carrying twin
+    val toks = split(trim($"text"), "\\s+")
+    val near = novel.select(($"doc_id" + 1000L).as("doc_id"),
+      array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text"))
+    assert(decide(bandB, digB, novel) == decide(bandA, digA, novel),
+      "auto-compaction changed exact-dup decisions")
+    assert(decide(bandB, digB, near) == decide(bandA, digA, near),
+      "auto-compaction changed near-dup decisions")
+    for ((bT, gT) <- copies; t <- Seq(bT, gT, IncrementalDedup.bandDelta(bT),
+        IncrementalDedup.absorbedDocs(bT)))
+      sp.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("st09 ingest with the mark: compaction folds mid-stream, self-retrieval invariant") {
+    val sp = spark
+    import sp.implicits._
+    import graft.sim.AnnStore
+    val (tbl, cb, _) = AnnStore.ensureAnnStore(sp, sf)
+    val k = cb.length
+    // isolated base copies: the policy run compacts INTO its base; the
+    // shared registry store must stay immutable for the other pins
+    val copies = Seq("a", "b").map { tag =>
+      val b2 = tbl + s"_policy_$tag"
+      for (t <- Seq(b2, b2 + "_st09_delta", b2 + "_compacting", b2 + "_pre_swap"))
+        sp.sql(s"DROP TABLE IF EXISTS $t")
+      sp.table(tbl).write.bucketBy(k, "cid").sortBy("cid").saveAsTable(b2)
+      b2
+    }
+    val Seq(baseA, baseB) = copies
+    val before = sp.table(tbl).count()
+    // A: default mark — delta survives the stream, base untouched
+    val rowA = graft.streaming.StreamStoreIngest
+      .st09Impl(sp, sf, Long.MaxValue, Some(baseA)).collect()(0)
+    assert(sp.table(baseA).count() == before,
+      "default mark must leave the base immutable")
+    // B: 1-row mark — compaction fires inside the stream, delta folds in
+    val rowB = graft.streaming.StreamStoreIngest
+      .st09Impl(sp, sf, 1L, Some(baseB)).collect()(0)
+    assert(sp.table(baseB).count() == rowB.getLong(2),
+      "auto-compaction must fold the ingested delta into the base")
+    assert(rowA.toSeq == rowB.toSeq,
+      s"policy changed the ingest outcome: $rowA vs $rowB")
+    assert(rowB.getLong(3) == rowB.getLong(1),
+      "every ingested vector must still self-match rank-1 post-compaction")
+    copies.foreach { b2 =>
+      for (t <- Seq(b2, b2 + "_st09_delta")) sp.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+}

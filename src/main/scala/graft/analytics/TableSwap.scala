@@ -13,10 +13,18 @@ object TableSwap {
     * rename is atomic; the one exposed window — target renamed aside,
     * gen not yet renamed in — leaves BOTH generations intact on disk, so
     * recovery is a loud manual rename, never data loss. */
+  /** Injection point for the crash spec: runs INSIDE the exposed
+    * window (target renamed aside, gen not yet renamed in). A throw
+    * here propagates like a process kill would leave the metastore —
+    * no rollback runs, both generations stay on disk, the store name
+    * is vacant. Production value is a no-op. */
+  private[graft] var betweenRenames: () => Unit = () => ()
+
   private[graft] def swapIn(s: SparkSession, target: String, gen: String): Unit = {
     val aside = target + "_pre_swap"
     s.sql(s"DROP TABLE IF EXISTS $aside")
     s.sql(s"ALTER TABLE $target RENAME TO $aside")
+    betweenRenames()
     try s.sql(s"ALTER TABLE $gen RENAME TO $target")
     catch {
       case e: Throwable =>

@@ -39,18 +39,26 @@ object TrainingPipeline {
     * carried through (the audit drops it; the shard WRITER ships it). */
   private def shardedSurvivors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    shardedSurvivorsOf(Tables.documents(s, d)
+      .select($"doc_id", $"text", $"source"))
+  }
+
+  /** The pipeline stages over a caller-supplied `(doc_id, text, source)`
+    * frame — ONE definition of gate → dedup → cap → shard, shared by
+    * p01 (the `documents` table) and p02 (the WARC-extracted corpus). */
+  private def shardedSurvivorsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     // Stage 1 — t07's gate, bit-for-bit (same signal frame the gate and
     // the t13 classifier train on).
     val tooShort = $"n_tok" < 30
     val lowStop = $"n_stop" * 1000 < $"n_tok" * 15
     val highPunct = $"n_punct" * 10 > $"n_chars_m"
     val repetitive = ($"n_grams" - $"n_distinct") * 10 > $"n_grams"
-    val kept = graft.text.TextOps.gateSignals(s, d)
+    val kept = graft.text.TextOps.gateSignalsOf(docs.select($"doc_id", $"text"))
       .filter(!tooShort && !lowStop && !highPunct && !repetitive)
       .select($"doc_id", $"n_tok")
     // text/source rejoin on doc_id (the gate's gram aggregation cannot
     // carry the text through); co-partitioned equi-join, no skew
-    val docs = Tables.documents(s, d).select($"doc_id", $"text", $"source")
     val gated = kept.join(docs, "doc_id")
       .withColumn("doc_md5", md5($"text"))
     // Stage 2 — exact dedup, d01's keeper rule: min doc_id per digest
@@ -152,38 +160,26 @@ object TrainingPipeline {
       .cast("long")))
   }
 
-  /** The whole pipeline replayed in SQL: t07's gate CTEs, then three
-    * window stages, then the per-shard rollup with an ordered
-    * string_agg for the corpus fingerprint. */
-  val p01Oracle: String = {
-    val toks = graft.text.TextOps.oracleToks("text")
-    raw"""WITH base AS (
-      |  SELECT doc_id,
-      |    CAST(len($toks) AS BIGINT) AS n_tok,
-      |    CAST(len(list_filter($toks,
-      |      x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS BIGINT) AS n_stop,
-      |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct,
-      |    CAST(length(text) AS BIGINT) AS n_chars_m
-      |  FROM documents),
-      |tk AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
-      |  FROM documents),
-      |g AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
-      |         ELSE array_to_string(ts[i:i+2], ' ') END AS gram
-      |  FROM tk, UNNEST(range(1, GREATEST(len(ts) - 1, 2))) AS u(i)),
-      |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
-      |rep AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
-      |          COUNT(*) AS n_distinct FROM c GROUP BY 1),
-      |kept AS (
+  /** The whole pipeline replayed in SQL: t07's gate CTEs — spliced from
+    * [[graft.text.TextOps.gateSignalsSqlCtes]], the ONE SQL definition
+    * of the gate signals (r10 review: this oracle used to hand-copy the
+    * base/tk/g/c/rep chain, and a drift between the copies would
+    * surface only as an opaque corpus_md5 mismatch) — then three window
+    * stages, then the per-shard rollup with an ordered string_agg for
+    * the corpus fingerprint. */
+  /** The post-gate pipeline stages in SQL (dedup → cap → shard →
+    * rollup), parameterized by the `(doc_id, text, source)` source the
+    * `gated` join reads — one definition shared by the p01 and p02
+    * oracles, like [[shardedSurvivorsOf]] on the engine side. */
+  private def pipelineTailSql(src: String): String =
+    s"""kept AS (
       |  SELECT b.doc_id, b.n_tok FROM base b JOIN rep r USING (doc_id)
       |  WHERE NOT (b.n_tok < 30 OR b.n_stop * 1000 < b.n_tok * 15
       |    OR b.n_punct * 10 > b.n_chars_m
       |    OR (r.n_grams - r.n_distinct) * 10 > r.n_grams)),
       |gated AS (
       |  SELECT k.doc_id, k.n_tok, d.source, md5(d.text) AS doc_md5
-      |  FROM kept k JOIN documents d USING (doc_id)),
+      |  FROM kept k JOIN $src d USING (doc_id)),
       |dd AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_md5 ORDER BY doc_id) AS rn
       |  FROM gated),
@@ -209,7 +205,45 @@ object TrainingPipeline {
       |  CAST(SUM(doc_id * rank) AS BIGINT) AS order_checksum,
       |  md5(string_agg(doc_md5, ',' ORDER BY order_key, doc_id)) AS corpus_md5
       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val p01Oracle: String =
+    s"""WITH ${graft.text.TextOps.gateSignalsSqlCtes},
+      |${pipelineTailSql("documents")}""".stripMargin
+
+  /** p02: the composed pipeline run on the WARC SURFACE — the
+    * reference's actual data path feeding the training-data stages
+    * (r10 verdict item 8): the staged fixture WARC containers go
+    * through the full parse/enrichment chain
+    * ([[graft.warc.Pipeline.urlResources]] — record filter, gunzip,
+    * HTML extraction), and the per-page results become the pipeline's
+    * corpus — doc id recovered from the page URL, text = the extracted
+    * `text_content`, anti-domination key = `hostname` (the fixture
+    * crawl spans one registrable domain, so `domain_name` would cap
+    * the whole corpus as a single "source"; per-host is the
+    * same-granularity choice a crawl curation actually makes). Gate →
+    * dedup → cap → shard then run IDENTICALLY to p01 (shared
+    * [[shardedSurvivorsOf]]), and the oracle replays end-to-end: the
+    * WARC extraction is recomputed from `documents` exactly as the w01
+    * oracle proves it must come out. */
+  def p02_warc_training_pipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val res = graft.warc.Pipeline.urlResources(
+      graft.warc.WarcSource.fromBytes(graft.warc.WarcQueries.warcFiles(s, d)))
+    auditRollup(shardedSurvivorsOf(res.select(
+      regexp_extract($"url", "/page/(\\d+)$", 1).cast("long").as("doc_id"),
+      $"text_content".as("text"),
+      $"hostname".as("source"))))
   }
+
+  val p02Oracle: String =
+    s"""WITH wdocs AS (
+      |  SELECT doc_id,
+      |    'Heading ' || doc_id || ' ' || text || ' link out quad skip' AS text,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'aa' ELSE '' END ||
+      |      'docs' || (doc_id % 50) || '.example.gov.au' AS source
+      |  FROM documents),
+      |${graft.text.TextOps.gateSignalsSqlCtesFrom("wdocs")},
+      |${pipelineTailSql("wdocs")}""".stripMargin
 
   /** io01: JSONL INTERCHANGE ROUND-TRIP — jsonl(.gz) is the lingua
     * franca of LLM corpus exchange (every public corpus release ships
@@ -272,9 +306,11 @@ object TrainingPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_pipeline" -> (p01_training_pipeline _),
+    "p02_warc_training_pipeline" -> (p02_warc_training_pipeline _),
     "io01_jsonl_roundtrip" -> (io01_jsonl_roundtrip _))
 
   val oracle: Map[String, String] = Map(
     "p01_training_pipeline" -> p01Oracle,
+    "p02_warc_training_pipeline" -> p02Oracle,
     "io01_jsonl_roundtrip" -> io01Oracle)
 }

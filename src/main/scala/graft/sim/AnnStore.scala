@@ -630,6 +630,7 @@ object AnnStore {
     "s07_ann_store" -> (s07_ann_store _),
     "s08_ann_ivfpq" -> (s08_ann_ivfpq _),
     "s09_ann_ivfpq_rerank" -> (s09_ann_ivfpq_rerank _),
+    "s12_ann_search_heldout" -> (s12_ann_search_heldout _),
   )
 
   // ---- PQ-family SQL oracles (oracle-checked since r10) ----
@@ -890,9 +891,13 @@ object AnnStore {
     * probe, ADC over codes, top-50 nomination, exact re-rank on the RAW
     * query embedding (annSearchOn re-ranks with `q_emb`, not the
     * normalized `q_v` the gate s09 uses), rank-1 self-match count. */
-  lazy val st09Oracle: String =
-    s"""WITH $ivfPqBaseSql,
-       |ing AS MATERIALIZED (
+  /** The base ∪ ingested-delta store rebuilt in SQL — shared by st09's
+    * self-retrieval oracle and s12's held-out-query oracle (one
+    * definition of the ingested union, r10 discipline): the %31 rotated
+    * batch `ing`, its assignment + codes exactly per [[encodeForStore]],
+    * and the union views `sall` (vectors+cids) / `callcodes` (codes). */
+  private def ingestedUnionSqlCtes: String =
+    s"""ing AS MATERIALIZED (
        |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
        |    embedding[8:64] || embedding[1:7] AS embedding
        |  FROM embeddings WHERE vec_id % 31 = 0),
@@ -901,7 +906,8 @@ object AnnStore {
        |  SELECT vec_id, cid FROM (
        |    SELECT i.vec_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY i.vec_id
-       |        ORDER BY CAST(trunc((list_cosine_similarity(i.embedding, c.c)) * 4294967296) AS BIGINT) DESC, c.cid) AS rk
+       |        ORDER BY ${SimilarityOps.qCosKeySql(
+                  "list_cosine_similarity(i.embedding, c.c)")} DESC, c.cid) AS rk
        |    FROM ing i CROSS JOIN ic2 c)
        |  WHERE rk = 1),
        |${pqEncodeSql("ingv", "dvx", "dcodes")},
@@ -912,7 +918,11 @@ object AnnStore {
        |callcodes AS MATERIALIZED (
        |  SELECT vec_id, mi, code FROM codes
        |  UNION ALL
-       |  SELECT vec_id, mi, code FROM dcodes),
+       |  SELECT vec_id, mi, code FROM dcodes)""".stripMargin
+
+  lazy val st09Oracle: String =
+    s"""WITH $ivfPqBaseSql,
+       |$ingestedUnionSqlCtes,
        |qprobe AS (
        |  SELECT query_id, cid FROM (
        |    SELECT i.vec_id AS query_id, c.cid,
@@ -956,6 +966,96 @@ object AnnStore {
        |    AS n_store_after,
        |  (SELECT COUNT(*) FROM rr1 WHERE vec_id = query_id) AS n_self_matched""".stripMargin
 
+  /** s12: the PUBLIC [[annSearch]] read path driver-checked with
+    * HELD-OUT query vectors (r10 verdict item 6 — the API was pinned
+    * only through rank-1 SELF-retrieval, which a store that can only
+    * find its own members would also pass): queries are rotate-13
+    * copies of the 10 lowest-id corpus vectors — same norms, directions
+    * not present in the store — probed through base ∪ a freshly
+    * ingested delta (the %31 rotate-7 batch, st09's derivation) so the
+    * checked path is the full production LSM read: coarse probe → ADC
+    * over base+delta codes → exact re-rank over raw vectors. Output is
+    * the ranked neighbor ids (the retrieval itself); the cosine column
+    * is engine-float and stays out of the hash. Deterministic
+    * end-to-end, replayed in SQL by [[s12Oracle]]. */
+  def s12_ann_search_heldout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (tbl, cb, pqCb) = ensureAnnStore(s, d)
+    val k = cb.length
+    val delta = tbl + "_s12_delta"
+    s.sql(s"DROP TABLE IF EXISTS $delta")
+    try {
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val offset = emb.agg(max($"vec_id")).as[Long].head() + 1L
+      val rot7 = udf { v: Seq[Float] => v.drop(7) ++ v.take(7) }
+      encodeForStore(emb.filter($"vec_id" % 31 === 0)
+          .select(($"vec_id" + offset).as("vec_id"),
+            rot7($"embedding").as("embedding")), cb, pqCb)
+        .write.bucketBy(k, "cid").sortBy("cid").saveAsTable(delta)
+      val rot13 = udf { v: Seq[Float] => v.drop(13) ++ v.take(13) }
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), rot13($"embedding").as("embedding"))
+      annSearchOn(s, Seq(tbl, delta), cb, pqCb, queries, topK = 5, rerank = 50)
+        .select($"query_id", $"rank", $"neighbor_id")
+        .orderBy($"query_id", $"rank")
+        .localCheckpoint(true) // materialize before the delta drops
+    } finally s.sql(s"DROP TABLE IF EXISTS $delta")
+  }
+
+  /** [[s12_ann_search_heldout]] replayed in SQL: the base+delta union
+    * ([[ingestedUnionSqlCtes]] — st09's exact ingest), rotate-13
+    * held-out queries, and [[annSearchOn]]'s probe ladder (raw-vector
+    * coarse probe, normalized-query ADC over codes, top-50 nomination,
+    * exact re-rank on the raw query), every rank on the shared
+    * quantized key. */
+  lazy val s12Oracle: String =
+    s"""WITH $ivfPqBaseSql,
+       |$ingestedUnionSqlCtes,
+       |hq AS MATERIALIZED (
+       |  SELECT vec_id, embedding[14:64] || embedding[1:13] AS embedding
+       |  FROM embeddings WHERE vec_id < 10),
+       |${l2NormalizeSql("hq", "hqss", "hqnv")},
+       |hprobe AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT h.vec_id AS query_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY h.vec_id
+       |        ORDER BY ${SimilarityOps.qCosKeySql(
+                  "list_cosine_similarity(h.embedding, c.c)")} DESC, c.cid) AS rk
+       |    FROM hq h CROSS JOIN ic2 c)
+       |  WHERE rk <= ($ivfNprobeSql)),
+       |hcand AS MATERIALIZED (
+       |  SELECT p.query_id, s.vec_id
+       |  FROM hprobe p JOIN sall s ON s.cid = p.cid),
+       |hadc AS MATERIALIZED (
+       |  SELECT query_id, vec_id, list_reduce(terms, (a, b) -> a + b) AS score FROM (
+       |    SELECT cn.query_id, cn.vec_id,
+       |      list(CAST(q.v[c.mi * 4 + d.i] AS DOUBLE) * p.vals[d.i]
+       |        ORDER BY c.mi, d.i) AS terms
+       |    FROM hcand cn
+       |    JOIN hqnv q ON q.vec_id = cn.query_id
+       |    JOIN callcodes c ON c.vec_id = cn.vec_id
+       |    JOIN pc_5 p ON p.mi = c.mi AND p.c = c.code
+       |    CROSS JOIN dims d
+       |    GROUP BY cn.query_id, cn.vec_id)),
+       |hc50 AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${SimilarityOps.qCosKeySql("score")} DESC, vec_id) AS rk
+       |    FROM hadc) WHERE rk <= 50),
+       |hrr AS (
+       |  SELECT query_id, vec_id, rk FROM (
+       |    SELECT c.query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |        ${SimilarityOps.qCosKeySql(
+                  "list_cosine_similarity(h.embedding, s.embedding)")} DESC, c.vec_id) AS rk
+       |    FROM hc50 c
+       |    JOIN hq h ON h.vec_id = c.query_id
+       |    JOIN sall s ON s.vec_id = c.vec_id)
+       |  WHERE rk <= 5)
+       |SELECT query_id, CAST(rk AS INT) AS rank, vec_id AS neighbor_id
+       |FROM hrr ORDER BY query_id, rank""".stripMargin
+
   /** s07's oracle is s04's IVF unroll ([[SimilarityOps.ivfRecallSql]])
     * at the CORPUS-SCALED (k, nprobe): the [[ivfK]]/[[ivfNprobe]]
     * formulas become scalar subqueries over COUNT(*) (DuckDB round() is
@@ -974,5 +1074,6 @@ object AnnStore {
     "s07_ann_store" -> s07Oracle,
     "s08_ann_ivfpq" -> s08Oracle,
     "s09_ann_ivfpq_rerank" -> s09Oracle,
+    "s12_ann_search_heldout" -> s12Oracle,
   )
 }

@@ -339,17 +339,31 @@ object TextOps {
   /** Shared gate-signal frame (t07/t13): per-doc integer counts every
     * rule/feature derives from — token, stopword, punctuation, char, and
     * 3-gram totals. Map-side except the 3-gram count (one shuffle). */
-  private[graft] def gateSignals(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private[graft] def gateSignals(s: SparkSession, d: String): DataFrame =
+    gateSignalsOf(Tables.documents(s, d))
+
+  /** [[gateSignals]] over a caller-supplied `(doc_id, text)` frame — the
+    * gate rule applied to a NON-`documents` corpus (p02 runs it on the
+    * WARC-extracted text). One definition of the signal math. */
+  private[graft] def gateSignalsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val toks = whitespaceTokens($"text")
-    val base = Tables.documents(s, d)
+    // n_stop LAMBDA-FREE: Σ over the 10 stopwords of (len − len after
+    // array_remove(w)) ≡ the occurrence count filter(toks, isin) gives.
+    // The higher-order `filter` mis-evaluated (deterministically 0) when
+    // this frame sits on p02's WARC-parse lineage — a lambda-binding
+    // hazard the pure size/array_remove algebra cannot hit, and it stays
+    // inside whole-stage codegen (lambda HOFs don't).
+    val nStop = StopSample.map(w => size(toks) - size(array_remove(toks, w)))
+      .reduce(_ + _)
+    val base = docs
       .select($"doc_id",
         size(toks).cast("long").as("n_tok"),
-        size(filter(toks, t => t.isin(StopSample: _*))).cast("long").as("n_stop"),
+        nStop.cast("long").as("n_stop"),
         size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0)))
           .cast("long").as("n_punct"),
         length($"text").cast("long").as("n_chars_m"))
-    val rep = Tables.documents(s, d)
+    val rep = docs
       .select($"doc_id", whitespaceTokens($"text").as("toks"))
       .select($"doc_id", explode(when(size($"toks") >= 3,
         expr("transform(sequence(1, size(toks) - 2), " +
@@ -380,8 +394,13 @@ object TextOps {
 
   /** The [[gateSignals]] frame in SQL — CTEs `base`/`toks`/`g`/`c`/`rep`
     * (join base×rep on doc_id for the full signal row). Shared by the
-    * t07 oracle and t13's GD-replay oracle. */
-  private[graft] val gateSignalsSqlCtes: String =
+    * t07 oracle, t13's GD-replay oracle, and (via [[gateSignalsSqlCtesFrom]])
+    * the p01/p02 pipeline oracles. */
+  private[graft] val gateSignalsSqlCtes: String = gateSignalsSqlCtesFrom("documents")
+
+  /** [[gateSignalsSqlCtes]] over a caller-named `(doc_id, text)` CTE —
+    * the SQL twin of [[gateSignalsOf]]. */
+  private[graft] def gateSignalsSqlCtesFrom(src: String): String =
     raw"""base AS (
       |  SELECT doc_id,
       |    CAST(len(${oracleToks("text")}) AS BIGINT) AS n_tok,
@@ -389,10 +408,10 @@ object TextOps {
       |      x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS BIGINT) AS n_stop,
       |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct,
       |    CAST(length(text) AS BIGINT) AS n_chars_m
-      |  FROM documents),
+      |  FROM $src),
       |toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
-      |  FROM documents),
+      |  FROM $src),
       |g AS (
       |  SELECT doc_id,
       |    CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')

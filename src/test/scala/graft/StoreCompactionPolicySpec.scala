@@ -85,6 +85,66 @@ class StoreCompactionPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
       sp.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("kill between the swap renames: both generations survive, documented recovery restores service") {
+    // TableSwap's one exposed window — target renamed aside, gen not
+    // yet renamed in — is documented as "recovery is a loud manual
+    // rename, never data loss". This drives that claim END-TO-END
+    // through the metastore: a throw injected inside the window (no
+    // rollback runs, exactly what a process kill leaves), then the
+    // documented recovery, then a re-run compaction.
+    val sp = spark
+    import sp.implicits._
+    import graft.dedup.IncrementalDedup
+    val (bandT, digT) = IncrementalDedup.ensureIncrementalStore(sp, sf)
+    val b2 = bandT + "_kill_spec"; val g2 = digT + "_kill_spec"
+    val delta = IncrementalDedup.bandDelta(b2)
+    for (t <- Seq(b2, g2, delta, IncrementalDedup.absorbedDocs(b2),
+        b2 + "_compacting", b2 + "_pre_swap"))
+      sp.sql(s"DROP TABLE IF EXISTS $t")
+    sp.table(bandT).write.bucketBy(16, "band", "bucket")
+      .sortBy("band", "bucket").saveAsTable(b2)
+    sp.table(digT).write.bucketBy(16, "dg").sortBy("dg").saveAsTable(g2)
+    val docs = graft.analytics.Tables.documents(sp, sf).select($"doc_id", $"text")
+    val novel = docs.filter($"doc_id".isin(5L, 13L, 31L))
+      .select(($"doc_id" + 900000L).as("doc_id"),
+        array_join(transform(split(trim($"text"), "\\s+"),
+          t => concat(lit("zk"), t)), " ").as("text"))
+      .localCheckpoint(true)
+    IncrementalDedup.absorbAdmitted(sp, b2, g2, novel)
+    def decide(batch: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.storeAdmissionDecisions(sp, sf, batch, b2, g2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val before = decide(novel)
+    val baseRows = sp.table(b2).count()
+    val deltaRows = sp.table(delta).count()
+
+    graft.analytics.TableSwap.betweenRenames =
+      () => throw new RuntimeException("injected kill between renames")
+    try {
+      val e = intercept[RuntimeException] { IncrementalDedup.compactStore(sp, b2) }
+      assert(e.getMessage.contains("injected kill"))
+    } finally graft.analytics.TableSwap.betweenRenames = () => ()
+
+    // the window's promised state: store name vacant, OLD generation
+    // intact under the aside name, delta untouched — zero data loss
+    assert(!sp.catalog.tableExists(b2), "store name should be vacant in the window")
+    assert(sp.catalog.tableExists(b2 + "_pre_swap"))
+    assert(sp.table(b2 + "_pre_swap").count() == baseRows,
+      "old generation lost rows across the kill")
+    assert(sp.table(delta).count() == deltaRows, "delta lost rows across the kill")
+
+    // the documented recovery: one loud manual rename
+    sp.sql(s"ALTER TABLE ${b2}_pre_swap RENAME TO $b2")
+    assert(decide(novel) == before, "recovery changed admission decisions")
+    // and compaction re-runs to completion afterwards
+    IncrementalDedup.compactStore(sp, b2)
+    assert(!sp.catalog.tableExists(delta) && !sp.catalog.tableExists(b2 + "_compacting"))
+    assert(decide(novel) == before, "post-recovery compaction changed decisions")
+    for (t <- Seq(b2, g2, delta, IncrementalDedup.absorbedDocs(b2)))
+      sp.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("st09 ingest with the mark: compaction folds mid-stream, self-retrieval invariant") {
     val sp = spark
     import sp.implicits._

@@ -233,6 +233,11 @@ object Dev {
       // over the full corpus), url-level latest-wins (one max_by agg),
       // and the jsonl write→read cycle (I/O-bound, linear by shape)
       "p01_training_pipeline", "d17_recrawl_latest", "io01_jsonl_roundtrip",
+      // round-11 additions: held-out ANN probe over base ∪ delta
+      // (bucket-pruned scan + batch-sized delta ingest), and the WARC
+      // surface feeding the composed pipeline (parse chain + the p01
+      // stages — linear by shape)
+      "s12_ann_search_heldout", "p02_warc_training_pipeline",
       "q34_length_quantiles", "w07_link_graph", "w08_pagerank",
       "w09_warcgz_pipeline",
       // streaming: windowed-agg state scales in values, keyed state

@@ -50,11 +50,10 @@ object IncrementalDedup {
     * latent assumption the r3 side-tag fix removed from the pair
     * classifier): with `off` = max(doc_id)+1, copies land in
     * [off, 2·off) and near-dups in [2·off, 3·off) — disjoint from the
-    * corpus and from each other for any 0-based id space. One bounded
-    * max() aggregation (column-pruned scan) per gate run, the same
-    * device st09 uses for its ingest ids. */
-  private[graft] def plantedBatch(docs: DataFrame): DataFrame = {
-    val off = plantedOffset(docs)
+    * corpus and from each other for any 0-based id space. The offset
+    * comes from [[plantedOffsetFor]] (cached, footer-stat-answerable),
+    * the same device st09 uses for its ingest ids. */
+  private[graft] def plantedBatch(docs: DataFrame, off: Long): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val droppedTok = array_join(slice(toks, lit(1), size(toks) - 1), " ")
     docs.filter(col("doc_id") % 31 === 0)
@@ -63,9 +62,20 @@ object IncrementalDedup {
         .select((col("doc_id") + 2L * off).as("doc_id"), droppedTok.as("text")))
   }
 
-  /** max(doc_id)+1 over the corpus — the planted-batch id base. */
+  /** max(doc_id)+1 over the corpus — the planted-batch id base.
+    * Cached per (session, corpus dir): the offset is a pure function of
+    * a static corpus, and without the cache every d07/d08/d10/st08 run
+    * pays a full-column scan for it. The cache key carries the
+    * applicationId so a stale value can't cross session restarts. */
+  private val offsetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[graft] def plantedOffset(docs: DataFrame): Long =
     docs.agg(coalesce(max(col("doc_id")), lit(-1L))).collect()(0).getLong(0) + 1L
+  private[graft] def plantedOffsetFor(s: SparkSession, d: String): Long =
+    offsetCache.computeIfAbsent(s.sparkContext.applicationId + ":" + d,
+      // aggregate directly over the scan (no spread/repartition in
+      // between): a single column-pruned pass, paid once per corpus
+      _ => plantedOffset(Tables.documents(s, d).select("doc_id")))
 
   /** Exact-digest admission layer shared by d07/d08/d10: split the batch
     * into exact-duplicate ids and surviving (doc_id, text) rows against a
@@ -91,7 +101,7 @@ object IncrementalDedup {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
-    val newBatch = plantedBatch(docs)
+    val newBatch = plantedBatch(docs, plantedOffsetFor(s, d))
     val corpusDg = docs.select(md5($"text").as("dg")).distinct()
     val (exactIds, survivors) = digestAdmission(newBatch, corpusDg)
     (docs, newBatch, exactIds, survivors)
@@ -375,7 +385,9 @@ object IncrementalDedup {
   private[graft] def d10Impl(s: SparkSession, d: String, eager: Boolean): DataFrame = {
     import s.implicits._
     val (bandT, digT) = ensureIncrementalStore(s, d)
-    val newBatch = plantedBatch(spread(Tables.documents(s, d).select("doc_id", "text")))
+    val newBatch = plantedBatch(
+      spread(Tables.documents(s, d).select("doc_id", "text")),
+      plantedOffsetFor(s, d))
     // the batch operator IS one ingest of the streaming admission: the
     // same per-doc decision plan st08 runs per micro-batch, rolled up
     val out = decisionRollup(

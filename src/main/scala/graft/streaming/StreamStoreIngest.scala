@@ -58,8 +58,7 @@ object StreamStoreIngest {
     // collides with real ids past a 300k-doc corpus (r10 verdict item
     // 3). The offset comes from a bounded max() over the STATIC read of
     // the same dir (a stream can't aggregate before deriving).
-    val off = graft.dedup.IncrementalDedup.plantedOffset(
-      graft.analytics.Tables.documents(s, d))
+    val off = graft.dedup.IncrementalDedup.plantedOffsetFor(s, d)
     val batchStream = stream.filter(col("doc_id") % 31 === 0)
       .select((col("doc_id") + off).as("doc_id"), col("text"))
       .unionByName(stream.filter(col("doc_id") % 37 === 0)

@@ -110,7 +110,7 @@ object TextOps {
     import s.implicits._
     val toks = whitespaceTokens($"text")
     val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, t => t.isin(StopSample: _*))).cast("double")
+    val nStop = stopCount(toks).cast("double")
     val nPunct = size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0)))
       .cast("double")
     Tables.documents(s, d)
@@ -345,17 +345,22 @@ object TextOps {
   /** [[gateSignals]] over a caller-supplied `(doc_id, text)` frame — the
     * gate rule applied to a NON-`documents` corpus (p02 runs it on the
     * WARC-extracted text). One definition of the signal math. */
+  /** Occurrence count of the sample stopwords in `toks`, LAMBDA-FREE:
+    * Σ over the 10 words of (len − len after array_remove(w)) ≡ what
+    * `filter(toks, t => t.isin(StopSample))` counts. The higher-order
+    * `filter` mis-evaluated (deterministically 0) when the frame sat on
+    * p02's WARC-parse lineage — a lambda-binding hazard the pure
+    * size/array_remove algebra cannot hit, and this form stays inside
+    * whole-stage codegen (lambda HOFs don't). One definition for every
+    * stopword-ratio consumer (gate signals, t02, t16). */
+  private[graft] def stopCount(toks: Column): Column =
+    StopSample.map(w => size(toks) - size(array_remove(toks, w)))
+      .reduce(_ + _)
+
   private[graft] def gateSignalsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = whitespaceTokens($"text")
-    // n_stop LAMBDA-FREE: Σ over the 10 stopwords of (len − len after
-    // array_remove(w)) ≡ the occurrence count filter(toks, isin) gives.
-    // The higher-order `filter` mis-evaluated (deterministically 0) when
-    // this frame sits on p02's WARC-parse lineage — a lambda-binding
-    // hazard the pure size/array_remove algebra cannot hit, and it stays
-    // inside whole-stage codegen (lambda HOFs don't).
-    val nStop = StopSample.map(w => size(toks) - size(array_remove(toks, w)))
-      .reduce(_ + _)
+    val nStop = stopCount(toks)
     val base = docs
       .select($"doc_id",
         size(toks).cast("long").as("n_tok"),

@@ -30,7 +30,7 @@ object TieredSample {
     import s.implicits._
     val toks = TextOps.whitespaceTokens($"text")
     val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(TextOps.StopSample: _*))).cast("long")
+    val nStop = TextOps.stopCount(toks).cast("long")
     val tier = (when(nTok >= 30, 1L).otherwise(0L) +
       when(nStop * 1000 >= nTok * 15, 1L).otherwise(0L)).as("tier")
     val h32 = conv(substring(md5(concat(lit("t16:"), $"doc_id".cast("string"))),

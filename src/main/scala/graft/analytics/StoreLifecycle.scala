@@ -43,10 +43,21 @@ import org.apache.spark.sql.SparkSession
   *    construction (applicationIds never recur) — delete.
   *  - other families whose marker points at a corpus directory that no
   *    longer exists (spec temp dirs, removed datasets) — delete.
-  * On a real deployment this lifecycle maps 1:1 onto a shared
-  * metastore + object store; the content-addressed naming is what
-  * makes concurrent sessions converge on one generation instead of
-  * racing to build private ones. */
+  * Assumptions, stated plainly (r11 review):
+  *  - SINGLE WRITER per warehouse at a time. Sessions may follow one
+  *    another freely (that is the reuse story), but two sessions
+  *    building or sweeping the same warehouse concurrently can
+  *    interleave part-files at the shared deterministic path or sweep
+  *    a generation the other is reading. A real deployment puts the
+  *    build/sweep under the metastore's or orchestrator's mutual
+  *    exclusion; the content-addressed naming then makes those
+  *    serialized writers converge on one generation.
+  *  - The fingerprint is (file name, length, mtime) per data file —
+  *    the rsync-style quick check. An in-place rewrite that keeps
+  *    every length identical within the filesystem's mtime granularity
+  *    (typically 1 s) maps to the same generation and would serve the
+  *    stale store; corpus publication that writes NEW files (the
+  *    normal immutable-data-lake discipline) can never hit this. */
 object StoreLifecycle {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.analytics")
@@ -121,16 +132,41 @@ object StoreLifecycle {
 
   /** Stamp every table of a completed family with the corpus
     * back-pointer marker. Call ONLY after all component writes
-    * finished — marker presence is the reuse gate. */
+    * finished — marker presence is the reuse gate. The write goes
+    * through a temp name + rename so a crash can never leave a
+    * zero-byte / truncated marker (which the sweep would have to treat
+    * as unknown forever). */
   private[graft] def markComplete(s: SparkSession, tbls: Seq[String],
       corpusDir: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    tbls.foreach { t =>
-      val p = new Path(tablePath(s, t), Marker)
-      val out = p.getFileSystem(conf).create(p, true)
-      try out.write(new Path(corpusDir).toString.getBytes("UTF-8"))
-      finally out.close()
-    }
+    tbls.foreach(t => writeMarker(s, tablePath(s, t), corpusDir, conf))
+  }
+
+  private def writeMarker(s: SparkSession, tableDir: Path,
+      corpusDir: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = tableDir.getFileSystem(conf)
+    val tmp = new Path(tableDir, Marker + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(new Path(corpusDir).toString.getBytes("UTF-8"))
+    finally out.close()
+    val p = new Path(tableDir, Marker)
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"store lifecycle: marker rename failed for $p")
+  }
+
+  /** Best-effort marker read: None when absent or unreadable. */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: Path): Option[String] = {
+    val m = new Path(tableDir, Marker)
+    try {
+      if (!fs.exists(m)) None
+      else {
+        val in = fs.open(m)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
   }
 
   /** Re-register a persisted store table from a previous session in
@@ -144,7 +180,15 @@ object StoreLifecycle {
     if (s.catalog.tableExists(tbl)) return true
     if (!isComplete(s, tbl)) return false
     val path = tablePath(s, tbl)
-    val ddl = s.read.parquet(path.toString).schema.toDDL
+    // a marker with no data files (crash mid-cleanup) must read as
+    // not-reusable so the caller falls through to the rebuild branch,
+    // not throw from schema inference (r11 review)
+    val ddl = try s.read.parquet(path.toString).schema.toDDL
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        log.warn(s"store lifecycle: $tbl marked complete but data " +
+          "unreadable; treating as absent (rebuild)")
+        return false
+      }
     val bucketSql =
       if (nBuckets > 0)
         s"CLUSTERED BY (${bucketCols.mkString(", ")}) " +
@@ -156,6 +200,81 @@ object StoreLifecycle {
     log.info(s"store lifecycle: re-registered persisted table $tbl " +
       s"from ${path}")
     true
+  }
+
+  /** Carry the corpus back-pointer from one table dir to another — the
+    * compaction writer stamps its generation before the swap. */
+  private[graft] def carryMarker(s: SparkSession, fromTbl: String,
+      toTbl: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fromDir = tablePath(s, fromTbl)
+    val corpus = readMarker(fromDir.getFileSystem(conf), fromDir)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new java.io.IOException(
+        s"carryMarker: no corpus marker at $fromDir"))
+    writeMarker(s, tablePath(s, toTbl), corpus, conf)
+  }
+
+  /** True iff `tbl` is one of this lifecycle's EXTERNAL
+    * content-addressed tables (vs. a session-managed spec copy). */
+  private[graft] def isExternalStore(s: SparkSession, tbl: String): Boolean =
+    s.catalog.tableExists(tbl) &&
+      s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+
+  /** Generation swap for EXTERNAL content-addressed stores — the
+    * lifecycle-aware twin of [[TableSwap.swapIn]] (r11 review: a
+    * metastore RENAME cannot swap an external table's DATA — the files
+    * stay put — so compacting an external base through the managed-table
+    * swap would either fail on the occupied directory or leave the next
+    * session re-registering the PRE-compaction files). This swap moves
+    * the DIRECTORIES: base renamed aside, the freshly-written external
+    * generation renamed onto the base path, the name re-declared over
+    * it, the aside reclaimed. `gen` must have been written via
+    * [[saveStoreTable]] (external, at its deterministic path) and must
+    * already CARRY the corpus marker (so the landed directory is
+    * immediately complete for cross-session reuse).
+    *
+    * Crash windows (each FS rename is atomic): before the first rename
+    * nothing moved; between the renames the base path is VACANT with
+    * both generations intact on disk — a new session's ensure finds no
+    * marker at the base path and REBUILDS from the corpus (correct:
+    * admission state lives in the delta/ledger tables, which this swap
+    * never touches), or an operator renames the aside back; after the
+    * second rename the swap is complete and the re-declaration /
+    * reclaim are retryable. Single-writer per warehouse, like the rest
+    * of the lifecycle. */
+  private[graft] def swapInExternal(s: SparkSession, target: String,
+      gen: String, nBuckets: Int, bucketCols: Seq[String],
+      sortCols: Seq[String]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val baseDir = tablePath(s, target)
+    val genDir = tablePath(s, gen)
+    val fs = baseDir.getFileSystem(conf)
+    require(readMarker(fs, genDir).exists(_.nonEmpty),
+      s"swapInExternal: generation $gen carries no corpus marker")
+    val asideDir = new Path(baseDir.getParent, target + "_pre_swap")
+    // external entries: dropping them touches no data files
+    s.sql(s"DROP TABLE IF EXISTS $target")
+    s.sql(s"DROP TABLE IF EXISTS $gen")
+    fs.delete(asideDir, true)
+    if (!fs.rename(baseDir, asideDir))
+      throw new java.io.IOException(
+        s"swapInExternal: could not move $baseDir aside")
+    TableSwap.betweenRenames()
+    if (!fs.rename(genDir, baseDir)) {
+      // roll the old generation back under the name before failing —
+      // same contract as TableSwap's rollback branch
+      fs.rename(asideDir, baseDir)
+      require(reRegister(s, target, nBuckets, bucketCols, sortCols),
+        s"swapInExternal: rollback re-registration of $target failed")
+      throw new java.io.IOException(
+        s"swapInExternal: could not land $genDir at $baseDir (rolled back)")
+    }
+    require(reRegister(s, target, nBuckets, bucketCols, sortCols),
+      s"swapInExternal: landed generation at $baseDir but re-registration failed")
+    fs.delete(asideDir, true) // superseded generation reclaimed
   }
 
   /** Reclaim superseded and orphaned store generations of the given
@@ -188,14 +307,14 @@ object StoreLifecycle {
             !rest.drop(fam.length + 2).takeWhile(_ != '_').equals(fp) &&
               !rest.drop(fam.length + 2).startsWith(fp + "_")
           } else if (rest.startsWith("f")) {
-            // other family: orphaned iff its corpus is gone
-            val m = new Path(st.getPath, Marker)
-            fs.exists(m) && {
-              val in = fs.open(m)
-              val dir = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                finally in.close()
-              !new Path(dir).getFileSystem(conf).exists(new Path(dir))
-            }
+            // other family: orphaned iff its marker NAMES a corpus that
+            // is verifiably gone. An empty or unreadable marker (crash
+            // mid-write) is UNKNOWN — leave the directory alone rather
+            // than risk deleting a live family (r11 review; the marker
+            // write below is atomic via temp+rename so this stays rare)
+            readMarker(fs, st.getPath).exists(dir =>
+              dir.nonEmpty &&
+                !new Path(dir).getFileSystem(conf).exists(new Path(dir)))
           } else rest.nonEmpty && rest.forall(_.isDigit)
         if (doomed) {
           log.info(s"store lifecycle: reclaiming superseded store dir $name")

@@ -486,9 +486,16 @@ object IncrementalDedup {
     * not index, and remains the verify text source for absorbed ids.
     * No-op when nothing was absorbed. */
   private[graft] def compactStore(s: SparkSession, bandT: String): Unit = {
+    import graft.analytics.{StoreLifecycle, TableSwap}
     val delta = bandDelta(bandT)
     if (!s.catalog.tableExists(delta)) return
     val gen = bandT + "_compacting"
+    // the base may be a session-MANAGED spec copy (metastore rename
+    // swap) or the content-addressed EXTERNAL store (FS directory swap
+    // — a metastore rename cannot move an external table's data, and a
+    // managed gen cannot land on the occupied external path; r11
+    // review). One flag picks the matching write + swap pair.
+    val external = StoreLifecycle.isExternalStore(s, bandT)
     s.sql(s"DROP TABLE IF EXISTS $gen")
     try {
       // distinct: band rows are unique per (doc_id, band) in a healthy
@@ -500,14 +507,28 @@ object IncrementalDedup {
         .distinct()
       val sizes = all.groupBy("band", "bucket")
         .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("bkt_rep"))
-      all.join(sizes, Seq("band", "bucket"))
-        .write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
-        .saveAsTable(gen)
-      graft.analytics.TableSwap.swapIn(s, bandT, gen)
+      val folded = all.join(sizes, Seq("band", "bucket"))
+      if (external) {
+        StoreLifecycle.saveStoreTable(folded, gen,
+          16, Seq("band", "bucket"), Seq("band", "bucket"))
+        StoreLifecycle.carryMarker(s, bandT, gen)
+        StoreLifecycle.swapInExternal(s, bandT, gen,
+          16, Seq("band", "bucket"), Seq("band", "bucket"))
+      } else {
+        folded.write.bucketBy(16, "band", "bucket").sortBy("band", "bucket")
+          .saveAsTable(gen)
+        TableSwap.swapIn(s, bandT, gen)
+      }
       s.sql(s"DROP TABLE $delta")
     } catch {
       case e: Throwable =>
-        try s.sql(s"DROP TABLE IF EXISTS $gen") catch { case _: Throwable => () }
+        try {
+          s.sql(s"DROP TABLE IF EXISTS $gen")
+          if (external) {
+            val p = StoreLifecycle.tablePath(s, gen)
+            p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          }
+        } catch { case _: Throwable => () }
         throw e
     }
   }

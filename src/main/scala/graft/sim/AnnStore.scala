@@ -420,24 +420,43 @@ object AnnStore {
     * on a full rebuild, which is a different operation by design. */
   private[graft] def compactDelta(s: SparkSession, baseTbl: String,
       deltaTbl: String, nBuckets: Int): String = {
+    import graft.analytics.{StoreLifecycle, TableSwap}
     val gen = baseTbl + "_compacting"
+    // managed spec copy → metastore rename swap; content-addressed
+    // EXTERNAL store → FS directory swap (see compactStore's matching
+    // note — a metastore rename cannot move external data; r11 review)
+    val external = StoreLifecycle.isExternalStore(s, baseTbl)
     s.sql(s"DROP TABLE IF EXISTS $gen")
     try {
       // distinct: makes a rerun after a failed post-swap delta drop
       // idempotent (the delta's rows are already in base then — without
       // it they would fold in twice; see compactStore's matching note)
-      s.table(baseTbl).unionByName(s.table(deltaTbl)).distinct()
-        .write.bucketBy(nBuckets, "cid").sortBy("cid")
-        .saveAsTable(gen)
-      // rename-aside swap (see TableSwap for the crash-safety contract)
-      graft.analytics.TableSwap.swapIn(s, baseTbl, gen)
+      val folded = s.table(baseTbl).unionByName(s.table(deltaTbl)).distinct()
+      if (external) {
+        StoreLifecycle.saveStoreTable(folded, gen,
+          nBuckets, Seq("cid"), Seq("cid"))
+        StoreLifecycle.carryMarker(s, baseTbl, gen)
+        StoreLifecycle.swapInExternal(s, baseTbl, gen,
+          nBuckets, Seq("cid"), Seq("cid"))
+      } else {
+        folded.write.bucketBy(nBuckets, "cid").sortBy("cid")
+          .saveAsTable(gen)
+        // rename-aside swap (see TableSwap for the crash-safety contract)
+        TableSwap.swapIn(s, baseTbl, gen)
+      }
       s.sql(s"DROP TABLE $deltaTbl")
       baseTbl
     } catch {
       case e: Throwable =>
         // pre-swap failure: discard the partial generation, keep
         // base+delta readable; re-running compaction is the recovery
-        try s.sql(s"DROP TABLE IF EXISTS $gen") catch { case _: Throwable => () }
+        try {
+          s.sql(s"DROP TABLE IF EXISTS $gen")
+          if (external) {
+            val p = StoreLifecycle.tablePath(s, gen)
+            p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          }
+        } catch { case _: Throwable => () }
         throw e
     }
   }

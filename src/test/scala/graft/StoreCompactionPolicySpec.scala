@@ -145,6 +145,113 @@ class StoreCompactionPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
       sp.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("EXTERNAL store compaction: the production combination — absorb past the mark on the content-addressed store") {
+    // r11 review: the policy spec only compacted session-managed
+    // copies, but production compaction runs on the content-addressed
+    // EXTERNAL store, where a metastore rename cannot move the data —
+    // this drives absorb→auto-compaction on the REAL persisted store
+    // (its own temp corpus so the shared families stay untouched) and
+    // then proves a NEW session still reuses the compacted generation.
+    val sp = spark
+    import sp.implicits._
+    import graft.dedup.IncrementalDedup
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val corpus = Files.createTempDirectory("graft-extcompact")
+    try {
+      Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+        corpus.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val d = corpus.toString
+      IncrementalDedup.resetRegistryForTest()
+      val (bandT, digT) = IncrementalDedup.ensureIncrementalStore(sp, d)
+      assert(graft.analytics.StoreLifecycle.isExternalStore(sp, bandT))
+      val docs = graft.analytics.Tables.documents(sp, d).select($"doc_id", $"text")
+      val novel = docs.filter($"doc_id".isin(7L, 19L, 41L))
+        .select(($"doc_id" + 850000L).as("doc_id"),
+          array_join(transform(split(trim($"text"), "\\s+"),
+            t => concat(lit("ze"), t)), " ").as("text"))
+        .localCheckpoint(true)
+      def decide(batch: org.apache.spark.sql.DataFrame) =
+        IncrementalDedup.storeAdmissionDecisions(sp, d, batch, bandT, digT)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+      // absorb past a 1-row mark: compaction fires ON THE EXTERNAL base
+      assert(IncrementalDedup.absorbAdmitted(sp, bandT, digT, novel,
+        compactAtDeltaRows = 1L), "absorb past the mark must compact")
+      assert(!sp.catalog.tableExists(IncrementalDedup.bandDelta(bandT)))
+      assert(graft.analytics.StoreLifecycle.isExternalStore(sp, bandT),
+        "compaction must leave the store external under its name")
+      val replay = decide(novel)
+      assert(replay.forall(_._2 == 1L),
+        s"absorbed docs must be exact dups through the compacted store: $replay")
+      // "new session": drop the catalog entries, clear the registry —
+      // the COMPACTED generation must re-register (marker carried)
+      IncrementalDedup.resetRegistryForTest()
+      Seq(bandT, digT).foreach(t => sp.sql(s"DROP TABLE IF EXISTS $t"))
+      val builds0 = IncrementalDedup.sigStoreBuilds.get()
+      val (bandT2, _) = IncrementalDedup.ensureIncrementalStore(sp, d)
+      assert(bandT2 == bandT &&
+        IncrementalDedup.sigStoreBuilds.get() == builds0,
+        "the compacted generation must be reused, not rebuilt")
+      assert(decide(novel) == replay,
+        "re-registered compacted store changed decisions")
+    } finally {
+      // reclaim this family's warehouse dirs + absorb side tables
+      val wh = new org.apache.hadoop.fs.Path(sp.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      val (fam, _) = graft.analytics.StoreLifecycle.corpusTags(
+        sp, corpus.toString, Seq("documents"))
+      if (fs.exists(wh)) fs.listStatus(wh)
+        .filter(_.getPath.getName.contains(s"_f${fam}_"))
+        .foreach(st => fs.delete(st.getPath, true))
+      sp.sessionState.catalog.listTables("default")
+        .map(_.table).filter(_.contains(s"_f${fam}_"))
+        .foreach(t => sp.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(corpus.toFile)
+      IncrementalDedup.resetRegistryForTest()
+    }
+  }
+
+  test("st09 ingest with the mark on the EXTERNAL store: the un-overridden production path") {
+    // r11 review: st09Impl with a threshold was only exercised through
+    // baseOverride copies; this runs it against the content-addressed
+    // ANN store itself (own temp corpus), compacting mid-stream.
+    val sp = spark
+    import sp.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val corpus = Files.createTempDirectory("graft-extann")
+    try {
+      Files.copy(Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+        corpus.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+        corpus.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val d = corpus.toString
+      graft.sim.AnnStore.resetRegistryForTest()
+      val (tbl, _, _) = graft.sim.AnnStore.ensureAnnStore(sp, d)
+      assert(graft.analytics.StoreLifecycle.isExternalStore(sp, tbl))
+      val before = sp.table(tbl).count()
+      val row = graft.streaming.StreamStoreIngest
+        .st09Impl(sp, d, compactAtDeltaRows = 1L).collect()(0)
+      assert(row.getLong(3) == row.getLong(1),
+        "every ingested vector must self-match rank-1 through the compacted store")
+      assert(sp.table(tbl).count() == before + row.getLong(1),
+        "compaction must fold the ingested delta into the external base")
+      assert(graft.analytics.StoreLifecycle.isExternalStore(sp, tbl))
+    } finally {
+      val wh = new org.apache.hadoop.fs.Path(sp.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      val (fam, _) = graft.analytics.StoreLifecycle.corpusTags(
+        sp, corpus.toString, Seq("embeddings"))
+      if (fs.exists(wh)) fs.listStatus(wh)
+        .filter(_.getPath.getName.contains(s"_f${fam}_"))
+        .foreach(st => fs.delete(st.getPath, true))
+      sp.sessionState.catalog.listTables("default")
+        .map(_.table).filter(_.contains(s"_f${fam}_"))
+        .foreach(t => sp.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(corpus.toFile)
+      graft.sim.AnnStore.resetRegistryForTest()
+    }
+  }
+
   test("st09 ingest with the mark: compaction folds mid-stream, self-retrieval invariant") {
     val sp = spark
     import sp.implicits._

@@ -61,6 +61,19 @@ object Bench {
       prior: Option[Double]): Boolean =
     best.exists(b => prior.exists(p => b > 1.3 * p))
 
+  /** Ambient-load ceiling above which a query is NOT measured on first
+    * encounter but deferred to a settle pass (r11 verdict item 4: that
+    * round's d04/p01/d03/d11 "regressions" all ran at 1-min load 11–20
+    * on the 32-CPU box while quiet queries saw ~3.5 — internally
+    * consistent numbers that still polluted the round-over-round
+    * signal). 0.25×CPUs (= 8 here) sits above the bench's own decay
+    * tail (r9 detail: self-load median ~7) but well below the external
+    * spikes that caused the pollution. */
+  private[graft] def hotThreshold: Double =
+    0.25 * Runtime.getRuntime.availableProcessors()
+
+  private[graft] def isHot(load: Double): Boolean = load > hotThreshold
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
@@ -73,21 +86,21 @@ object Bench {
     val prior = priorMins(detail)
     val loadStart = loadAvg
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    // name-sorted: Map iteration order would shuffle which queries land
-    // on load spikes each round, adding cross-round position noise
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Each query family pays its own JIT/codegen bring-up on the first
-      // run, and this box takes external load spikes that can inflate any
-      // single run SEVERAL-fold (the r4 official artifact ran up to 9×
-      // above the calm snapshot at load 6.7) — headline = min over
-      // SUCCESSFUL runs, and min-of-2 is made LOAD-AWARE: a query re-runs
-      // (up to 2 extra times) while its measurement looks interference-
-      // poisoned — [[runsDisagree]], [[runDrifted]] (1.3× the previous
-      // snapshot's min), or the pre-query 1-min load sitting above 4 on
-      // this box. Extra runs cost a few minutes in the worst round and
-      // buy a headline a judge can actually certify; cold and warm are
-      // still reported separately so plan regressions remain separable
-      // from load noise without re-running.
+    // Each query family pays its own JIT/codegen bring-up on the first
+    // run, and this box takes external load spikes that can inflate any
+    // single run SEVERAL-fold (the r4 official artifact ran up to 9×
+    // above the calm snapshot at load 6.7) — headline = min over
+    // SUCCESSFUL runs, and min-of-2 is made LOAD-AWARE: a query re-runs
+    // (up to 2 extra times) while its measurement looks interference-
+    // poisoned — [[runsDisagree]], [[runDrifted]] (1.3× the previous
+    // snapshot's min), or the pre-query 1-min load sitting above 4 on
+    // this box. Extra runs cost a few minutes in the worst round and
+    // buy a headline a judge can actually certify; cold and warm are
+    // still reported separately so plan regressions remain separable
+    // from load noise without re-running.
+    def measure(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, hot: Boolean)
+        : (String, Seq[(Option[Double], Double)], Double, Option[Double], Boolean) = {
       val loadBefore = loadAvg
       // each RUN samples load at its own start: the up-to-2 extra runs
       // can execute minutes after cold/warm under different interference,
@@ -126,8 +139,40 @@ object Bench {
         runs += once(); extras += 1
       }
       if (best.isEmpty) failed += name
-      (name, runs.toSeq, loadBefore, best)
+      (name, runs.toSeq, loadBefore, best, hot)
     }
+    // name-sorted: Map iteration order would shuffle which queries land
+    // on load spikes each round, adding cross-round position noise.
+    //
+    // HOT-HEADLINE REFUSAL (r11 verdict item 4): a query whose pre-run
+    // 1-min load exceeds [[hotThreshold]] is NOT measured in place —
+    // measuring it would certify an interference-poisoned number (the
+    // r11 artifact's d04/p01 "regressions", load 11–20, unchanged
+    // code). It is RE-QUEUED to a settle pass that first waits for the
+    // box to calm (5 s polls against a shared wall-clock budget — the
+    // bench must terminate even on a permanently busy box). A query
+    // that still measures under high load after the budget runs dry is
+    // measured anyway but FLAGGED: its name lands in the `hot` list on
+    // BOTH output channels, so a reader knows exactly which numbers
+    // carry ambient-load risk instead of inferring it from per-run
+    // load samples.
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val deferred = scala.collection.mutable.ArrayBuffer[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    val firstPass = sorted.flatMap { case (name, fn) =>
+      if (isHot(loadAvg)) { deferred += ((name, fn)); None }
+      else Some(measure(name, fn, hot = false))
+    }
+    var settleBudgetMs = 240000L // shared across all deferred queries
+    val settledPass = deferred.map { case (name, fn) =>
+      while (isHot(loadAvg) && settleBudgetMs > 0) {
+        Thread.sleep(5000); settleBudgetMs -= 5000
+      }
+      measure(name, fn, hot = isHot(loadAvg))
+    }
+    // merge back into name order so downstream output is stable
+    val results = (firstPass ++ settledPass).sortBy(_._1)
+    val hotNames = results.collect { case (k, _, _, _, true) => k }
     def r3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def num(o: Option[Double]): String = o.map(r3).getOrElse("null")
     // The stdout headline keys are the operator ids (the unique prefix
@@ -150,13 +195,14 @@ object Bench {
     // failed queries are ABSENT from the headline map (a failed run's
     // elapsed time is not a measurement), present with nulls in the
     // detail file
-    val qs = results.collect { case (k, _, _, Some(b)) => s"\"" + shortKey(k) + "\":" + r3(b) }
+    val qs = results.collect { case (k, _, _, Some(b), _) => s"\"" + shortKey(k) + "\":" + r3(b) }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, rs, lb, _) =>
+    val runsJson = results.map { case (k, rs, lb, _, hot) =>
       val names = Seq("cold", "warm", "extra1", "extra2")
       val fields = rs.zip(names).flatMap { case ((t, ld), n) =>
         Seq(s"\"$n\":${num(t)}", s"\"${n}_load\":${r3(ld)}") } :+
         s"\"load_before\":${r3(lb)}" :+
+        s"\"hot\":$hot" :+
         // previous snapshot's min alongside this round's runs: a judge
         // (or a future round) reads drift attribution directly instead
         // of diffing two detail files
@@ -168,10 +214,12 @@ object Bench {
     // the failure report matters most; full names go to the detail file
     val fj = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val fjFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val hj = hotNames.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    val hjFull = hotNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._4).sum
     // headline FIRST: it is the only channel the driver parses, and a
     // detail-file write failure must not discard a completed run
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir","keys":"operator ids; full names in BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"hot":$hj,"sf":"$sfDir","keys":"operator ids; full names in BENCH_DETAIL.json"}""")
     // cold/warm/extra per query + per-query pre-run load averages go to a
     // FILE (best-effort): the r3 stdout line carried them inline and
     // outgrew the driver's output-tail capture, truncating the front of
@@ -179,9 +227,9 @@ object Bench {
     // stays compact (headline min only, 3-decimal values); the judge
     // reads the detail here.
     val headlineFull = results.collect {
-      case (k, _, _, Some(b)) => s"\"" + k + "\":" + r3(b) }.mkString("{", ",", "}")
+      case (k, _, _, Some(b), _) => s"\"" + k + "\":" + r3(b) }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(detail,
-      s"""{"headline":$headlineFull,"runs":$runsJson,"failed":$fjFull,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"sf":"$sfDir"}""")
+      s"""{"headline":$headlineFull,"runs":$runsJson,"failed":$fjFull,"hot":$hjFull,"hot_threshold":${r3(hotThreshold)},"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"sf":"$sfDir"}""")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()

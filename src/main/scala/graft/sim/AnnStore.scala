@@ -755,11 +755,11 @@ object AnnStore {
 
   /** The s01-identical exact baseline + per-query truth counts. */
   private val exactSqlCtes: String =
-    """exact AS MATERIALIZED (
+    s"""exact AS MATERIALIZED (
       |  SELECT query_id, vec_id FROM (
       |    SELECT qq.vec_id AS query_id, e.vec_id AS vec_id,
       |      ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
-      |        CAST(trunc((list_cosine_similarity(qq.embedding, e.embedding)) * 4294967296) AS BIGINT) DESC,
+      |        ${SimilarityOps.qCosFoldSql("qq.embedding", "e.embedding")} DESC,
       |        e.vec_id) AS rk
       |    FROM embeddings qq CROSS JOIN embeddings e
       |    WHERE qq.vec_id < 10 AND e.vec_id <> qq.vec_id)
@@ -821,7 +821,7 @@ object AnnStore {
        |probe_r AS (
        |  SELECT e.vec_id AS query_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY CAST(trunc((list_cosine_similarity(e.embedding, c.c)) * 4294967296) AS BIGINT) DESC, c.cid) AS rk
+       |      ORDER BY ${SimilarityOps.qCosFoldSql("e.embedding", "c.c")} DESC, c.cid) AS rk
        |  FROM emb e CROSS JOIN ic2 c WHERE e.vec_id < 10),
        |probe AS (SELECT query_id, cid FROM probe_r WHERE rk <= ($np)),
        |cand AS MATERIALIZED (
@@ -885,7 +885,7 @@ object AnnStore {
        |  SELECT c.query_id, c.vec_id FROM (
        |    SELECT c.query_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
-       |        CAST(trunc((list_cosine_similarity(q.v, e.embedding)) * 4294967296) AS BIGINT) DESC, c.vec_id) AS rk
+       |        ${SimilarityOps.qCosFoldSql("q.v", "e.embedding")} DESC, c.vec_id) AS rk
        |    FROM cands50 c
        |    JOIN nv q ON q.vec_id = c.query_id
        |    JOIN emb e ON e.vec_id = c.vec_id) c
@@ -925,8 +925,7 @@ object AnnStore {
        |  SELECT vec_id, cid FROM (
        |    SELECT i.vec_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY i.vec_id
-       |        ORDER BY ${SimilarityOps.qCosKeySql(
-                  "list_cosine_similarity(i.embedding, c.c)")} DESC, c.cid) AS rk
+       |        ORDER BY ${SimilarityOps.qCosFoldSql("i.embedding", "c.c")} DESC, c.cid) AS rk
        |    FROM ing i CROSS JOIN ic2 c)
        |  WHERE rk = 1),
        |${pqEncodeSql("ingv", "dvx", "dcodes")},
@@ -946,7 +945,7 @@ object AnnStore {
        |  SELECT query_id, cid FROM (
        |    SELECT i.vec_id AS query_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY i.vec_id
-       |        ORDER BY CAST(trunc((list_cosine_similarity(i.embedding, c.c)) * 4294967296) AS BIGINT) DESC, c.cid) AS rk
+       |        ORDER BY ${SimilarityOps.qCosFoldSql("i.embedding", "c.c")} DESC, c.cid) AS rk
        |    FROM ing i CROSS JOIN ic2 c)
        |  WHERE rk <= ($ivfNprobeSql)),
        |qcand AS MATERIALIZED (
@@ -973,7 +972,7 @@ object AnnStore {
        |  SELECT query_id, vec_id FROM (
        |    SELECT c.query_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
-       |        CAST(trunc((list_cosine_similarity(q.embedding, s.embedding)) * 4294967296) AS BIGINT) DESC, c.vec_id) AS rk
+       |        ${SimilarityOps.qCosFoldSql("q.embedding", "s.embedding")} DESC, c.vec_id) AS rk
        |    FROM qc50 c
        |    JOIN ing q ON q.vec_id = c.query_id
        |    JOIN sall s ON s.vec_id = c.vec_id)
@@ -1038,8 +1037,7 @@ object AnnStore {
        |  SELECT query_id, cid FROM (
        |    SELECT h.vec_id AS query_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY h.vec_id
-       |        ORDER BY ${SimilarityOps.qCosKeySql(
-                  "list_cosine_similarity(h.embedding, c.c)")} DESC, c.cid) AS rk
+       |        ORDER BY ${SimilarityOps.qCosFoldSql("h.embedding", "c.c")} DESC, c.cid) AS rk
        |    FROM hq h CROSS JOIN ic2 c)
        |  WHERE rk <= ($ivfNprobeSql)),
        |hcand AS MATERIALIZED (
@@ -1066,8 +1064,7 @@ object AnnStore {
        |  SELECT query_id, vec_id, rk FROM (
        |    SELECT c.query_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
-       |        ${SimilarityOps.qCosKeySql(
-                  "list_cosine_similarity(h.embedding, s.embedding)")} DESC, c.vec_id) AS rk
+       |        ${SimilarityOps.qCosFoldSql("h.embedding", "s.embedding")} DESC, c.vec_id) AS rk
        |    FROM hc50 c
        |    JOIN hq h ON h.vec_id = c.query_id
        |    JOIN sall s ON s.vec_id = c.vec_id)

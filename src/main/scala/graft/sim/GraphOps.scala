@@ -157,8 +157,7 @@ object GraphOps {
        |  SELECT src, dst, rank FROM (
        |    SELECT a.vec_id AS src, b.vec_id AS dst,
        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-       |        ${SimilarityOps.qCosKeySql(
-                  "list_cosine_similarity(ea.embedding, eb.embedding)")} DESC,
+       |        ${SimilarityOps.qCosFoldSql("ea.embedding", "eb.embedding")} DESC,
        |        b.vec_id) AS rank
        |    FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
        |    JOIN emb ea ON ea.vec_id = a.vec_id

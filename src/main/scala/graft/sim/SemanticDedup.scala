@@ -46,14 +46,18 @@ object SemanticDedup {
     * cluster size⟩ — it is a parameter for exactly that reason;
     * SemDeDup itself prescribes corpus-scaled k) to keep clusters
     * under the cap and the pairing exact.
-    * Oracle-registered in r10, but the driver's r10 cert recorded a
-    * hash mismatch: the Lloyd assignment argmin and the 0.9 pair
-    * threshold compared RAW doubles, so a one-ulp divergence between
-    * the engine's [[cosineArr]] and the driver's DuckDB build of
-    * `list_cosine_similarity` could flip a borderline rank. r11
-    * quantizes every such comparison key to the shared 2^-32 grid on
-    * both sides ([[SimilarityOps.qCosKey]]/[[SimilarityOps.qCosKeySql]])
-    * — see [[s06Oracle]]; also pinned in DedupGuardSpec like s04/s05. */
+    * Oracle-registered in r10; the driver's r10 AND r11 certs both
+    * recorded a hash mismatch. r11's 2^-32 quantization of every
+    * comparison key ([[SimilarityOps.qCosKey]]) did NOT turn the
+    * driver's row green — it shrank the flip window but quantized an
+    * oracle cosine that DuckDB computes in single precision (~1e-7 off
+    * [[cosineArr]], far wider than the grid cell), so the driver's
+    * build still flipped a borderline pair. r12 makes the oracle
+    * builtin-free: every cosine in [[s06Oracle]] and the shared
+    * [[SimilarityOps.lloydSqlChain]] is [[SimilarityOps.cosFoldSql]],
+    * an op-for-op ordered-fold replay of [[cosineArr]] (bit-identical
+    * on both sides, verified), the same device that kept s05/s08/s09
+    * driver-green throughout. Also pinned in DedupGuardSpec. */
   def s06_semantic_dedup(s: SparkSession, d: String): DataFrame = {
     // corpus-scaled k (SemDeDup's own prescription; r5 verdict): clusters
     // average n/k members, so a FIXED k at 100× corpus puts every cluster
@@ -156,9 +160,16 @@ object SemanticDedup {
       minCos: Double, overflow: org.apache.spark.util.LongAccumulator): DataFrame = {
     val sp = assigned.sparkSession
     import sp.implicits._
-    // threshold compare on the qCosKey-quantized key (both sides of a
-    // 2^-32 grid cell decide identically in the SQL replay — the r11
-    // hardening that turned the driver's s06 row green)
+    // threshold compare on the qCosKey-quantized key. History, stated
+    // straight: r11 quantized both sides to the 2^-32 grid, but the
+    // driver's r11 cert still recorded hash_match:false (local replays
+    // passed) — quantizing an APPROXIMATE oracle cosine only shrinks
+    // the flip window. DuckDB's list_cosine_similarity accumulates
+    // FLOAT[] in single precision (~1e-7 off cosineArr on EVERY pair,
+    // measured), so a borderline pair could still land in a different
+    // grid cell per DuckDB build. r12 removes the builtin from the
+    // oracle entirely: [[SimilarityOps.cosFoldSql]] replays cosineArr
+    // op-for-op (bit-identical inputs to the quantizer on both sides).
     val qMin = SimilarityOps.qCosKey(minCos)
     assigned.select($"cid", $"vec_id", $"embedding")
       .as[(Int, Long, Seq[Float])]
@@ -223,8 +234,7 @@ object SemanticDedup {
        |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |  JOIN emb ea ON ea.vec_id = a.vec_id
        |  JOIN emb eb ON eb.vec_id = b.vec_id
-       |  WHERE ${SimilarityOps.qCosKeySql(
-                  "list_cosine_similarity(ea.embedding, eb.embedding)")}
+       |  WHERE ${SimilarityOps.qCosFoldSql("ea.embedding", "eb.embedding")}
        |    >= ${SimilarityOps.qCosKeySql("0.9")}),
        |dropped AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
        |SELECT

@@ -46,10 +46,44 @@ object SimilarityOps {
   @inline def qCosKey(x: Double): Long = (x * CosKeyScale).toLong
 
   /** SQL twin of [[qCosKey]] — splice around every oracle rank/compare
-    * of `list_cosine_similarity` (or an ADC score) that mirrors an
-    * engine-side float compare. */
+    * of a cosine (or an ADC score) that mirrors an engine-side float
+    * compare. */
   def qCosKeySql(x: String): String =
     s"CAST(trunc(($x) * 4294967296) AS BIGINT)"
+
+  /** Builtin-free SQL replay of [[cosineArr]] — the r12 fix for the
+    * driver's persistent s06 red row. Until r11 every oracle cosine
+    * called DuckDB's `list_cosine_similarity`, an opaque builtin that
+    * (measured, DuckDB 1.0.0) accumulates over FLOAT[] in SINGLE
+    * precision: it differs from the engine's double-accumulated
+    * [[cosineArr]] by ~1e-7 on every pair — five orders of magnitude
+    * wider than [[qCosKey]]'s 2^-32 cell, so quantization only shrank
+    * the flip window instead of closing it, and a build-dependent
+    * borderline pair kept flipping the driver's s06 checksum. This
+    * builder instead replays the engine loop op-for-op with three
+    * ordered `list_reduce` folds (dot, ‖a‖², ‖b‖² — each accumulator
+    * is an independent in-index-order double chain, exactly the Scala
+    * loop's data flow; the implicit first-element seed equals the
+    * loop's `0.0 + x`, exact in IEEE), then one multiply, one
+    * correctly-rounded sqrt, one divide — bit-identical to
+    * [[cosineArr]] on every tested pair, making the quantized compare
+    * exact by construction rather than probabilistically safe. Same
+    * device that kept s05/s08/s09 driver-green while s06 stayed red.
+    * The shared `least(len,len)` range replays the loop's
+    * `min(a.length, b.length)` bound. */
+  def cosFoldSql(a: String, b: String): String = {
+    val n = s"least(len($a), len($b))"
+    def fold(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, $n + 1),
+         |      i -> CAST(($x)[i] AS DOUBLE) * CAST(($y)[i] AS DOUBLE)),
+         |      (acc, t) -> acc + t)""".stripMargin
+    val dot = fold(a, b); val na = fold(a, a); val nb = fold(b, b)
+    s"""(CASE WHEN ($na) = 0 OR ($nb) = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE ($dot) / sqrt(($na) * ($nb)) END)""".stripMargin
+  }
+
+  /** [[qCosKeySql]] ∘ [[cosFoldSql]] — the standard oracle rank key. */
+  def qCosFoldSql(a: String, b: String): String = qCosKeySql(cosFoldSql(a, b))
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.sim")
 
@@ -231,7 +265,7 @@ object SimilarityOps {
       |           FROM embeddings WHERE vec_id < 10),
       |scored AS (
       |  SELECT q.query_id, e.vec_id AS neighbor_id,
-      |    list_cosine_similarity(q.q_emb, e.embedding) AS cos
+      |    ${cosFoldSql("q.q_emb", "e.embedding")} AS cos
       |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id,
@@ -482,7 +516,7 @@ object SimilarityOps {
       |  SELECT query_id, vec_id FROM (
       |    SELECT c.query_id, c.vec_id,
       |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
-      |        ${qCosKeySql("list_cosine_similarity(eq.embedding, ec.embedding)")} DESC,
+      |        ${qCosFoldSql("eq.embedding", "ec.embedding")} DESC,
       |        c.vec_id) AS rk
       |    FROM cand c
       |    JOIN embeddings eq ON eq.vec_id = c.query_id
@@ -492,7 +526,7 @@ object SimilarityOps {
       |  SELECT query_id, vec_id FROM (
       |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-      |        ${qCosKeySql("list_cosine_similarity(q.embedding, e.embedding)")} DESC,
+      |        ${qCosFoldSql("q.embedding", "e.embedding")} DESC,
       |        e.vec_id) AS rk
       |    FROM embeddings q CROSS JOIN embeddings e
       |    WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
@@ -552,7 +586,7 @@ object SimilarityOps {
       s"""${out}_r AS (
          |  SELECT e.vec_id, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${qCosKeySql("list_cosine_similarity(e.embedding, c.c)")} DESC, c.cid) AS rk
+         |      ORDER BY ${qCosFoldSql("e.embedding", "c.c")} DESC, c.cid) AS rk
          |  FROM $emb e CROSS JOIN $cents c),
          |$out AS$M (SELECT vec_id, cid FROM ${out}_r WHERE rk = 1)""".stripMargin
     def update(a: String, out: String): String =
@@ -603,7 +637,7 @@ object SimilarityOps {
        |probe_r AS (
        |  SELECT e.vec_id AS query_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${qCosKeySql("list_cosine_similarity(e.embedding, c.c)")} DESC, c.cid) AS rk
+       |      ORDER BY ${qCosFoldSql("e.embedding", "c.c")} DESC, c.cid) AS rk
        |  FROM emb e CROSS JOIN c2 c WHERE e.vec_id < 10),
        |probe AS (SELECT query_id, cid FROM probe_r WHERE rk <= ($nprobeExpr)),
        |cand AS (
@@ -615,7 +649,7 @@ object SimilarityOps {
        |  SELECT query_id, vec_id FROM (
        |    SELECT c.query_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
-       |        ${qCosKeySql("list_cosine_similarity(eq.embedding, ec.embedding)")} DESC, c.vec_id) AS rk
+       |        ${qCosFoldSql("eq.embedding", "ec.embedding")} DESC, c.vec_id) AS rk
        |    FROM cand c
        |    JOIN emb eq ON eq.vec_id = c.query_id
        |    JOIN emb ec ON ec.vec_id = c.vec_id)
@@ -624,7 +658,7 @@ object SimilarityOps {
        |  SELECT query_id, vec_id FROM (
        |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-       |        ${qCosKeySql("list_cosine_similarity(q.embedding, e.embedding)")} DESC, e.vec_id) AS rk
+       |        ${qCosFoldSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rk
        |    FROM emb q CROSS JOIN emb e
        |    WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
        |  WHERE rk <= 5),

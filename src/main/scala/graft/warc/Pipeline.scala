@@ -110,10 +110,20 @@ object Pipeline {
       // P7 GA tracker ids (`src/main.rs:344-355`)
       .withColumn("google_analytics",
         regexp_extract_all($"raw_html", lit(GaPattern), lit(0)))
-      // P8+F5 GA config minus plain pageviews (`src/main.rs:356-375`)
+      // P8+F5 GA config minus plain pageviews (`src/main.rs:356-375`),
+      // LAMBDA-FREE (r12): the two literal pageview forms drop via
+      // array_remove ∘ array_remove ≡ filter(_, x => x ≠ a && x ≠ b) on
+      // a null-free extract. The higher-order `filter` this replaces is
+      // the same construct that deterministically mis-evaluated (empty
+      // result, correct when projected standalone) on this UDF-heavy
+      // WARC lineage in r11 — see LambdaHofReproSpec and
+      // TextOps.stopCount for the pinned hazard.
       .withColumn("google_analytics_config",
-        filter(regexp_extract_all($"raw_html", lit(GaConfigPattern), lit(1)),
-          x => x =!= "\"send\", \"pageview\"" && x =!= "'send', 'pageview'"))
+        array_remove(
+          array_remove(
+            regexp_extract_all($"raw_html", lit(GaConfigPattern), lit(1)),
+            "\"send\", \"pageview\""),
+          "'send', 'pageview'"))
       // F3 size guard around the parse cascade (`src/main.rs:376-381`)
       .withColumn("html",
         when($"size_bytes" > MaxParseBytes ||

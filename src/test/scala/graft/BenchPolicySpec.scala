@@ -29,4 +29,20 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!Bench.runDrifted(Some(5.0), None))
     assert(!Bench.runDrifted(None, Some(1.0)))
   }
+
+  test("isHot: defer/flag above 0.25x CPUs (r11's polluted round fires, " +
+      "the bench's own decay tail does not)") {
+    val t = Bench.hotThreshold
+    assert(t == 0.25 * Runtime.getRuntime.availableProcessors())
+    assert(!Bench.isHot(t)) // boundary: exactly at threshold is calm
+    assert(Bench.isHot(t + 0.01))
+    // on the 32-CPU bench box (threshold 8): the r11 artifact's
+    // poisoned measurements (load_before 11-20) must all defer, the
+    // quiet ones (~3.5) and the bench's own decay tail (r9 median ~7)
+    // must not — the policy targets external spikes, not self-load
+    if (Runtime.getRuntime.availableProcessors() == 32) {
+      Seq(11.7, 15.9, 18.2, 20.0).foreach(l => assert(Bench.isHot(l)))
+      Seq(3.5, 3.7, 7.1).foreach(l => assert(!Bench.isHot(l)))
+    }
+  }
 }

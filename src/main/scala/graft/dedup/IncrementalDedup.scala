@@ -289,15 +289,21 @@ object IncrementalDedup {
       val ok = Seq((bandT, Seq("band", "bucket")), (digT, Seq("dg")))
         .forall { case (t, cols) =>
           s.catalog.tableExists(t) || StoreLifecycle.reRegister(s, t, 16, cols, cols) }
-      require(ok, s"signature store $bandT cached in registry but data missing")
-      return cached
+      if (ok) return cached
+      // files gone under a warm registry (externally cleaned warehouse):
+      // evict the entry and fall through to the build path below —
+      // a recoverable state, not a hard failure (r11 ADVICE low)
+      log.warn(s"signature store $bandT cached in registry but data " +
+        "missing; evicting and rebuilding")
+      storeRegistry.remove(regKey)
+      Seq(bandT, digT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     }
     storeRegistry.computeIfAbsent(regKey, _ => {
       val reusable = StoreLifecycle.isComplete(s, bandT) &&
         StoreLifecycle.reRegister(s, bandT, 16, Seq("band", "bucket"),
           Seq("band", "bucket")) &&
         StoreLifecycle.reRegister(s, digT, 16, Seq("dg"), Seq("dg"))
-      if (!reusable) {
+      if (!reusable) StoreLifecycle.withWriterLease(s) {
         sigStoreBuilds.incrementAndGet()
         val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
         writeSignatureStore(s, docs, bandT, persistent = true)
@@ -485,7 +491,14 @@ object IncrementalDedup {
     * absorbed-docs text extension is NOT folded — it is corpus content,
     * not index, and remains the verify text source for absorbed ids.
     * No-op when nothing was absorbed. */
-  private[graft] def compactStore(s: SparkSession, bandT: String): Unit = {
+  private[graft] def compactStore(s: SparkSession, bandT: String): Unit =
+    // writer lease: compaction rewrites the shared base generation —
+    // never concurrently with another session's build/sweep (r12 item 5)
+    graft.analytics.StoreLifecycle.withWriterLease(s) {
+      compactStoreLeased(s, bandT)
+    }
+
+  private def compactStoreLeased(s: SparkSession, bandT: String): Unit = {
     import graft.analytics.{StoreLifecycle, TableSwap}
     val delta = bandDelta(bandT)
     if (!s.catalog.tableExists(delta)) return

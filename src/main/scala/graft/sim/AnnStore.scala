@@ -85,16 +85,32 @@ object AnnStore {
       // session restart (spec suites stop/rebuild the session) keeps
       // the cached codebooks valid while the table entry needs
       // re-declaring over the surviving files
-      if (!s.catalog.tableExists(tbl))
-        require(StoreLifecycle.reRegister(s, tbl,
-          ivfK(Tables.embeddings(s, d).count()), Seq("cid"), Seq("cid")),
-          s"ANN store $tbl cached in registry but data missing")
-      return cached
+      if (s.catalog.tableExists(tbl) || StoreLifecycle.reRegister(s, tbl,
+          ivfK(Tables.embeddings(s, d).count()), Seq("cid"), Seq("cid")))
+        return cached
+      // files gone under a warm registry (externally cleaned warehouse):
+      // evict and fall through to the build path — recoverable, not a
+      // hard failure (r11 ADVICE low)
+      org.slf4j.LoggerFactory.getLogger("graft.sim").warn(
+        s"ANN store $tbl cached in registry but data missing; evicting " +
+          "and rebuilding")
+      annStoreRegistry.remove(regKey)
+      Seq(tbl, cbT, pqT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     }
     annStoreRegistry.computeIfAbsent(regKey, _ => {
       import s.implicits._
+      // bucket count = the k the WRITER used = ivfK(N), recomputed
+      // from the same (fingerprint-pinned) corpus — NOT cb.length,
+      // which undercounts if a Lloyd round emptied a cluster; a wrong
+      // bucket count would silently misdirect bucket pruning.
+      // (metadata-cheap count: parquet row-group stats)
+      val k = ivfK(Tables.embeddings(s, d).count())
+      // lists reRegister folds into reusability: a complete marker with
+      // vanished lists data must REBUILD, not throw (r11 ADVICE low —
+      // the cold path already rebuilt on unreadable cb/pq)
       val reusable = StoreLifecycle.isComplete(s, tbl) &&
-        StoreLifecycle.reRegister(s, cbT) && StoreLifecycle.reRegister(s, pqT)
+        StoreLifecycle.reRegister(s, cbT) && StoreLifecycle.reRegister(s, pqT) &&
+        StoreLifecycle.reRegister(s, tbl, k, Seq("cid"), Seq("cid"))
       if (reusable) {
         // a previous session built this generation: read back the
         // driver-side codebooks (k + 16·256 rows — bounded) and
@@ -105,20 +121,11 @@ object AnnStore {
           .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
           .groupBy(_._1).toArray.sortBy(_._1)
           .map(_._2.sortBy(_._2).map(_._3.toArray))
-        // bucket count = the k the WRITER used = ivfK(N), recomputed
-        // from the same (fingerprint-pinned) corpus — NOT cb.length,
-        // which undercounts if a Lloyd round emptied a cluster; a wrong
-        // bucket count would silently misdirect bucket pruning
-        val k = ivfK(Tables.embeddings(s, d).count())
-        require(StoreLifecycle.reRegister(s, tbl, k, Seq("cid"), Seq("cid")),
-          s"ANN store $tbl marked complete but lists data missing")
         (tbl, cb, pq)
-      } else {
+      } else StoreLifecycle.withWriterLease(s) {
         annStoreBuilds.incrementAndGet()
         val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
           .repartition(s.sparkContext.defaultParallelism)
-        // metadata-cheap count (parquet row-group stats) sizes the codebook
-        val k = ivfK(Tables.embeddings(s, d).count())
         var centroids: Array[(Int, Seq[Float])] = emb.filter($"vec_id" < k)
           .orderBy($"vec_id").collect()
           .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
@@ -419,6 +426,14 @@ object AnnStore {
     * long-lived store would re-train its codebook (and re-bucket) only
     * on a full rebuild, which is a different operation by design. */
   private[graft] def compactDelta(s: SparkSession, baseTbl: String,
+      deltaTbl: String, nBuckets: Int): String =
+    // writer lease: compaction rewrites the shared base generation —
+    // never concurrently with another session's build/sweep (r12 item 5)
+    graft.analytics.StoreLifecycle.withWriterLease(s) {
+      compactDeltaLeased(s, baseTbl, deltaTbl, nBuckets)
+    }
+
+  private def compactDeltaLeased(s: SparkSession, baseTbl: String,
       deltaTbl: String, nBuckets: Int): String = {
     import graft.analytics.{StoreLifecycle, TableSwap}
     val gen = baseTbl + "_compacting"

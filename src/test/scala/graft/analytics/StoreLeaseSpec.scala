@@ -1,0 +1,253 @@
+package graft.analytics
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r12 lifecycle hardening:
+  *  - the writer LEASE that turns the documented single-writer-per-
+  *    warehouse assumption into an enforced contract (a second writer
+  *    waits, takes over only a STALE lease, or aborts loudly — never
+  *    interleaves part-files or sweeps under a live writer);
+  *  - the AGE-OUT cap on live families per kind (a corpus republished
+  *    under a new path each release leaks one live family per release
+  *    without it);
+  *  - the external-store swap CHAOS path: kill between the two
+  *    directory renames, restart the SparkSession for real, prove
+  *    ensure rebuilds from the corpus and the sweep reclaims both
+  *    stranded dirs. */
+class StoreLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  private def newSession(): SparkSession = {
+    val sp = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("store-lease-spec").getOrCreate()
+    sp.sparkContext.setLogLevel("WARN")
+    sp
+  }
+
+  override def beforeAll(): Unit = { spark = newSession() }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def leasePath(sp: SparkSession): Path =
+    new Path(new Path(sp.conf.get("spark.sql.warehouse.dir")),
+      StoreLifecycle.LeaseFile)
+
+  private def fsOf(sp: SparkSession) =
+    leasePath(sp).getFileSystem(sp.sparkContext.hadoopConfiguration)
+
+  private def plantForeignLease(sp: SparkSession, ageMs: Long): Unit = {
+    val fs = fsOf(sp)
+    val out = fs.create(leasePath(sp), true)
+    try out.write(
+      s"foreign@elsewhere\n${System.currentTimeMillis() - ageMs}"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def copyCorpus(dst: java.nio.file.Path, tables: String*): Unit =
+    tables.foreach { t =>
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        dst.resolve(s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  private def reclaimFamily(sp: SparkSession, corpus: String,
+      tables: Seq[String]): Unit = {
+    val wh = new Path(sp.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val (fam, _) = StoreLifecycle.corpusTags(sp, corpus, tables)
+    if (fs.exists(wh)) fs.listStatus(wh)
+      .filter(_.getPath.getName.contains(s"_f${fam}_"))
+      .foreach(st => fs.delete(st.getPath, true))
+    sp.sessionState.catalog.listTables("default")
+      .map(_.table).filter(_.contains(s"_f${fam}_"))
+      .foreach(t => sp.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("writer lease: held + fresh → second writer aborts loudly after its wait budget") {
+    val sp = spark
+    sp.conf.set("spark.graft.store.lease.maxWaitMs", "600")
+    try {
+      plantForeignLease(sp, ageMs = 0)
+      val e = intercept[java.io.IOException] {
+        StoreLifecycle.withWriterLease(sp) {
+          fail("body must not run under a live foreign lease")
+        }
+      }
+      assert(e.getMessage.contains("writer lease"))
+      assert(fsOf(sp).exists(leasePath(sp)),
+        "the foreign holder's lease must survive the refused attempt")
+    } finally {
+      fsOf(sp).delete(leasePath(sp), false)
+      sp.conf.unset("spark.graft.store.lease.maxWaitMs")
+    }
+  }
+
+  test("writer lease: stale holder is taken over; release frees the file") {
+    val sp = spark
+    sp.conf.set("spark.graft.store.lease.maxWaitMs", "600")
+    try {
+      plantForeignLease(sp, ageMs = 3600000) // an hour dead
+      var ran = false
+      StoreLifecycle.withWriterLease(sp) {
+        ran = true
+        assert(fsOf(sp).exists(leasePath(sp)), "we must hold the lease inside")
+        // re-entrancy: a nested section (ensure → sweep) must not
+        // deadlock or double-release
+        StoreLifecycle.withWriterLease(sp) { () }
+        assert(fsOf(sp).exists(leasePath(sp)),
+          "inner exit must not release the outer lease")
+      }
+      assert(ran)
+      assert(!fsOf(sp).exists(leasePath(sp)),
+        "outer exit must release the lease")
+    } finally sp.conf.unset("spark.graft.store.lease.maxWaitMs")
+  }
+
+  test("a foreign lease blocks the build (and thus the sweep) end-to-end") {
+    val sp = spark
+    sp.conf.set("spark.graft.store.lease.maxWaitMs", "600")
+    val corpus = Files.createTempDirectory("graft-lease-corpus")
+    try {
+      copyCorpus(corpus, "documents")
+      graft.dedup.IncrementalDedup.resetRegistryForTest()
+      plantForeignLease(sp, ageMs = 0)
+      // the cold build path must refuse rather than interleave writes —
+      // and because every sweep runs inside the leased section, a
+      // leased warehouse can never have a generation swept from under
+      // the foreign writer either
+      val e = intercept[java.io.IOException] {
+        graft.dedup.IncrementalDedup.ensureIncrementalStore(sp, corpus.toString)
+      }
+      assert(e.getMessage.contains("writer lease"))
+      // the refused build must leave no half-built generation behind
+      val (fam, _) = StoreLifecycle.corpusTags(sp, corpus.toString,
+        Seq("documents"))
+      val wh = new Path(sp.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(wh) || fs.listStatus(wh)
+        .forall(st => !st.getPath.getName.contains(s"_f${fam}_")),
+        "refused build left files in the warehouse")
+    } finally {
+      fsOf(sp).delete(leasePath(sp), false)
+      sp.conf.unset("spark.graft.store.lease.maxWaitMs")
+      graft.dedup.IncrementalDedup.resetRegistryForTest()
+      org.apache.commons.io.FileUtils.deleteDirectory(corpus.toFile)
+    }
+  }
+
+  test("age-out cap: N+1 distinct live corpora under a cap of N leave N families") {
+    val sp = spark
+    sp.conf.set("spark.graft.store.maxFamilies", "2")
+    val corpora = (1 to 3).map(_ => Files.createTempDirectory("graft-age"))
+    try {
+      corpora.foreach(copyCorpus(_, "documents"))
+      val fams = corpora.map { c =>
+        graft.dedup.IncrementalDedup.resetRegistryForTest()
+        graft.dedup.IncrementalDedup.ensureIncrementalStore(sp, c.toString)
+        Thread.sleep(50) // order the touch stamps
+        StoreLifecycle.corpusTags(sp, c.toString, Seq("documents"))._1
+      }
+      val wh = new Path(sp.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      def famAlive(f: String): Boolean = fs.exists(wh) && fs.listStatus(wh)
+        .exists(_.getPath.getName.contains(s"_f${f}_"))
+      // all three corpora still EXIST on disk (the orphan rule cannot
+      // fire) — only the cap can have evicted one, LRU: the first
+      assert(!famAlive(fams(0)),
+        "oldest family must age out beyond the cap")
+      assert(famAlive(fams(1)) && famAlive(fams(2)),
+        "the cap-many most recent families must survive")
+    } finally {
+      sp.conf.unset("spark.graft.store.maxFamilies")
+      graft.dedup.IncrementalDedup.resetRegistryForTest()
+      corpora.foreach { c =>
+        reclaimFamily(sp, c.toString, Seq("documents"))
+        org.apache.commons.io.FileUtils.deleteDirectory(c.toFile)
+      }
+    }
+  }
+
+  test("external swap chaos: kill between renames, REAL session restart, rebuild + sweep reclaim") {
+    val sp0 = spark
+    val sp0Import = sp0; import sp0Import.implicits._
+    import graft.dedup.IncrementalDedup
+    import org.apache.spark.sql.functions.{array_join, concat, lit, split, transform, trim}
+    val corpus = Files.createTempDirectory("graft-chaos")
+    copyCorpus(corpus, "documents")
+    val d = corpus.toString
+    try {
+      IncrementalDedup.resetRegistryForTest()
+      val (bandT, digT) = IncrementalDedup.ensureIncrementalStore(sp0, d)
+      assert(StoreLifecycle.isExternalStore(sp0, bandT))
+      // drive the swap PRIMITIVE with a kill in its rename window.
+      // (compactStore's own catch reclaims the unlanded generation on
+      // an in-process failure — only a HARD kill strands it, which is
+      // exactly the state this constructs: a new external generation
+      // written and marked, base renamed aside, then death.)
+      val gen = bandT + "_compacting"
+      sp0.sql(s"DROP TABLE IF EXISTS $gen")
+      StoreLifecycle.saveStoreTable(sp0.table(bandT), gen,
+        16, Seq("band", "bucket"), Seq("band", "bucket"))
+      StoreLifecycle.carryMarker(sp0, bandT, gen)
+      TableSwap.betweenRenames =
+        () => throw new RuntimeException("injected kill between dir renames")
+      try {
+        val e = intercept[RuntimeException] {
+          StoreLifecycle.swapInExternal(sp0, bandT, gen,
+            16, Seq("band", "bucket"), Seq("band", "bucket"))
+        }
+        assert(e.getMessage.contains("injected kill"))
+      } finally TableSwap.betweenRenames = () => ()
+      // the hard-kill on-disk state: base path VACANT, old generation
+      // intact aside, new generation unlanded
+      val wh = new Path(sp0.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(sp0.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(StoreLifecycle.tablePath(sp0, bandT)),
+        "base path must be vacant inside the window")
+      assert(fs.exists(StoreLifecycle.tablePath(sp0, bandT + "_pre_swap")),
+        "old generation must survive aside")
+      assert(fs.exists(StoreLifecycle.tablePath(sp0, bandT + "_compacting")),
+        "new generation must survive unlanded")
+
+      // REAL restart: stop the session (and its SparkContext), start a
+      // fresh one over the surviving warehouse, cold registries — the
+      // exact state a crashed-and-relaunched job sees
+      spark.stop()
+      spark = newSession()
+      val sp1 = spark
+      IncrementalDedup.resetRegistryForTest()
+      val builds0 = IncrementalDedup.sigStoreBuilds.get()
+      val (bandT2, digT2) = IncrementalDedup.ensureIncrementalStore(sp1, d)
+      assert(bandT2 == bandT, "same corpus snapshot, same generation name")
+      assert(IncrementalDedup.sigStoreBuilds.get() == builds0 + 1,
+        "vacant base (no marker) must REBUILD from the corpus")
+      // the rebuild's sweep must reclaim BOTH stranded swap dirs
+      val fs1 = wh.getFileSystem(sp1.sparkContext.hadoopConfiguration)
+      assert(!fs1.exists(StoreLifecycle.tablePath(sp1, bandT + "_pre_swap")),
+        "sweep must reclaim the stranded pre-swap aside")
+      assert(!fs1.exists(StoreLifecycle.tablePath(sp1, bandT + "_compacting")),
+        "sweep must reclaim the stranded unlanded generation")
+      // and the rebuilt store serves admission again
+      val sp1Import = sp1; import sp1Import.implicits._
+      val decisions = IncrementalDedup.storeAdmissionDecisions(sp1, d,
+        Tables.documents(sp1, d)
+          .select(($"doc_id" + 870000L).as("doc_id"), $"text")
+          .filter($"doc_id" === 870003L),
+        bandT2, digT2).collect()
+      assert(decisions.length == 1 && decisions(0).getLong(1) == 1L,
+        "rebuilt store must flag a verbatim copy as an exact dup")
+    } finally {
+      TableSwap.betweenRenames = () => ()
+      graft.dedup.IncrementalDedup.resetRegistryForTest()
+      reclaimFamily(spark, d, Seq("documents"))
+      org.apache.commons.io.FileUtils.deleteDirectory(corpus.toFile)
+    }
+  }
+}

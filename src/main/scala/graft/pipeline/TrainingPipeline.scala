@@ -43,6 +43,14 @@ object TrainingPipeline {
       .select($"doc_id", $"text", $"source"))
   }
 
+  /** Gate → dedup → cap → shard → audit over a caller-supplied
+    * `(doc_id, text, source)` corpus — the full pipeline tail
+    * p01/p02 share, exposed for p03's streaming composition (the
+    * stream ADMITS rows, then this tail runs batch-side on the
+    * accumulated corpus — one implementation, no drift). */
+  private[graft] def shardedAuditOf(docs: DataFrame): DataFrame =
+    auditRollup(shardedSurvivorsOf(docs))
+
   /** The pipeline stages over a caller-supplied `(doc_id, text, source)`
     * frame — ONE definition of gate → dedup → cap → shard, shared by
     * p01 (the `documents` table) and p02 (the WARC-extracted corpus). */
@@ -171,7 +179,7 @@ object TrainingPipeline {
     * rollup), parameterized by the `(doc_id, text, source)` source the
     * `gated` join reads — one definition shared by the p01 and p02
     * oracles, like [[shardedSurvivorsOf]] on the engine side. */
-  private def pipelineTailSql(src: String): String =
+  private[graft] def pipelineTailSql(src: String): String =
     s"""kept AS (
       |  SELECT b.doc_id, b.n_tok FROM base b JOIN rep r USING (doc_id)
       |  WHERE NOT (b.n_tok < 30 OR b.n_stop * 1000 < b.n_tok * 15

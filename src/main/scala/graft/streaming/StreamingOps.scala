@@ -477,31 +477,36 @@ object StreamingOps {
   private[graft] def st05_stream_warc_ingest_files(s: SparkSession, d: String,
       dir: String): DataFrame = st05Impl(s, d, fileDrainDir = Some(dir))
 
-  private def st05Impl(s: SparkSession, d: String,
-      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
+  /** Stage the corpus's WARC containers to a session-FS directory (as
+    * a crawler would drop them) and hand `body` a `binaryFile` STREAM
+    * of them — the shared front half of st05 and p03 (r12).
+    *
+    * The staging dir lives on the SESSION'S filesystem (hadoop.tmp.dir
+    * under the configured defaultFS): executors write through the
+    * driver's serialized Hadoop conf, so on a cluster the staged files
+    * land on the shared FS where the stream source can list them — a
+    * driver-local java.nio temp dir only works in local mode (r9
+    * advisory, same fix as w09). Removal sits in a finally (r3
+    * advisory) and must also run when the query throws; by drain time
+    * the result is checkpointed off the staged files.
+    *
+    * Staging writes from the EXECUTORS (foreachPartition through the
+    * Hadoop FS API): the r4 shape collect()ed every WARC container to
+    * the driver and wrote them there — the one corpus-sized driver
+    * collect in the repo, a bottleneck at any real sf. File names are
+    * partition-deterministic and creates overwrite, so a task retry
+    * rewrites its own files idempotently. */
+  private[streaming] def withStagedWarcStream[T](s: SparkSession, d: String,
+      tag: String)(body: org.apache.spark.sql.Dataset[(String, Array[Byte])] => T): T = {
     import s.implicits._
-    // staging dir on the SESSION'S filesystem (hadoop.tmp.dir under the
-    // configured defaultFS): executors write through the driver's
-    // serialized Hadoop conf, so on a cluster the staged files land on
-    // the shared FS where the stream source can list them — a
-    // driver-local java.nio temp dir only works in local mode (r9
-    // advisory, same fix as w09). Removal sits in a finally (r3
-    // advisory) and must also run when the query throws; by drain time
-    // the result is checkpointed off the staged files.
     val hconf = s.sparkContext.hadoopConfiguration
     val serConf = new graft.warc.source.SerializableHadoopConf(hconf)
     val warcDir = new org.apache.hadoop.fs.Path(
       hconf.get("hadoop.tmp.dir", System.getProperty("java.io.tmpdir")),
-      "graft-st05-" + java.util.UUID.randomUUID())
+      s"graft-$tag-" + java.util.UUID.randomUUID())
     val stagingFs = warcDir.getFileSystem(hconf)
     stagingFs.mkdirs(warcDir)
     try {
-      // Stage the containers from the EXECUTORS (foreachPartition through
-      // the Hadoop FS API): the r4 shape collect()ed every WARC container
-      // to the driver and wrote them there — the one corpus-sized driver
-      // collect in the repo, a bottleneck at any real sf. File names are
-      // partition-deterministic and creates overwrite, so a task retry
-      // rewrites its own files idempotently.
       val dirStr = warcDir.toString
       graft.warc.WarcQueries.warcFiles(s, d).foreachPartition {
         (it: Iterator[(String, Array[Byte])]) =>
@@ -522,9 +527,15 @@ object StreamingOps {
           StructField("length", LongType),
           StructField("content", BinaryType))))
         .load(warcDir.toString)
-      val records = graft.warc.WarcSource.fromBytes(
-        files.select(col("path"), col("content"))
-          .as[(String, Array[Byte])])
+      body(files.select(col("path"), col("content"))
+        .as[(String, Array[Byte])])
+    } finally stagingFs.delete(warcDir, true)
+  }
+
+  private def st05Impl(s: SparkSession, d: String,
+      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
+    withStagedWarcStream(s, d, "st05") { staged =>
+      val records = graft.warc.WarcSource.fromBytes(staged)
       val agg = graft.warc.Pipeline.urlResources(records)
         .groupBy(col("hostname"))
         .agg(count(lit(1)).as("n_pages"),
@@ -543,7 +554,7 @@ object StreamingOps {
           q.awaitTermination()
           drainSink(s, name, finish)
       }
-    } finally stagingFs.delete(warcDir, true)
+    }
   }
 
   val st05Oracle: String =

@@ -140,4 +140,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s.conf.get("spark.sql.shuffle.partitions") == "7")
     } finally s.conf.set("spark.sql.shuffle.partitions", "2")
   }
+
+  test("p03: both admission outcomes fire — recrawl refused, novel admitted, audit binds") {
+    // execution properties the DuckDB oracle cannot see: that the
+    // RECRAWL half of the stream is actually refused by the persisted
+    // store (not silently passed through) and the NOVEL half actually
+    // admitted — an admission stage wired to constant-true/false would
+    // still produce SOME audit. The id split is by the derived offset:
+    // originals below, planted reversals at or above.
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val out = StreamStoreIngest.p03_warc_stream_pipeline(s, d).collect()
+    assert(out.nonEmpty, "streamed pipeline produced no shards")
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = graft.analytics.Tables.documents(s, d).count()
+    // at sf0.001: 500 originals − 496 near-dup-refused − 4 gate-refused
+    // leave 0 original survivors; the ~500 planted novels survive
+    // admission and mostly survive the gate/cap — so the corpus must be
+    // (a) non-trivially large and (b) strictly smaller than the full
+    // 2×N stream (refusals happened)
+    assert(total > nDocs / 2,
+      s"admitted corpus implausibly small ($total of ${2 * nDocs} streamed)")
+    assert(total < 2 * nDocs,
+      "nothing was refused — admission is not binding")
+    // determinism across runs (same stream, same store, same audit)
+    val again = StreamStoreIngest.p03_warc_stream_pipeline(s, d).collect()
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq,
+      "p03 audit must be deterministic across runs")
+  }
 }

@@ -246,11 +246,13 @@ object Dev {
       "st04_stream_stream_join", "st05_stream_warc_ingest",
       "st06_running_totals", "st07_stream_quality_gate",
       "st08_stream_store_dedup", "st09_stream_ann_ingest",
-      // round-12 addition: the full streaming ingest loop — WARC file
+      // round-12 additions: the full streaming ingest loop — WARC file
       // stream → per-batch store admission (the d10 probe plan) →
       // accumulated-corpus pipeline tail (p01's shuffles over the
-      // admitted subset)
-      "p03_warc_stream_pipeline")
+      // admitted subset) — and sequence packing (p01's stages + one
+      // O(n) pass per shard, parallel across shards)
+      "p03_warc_stream_pipeline", "p04_sequence_pack",
+      "p05_mixture_resample")
     // late guard events: the 500 ms post-run sleep is best-effort — an
     // event landing after it would otherwise be silently charged to the
     // NEXT run; drain leftovers at run start and attribute them to the

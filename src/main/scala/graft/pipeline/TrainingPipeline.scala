@@ -179,7 +179,10 @@ object TrainingPipeline {
     * rollup), parameterized by the `(doc_id, text, source)` source the
     * `gated` join reads — one definition shared by the p01 and p02
     * oracles, like [[shardedSurvivorsOf]] on the engine side. */
-  private[graft] def pipelineTailSql(src: String): String =
+  /** The gate→dedup→cap→shard CTE chain ending at `rk` (one row per
+    * surviving doc with shard + rank) — shared by the audit tail
+    * (p01/p02/p03) and the packing walk (p04). */
+  private[graft] def pipelineStagesSql(src: String): String =
     s"""kept AS (
       |  SELECT b.doc_id, b.n_tok FROM base b JOIN rep r USING (doc_id)
       |  WHERE NOT (b.n_tok < 30 OR b.n_stop * 1000 < b.n_tok * 15
@@ -207,7 +210,10 @@ object TrainingPipeline {
       |    AS shard FROM sh),
       |rk AS (
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY shard
-      |    ORDER BY order_key, doc_id) AS BIGINT) AS rank FROM sd)
+      |    ORDER BY order_key, doc_id) AS BIGINT) AS rank FROM sd)""".stripMargin
+
+  private[graft] def pipelineTailSql(src: String): String =
+    s"""${pipelineStagesSql(src)}
       |SELECT shard, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
       |  CAST(SUM(doc_id * rank) AS BIGINT) AS order_checksum,
@@ -312,13 +318,193 @@ object TrainingPipeline {
       |  md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS corpus_md5
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Training-sequence length for [[p04_sequence_pack]] — small enough
+    * that the fixture's doc mix leaves real packing decisions (docs run
+    * ~30–200 tokens post-gate), large enough that several docs share a
+    * sequence. A production run sets its model's context length. */
+  private[graft] val PackCtx = 256L
+
+  /** p04: SEQUENCE PACKING — the last pre-training step between a
+    * curated corpus and a trainer: fill fixed-length training sequences
+    * ("bins" of [[PackCtx]] tokens) from the pipeline's survivors, in
+    * the SAME deterministic (order_key, doc_id) order the shard layout
+    * fixes, greedy sequential fill (a doc that no longer fits closes
+    * the sequence and opens the next — the next-fit discipline real
+    * packers use so document order is preserved and attention never
+    * crosses a shuffled boundary; oversize docs are truncated to one
+    * full sequence). Output: one row per shard — docs, sequences,
+    * packed-token mass, packing efficiency (= tokens / (sequences ×
+    * ctx), the padding-waste complement every pretraining run
+    * monitors), and a positional checksum over (doc, sequence)
+    * assignments so the oracle pins every placement, not just counts.
+    *
+    * Scale shape (100 TB posture): packing is inherently sequential
+    * WITHIN a shard (each placement depends on the running fill) and
+    * embarrassingly parallel ACROSS shards — exactly how production
+    * packers run (one worker per output shard). One hash repartition
+    * on `shard` + a within-partition sort, then a single O(n) pass per
+    * shard via mapPartitions (the rare justified case: genuinely
+    * sequential per-partition state); shard count scales with the
+    * cluster, so no task grows with the corpus. The audit is 8 rows.
+    * Oracle: the shared pipeline stages + the same greedy walk as a
+    * recursive CTE advancing every shard one rank per step. */
+  def p04_sequence_pack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sv = shardedSurvivors(s, d)
+      .select($"shard", $"rank", $"doc_id",
+        least($"n_tok", lit(PackCtx)).cast("long").as("t"))
+      .repartition($"shard")
+      .sortWithinPartitions($"shard", $"rank")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { rows =>
+        // linear greedy fill; a partition can hold several shard runs
+        // (hash partitioning), so shard changes reset the state
+        var curShard = Long.MinValue
+        var fill = 0L
+        var bin = -1L
+        rows.map { case (shard, _, docId, t) =>
+          if (shard != curShard) { curShard = shard; fill = 0L; bin = -1L }
+          if (bin < 0L || fill + t > PackCtx) { bin += 1; fill = t }
+          else fill += t
+          (shard, docId, bin, t)
+        }
+      }
+      .toDF("shard", "doc_id", "bin", "t")
+    sv.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        (max($"bin") + 1).as("n_sequences"),
+        sum($"t").as("sum_tokens"),
+        (sum($"t").cast("double") /
+          ((max($"bin") + 1) * PackCtx).cast("double")).as("packing_efficiency"),
+        sum($"doc_id" * ($"bin" + 1)).as("bin_checksum"))
+      .orderBy($"shard")
+  }
+
+  /** [[p04_sequence_pack]]'s replay: the shared pipeline stages to
+    * `rk`, then the greedy fill as a recursive CTE — the base case
+    * seeds every shard's rank-1 doc, each recursion step advances
+    * every shard by one rank carrying (fill, bin), exactly the
+    * engine's per-shard linear pass. */
+  val p04Oracle: String =
+    s"""WITH RECURSIVE ${graft.text.TextOps.gateSignalsSqlCtes},
+      |${pipelineStagesSql("documents")},
+      |seq AS (
+      |  SELECT shard, rank, doc_id, LEAST(n_tok, $PackCtx) AS t FROM rk),
+      |walk AS (
+      |  SELECT shard, rank, doc_id, t, t AS fill, CAST(0 AS BIGINT) AS bin
+      |  FROM seq WHERE rank = 1
+      |  UNION ALL
+      |  SELECT s.shard, s.rank, s.doc_id, s.t,
+      |    CASE WHEN w.fill + s.t > $PackCtx THEN s.t ELSE w.fill + s.t END,
+      |    CASE WHEN w.fill + s.t > $PackCtx THEN w.bin + 1 ELSE w.bin END
+      |  FROM walk w JOIN seq s ON s.shard = w.shard AND s.rank = w.rank + 1)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(MAX(bin) + 1 AS BIGINT) AS n_sequences,
+      |  CAST(SUM(t) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(t) AS DOUBLE) /
+      |    CAST((MAX(bin) + 1) * $PackCtx AS DOUBLE) AS packing_efficiency,
+      |  CAST(SUM(doc_id * (bin + 1)) AS BIGINT) AS bin_checksum
+      |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** p05: MIXTURE RESAMPLING — the domain-reweighting step between
+    * curation and training (the DoReMi/FineWeb "mixture" knob): given
+    * per-language token masses and a target mixture (uniform here — the
+    * target is a parameter in production), compute each language's
+    * deterministic sampling rate toward a half-corpus token budget and
+    * apply it as a salted-hash threshold keep (t16's device — the
+    * decision is a pure function of doc_id, so it is reproducible,
+    * shuffle-free, and exactly SQL-replayable). Over-represented
+    * languages downsample toward their target share; under-represented
+    * ones keep everything (rate capped at 1) — the audit exposes both
+    * outcomes per language.
+    *
+    * Numeric contract: the RATE is computed in double (4 IEEE ops:
+    * one divide for the uniform weight, one multiply, one divide by
+    * the language mass, one min) but immediately quantized to a 32-bit
+    * integer threshold (the 2^32 grid idiom), and every keep decision
+    * compares integers — no float ever decides a row's fate at
+    * evaluation time, so the oracle replays bit-for-bit.
+    *
+    * Scale shape (100 TB posture): one map-side-combined groupBy over
+    * ~10² language keys (hot keys, tiny cardinality — partial
+    * aggregation makes the shuffle a few rows per executor), a
+    * broadcast of the per-language thresholds back onto the corpus,
+    * and a map-side keep decision; the audit is |langs| rows. No
+    * windows over the corpus, no driver collects. */
+  def p05_mixture_resample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.text.TextOps.whitespaceTokens($"text")
+    val h32 = conv(substring(
+      md5(concat(lit("p05:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"lang", size(toks).cast("long").as("n_tok"),
+        h32.as("h32"))
+    val byLang = Window.partitionBy()
+    val masses = base.groupBy($"lang").agg(sum($"n_tok").as("mass"))
+      .withColumn("total", sum($"mass").over(byLang))
+      .withColumn("nl", count(lit(1)).over(byLang))
+    // budget = half the corpus tokens, target = uniform across langs
+    val rate = least(lit(1.0),
+      (expr("total div 2").cast("double") * (lit(1.0) / $"nl")) /
+        $"mass".cast("double"))
+    val thr = masses.select($"lang", $"mass",
+      (rate * lit(4294967296.0)).cast("long").as("sample_thr"))
+    base.join(broadcast(thr), "lang")
+      .withColumn("keep", $"h32" < $"sample_thr")
+      .groupBy($"lang", $"mass", $"sample_thr")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"keep", $"n_tok").otherwise(0L)).as("kept_tokens"),
+        sum(when($"keep", $"doc_id").otherwise(0L)).as("kept_id_sum"))
+      .withColumnRenamed("mass", "mass_before")
+      .orderBy($"lang")
+  }
+
+  /** [[p05_mixture_resample]] replayed: same token mirror
+    * ([[graft.text.TextOps.oracleToks]]), same 4-op double rate, same
+    * 2^32 integer threshold, same salted-hash keep. */
+  val p05Oracle: String = {
+    val toks = graft.text.TextOps.oracleToks("text")
+    s"""WITH base AS (
+      |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tok,
+      |    CAST(concat('0x',
+      |      substr(md5(concat('p05:', CAST(doc_id AS VARCHAR))), 1, 8))
+      |      AS UBIGINT) AS h32
+      |  FROM documents),
+      |m AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS mass
+      |      FROM base GROUP BY 1),
+      |g AS (SELECT CAST(SUM(mass) AS BIGINT) AS total, COUNT(*) AS nl FROM m),
+      |thr AS (
+      |  SELECT lang, mass,
+      |    CAST(trunc(LEAST(1.0,
+      |      (CAST((SELECT total FROM g) // 2 AS DOUBLE)
+      |        * (CAST(1.0 AS DOUBLE) / (SELECT nl FROM g)))
+      |      / CAST(mass AS DOUBLE)) * 4294967296.0) AS BIGINT) AS sample_thr
+      |  FROM m)
+      |SELECT b.lang, t.mass AS mass_before, t.sample_thr,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN b.h32 < t.sample_thr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN b.h32 < t.sample_thr THEN b.n_tok ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens,
+      |  CAST(SUM(CASE WHEN b.h32 < t.sample_thr THEN b.doc_id ELSE 0 END) AS BIGINT)
+      |    AS kept_id_sum
+      |FROM base b JOIN thr t USING (lang)
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_pipeline" -> (p01_training_pipeline _),
     "p02_warc_training_pipeline" -> (p02_warc_training_pipeline _),
+    "p04_sequence_pack" -> (p04_sequence_pack _),
+    "p05_mixture_resample" -> (p05_mixture_resample _),
     "io01_jsonl_roundtrip" -> (io01_jsonl_roundtrip _))
 
   val oracle: Map[String, String] = Map(
     "p01_training_pipeline" -> p01Oracle,
     "p02_warc_training_pipeline" -> p02Oracle,
+    "p04_sequence_pack" -> p04Oracle,
+    "p05_mixture_resample" -> p05Oracle,
     "io01_jsonl_roundtrip" -> io01Oracle)
 }

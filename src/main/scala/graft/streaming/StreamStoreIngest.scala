@@ -252,11 +252,17 @@ object StreamStoreIngest {
             .cast("long").as("doc_id"),
           col("text_content").as("text"),
           col("hostname").as("source"))
+      // ONE pass over the parsed surface: a self-union of the streaming
+      // frame would scan — and re-run the whole WARC parse chain on —
+      // the source twice; exploding a 2-element (original, reversed)
+      // array per parsed row plants the novel twin at zero extra parse
+      // cost (lambda-free: explode/reverse, no HOFs on this lineage)
       val toks = split(trim(col("text")), "\\s+")
-      val crawl = res.unionByName(res.select(
-        (col("doc_id") + off).as("doc_id"),
-        array_join(reverse(toks), " ").as("text"),
-        col("source")))
+      val crawl = res
+        .select(col("doc_id"), col("source"), posexplode(array(
+          col("text"), array_join(reverse(toks), " "))).as(Seq("v", "text")))
+        .select((col("doc_id") + col("v") * off).as("doc_id"),
+          col("text"), col("source"))
       val finish = (t: DataFrame) =>
         graft.pipeline.TrainingPipeline.shardedAuditOf(t)
       drainToParquet(s, dir, overwritePerBatch = false,

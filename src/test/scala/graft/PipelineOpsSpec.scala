@@ -174,4 +174,60 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(m == md5hex(expText), s"url $url kept wrong snapshot")
     }
   }
+
+  test("p04: packing invariants — lossless, never overfilled, never wasteful") {
+    val sp = spark
+    import sp.implicits._
+    val ctx = graft.pipeline.TrainingPipeline.PackCtx
+    val pack = graft.pipeline.TrainingPipeline.p04_sequence_pack(spark, sf)
+      .collect()
+    val audit = graft.pipeline.TrainingPipeline.p01_training_pipeline(spark, sf)
+      .select($"shard", $"n_docs").as[(Long, Long)].collect().toMap
+    assert(pack.nonEmpty)
+    pack.foreach { r =>
+      val (shard, nDocs, nSeq, sumTok, eff) =
+        (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_sequences"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Double]("packing_efficiency"))
+      // LOSSLESS: every pipeline survivor is packed, none dropped/dup'd
+      assert(nDocs == audit(shard), s"shard $shard: packed $nDocs of ${audit(shard)}")
+      // NEVER OVERFILLED: total mass fits the sequences claimed
+      assert(sumTok <= nSeq * ctx, s"shard $shard overfilled")
+      // NEVER WASTEFUL: greedy next-fit cannot use more sequences than
+      // one per doc, and any two CONSECUTIVE sequences hold > ctx
+      // together (else the fill would not have closed the first) —
+      // which bounds sequences ≤ 2·ceil(sum/ctx), i.e. efficiency > 0.5
+      // whenever docs are ≤ ctx, as here
+      assert(nSeq <= nDocs)
+      assert(eff > 0.5 && eff <= 1.0, s"shard $shard efficiency $eff")
+    }
+  }
+
+  test("p05: the mixture knob binds — over-represented lang downsamples toward target") {
+    val sp = spark
+    import sp.implicits._
+    val rows = graft.pipeline.TrainingPipeline.p05_mixture_resample(spark, sf)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("mass_before"),
+        r.getAs[Long]("sample_thr"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("kept_tokens"))).toSeq
+    val total = rows.map(_._2).sum
+    val perLangTarget = (total / 2).toDouble / rows.length
+    // thresholds live on the 2^32 grid; a rate-1 lang has thr == 2^32
+    assert(rows.forall(_._3 <= 4294967296L))
+    // the dominant language must actually downsample (rate < 1) …
+    val (maxLang, maxMass, maxThr, _, maxKept) = rows.maxBy(_._2)
+    assert(maxThr < 4294967296L && maxKept < maxMass,
+      s"$maxLang (mass $maxMass) was not downsampled")
+    // … and every DOWNSAMPLED language's kept mass lands near its
+    // uniform target share (salted-hash variance at this corpus size
+    // stays well inside ±25%; a broken threshold misses by design)
+    rows.filter(_._3 < 4294967296L).foreach { case (lang, _, _, _, kept) =>
+      assert(math.abs(kept - perLangTarget) < 0.25 * perLangTarget,
+        s"$lang kept $kept vs target ~$perLangTarget")
+    }
+    // deterministic across runs
+    val again = graft.pipeline.TrainingPipeline.p05_mixture_resample(spark, sf)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_kept"))).toSeq
+    assert(again == rows.map(r => (r._1, r._4)))
+  }
 }

@@ -324,8 +324,14 @@ object TrainingPipeline {
     * sequence. A production run sets its model's context length. */
   private[graft] val PackCtx = 256L
 
-  /** p04: SEQUENCE PACKING — the last pre-training step between a
-    * curated corpus and a trainer: fill fixed-length training sequences
+  /** p04: SEQUENCE PACKING OF THE PIPELINE'S SHARDS — the trainer-facing
+    * composition of the standalone packer
+    * ([[graft.text.BpeOps.t12_sequence_pack]], which packs the raw
+    * gated corpus in doc_id order inside fixed 64-doc groups): here the
+    * input is what p01 actually SHIPS — the gate→dedup→cap survivors —
+    * and the packing unit is the training SHARD, so the sequences a
+    * trainer mounts are packed in the exact order the shard layout's
+    * `corpus_md5` fingerprints. Fill fixed-length training sequences
     * ("bins" of [[PackCtx]] tokens) from the pipeline's survivors, in
     * the SAME deterministic (order_key, doc_id) order the shard layout
     * fixes, greedy sequential fill (a doc that no longer fits closes

@@ -67,8 +67,16 @@ object Bench {
     * on the 32-CPU box while quiet queries saw ~3.5 — internally
     * consistent numbers that still polluted the round-over-round
     * signal). 0.25×CPUs (= 8 here) sits above the bench's own decay
-    * tail (r9 detail: self-load median ~7) but well below the external
-    * spikes that caused the pollution. */
+    * tail but below the external spikes that caused the pollution —
+    * empirically calibrated on the two full r12 quiesced runs: max
+    * per-query pre-run load 4.1 (local[8]) and 7.94 (local[32], the
+    * heaviest query's own tail), zero deferrals either run. The margin
+    * to self-load is real but thin (~0.06 on the 32-thread run); the
+    * failure mode if self-load ever crosses it is BOUNDED and honest —
+    * a handful of queries defer to the settle pass (sleeping itself
+    * lowers self-load), and a query still hot after the shared budget
+    * is measured WITH the `hot` flag, which is a true statement about
+    * its measurement conditions, not a wrong number. */
   private[graft] def hotThreshold: Double =
     0.25 * Runtime.getRuntime.availableProcessors()
 

@@ -136,15 +136,23 @@ object StoreLifecycle {
   // an exists+create pair (a best-effort guard, like most local-FS
   // locks — the real deployments the assumption was written for are
   // object stores/HDFS behind an orchestrator). Content: holder id +
-  // epoch millis. A second writer polls until the lease frees, taking
-  // over a STALE lease (holder crashed: older than the timeout) by
+  // epoch millis, REFRESHED by a daemon heartbeat at a quarter of the
+  // stale window while held — so a long build's lease stays visibly
+  // live. A second writer polls until the lease frees, taking over a
+  // STALE lease (no heartbeat within the window ⇒ holder crashed) by
   // deleting it; if the wait budget expires it ABORTS LOUDLY rather
-  // than interleaving part-files under a live writer. Re-entrant within
-  // the JVM per warehouse (ensure → sweep nests; two local sessions on
-  // one warehouse share one holder, which satisfies single-writer).
+  // than interleaving part-files under a live writer. In-JVM the lease
+  // rides a per-warehouse ReentrantLock: reentrant on the holding
+  // thread (ensure → sweep nests), mutually exclusive across threads
+  // (two threads of one JVM serialize exactly like two sessions).
 
   private[graft] val LeaseFile = "_graft_writer_lease"
-  private val leaseDepth = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  // per-warehouse in-JVM mutex: thread-reentrant (ensure → sweep nests
+  // on ONE thread), and two THREADS of one JVM serialize like two
+  // sessions would — the r12 review found the depth-counter shape let a
+  // second thread ride the first thread's lease into a concurrent sweep
+  private val leaseLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
   private def leaseConfMs(s: SparkSession, key: String, dflt: Long): Long =
     s.conf.getOption(key).flatMap(_.toLongOption).getOrElse(dflt)
@@ -159,53 +167,99 @@ object StoreLifecycle {
     val lease = new Path(whPath, LeaseFile)
     val holder = s"${s.sparkContext.applicationId}@${
       java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
-    def release(): Unit = synchronized {
-      val d = leaseDepth.getOrDefault(wh, 1) - 1
-      if (d <= 0) {
-        leaseDepth.remove(wh)
-        try fs.delete(lease, false)
-        catch { case _: java.io.IOException => () }
-      } else leaseDepth.put(wh, d)
+    val jvmLock = leaseLocks.computeIfAbsent(wh,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    // nested call on the holding thread: the FS lease is already ours
+    if (jvmLock.isHeldByCurrentThread) {
+      jvmLock.lock()
+      return (try body finally jvmLock.unlock())
     }
-    val reentrant = synchronized {
-      val d = leaseDepth.getOrDefault(wh, 0)
-      if (d > 0) { leaseDepth.put(wh, d + 1); true } else false
-    }
-    if (reentrant) return (try body finally release())
-    fs.mkdirs(whPath)
-    val deadline = System.currentTimeMillis() + maxWait
-    var acquired = false
-    while (!acquired) {
-      try {
+    if (!jvmLock.tryLock(maxWait, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new java.io.IOException(
+        s"store lifecycle: writer lease for $wh held by another thread " +
+          s"of this JVM past the ${maxWait}ms wait budget")
+    // from here this thread owns the JVM side; acquire the FS side
+    var heartbeat: Thread = null
+    try {
+      fs.mkdirs(whPath)
+      def writeLease(): Unit = {
         val out = fs.create(lease, false) // overwrite=false: atomic on HDFS
         try out.write(s"$holder\n${System.currentTimeMillis()}".getBytes("UTF-8"))
         finally out.close()
-        acquired = true
-      } catch { case _: java.io.IOException =>
-        // lease held: stale-takeover or bounded wait
-        val stamp = try {
-          val in = fs.open(lease)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            .split("\n").drop(1).headOption.flatMap(_.toLongOption)
-          finally in.close()
-        } catch { case _: java.io.IOException => None }
-        val now = System.currentTimeMillis()
-        if (stamp.forall(t => now - t > stale)) {
-          // crashed holder (or unreadable lease older than any live
-          // writer could refresh): reclaim and retry the create
-          log.warn(s"store lifecycle: taking over stale writer lease at $lease")
-          fs.delete(lease, false)
-        } else if (now >= deadline) {
-          throw new java.io.IOException(
-            s"store lifecycle: writer lease at $lease held by another " +
-              s"session past the ${maxWait}ms wait budget — refusing to " +
-              "write concurrently into the warehouse (single-writer " +
-              "contract); retry later or raise spark.graft.store.lease.maxWaitMs")
-        } else Thread.sleep(200)
       }
-    }
-    leaseDepth.put(wh, 1)
-    try body finally release()
+      val deadline = System.currentTimeMillis() + maxWait
+      var acquired = false
+      while (!acquired) {
+        try { writeLease(); acquired = true }
+        catch { case _: java.io.IOException =>
+          // lease held: stale-takeover or bounded wait. The age of an
+          // UNREADABLE/partial lease (contender caught the holder's
+          // create-to-close window) falls back to the FILE's mtime —
+          // treating it as infinitely old would steal a live writer's
+          // milliseconds-young lease (r12 review).
+          val age = try {
+            val in = fs.open(lease)
+            val stampOpt =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                .split("\n").drop(1).headOption.flatMap(_.toLongOption)
+              finally in.close()
+            val t = stampOpt.getOrElse(fs.getFileStatus(lease).getModificationTime)
+            Some(System.currentTimeMillis() - t)
+          } catch {
+            // open/stat failed (e.g. deleted between probe and open):
+            // unknown age — do NOT steal; loop and re-probe
+            case _: java.io.IOException => None
+          }
+          if (age.exists(_ > stale)) {
+            // holder dead: no heartbeat refreshed the stamp within the
+            // stale window — reclaim and retry the create
+            log.warn(s"store lifecycle: taking over stale writer lease at $lease")
+            fs.delete(lease, false)
+          } else if (System.currentTimeMillis() >= deadline) {
+            throw new java.io.IOException(
+              s"store lifecycle: writer lease at $lease held by another " +
+                s"session past the ${maxWait}ms wait budget — refusing to " +
+                "write concurrently into the warehouse (single-writer " +
+                "contract); retry later or raise spark.graft.store.lease.maxWaitMs")
+          } else Thread.sleep(200)
+        }
+      }
+      // HEARTBEAT: a corpus-scale build legitimately outlives the stale
+      // window (the takeover rule's whole premise is that a LIVE holder
+      // keeps its stamp fresh — r12 review); refresh at a quarter of
+      // the window from a daemon thread. The refresh rewrites the file
+      // in place (overwrite=true) — a contender reading mid-rewrite
+      // sees partial content and falls back to mtime, which the
+      // rewrite just advanced.
+      heartbeat = new Thread(() => {
+        try {
+          while (!Thread.interrupted()) {
+            Thread.sleep(math.max(stale / 4, 50L))
+            // a transient refresh failure must not silently KILL the
+            // heartbeat (a dead heartbeat makes the live lease look
+            // stale one window later) — warn and keep renewing
+            try {
+              val out = fs.create(lease, true)
+              try out.write(
+                s"$holder\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+              finally out.close()
+            } catch { case e: java.io.IOException =>
+              log.warn(s"store lifecycle: lease heartbeat refresh failed " +
+                s"(retrying next cycle): ${e.getMessage}")
+            }
+          }
+        } catch { case _: InterruptedException => () }
+      }, s"graft-lease-heartbeat")
+      heartbeat.setDaemon(true)
+      heartbeat.start()
+      try body
+      finally {
+        heartbeat.interrupt()
+        heartbeat.join(2000)
+        try fs.delete(lease, false)
+        catch { case _: java.io.IOException => () }
+      }
+    } finally jvmLock.unlock()
   }
 
   /** Save `df` as this store family's `tbl`: external parquet at the
@@ -253,15 +307,27 @@ object StoreLifecycle {
   private def writeMarker(s: SparkSession, tableDir: Path,
       corpusDir: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
     val fs = tableDir.getFileSystem(conf)
-    val tmp = new Path(tableDir, Marker + ".tmp")
+    // UNIQUE temp name (r12 review): touchMarker runs on the READ/reuse
+    // path, which is explicitly allowed without the writer lease — two
+    // sessions refreshing the same marker concurrently must not share a
+    // temp file (a fixed name let racer B delete the marker racer A had
+    // just renamed into place and then fail its own rename, leaving the
+    // store markerless → spurious corpus-scale rebuild). With unique
+    // temps the interleavings all end with SOME complete marker in
+    // place; a loser's failed rename surfaces as the IOException below,
+    // which touchMarker treats as best-effort.
+    val tmp = new Path(tableDir,
+      Marker + ".tmp-" + java.util.UUID.randomUUID().toString)
     val out = fs.create(tmp, true)
     try out.write((new Path(corpusDir).toString + "\n" +
       System.currentTimeMillis()).getBytes("UTF-8"))
     finally out.close()
     val p = new Path(tableDir, Marker)
     fs.delete(p, false)
-    if (!fs.rename(tmp, p))
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false) // don't leave the loser's temp behind
       throw new java.io.IOException(s"store lifecycle: marker rename failed for $p")
+    }
   }
 
   /** Best-effort marker read: None when absent or unreadable. Returns
@@ -450,14 +516,14 @@ object StoreLifecycle {
       try s.sql(s"DROP TABLE IF EXISTS ${p.getName}")
       catch { case _: Throwable => () }
     }
-    // (kind, fam) → (last-touched, dirs) for the age-out pass below —
+    // famTag → (last-touched, dirs) for the age-out pass below —
     // collected while the per-dir rules run so the listing happens
-    // once. famDirs holds EVERY dir of an other-family (companions
-    // like `_absorbed`/`_delta` carry no marker — they must still go
-    // when their family is evicted); famTouched only the
-    // marker-carrying generations' recency.
-    val famDirs = scala.collection.mutable.Map.empty[(String, String), List[Path]]
-    val famTouched = scala.collection.mutable.Map.empty[(String, String), Long]
+    // once. famDirs holds EVERY dir of an other-family across all
+    // kinds (companions like `_absorbed`/`_delta` carry no marker —
+    // they must still go when their family is evicted); famTouched
+    // only the marker-carrying generations' recency.
+    val famDirs = scala.collection.mutable.Map.empty[String, List[Path]]
+    val famTouched = scala.collection.mutable.Map.empty[String, Long]
     fs.listStatus(wh).filter(_.isDirectory).foreach { st =>
       val name = st.getPath.getName
       kinds.find(k => name.startsWith(k + "_")).foreach { kind =>
@@ -487,52 +553,70 @@ object StoreLifecycle {
               !after.startsWith(fp + "_"))
             reclaim(st.getPath, "superseded")
         } else if (rest.startsWith("f")) {
-          // other family: orphaned iff its marker NAMES a corpus that is
-          // VERIFIABLY gone — the corpus dir absent while its PARENT dir
-          // exists (an unreachable/unmounted tree must read as UNKNOWN,
-          // not as deleted — r11 ADVICE medium: a transient mount gap
-          // must never cost a live family). Probe errors are likewise
-          // UNKNOWN: keep the directory. An empty or unreadable marker
-          // (crash mid-write) is UNKNOWN too (r11 review).
-          val orphaned = readMarkerInfo(fs, st.getPath).exists {
-            case (dir, _) =>
-              dir.nonEmpty && {
-                try {
-                  val p = new Path(dir)
-                  val cfs = p.getFileSystem(conf)
-                  !cfs.exists(p) &&
-                    Option(p.getParent).forall(cfs.exists)
-                } catch { case _: Exception => false }
-              }
-          }
-          if (orphaned) reclaim(st.getPath, "orphaned")
+          val famTag = rest.drop(1).takeWhile(_ != '_')
+          // other family. Pre-r12 tags were 32-bit decimal (≤10 chars);
+          // r12 tags are exactly 16 hex chars. A legacy-tag generation
+          // is unreachable by construction (every ensure now computes
+          // 16-hex names) but its corpus usually still exists, so the
+          // orphan rule never fires and the cap rarely does — without
+          // this rule each pre-r12 corpus would strand one full
+          // generation forever (r12 review; the same class as the
+          // applicationId-keyed rule below).
+          if (famTag.length != 16) reclaim(st.getPath, "legacy-tag-format")
           else {
-            // still around: candidate for the age-out cap. Key by the
-            // family tag; a family's recency is its NEWEST marker.
-            val key = (kind, rest.drop(1).takeWhile(_ != '_'))
-            famDirs(key) = st.getPath :: famDirs.getOrElse(key, Nil)
-            readMarkerInfo(fs, st.getPath).foreach { case (_, touched) =>
-              famTouched(key) =
-                math.max(famTouched.getOrElse(key, 0L), touched)
+            // orphaned iff its marker NAMES a corpus that is VERIFIABLY
+            // gone — the corpus dir absent while its PARENT dir exists
+            // (an unreachable/unmounted tree must read as UNKNOWN, not
+            // as deleted — r11 ADVICE medium: a transient mount gap
+            // must never cost a live family). Probe errors are likewise
+            // UNKNOWN: keep the directory. An empty or unreadable
+            // marker (crash mid-write) is UNKNOWN too (r11 review).
+            val orphaned = readMarkerInfo(fs, st.getPath).exists {
+              case (dir, _) =>
+                dir.nonEmpty && {
+                  try {
+                    val p = new Path(dir)
+                    val cfs = p.getFileSystem(conf)
+                    !cfs.exists(p) &&
+                      Option(p.getParent).forall(cfs.exists)
+                  } catch { case _: Exception => false }
+                }
+            }
+            if (orphaned) reclaim(st.getPath, "orphaned")
+            else {
+              // still around: candidate for the age-out cap. Key by
+              // the FAMILY tag alone — the tag is corpus-derived and
+              // shared by every kind of a store group (d10's bands +
+              // digests, s07's lists + cb + pq), and the eviction
+              // decision must be per-family, not per-kind: a kind-level
+              // LRU with diverging touch stamps (touchMarker is
+              // best-effort per table) could reclaim a family's digest
+              // half while keeping its band half — a broken store that
+              // forces a full rebuild anyway (r12 review).
+              famDirs(famTag) = st.getPath :: famDirs.getOrElse(famTag, Nil)
+              readMarkerInfo(fs, st.getPath).foreach { case (_, touched) =>
+                famTouched(famTag) =
+                  math.max(famTouched.getOrElse(famTag, 0L), touched)
+              }
             }
           }
         } else if (rest.nonEmpty && rest.forall(_.isDigit))
           reclaim(st.getPath, "legacy session-keyed")
       }
     }
-    // age-out: per kind, the current family plus the (cap − 1) most
-    // recently used others survive; older live families are evicted
-    // LRU, companions included. Families with no readable marker at
-    // all (crash mid-build) are left alone — unknown, not evictable.
-    // N+1 distinct corpora under a cap of N therefore leave N families
-    // (spec-pinned).
+    // age-out: the current family plus the (cap − 1) most recently
+    // used others survive; older live families are evicted LRU — a
+    // family goes WHOLE (all kinds, companions included; recency =
+    // newest marker across all its dirs). Families with no readable
+    // marker at all (crash mid-build) are left alone — unknown, not
+    // evictable. N+1 distinct corpora under a cap of N therefore leave
+    // N families (spec-pinned).
     val cap = maxFamilies(s)
-    famTouched.keys.groupBy(_._1).foreach { case (_, keys) =>
-      keys.toSeq.sortBy(k => -famTouched(k)).drop(math.max(0, cap - 1))
-        .foreach { case key @ (_, famTag) =>
-          famDirs.getOrElse(key, Nil)
-            .foreach(reclaim(_, s"aged-out family f$famTag"))
-        }
-    }
+    famTouched.keys.toSeq.sortBy(k => -famTouched(k))
+      .drop(math.max(0, cap - 1))
+      .foreach { famTag =>
+        famDirs.getOrElse(famTag, Nil)
+          .foreach(reclaim(_, s"aged-out family f$famTag"))
+      }
   }
 }

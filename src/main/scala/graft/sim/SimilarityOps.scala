@@ -78,7 +78,12 @@ object SimilarityOps {
          |      i -> CAST(($x)[i] AS DOUBLE) * CAST(($y)[i] AS DOUBLE)),
          |      (acc, t) -> acc + t)""".stripMargin
     val dot = fold(a, b); val na = fold(a, a); val nb = fold(b, b)
-    s"""(CASE WHEN ($na) = 0 OR ($nb) = 0 THEN CAST(0 AS DOUBLE)
+    // outer n=0 guard FIRST (lazily skipping the folds): DuckDB's
+    // list_reduce ERRORS on an empty list rather than returning the
+    // engine loop's 0.0, so an empty embedding would crash the oracle
+    // instead of replaying cosineArr's zero-norm result (r12 review)
+    s"""(CASE WHEN ($n) = 0 THEN CAST(0 AS DOUBLE)
+       |  WHEN ($na) = 0 OR ($nb) = 0 THEN CAST(0 AS DOUBLE)
        |  ELSE ($dot) / sqrt(($na) * ($nb)) END)""".stripMargin
   }
 

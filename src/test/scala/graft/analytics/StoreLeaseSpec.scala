@@ -110,6 +110,76 @@ class StoreLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.conf.unset("spark.graft.store.lease.maxWaitMs")
   }
 
+  test("writer lease: heartbeat keeps a long-held lease fresh; a second thread is excluded") {
+    val sp = spark
+    sp.conf.set("spark.graft.store.lease.staleMs", "400")
+    sp.conf.set("spark.graft.store.lease.maxWaitMs", "300")
+    try {
+      @volatile var otherThreadOutcome: Option[Throwable] = None
+      StoreLifecycle.withWriterLease(sp) {
+        // in-JVM exclusion: another THREAD must wait and then abort
+        // loudly, exactly like another session (the r12 review found
+        // the depth-counter shape let it ride our lease into a
+        // concurrent sweep)
+        val t = new Thread(() => {
+          otherThreadOutcome =
+            try { StoreLifecycle.withWriterLease(sp)(()); None }
+            catch { case e: Throwable => Some(e) }
+        })
+        t.start(); t.join(5000)
+        assert(otherThreadOutcome.exists(_.getMessage.contains("another thread")),
+          s"second thread was not excluded: $otherThreadOutcome")
+        // heartbeat: hold PAST the stale window, then prove the stamp
+        // was refreshed (a foreign contender reading it would see a
+        // live lease, not a stealable stale one). The read retries a
+        // few times: it can race the heartbeat's in-place rewrite and
+        // catch a mid-truncate empty file — which is exactly why the
+        // contender's own probe falls back to mtime on partial reads.
+        Thread.sleep(900)
+        val fs = fsOf(sp)
+        val stamp = (1 to 10).iterator.map { _ =>
+          val in = fs.open(leasePath(sp))
+          val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val st = raw.trim.split("\n").drop(1).headOption.flatMap(_.toLongOption)
+          if (st.isEmpty) Thread.sleep(30)
+          st
+        }.collectFirst { case Some(t0) => t0 }
+        assert(stamp.exists(t0 => System.currentTimeMillis() - t0 <= 500),
+          s"lease stamp not refreshed by the heartbeat: $stamp")
+      }
+      assert(!fsOf(sp).exists(leasePath(sp)), "lease must release on exit")
+    } finally {
+      sp.conf.unset("spark.graft.store.lease.staleMs")
+      sp.conf.unset("spark.graft.store.lease.maxWaitMs")
+    }
+  }
+
+  test("sweep reclaims pre-r12 legacy-tag generations (decimal fam/fp names)") {
+    val sp = spark
+    val wh = new Path(sp.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    // a pre-r12 (32-bit decimal tag) generation whose corpus still
+    // exists: the orphan rule never fires on it, and it is unreachable
+    // by construction (ensure now computes 16-hex tags) — the
+    // legacy-tag rule must reclaim it
+    val legacyTag = new Path(wh, "graft_d10_bands_f176650399_2961282280")
+    fs.mkdirs(legacyTag)
+    val corpus = Files.createTempDirectory("graft-legacy-tag")
+    try {
+      copyCorpus(corpus, "documents")
+      graft.dedup.IncrementalDedup.resetRegistryForTest()
+      graft.dedup.IncrementalDedup.ensureIncrementalStore(sp, corpus.toString)
+      assert(!fs.exists(legacyTag),
+        "legacy-tag generation must be swept by the next build")
+    } finally {
+      fs.delete(legacyTag, true)
+      graft.dedup.IncrementalDedup.resetRegistryForTest()
+      reclaimFamily(sp, corpus.toString, Seq("documents"))
+      org.apache.commons.io.FileUtils.deleteDirectory(corpus.toFile)
+    }
+  }
+
   test("a foreign lease blocks the build (and thus the sweep) end-to-end") {
     val sp = spark
     sp.conf.set("spark.graft.store.lease.maxWaitMs", "600")

@@ -20,7 +20,8 @@ object SparkEntry {
       graft.dedup.Materialize.queries ++ graft.dedup.Recrawl.queries ++
       graft.pipeline.TrainingPipeline.queries ++
       graft.sim.SimilarityOps.queries ++ graft.sim.AnnStore.queries ++
-      graft.sim.SemanticDedup.queries ++ graft.sim.GraphOps.queries ++
+      graft.sim.SemanticDedup.queries ++ graft.sim.S06Diag.queries ++
+      graft.sim.GraphOps.queries ++
       graft.sim.SelectOps.queries ++
       graft.multimodal.MultimodalOps.queries ++
       graft.streaming.StreamingOps.queries ++
@@ -40,7 +41,8 @@ object SparkEntry {
       graft.dedup.Materialize.oracle ++ graft.dedup.Recrawl.oracle ++
       graft.pipeline.TrainingPipeline.oracle ++
       graft.sim.SimilarityOps.oracle ++ graft.sim.AnnStore.oracle ++
-      graft.sim.SemanticDedup.oracle ++ graft.sim.GraphOps.oracle ++
+      graft.sim.SemanticDedup.oracle ++ graft.sim.S06Diag.oracle ++
+      graft.sim.GraphOps.oracle ++
       graft.sim.SelectOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++
       graft.streaming.StreamingOps.oracle ++

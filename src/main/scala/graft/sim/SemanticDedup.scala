@@ -57,7 +57,22 @@ object SemanticDedup {
     * [[SimilarityOps.lloydSqlChain]] is [[SimilarityOps.cosFoldSql]],
     * an op-for-op ordered-fold replay of [[cosineArr]] (bit-identical
     * on both sides, verified), the same device that kept s05/s08/s09
-    * driver-green throughout. Also pinned in DedupGuardSpec. */
+    * driver-green throughout. Also pinned in DedupGuardSpec.
+    *
+    * r14 ROOT CAUSE of the four-round driver red (r10–r13): it was
+    * never float arithmetic at all. A DESCRIBE sweep over all 116
+    * oracles found exactly ONE non-BIGINT integer output column in the
+    * whole registry — this query's `dropped_id_sum`, written as
+    * `COALESCE(SUM(vec_id), 0)`: DuckDB types `SUM(BIGINT)` as
+    * HUGEINT, which pandas fetches as float64, so the driver's typed
+    * value hash saw int64 (Spark) vs float64 (oracle) — numerically
+    * equal (rows/schema matched every round; the local checker's `==`
+    * passed) but hash-different. The r14 margin audit (s06b/s06a
+    * diagnostics, registered alongside) independently proved no flip
+    * was ever possible: min pair distance to the 0.9 cut ≈ 4.2e8 grid
+    * cells and min Lloyd top-2 assignment gap ≈ 2.9e5 cells — five to
+    * eight orders of magnitude beyond ulp noise. Fix: CAST the sum to
+    * BIGINT in the oracle. */
   def s06_semantic_dedup(s: SparkSession, d: String): DataFrame = {
     // corpus-scaled k (SemDeDup's own prescription; r5 verdict): clusters
     // average n/k members, so a FIXED k at 100× corpus puts every cluster
@@ -85,13 +100,19 @@ object SemanticDedup {
     * assignment column — the shared front half of s06 and s10. */
   private[sim] def trainAndAssign(s: SparkSession, d: String, k: Int,
       emb: DataFrame): DataFrame = {
+    var centroids = seedCodebook(s, d, k)
+    (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
+    emb.withColumn("cid", coarseAssignU(centroids)(col("embedding")))
+  }
+
+  /** The deterministic seed codebook: the k lowest-id BASE vectors. */
+  private[sim] def seedCodebook(s: SparkSession, d: String,
+      k: Int): Array[(Int, Seq[Float])] = {
     import s.implicits._
-    var centroids: Array[(Int, Seq[Float])] = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select($"vec_id", $"embedding").filter($"vec_id" < k)
       .orderBy($"vec_id").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-    (1 to 2).foreach { _ => centroids = lloydStep(emb, centroids) }
-    emb.withColumn("cid", coarseAssignU(centroids)($"embedding"))
   }
 
   /** [[s06_semantic_dedup]] with a caller-supplied overflow accumulator —
@@ -158,8 +179,6 @@ object SemanticDedup {
     * after its action. Emitted pairs are (smaller, larger) id. */
   private[graft] def clusterLocalPairs(assigned: DataFrame, cap: Int,
       minCos: Double, overflow: org.apache.spark.util.LongAccumulator): DataFrame = {
-    val sp = assigned.sparkSession
-    import sp.implicits._
     // threshold compare on the qCosKey-quantized key. History, stated
     // straight: r11 quantized both sides to the 2^-32 grid, but the
     // driver's r11 cert still recorded hash_match:false (local replays
@@ -170,14 +189,29 @@ object SemanticDedup {
     // grid cell per DuckDB build. r12 removes the builtin from the
     // oracle entirely: [[SimilarityOps.cosFoldSql]] replays cosineArr
     // op-for-op (bit-identical inputs to the quantizer on both sides).
-    val qMin = SimilarityOps.qCosKey(minCos)
+    clusterPairsQ(assigned, cap, SimilarityOps.qCosKey(minCos), overflow)
+      .select("id_a", "id_b")
+  }
+
+  /** The streamed within-cluster compare with the quantized cosine KEPT
+    * in the output: `(id_a, id_b, qcos)` for every pair whose
+    * [[SimilarityOps.qCosKey]] clears `minQ`. [[clusterLocalPairs]] (the
+    * s06 production path) is this at `minQ = qCosKey(0.9)` with the key
+    * projected away; the s06b driver diagnostic runs it at
+    * `minQ = Long.MinValue` to audit EVERY within-cluster pair's
+    * distance to the cut — one code path, so the audit exercises the
+    * exact arithmetic s06 ships. */
+  private[graft] def clusterPairsQ(assigned: DataFrame, cap: Int,
+      minQ: Long, overflow: org.apache.spark.util.LongAccumulator): DataFrame = {
+    val sp = assigned.sparkSession
+    import sp.implicits._
     assigned.select($"cid", $"vec_id", $"embedding")
       .as[(Int, Long, Seq[Float])]
       .repartition($"cid")
       .sortWithinPartitions($"cid", $"vec_id")
       .mapPartitions { rows =>
         val b = rows.buffered
-        def processRun(run: Iterator[(Long, Array[Float])]): Iterator[(Long, Long)] = {
+        def processRun(run: Iterator[(Long, Array[Float])]): Iterator[(Long, Long, Long)] = {
           val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
           while (run.hasNext && buf.length <= cap) buf += run.next()
           if (buf.length <= cap)
@@ -185,22 +219,23 @@ object SemanticDedup {
             for {
               i <- buf.indices.iterator
               j <- (i + 1) until buf.length
-              if SimilarityOps.qCosKey(cosineArr(buf(i)._2, buf(j)._2)) >= qMin
-            } yield (buf(i)._1, buf(j)._1)
+              q = SimilarityOps.qCosKey(cosineArr(buf(i)._2, buf(j)._2))
+              if q >= minQ
+            } yield (buf(i)._1, buf(j)._1, q)
           else {
             val rep = buf.head
             overflow.add(buf.length - 1)
             (buf.iterator.drop(1) ++ run.map { e => overflow.add(1); e })
-              .filter(m => SimilarityOps.qCosKey(cosineArr(rep._2, m._2)) >= qMin)
-              .map(m => (rep._1, m._1))
+              .map(m => (rep._1, m._1, SimilarityOps.qCosKey(cosineArr(rep._2, m._2))))
+              .filter(_._3 >= minQ)
           }
         }
         // one sub-iterator per consecutive (cid) run; flatten fully
         // consumes each run before the next begins, so the shared
         // buffered cursor advances correctly
-        new Iterator[Iterator[(Long, Long)]] {
+        new Iterator[Iterator[(Long, Long, Long)]] {
           def hasNext: Boolean = b.hasNext
-          def next(): Iterator[(Long, Long)] = {
+          def next(): Iterator[(Long, Long, Long)] = {
             val cid = b.head._1
             processRun(new Iterator[(Long, Array[Float])] {
               def hasNext: Boolean = b.hasNext && b.head._1 == cid
@@ -209,7 +244,7 @@ object SemanticDedup {
           }
         }.flatten
       }
-      .toDF("id_a", "id_b")
+      .toDF("id_a", "id_b", "qcos")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -245,7 +280,7 @@ object SemanticDedup {
        |  (SELECT COUNT(*) FROM pairs WHERE id_b = id_a + 100000) AS n_planted_found,
        |  (SELECT COUNT(*) FROM emb) // 2 -
        |    (SELECT COUNT(*) FROM pairs WHERE id_b = id_a + 100000) AS n_planted_split,
-       |  (SELECT COALESCE(SUM(vec_id), 0) FROM dropped) AS dropped_id_sum""".stripMargin
+       |  (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM dropped) AS dropped_id_sum""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "s06_semantic_dedup" -> s06Oracle,

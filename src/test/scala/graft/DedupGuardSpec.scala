@@ -167,6 +167,31 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(6) == 49523389L, s"dropped_id_sum=${row.getLong(6)}")
   }
 
+  test("s06 fixture margins: no decision sits near a cross-engine flip boundary") {
+    // the r13 knife-edge question, answered by measurement (r14): a
+    // cross-engine float divergence can only flip s06 if some decision
+    // sits within a few 2^-32 grid cells of its boundary. Neither does,
+    // by orders of magnitude — assert the floors so a fixture or
+    // threshold change that erodes them fails here before it flakes at
+    // the driver. (The four-round driver red itself was a TYPE artifact
+    // — HUGEINT dropped_id_sum — not a float flip; see SemanticDedup.)
+    val sf = "/root/testdata/sf0.001"
+    // (1) pair compare: every within-cluster pair clears (or misses) the
+    // 0.9 cut by > 2^24 cells ≈ 0.004 cosine (measured ≈ 4.2e8 cells)
+    val row = graft.sim.S06Diag.s06b_pair_audit(spark, sf).collect()(0)
+    val minAbs = row.getAs[Long]("min_abs_delta")
+    assert(minAbs > (1L << 24), s"min_abs_delta=$minAbs")
+    assert(row.getAs[Long]("n_le_2p24") == 0L)
+    // the ≥-cut pair set is exactly the co-clustered planted pairs (the
+    // pin above: 494 found) — no natural pair crosses 0.9
+    assert(row.getAs[Long]("n_ge_cut") == 494L,
+      s"n_ge_cut=${row.getAs[Long]("n_ge_cut")}")
+    // (2) Lloyd argmax: every vector's top-2 centroid gap > 2^16 cells
+    // (measured ≈ 3e5 cells ≈ 7e-5 cosine — no assignment is borderline)
+    val gap = graft.sim.S06Diag.minAssignGap(spark, sf)
+    assert(gap > (1L << 16), s"minAssignGap=$gap")
+  }
+
   test("signature-store ingest: flooded store bucket star-links to its persisted rep") {
     // the d08/d10 twin of the bucket-pair guard (r4 advisory): the store
     // persists per-bucket size + min-id rep at BUILD time, and an

@@ -69,6 +69,21 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: columns spark={list(s.columns)} oracle={list(o.columns)}")
             n_fail += 1
             continue
+        # dtype-KIND mismatch (int vs float/object) fails even when values
+        # compare == : the driver's hash is typed, so an oracle column that
+        # DuckDB types as HUGEINT/DECIMAL (pandas float64/object) against a
+        # Spark int64 is driver-red while == stays green. This exact gap hid
+        # s06's dropped_id_sum (SUM(BIGINT) -> HUGEINT) for four rounds
+        # (r10-r13). Width differences (int32 vs int64) stay tolerated.
+        kind_bad = [
+            (c, s[c].dtype, o[c].dtype) for c in s.columns
+            if getattr(s[c].dtype, "kind", "O") != getattr(o[c].dtype, "kind", "O")
+        ]
+        if kind_bad:
+            c, sk, ok = kind_bad[0]
+            print(f"FAIL {name}: dtype kind mismatch col={c} spark={sk} oracle={ok}")
+            n_fail += 1
+            continue
         if len(s) != len(o):
             print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
             n_fail += 1

@@ -53,8 +53,11 @@ object TrainingPipeline {
 
   /** The pipeline stages over a caller-supplied `(doc_id, text, source)`
     * frame — ONE definition of gate → dedup → cap → shard, shared by
-    * p01 (the `documents` table) and p02 (the WARC-extracted corpus). */
-  private def shardedSurvivorsOf(docs: DataFrame): DataFrame = {
+    * p01 (the `documents` table) and p02 (the WARC-extracted corpus).
+    * `thresholdCap = true` selects the hot-domain escape hatch for
+    * stage 3 (see [[p01b_threshold_cap]]). */
+  private def shardedSurvivorsOf(docs: DataFrame,
+      thresholdCap: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     // Stage 1 — t07's gate, bit-for-bit (same signal frame the gate and
     // the t13 classifier train on).
@@ -74,14 +77,40 @@ object TrainingPipeline {
     val deduped = gated
       .withColumn("rn", row_number().over(byDigest))
       .filter($"rn" === 1).drop("rn")
-    // Stage 3 — per-domain cap: a deterministic salted order (t15's
-    // md5 device) so the ≤15 survivors per source are a reproducible
-    // uniform choice, not an input-order artifact
-    val capKey = md5(concat(lit("p01cap:"), $"doc_id".cast("string")))
-    val bySource = Window.partitionBy($"source").orderBy($"cap_key", $"doc_id")
-    val capped = deduped.withColumn("cap_key", capKey)
-      .withColumn("crn", row_number().over(bySource))
-      .filter($"crn" <= DomainCap)
+    // Stage 3 — per-domain cap, two selectable disciplines sharing the
+    // same "p01cap:" salt family:
+    //  - EXACT (default): a deterministic salted order (t15's md5
+    //    device) so the ≤15 survivors per source are a reproducible
+    //    uniform choice, not an input-order artifact. Costs a rank
+    //    window on `source` — fine until a mega-domain runs hot.
+    //  - THRESHOLD (the hot-domain escape hatch, r13 verdict item 3):
+    //    per-source survivor counts via a map-side-combined groupBy
+    //    (tiny shuffle — one row per source per executor), a broadcast
+    //    of the 2^32-grid keep thresholds, and a map-side salted-hash
+    //    keep decision (t16/p05's proven device). NO window and no
+    //    row shuffle on `source`, so a domain with billions of docs
+    //    costs the same per row as any other; the cap becomes
+    //    approximate (binomial around DomainCap) — the documented
+    //    price of the hatch.
+    val capped = if (thresholdCap) {
+      val counts = deduped.groupBy($"source").agg(count(lit(1)).as("n_src"))
+      val thr = counts.select($"source",
+        (least(lit(1.0), lit(DomainCap).cast("double") /
+          $"n_src".cast("double")) * lit(4294967296.0))
+          .cast("long").as("cap_thr"))
+      val h32 = conv(substring(
+        md5(concat(lit("p01cap:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+      deduped.join(broadcast(thr), "source")
+        .withColumn("h32", h32)
+        .filter($"h32" < $"cap_thr")
+    } else {
+      val capKey = md5(concat(lit("p01cap:"), $"doc_id".cast("string")))
+      val bySource = Window.partitionBy($"source").orderBy($"cap_key", $"doc_id")
+      deduped.withColumn("cap_key", capKey)
+        .withColumn("crn", row_number().over(bySource))
+        .filter($"crn" <= DomainCap)
+    }
     // Stage 4 — t15's reproducible shard layout over the survivors
     val orderKey = md5(concat(lit("p01shuf:"), $"doc_id".cast("string")))
     capped.withColumn("order_key", orderKey)
@@ -120,13 +149,31 @@ object TrainingPipeline {
     * (8 groups after an order-key ranking window on `shard`). The one
     * key that CAN run hot at crawl scale is `source` (a mega-domain
     * holds billions of docs); the exact-rank window here is the
-    * correctness-first choice, and the documented escape hatch for
-    * skewed domains is t16's salted-hash THRESHOLD device — a map-side
-    * keep decision at the price of an approximate (± hash variance)
-    * rather than exact cap. Nothing driver-side anywhere: the audit is
-    * 8 rows. */
+    * correctness-first choice, and the escape hatch for skewed domains
+    * is IMPLEMENTED as [[p01b_threshold_cap]] — same pipeline with
+    * stage 3 switched to t16's salted-hash threshold keep (map-side
+    * decision, no window on `source`), at the price of an approximate
+    * (± hash variance) rather than exact cap. Nothing driver-side
+    * anywhere: the audit is 8 rows. */
   def p01_training_pipeline(s: SparkSession, d: String): DataFrame =
     auditRollup(shardedSurvivors(s, d))
+
+  /** p01b: the composed pipeline in HOT-DOMAIN mode — identical to
+    * [[p01_training_pipeline]] except stage 3's per-domain cap is the
+    * salted-hash threshold keep (see the stage-3 note in
+    * [[shardedSurvivorsOf]]): per-source survivor counts (map-side
+    * combined, rows-per-source-per-executor shuffle), broadcast 2^32-grid
+    * thresholds, map-side integer keep decision. This is the mode a
+    * crawl-scale run selects when `source` skew would make the exact
+    * rank window a single-task sort of a mega-domain; PlanSpec pins that
+    * its physical plan has NO window partitioned on `source`. The rate
+    * arithmetic is p05's proven 4-op double→2^32-integer chain, so the
+    * whole mode oracles bit-for-bit. */
+  def p01b_threshold_cap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    auditRollup(shardedSurvivorsOf(Tables.documents(s, d)
+      .select($"doc_id", $"text", $"source"), thresholdCap = true))
+  }
 
   /** Materialize the pipeline's survivors as TRAINING SHARDS — the
     * artifact a trainer actually mounts, not just the audit rows. One
@@ -182,7 +229,29 @@ object TrainingPipeline {
   /** The gate→dedup→cap→shard CTE chain ending at `rk` (one row per
     * surviving doc with shard + rank) — shared by the audit tail
     * (p01/p02/p03) and the packing walk (p04). */
-  private[graft] def pipelineStagesSql(src: String): String =
+  private[graft] def pipelineStagesSql(src: String,
+      thresholdCap: Boolean = false): String = {
+    val capCtes = if (thresholdCap)
+      s"""scnt AS (SELECT source, COUNT(*) AS n_src FROM deduped GROUP BY 1),
+         |sthr AS (
+         |  SELECT source, CAST(trunc(LEAST(1.0,
+         |    CAST($DomainCap AS DOUBLE) / CAST(n_src AS DOUBLE))
+         |    * 4294967296.0) AS BIGINT) AS cap_thr
+         |  FROM scnt),
+         |capped AS (
+         |  SELECT d.doc_id, d.n_tok, d.doc_md5
+         |  FROM deduped d JOIN sthr t USING (source)
+         |  WHERE CAST(concat('0x',
+         |      substr(md5('p01cap:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+         |    AS UBIGINT) < t.cap_thr)""".stripMargin
+    else
+      s"""cap AS (
+         |  SELECT *, md5('p01cap:' || CAST(doc_id AS VARCHAR)) AS cap_key
+         |  FROM deduped),
+         |cr AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY cap_key, doc_id) AS crn FROM cap),
+         |capped AS (SELECT doc_id, n_tok, doc_md5 FROM cr WHERE crn <= $DomainCap)""".stripMargin
     s"""kept AS (
       |  SELECT b.doc_id, b.n_tok FROM base b JOIN rep r USING (doc_id)
       |  WHERE NOT (b.n_tok < 30 OR b.n_stop * 1000 < b.n_tok * 15
@@ -195,13 +264,7 @@ object TrainingPipeline {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_md5 ORDER BY doc_id) AS rn
       |  FROM gated),
       |deduped AS (SELECT doc_id, n_tok, source, doc_md5 FROM dd WHERE rn = 1),
-      |cap AS (
-      |  SELECT *, md5('p01cap:' || CAST(doc_id AS VARCHAR)) AS cap_key
-      |  FROM deduped),
-      |cr AS (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-      |    ORDER BY cap_key, doc_id) AS crn FROM cap),
-      |capped AS (SELECT doc_id, n_tok, doc_md5 FROM cr WHERE crn <= 15),
+      |$capCtes,
       |sh AS (
       |  SELECT *, md5('p01shuf:' || CAST(doc_id AS VARCHAR)) AS order_key
       |  FROM capped),
@@ -211,9 +274,11 @@ object TrainingPipeline {
       |rk AS (
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY shard
       |    ORDER BY order_key, doc_id) AS BIGINT) AS rank FROM sd)""".stripMargin
+  }
 
-  private[graft] def pipelineTailSql(src: String): String =
-    s"""${pipelineStagesSql(src)}
+  private[graft] def pipelineTailSql(src: String,
+      thresholdCap: Boolean = false): String =
+    s"""${pipelineStagesSql(src, thresholdCap)}
       |SELECT shard, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
       |  CAST(SUM(doc_id * rank) AS BIGINT) AS order_checksum,
@@ -223,6 +288,10 @@ object TrainingPipeline {
   val p01Oracle: String =
     s"""WITH ${graft.text.TextOps.gateSignalsSqlCtes},
       |${pipelineTailSql("documents")}""".stripMargin
+
+  val p01bOracle: String =
+    s"""WITH ${graft.text.TextOps.gateSignalsSqlCtes},
+      |${pipelineTailSql("documents", thresholdCap = true)}""".stripMargin
 
   /** p02: the composed pipeline run on the WARC SURFACE — the
     * reference's actual data path feeding the training-data stages
@@ -502,6 +571,7 @@ object TrainingPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_pipeline" -> (p01_training_pipeline _),
+    "p01b_threshold_cap" -> (p01b_threshold_cap _),
     "p02_warc_training_pipeline" -> (p02_warc_training_pipeline _),
     "p04_sequence_pack" -> (p04_sequence_pack _),
     "p05_mixture_resample" -> (p05_mixture_resample _),
@@ -509,6 +579,7 @@ object TrainingPipeline {
 
   val oracle: Map[String, String] = Map(
     "p01_training_pipeline" -> p01Oracle,
+    "p01b_threshold_cap" -> p01bOracle,
     "p02_warc_training_pipeline" -> p02Oracle,
     "p04_sequence_pack" -> p04Oracle,
     "p05_mixture_resample" -> p05Oracle,

@@ -411,4 +411,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
       s"rank-limit pushdown lost:\n$plan")
   }
+
+  test("p01b threshold cap: no window or row shuffle on source — the hot-domain hatch") {
+    requireTable("documents")
+    val plan = physical(
+      graft.pipeline.TrainingPipeline.p01b_threshold_cap(spark, sf))
+    // the hatch's whole point: stage 3 must cost a mega-domain nothing
+    // beyond a per-source COUNT (map-side combined) and a broadcast of
+    // the thresholds — NO window may partition on `source`. The only
+    // window keys are doc_md5 (dedup keeper — it appears twice because
+    // the threshold count's build side shares the dedup subtree, whose
+    // hashpartitioning(doc_md5) exchange AQE reuses; the duplicate is
+    // the narrow post-exchange sort+rank, not a gate recompute) and
+    // shard (the rank window over 8 groups).
+    val winKeys = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(winKeys.subsetOf(Set("doc_md5", "shard")),
+      s"unexpected window partition keys $winKeys:\n$plan")
+    assert(!winKeys.contains("source"),
+      s"a window partitioned on source crept back:\n$plan")
+    // the threshold table joins broadcast (hinted), never a shuffle of
+    // the corpus on source
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join lost broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

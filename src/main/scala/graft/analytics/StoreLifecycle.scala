@@ -231,18 +231,35 @@ object StoreLifecycle {
       // in place (overwrite=true) — a contender reading mid-rewrite
       // sees partial content and falls back to mtime, which the
       // rewrite just advanced.
+      //
+      // RELEASE ORDERING (r12 ADVICE medium, fixed r14): the old
+      // release path interrupted + joined(2000) + deleted ONCE — a
+      // heartbeat blocked inside fs.create past the join budget could
+      // re-materialize the lease AFTER the delete, leaving a dead
+      // lease that stalls every later writer for up to the stale
+      // window. Now: release SETS `released` first, the heartbeat
+      // re-checks it immediately before each create (so a rewrite
+      // can only race the flag within one instruction window), and
+      // after join() the release deletes UNTIL ABSENT — once the
+      // thread is dead no rewrite can follow the last delete, so the
+      // lease is provably gone; if join timed out (FS hang) the
+      // bounded delete loop still clears every rewrite that lands
+      // between attempts.
+      val released = new java.util.concurrent.atomic.AtomicBoolean(false)
       heartbeat = new Thread(() => {
         try {
-          while (!Thread.interrupted()) {
+          while (!Thread.interrupted() && !released.get) {
             Thread.sleep(math.max(stale / 4, 50L))
             // a transient refresh failure must not silently KILL the
             // heartbeat (a dead heartbeat makes the live lease look
             // stale one window later) — warn and keep renewing
             try {
-              val out = fs.create(lease, true)
-              try out.write(
-                s"$holder\n${System.currentTimeMillis()}".getBytes("UTF-8"))
-              finally out.close()
+              if (!released.get) { // re-check at the last instant
+                val out = fs.create(lease, true)
+                try out.write(
+                  s"$holder\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+                finally out.close()
+              }
             } catch { case e: java.io.IOException =>
               log.warn(s"store lifecycle: lease heartbeat refresh failed " +
                 s"(retrying next cycle): ${e.getMessage}")
@@ -254,10 +271,16 @@ object StoreLifecycle {
       heartbeat.start()
       try body
       finally {
+        released.set(true)
         heartbeat.interrupt()
         heartbeat.join(2000)
-        try fs.delete(lease, false)
-        catch { case _: java.io.IOException => () }
+        var attempts = 0
+        while (attempts < 5 &&
+            (try fs.exists(lease) catch { case _: java.io.IOException => false })) {
+          try fs.delete(lease, false)
+          catch { case _: java.io.IOException => () }
+          attempts += 1
+        }
       }
     } finally jvmLock.unlock()
   }
@@ -323,10 +346,19 @@ object StoreLifecycle {
       System.currentTimeMillis()).getBytes("UTF-8"))
     finally out.close()
     val p = new Path(tableDir, Marker)
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
+    // OVERWRITE rename (r12 ADVICE low, fixed r14): the old
+    // delete-then-rename left a marker-ABSENT window on the lease-free
+    // hot read path — a reader probing isComplete in that window saw an
+    // incomplete store and launched a redundant corpus-scale rebuild.
+    // FileContext.rename(OVERWRITE) replaces the marker in one FS
+    // operation (atomic on HDFS and POSIX local), so readers observe
+    // either the old or the new marker, never neither.
+    try org.apache.hadoop.fs.FileContext.getFileContext(tableDir.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: java.io.IOException =>
       fs.delete(tmp, false) // don't leave the loser's temp behind
-      throw new java.io.IOException(s"store lifecycle: marker rename failed for $p")
+      throw new java.io.IOException(
+        s"store lifecycle: marker rename failed for $p: ${e.getMessage}")
     }
   }
 
@@ -610,10 +642,25 @@ object StoreLifecycle {
     // newest marker across all its dirs). Families with no readable
     // marker at all (crash mid-build) are left alone — unknown, not
     // evictable. N+1 distinct corpora under a cap of N therefore leave
-    // N families (spec-pinned).
+    // N families (spec-pinned at evict.minIdleMs=0).
+    //
+    // MIN-IDLE GRACE (r12 ADVICE low, fixed r14): eviction additionally
+    // requires the family's newest touch stamp to be at least
+    // `spark.graft.store.evict.minIdleMs` old (default = the lease
+    // stale window). Readers refresh the marker stamp at registration
+    // (touchMarker on every cross-session reuse), so a family another
+    // session is actively scanning reads as recently-touched and
+    // cannot be yanked out from under the scan; only genuinely idle
+    // families age out. The cap may transiently overshoot while excess
+    // families are inside their grace window — deferred, not leaked:
+    // the next sweep after the window reclaims them.
     val cap = maxFamilies(s)
+    val minIdle = leaseConfMs(s, "spark.graft.store.evict.minIdleMs",
+      leaseConfMs(s, "spark.graft.store.lease.staleMs", 600000L))
+    val now = System.currentTimeMillis()
     famTouched.keys.toSeq.sortBy(k => -famTouched(k))
       .drop(math.max(0, cap - 1))
+      .filter(k => now - famTouched(k) >= minIdle)
       .foreach { famTag =>
         famDirs.getOrElse(famTag, Nil)
           .foreach(reclaim(_, s"aged-out family f$famTag"))

@@ -299,20 +299,28 @@ object IncrementalDedup {
       Seq(bandT, digT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     }
     storeRegistry.computeIfAbsent(regKey, _ => {
-      val reusable = StoreLifecycle.isComplete(s, bandT) &&
+      def reusable(): Boolean = StoreLifecycle.isComplete(s, bandT) &&
         StoreLifecycle.reRegister(s, bandT, 16, Seq("band", "bucket"),
           Seq("band", "bucket")) &&
         StoreLifecycle.reRegister(s, digT, 16, Seq("dg"), Seq("dg"))
-      if (!reusable) StoreLifecycle.withWriterLease(s) {
-        sigStoreBuilds.incrementAndGet()
-        val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
-        writeSignatureStore(s, docs, bandT, persistent = true)
-        StoreLifecycle.saveStoreTable(
-          docs.select(md5(col("text")).as("dg")).distinct(),
-          digT, 16, Seq("dg"), Seq("dg"))
-        StoreLifecycle.markComplete(s, Seq(bandT, digT), d)
-        StoreLifecycle.sweep(s, Seq("graft_d10_bands", "graft_d10_digests"),
-          fam, fp)
+      if (!reusable()) StoreLifecycle.withWriterLease(s) {
+        // TOCTOU re-check UNDER the lease (r12 ADVICE low, fixed r14):
+        // between the unlocked probe and lease acquisition another
+        // session may have completed this exact generation — without
+        // the re-check both sessions run the corpus-scale build
+        // (redundant work, not corruption: content-addressed paths
+        // make the second write byte-identical).
+        if (!reusable()) {
+          sigStoreBuilds.incrementAndGet()
+          val docs = spread(Tables.documents(s, d).select("doc_id", "text"))
+          writeSignatureStore(s, docs, bandT, persistent = true)
+          StoreLifecycle.saveStoreTable(
+            docs.select(md5(col("text")).as("dg")).distinct(),
+            digT, 16, Seq("dg"), Seq("dg"))
+          StoreLifecycle.markComplete(s, Seq(bandT, digT), d)
+          StoreLifecycle.sweep(s, Seq("graft_d10_bands", "graft_d10_digests"),
+            fam, fp)
+        }
       }
       (bandT, digT)
     })

@@ -108,21 +108,30 @@ object AnnStore {
       // lists reRegister folds into reusability: a complete marker with
       // vanished lists data must REBUILD, not throw (r11 ADVICE low —
       // the cold path already rebuilt on unreadable cb/pq)
-      val reusable = StoreLifecycle.isComplete(s, tbl) &&
-        StoreLifecycle.reRegister(s, cbT) && StoreLifecycle.reRegister(s, pqT) &&
-        StoreLifecycle.reRegister(s, tbl, k, Seq("cid"), Seq("cid"))
-      if (reusable) {
-        // a previous session built this generation: read back the
-        // driver-side codebooks (k + 16·256 rows — bounded) and
-        // re-declare the bucketed lists; NO corpus pass, no new files
-        val cb = s.table(cbT).collect()
-          .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
-        val pq = s.table(pqT).collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-          .groupBy(_._1).toArray.sortBy(_._1)
-          .map(_._2.sortBy(_._2).map(_._3.toArray))
-        (tbl, cb, pq)
-      } else StoreLifecycle.withWriterLease(s) {
+      def tryReuse(): Option[(String, Array[(Int, Seq[Float])],
+          Array[Array[Array[Double]]])] = {
+        val reusable = StoreLifecycle.isComplete(s, tbl) &&
+          StoreLifecycle.reRegister(s, cbT) && StoreLifecycle.reRegister(s, pqT) &&
+          StoreLifecycle.reRegister(s, tbl, k, Seq("cid"), Seq("cid"))
+        if (!reusable) None else {
+          // a previous session built this generation: read back the
+          // driver-side codebooks (k + 16·256 rows — bounded) and
+          // re-declare the bucketed lists; NO corpus pass, no new files
+          val cb = s.table(cbT).collect()
+            .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+          val pq = s.table(pqT).collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+            .groupBy(_._1).toArray.sortBy(_._1)
+            .map(_._2.sortBy(_._2).map(_._3.toArray))
+          Some((tbl, cb, pq))
+        }
+      }
+      tryReuse().getOrElse(StoreLifecycle.withWriterLease(s) {
+        // TOCTOU re-check UNDER the lease (r12 ADVICE low, fixed r14,
+        // same pattern as IncrementalDedup.ensureIncrementalStore):
+        // a session that completed this generation while we waited for
+        // the lease makes the rebuild redundant — reuse its files.
+        tryReuse().getOrElse {
         annStoreBuilds.incrementAndGet()
         val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
           .repartition(s.sparkContext.defaultParallelism)
@@ -155,7 +164,8 @@ object AnnStore {
         StoreLifecycle.sweep(s,
           Seq("graft_s07_lists", "graft_s07_cb", "graft_s07_pq"), fam, fp)
         (tbl, centroids, pqCb)
-      }
+        }
+      })
     })
   }
 

@@ -215,6 +215,9 @@ class StoreLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("age-out cap: N+1 distinct live corpora under a cap of N leave N families") {
     val sp = spark
     sp.conf.set("spark.graft.store.maxFamilies", "2")
+    // zero the min-idle grace: this test pins the CAP rule in isolation
+    // (the grace rule has its own pin below)
+    sp.conf.set("spark.graft.store.evict.minIdleMs", "0")
     val corpora = (1 to 3).map(_ => Files.createTempDirectory("graft-age"))
     try {
       corpora.foreach(copyCorpus(_, "documents"))
@@ -236,11 +239,88 @@ class StoreLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
         "the cap-many most recent families must survive")
     } finally {
       sp.conf.unset("spark.graft.store.maxFamilies")
+      sp.conf.unset("spark.graft.store.evict.minIdleMs")
       graft.dedup.IncrementalDedup.resetRegistryForTest()
       corpora.foreach { c =>
         reclaimFamily(sp, c.toString, Seq("documents"))
         org.apache.commons.io.FileUtils.deleteDirectory(c.toFile)
       }
+    }
+  }
+
+  test("age-out grace: a recently-touched family is deferred, not evicted mid-scan") {
+    // r12 ADVICE low (fixed r14): the LRU cap used to evict purely by
+    // rank, so a family a long-running reader in ANOTHER session was
+    // mid-scan of could be yanked the moment a new family pushed it
+    // past the cap. Eviction now additionally requires the family's
+    // newest touch stamp to be at least evict.minIdleMs old (default =
+    // the lease stale window); readers refresh the stamp at
+    // registration, so an actively-read family defers until idle.
+    val sp = spark
+    sp.conf.set("spark.graft.store.maxFamilies", "1")
+    val corpora = (1 to 2).map(_ => Files.createTempDirectory("graft-grace"))
+    try {
+      corpora.foreach(copyCorpus(_, "documents"))
+      val fams = corpora.map { c =>
+        graft.dedup.IncrementalDedup.resetRegistryForTest()
+        graft.dedup.IncrementalDedup.ensureIncrementalStore(sp, c.toString)
+        Thread.sleep(50) // order the touch stamps
+        StoreLifecycle.corpusTags(sp, c.toString, Seq("documents"))._1
+      }
+      val wh = new Path(sp.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      def famAlive(f: String): Boolean = fs.exists(wh) && fs.listStatus(wh)
+        .exists(_.getPath.getName.contains(s"_f${f}_"))
+      // the second build's sweep saw family 1 over the cap, but its
+      // stamp is milliseconds old — the default grace (lease stale
+      // window) must defer the eviction
+      assert(famAlive(fams(0)) && famAlive(fams(1)),
+        "a fresh family must survive the cap inside its grace window")
+      // once the grace is zeroed the SAME sweep evicts it — proving the
+      // deferral was the grace rule, not a dead cap
+      sp.conf.set("spark.graft.store.evict.minIdleMs", "0")
+      val (fam2, fp2) = StoreLifecycle.corpusTags(sp,
+        corpora(1).toString, Seq("documents"))
+      StoreLifecycle.sweep(sp,
+        Seq("graft_d10_bands", "graft_d10_digests"), fam2, fp2)
+      assert(!famAlive(fams(0)), "idle family past the cap must age out")
+      assert(famAlive(fams(1)), "the current family must survive")
+    } finally {
+      sp.conf.unset("spark.graft.store.maxFamilies")
+      sp.conf.unset("spark.graft.store.evict.minIdleMs")
+      graft.dedup.IncrementalDedup.resetRegistryForTest()
+      corpora.foreach { c =>
+        reclaimFamily(sp, c.toString, Seq("documents"))
+        org.apache.commons.io.FileUtils.deleteDirectory(c.toFile)
+      }
+    }
+  }
+
+  test("lease release racing the heartbeat rewrite leaves no lease file behind") {
+    // r12 ADVICE medium (fixed r14): release used to interrupt + join +
+    // delete ONCE — a heartbeat mid-create could re-materialize the
+    // lease AFTER the delete, stalling every later writer for up to the
+    // wait budget. Release now sets a released flag the heartbeat
+    // re-checks immediately before each create, then deletes until
+    // absent after join. Drive many release points across heartbeat
+    // phase (50 ms ticks at staleMs=200; bodies of 10–130 ms sweep the
+    // race window) and require the lease to be gone at release AND to
+    // STAY gone (no posthumous rewrite).
+    val sp = spark
+    sp.conf.set("spark.graft.store.lease.staleMs", "200")
+    try {
+      val fs = fsOf(sp)
+      for (i <- 0 until 12) {
+        StoreLifecycle.withWriterLease(sp) { Thread.sleep(10L + i * 10L) }
+        assert(!fs.exists(leasePath(sp)),
+          s"release left a lease file (iteration $i)")
+        Thread.sleep(120) // two heartbeat periods: a zombie rewrite would land here
+        assert(!fs.exists(leasePath(sp)),
+          s"a posthumous heartbeat re-materialized the lease (iteration $i)")
+      }
+    } finally {
+      sp.conf.unset("spark.graft.store.lease.staleMs")
+      fsOf(sp).delete(leasePath(sp), false)
     }
   }
 

@@ -143,6 +143,17 @@ object Pipeline {
           .otherwise(size(split(trim($"text_content"), "\\s+"))))
       // A1–A5 RAKE keywords (`src/lib.rs:386-399`)
       .withColumn("keywords", rakeU($"text_content"))
+      // K3 DAY axis: the crawl day from the record's WARC-Date header
+      // (ISO 8601 — the leading 10 chars are the date). The reference
+      // gets its DAY partitioning from BigQuery load-time ingestion
+      // (`load.bat:3-7`); the Spark counterpart derives it from the
+      // archive's own crawl timestamp so [[run]] can partitionBy it.
+      // Records without the header (pre-1.0 tools) or with a mangled
+      // timestamp → null → the default partition, never a dropped row
+      // or a failed job (try_to_date, same ANSI discipline as the
+      // try_casts above — Spark 4 runs ANSI-on by default).
+      .withColumn("crawl_day", expr(
+        "try_to_date(substring(element_at(header, 'warc-date'), 1, 10))"))
 
     df.select(
       $"url", $"hostname", $"domain_name", $"size_bytes", $"load_time",
@@ -150,7 +161,7 @@ object Pipeline {
       $"word_count", $"links", $"resource_urls", $"keywords",
       $"html.meta_tags".as("meta_tags"), $"headers",
       $"google_analytics", $"google_analytics_config",
-      $"html.html_errors".as("html_errors"), $"source")
+      $"html.html_errors".as("html_errors"), $"source", $"crawl_day")
   }
 
   /** K4 debug sink (`src/lib.rs:347-371` writes `{url}-broken.htm`):
@@ -173,11 +184,17 @@ object Pipeline {
   }
 
   /** End-to-end job: WARC glob → url_resource files (SURVEY §3.1-3.2).
-    * Output is laid out for the warehouse contract K3 (`load.bat:1-10`):
-    * sorted within partitions by `domain_name` (the BigQuery clustering
-    * key) so per-domain scans prune row groups; `maxRecordsPerFile`
-    * mirrors the reference's 50k-records-per-output-file granularity
-    * (D5, `src/main.rs:159-160`).
+    * Output is laid out for the warehouse contract K3 (`load.bat:1-10`,
+    * `--time_partitioning_type=DAY --clustering_fields=domain_name`):
+    * file formats with a directory layout (parquet & co.) write
+    * `partitionBy(crawl_day)` — the DAY pruning axis, derived from each
+    * record's WARC-Date in [[urlResources]] — and sort within partitions
+    * by (crawl_day, domain_name) so each day's files cluster by domain
+    * and per-domain scans prune row groups; `maxRecordsPerFile` mirrors
+    * the reference's 50k-records-per-output-file granularity (D5,
+    * `src/main.rs:159-160`). The Avro path keeps the reference's exact
+    * 18-field container contract (its DAY axis is applied by the
+    * warehouse LOADER, exactly as `load.bat` does with BigQuery).
     */
   def run(spark: SparkSession, warcGlob: String, outPath: String,
       format: String = "avro", quarantinePath: Option[String] = None): Unit = {
@@ -192,11 +209,12 @@ object Pipeline {
     val records = WarcSource.read(spark, warcGlob)
     quarantinePath.foreach(qp => quarantine(records, qp))
     val out = urlResources(records)
-      .sortWithinPartitions("domain_name")
+      .sortWithinPartitions("crawl_day", "domain_name")
     format match {
       case "avro" => AvroSink.write(out, outPath)
       case f => out.write.mode("overwrite").format(f)
-        .option("maxRecordsPerFile", 50000).save(outPath)
+        .option("maxRecordsPerFile", 50000)
+        .partitionBy("crawl_day").save(outPath)
     }
   }
 

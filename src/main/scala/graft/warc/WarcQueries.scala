@@ -75,7 +75,10 @@ object WarcQueries {
           val url = s"https://docs${id % 50}.example.gov.au/page/$id"
           val body = WarcSource.gzip(
             payloadFor(id, text, lang).getBytes(StandardCharsets.UTF_8))
-          out.write(WarcSource.toWireFormat("response", url, nChars, body))
+          // deterministic WARC-Date spanning three crawl days — the K3
+          // DAY-partitioning axis, oracle-checked via w01's crawl_day
+          out.write(WarcSource.toWireFormat("response", url, nChars, body,
+            warcDate = s"2019-07-0${1 + id % 3}T00:00:00Z"))
           n += 1
         }
         if (n == 0) Iterator.empty
@@ -98,7 +101,7 @@ object WarcQueries {
         element_at($"headers", "X-Request-Id").as("header_request_id"),
         array_join($"google_analytics", "|").as("ga_joined"),
         array_join($"google_analytics_config", "|").as("ga_config_joined"),
-        $"html_errors")
+        $"html_errors", $"crawl_day")
       .orderBy($"url")
   }
 
@@ -127,7 +130,8 @@ object WarcQueries {
       |  'a' AS header_request_id,
       |  'UA-' || (10000 + doc_id) || '-1|GTM-ABC123' AS ga_joined,
       |  '''create'', ''UA-' || (10000 + doc_id) || '-1''' AS ga_config_joined,
-      |  '' AS html_errors
+      |  '' AS html_errors,
+      |  CAST('2019-07-0' || (1 + doc_id % 3) AS DATE) AS crawl_day
       |FROM d ORDER BY url""".stripMargin
 
   /** w02: RAKE keyword extraction (A1–A5) over document text — the A4
@@ -544,7 +548,8 @@ object WarcQueries {
             val body = WarcSource.gzip(
               payloadFor(id, text, lang).getBytes(StandardCharsets.UTF_8))
             out.write(WarcSource.gzip(
-              WarcSource.toWireFormat("response", url, nChars, body)))
+              WarcSource.toWireFormat("response", url, nChars, body,
+                warcDate = s"2019-07-0${1 + id % 3}T00:00:00Z")))
             n += 1
           }
           if (n > 0) {
@@ -572,7 +577,7 @@ object WarcQueries {
           element_at($"headers", "X-Request-Id").as("header_request_id"),
           array_join($"google_analytics", "|").as("ga_joined"),
           array_join($"google_analytics_config", "|").as("ga_config_joined"),
-          $"html_errors")
+          $"html_errors", $"crawl_day")
         .orderBy($"url")
         .localCheckpoint(true) // materialize before the staging dir dies
     } finally stagingFs.delete(dirPath, true)

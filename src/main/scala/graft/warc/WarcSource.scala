@@ -198,17 +198,21 @@ object WarcSource {
   /** Serialize one record back to WARC wire format (used by tests and the
     * documents→WARC synthesis; inverse of [[splitWarc]]). */
   def toWireFormat(warcType: String, targetUri: String,
-      uncompressedLength: Long, body: Array[Byte]): Array[Byte] = {
+      uncompressedLength: Long, body: Array[Byte],
+      warcDate: String = ""): Array[Byte] = {
     val head = new StringBuilder()
       .append("WARC/1.0\r\n")
       .append("WARC-Type: ").append(warcType).append("\r\n")
       .append("WARC-Target-URI: ").append(targetUri).append("\r\n")
+    if (warcDate.nonEmpty)
+      head.append("WARC-Date: ").append(warcDate).append("\r\n")
+    val headBytes = head
       .append("Uncompressed-Content-Length: ").append(uncompressedLength).append("\r\n")
       .append("Content-Length: ").append(body.length).append("\r\n\r\n")
       .toString.getBytes(StandardCharsets.ISO_8859_1)
-    val out = new Array[Byte](head.length + body.length + 4)
-    System.arraycopy(head, 0, out, 0, head.length)
-    System.arraycopy(body, 0, out, head.length, body.length)
+    val out = new Array[Byte](headBytes.length + body.length + 4)
+    System.arraycopy(headBytes, 0, out, 0, headBytes.length)
+    System.arraycopy(body, 0, out, headBytes.length, body.length)
     out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
     out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
     out

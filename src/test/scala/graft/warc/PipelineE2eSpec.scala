@@ -32,6 +32,43 @@ class PipelineE2eSpec extends AnyFunSuite with BeforeAndAfterAll {
       "<a href=\"/l/" + i + "\">x</a></body></html>")
       .getBytes(StandardCharsets.UTF_8))
 
+  test("K3 day layout: parquet run partitions by crawl_day; a day filter prunes to that day's files") {
+    // the reference's load.bat:3-7 (--time_partitioning_type=DAY +
+    // clustering on domain_name) made concrete on the Spark warehouse
+    // path: crawl_day derives from each record's WARC-Date, the write
+    // is partitionBy(crawl_day), and a day-filtered read must list ONLY
+    // that day's files (directory-level pruning — the primary pruning
+    // axis at crawl scale, where one day is a sliver of the archive)
+    val dir = Files.createTempDirectory("e2espec-day")
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until 12).foreach { i =>
+      val b = page(i)
+      out.write(WarcSource.toWireFormat("response",
+        s"https://d.ex.gov.au/p/$i", b.length, b,
+        warcDate = s"2019-07-0${1 + i % 3}T04:05:06Z"))
+    }
+    Files.write(dir.resolve("day.warc"), out.toByteArray)
+    val outDir = dir.resolve("wh").toString
+    Pipeline.run(spark, s"$dir/*.warc", outDir, "parquet")
+    val dayDirs = new java.io.File(outDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dayDirs == Set("crawl_day=2019-07-01", "crawl_day=2019-07-02",
+      "crawl_day=2019-07-03"), s"unexpected layout: $dayDirs")
+    val sp = spark
+    import sp.implicits._
+    val df = sp.read.parquet(outDir)
+      .filter($"crawl_day" === java.sql.Date.valueOf("2019-07-02"))
+    assert(df.count() == 4)
+    val listed = df.select(
+        org.apache.spark.sql.functions.input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(listed.nonEmpty && listed.forall(_.contains("crawl_day=2019-07-02")),
+      s"read listed files outside the filtered day: ${listed.mkString(", ")}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[isnotnull\\(crawl_day".r.findFirstIn(plan).isDefined,
+      s"day predicate not applied at partition level:\n$plan")
+  }
+
   test("warc files → avro containers → plain-Avro read-back, idempotent re-run") {
     val dir = Files.createTempDirectory("e2espec")
     (0 until 3).foreach { f =>

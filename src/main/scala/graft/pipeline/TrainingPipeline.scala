@@ -133,6 +133,10 @@ object TrainingPipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tok").as("n_tokens"),
         sum($"doc_id" * $"rank").as("order_checksum"),
+        // transform(x => getField) here is a lambda HOF, but ABOVE the
+        // aggregation Exchange and never filtered on — outside the r11
+        // hazard's trigger shape, and ACTIVELY pinned safe against a
+        // driver-side recomputation in LambdaHofReproSpec
         md5(array_join(transform(
           array_sort(collect_list(struct($"order_key", $"doc_id", $"doc_md5"))),
           x => x.getField("doc_md5")), ",")).as("corpus_md5"))
@@ -370,6 +374,7 @@ object TrainingPipeline {
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_chars").as("sum_chars"),
           sum(length($"text")).cast("long").as("sum_text_len"),
+          // post-agg transform: same pinned-safe shape as auditRollup
           md5(array_join(transform(
             array_sort(collect_list(struct($"doc_id", md5($"text").as("m")))),
             x => x.getField("m")), ",")).as("corpus_md5"))

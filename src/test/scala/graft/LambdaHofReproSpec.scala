@@ -86,4 +86,45 @@ class LambdaHofReproSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$zeroFree — the r11 hazard is live on this Spark build; keep " +
         "every engine column lambda-free")
   }
+
+  test("post-aggregation transform(getField) over the WARC lineage is SAFE " +
+      "(the audit-tail shape auditRollup/io01 rely on)") {
+    // The ONE place engine code still uses a lambda HOF is the shared
+    // audit tail: md5(array_join(transform(array_sort(collect_list(
+    // struct(...))), x => x.getField(...)), ",")) — TrainingPipeline's
+    // corpus fingerprint (and io01's). That shape differs from the
+    // hazard above in the load-bearing way: the HOF sits ABOVE an
+    // aggregation Exchange (collect_list materialized the array), not
+    // directly over the UDF-heavy projection, and nothing filters on
+    // the aliased HOF column. This ACTIVE pin proves the shape against
+    // a driver-side recomputation on the exact WARC lineage — if a
+    // Spark upgrade ever extends the hazard past the Exchange, this
+    // fails with a value diff instead of p02's oracle going silently
+    // red at the driver (how r11 found the original).
+    val sp = spark
+    import sp.implicits._
+    val docs = graft.warc.Pipeline.urlResources(
+      graft.warc.WarcSource.fromBytes(
+        graft.warc.WarcQueries.warcFiles(spark, sf)))
+      .select(regexp_extract($"url", "/page/(\\d+)$", 1).cast("long").as("doc_id"),
+        $"text_content".as("text"))
+      .withColumn("doc_md5", md5($"text"))
+      .withColumn("grp", ($"doc_id" % 4).cast("long"))
+    val viaHof = docs.groupBy($"grp")
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct($"doc_id", $"doc_md5"))),
+        x => x.getField("doc_md5")), ",")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // ground truth: same fingerprint computed driver-side from the rows
+    val rows = docs.select($"grp", $"doc_id", $"doc_md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      val joined = rs.sortBy(r => (r._2, r._3)).map(_._3).mkString(",")
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(joined.getBytes("UTF-8"))
+      (g, d.map("%02x".format(_)).mkString)
+    }
+    assert(rows.nonEmpty && viaHof == expect,
+      s"post-agg transform diverged from driver recomputation: $viaHof vs $expect")
+  }
 }

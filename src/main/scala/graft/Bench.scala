@@ -90,8 +90,15 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/orders.parquet")
       .groupBy("o_orderstatus").count().count()
-    val detail = detailPath
-    val prior = priorMins(detail)
+    // SPARK_GRAFT_BENCH_ONLY redirects the detail file so an isolated
+    // re-measure never clobbers the full-suite BENCH_DETAIL.json
+    val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val detail =
+      if (onlySet.isDefined && !sys.env.contains("SPARK_GRAFT_BENCH_DETAIL"))
+        detailPath.resolveSibling("BENCH_DETAIL.partial.json")
+      else detailPath
+    val prior = priorMins(detailPath)
     val loadStart = loadAvg
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // Each query family pays its own JIT/codegen bring-up on the first
@@ -164,7 +171,15 @@ object Bench {
     // BOTH output channels, so a reader knows exactly which numbers
     // carry ambient-load risk instead of inferring it from per-run
     // load samples.
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 — isolated re-measure of named
+    // queries (r13 item 8: d04's 3.4→5.3 s bounce under hot:[] needed a
+    // single-query run to separate plan drift from ambient noise).
+    // Dev-facing only; the driver runs the full suite (env var unset).
+    // diagnostics are correctness-channel rows, not operators — keeping
+    // them out of the headline keeps the total comparable across rounds
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => !SparkEntry.diagnosticQueries.contains(n) }
+      .filter { case (n, _) => onlySet.forall(_.contains(n)) }
     val deferred = scala.collection.mutable.ArrayBuffer[
       (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
     val firstPass = sorted.flatMap { case (name, fn) =>
@@ -237,7 +252,7 @@ object Bench {
     val headlineFull = results.collect {
       case (k, _, _, Some(b), _) => s"\"" + k + "\":" + r3(b) }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(detail,
-      s"""{"headline":$headlineFull,"runs":$runsJson,"failed":$fjFull,"hot":$hjFull,"hot_threshold":${r3(hotThreshold)},"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"sf":"$sfDir"}""")
+      s"""{"headline":$headlineFull,"runs":$runsJson,"failed":$fjFull,"hot":$hjFull,"hot_threshold":${r3(hotThreshold)},"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"sf":"$sfDir","meta":${EnvMeta.json(spark)}}""")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()

@@ -26,6 +26,12 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.streaming.StreamStoreIngest.queries
+  /** Cert-channel DIAGNOSTIC rows (oracle-checked like any query, but
+    * not operators): excluded from the Bench headline so the
+    * round-over-round total keeps comparing the same operator work.
+    * Currently the s06 driver-bisection family (r13 verdict item 1). */
+  val diagnosticQueries: Set[String] =
+    Set("s06x_fold_canary", "s06a_assign_checksums", "s06b_pair_audit")
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -35,6 +35,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // environment stamp for local-vs-driver forensics (r13 item 9)
+    Files.writeString(Paths.get(s"$outDir/meta.json"), EnvMeta.json(spark))
     spark.stop()
   }
 }

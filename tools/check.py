@@ -42,6 +42,14 @@ def values_equal(a, b):
 
 
 def main(sfdir, outdir):
+    # environment forensics: the oracle engine's own version next to the
+    # Spark-side meta.json the Verify dump carries (r13 verdict item 9)
+    meta = os.path.join(outdir, "meta.json")
+    spark_meta = ""
+    if os.path.exists(meta):
+        with open(meta) as f:
+            spark_meta = f.read().strip()
+    print(f"checker: duckdb {duckdb.__version__}; verify meta: {spark_meta or 'absent'}")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")

@@ -101,7 +101,13 @@ object WarcQueries {
         element_at($"headers", "X-Request-Id").as("header_request_id"),
         array_join($"google_analytics", "|").as("ga_joined"),
         array_join($"google_analytics_config", "|").as("ga_config_joined"),
-        $"html_errors", $"crawl_day")
+        $"html_errors",
+        // compared as STRING: a DATE column's pandas dtype depends on
+        // which reader materializes it (pyarrow date32 → object,
+        // DuckDB DATE → datetime64) — the exact cross-channel typed-hash
+        // trap that kept s06 red for four rounds. The engine layout
+        // keeps the real DateType; only the cert row stringifies.
+        $"crawl_day".cast("string").as("crawl_day"))
       .orderBy($"url")
   }
 
@@ -131,7 +137,7 @@ object WarcQueries {
       |  'UA-' || (10000 + doc_id) || '-1|GTM-ABC123' AS ga_joined,
       |  '''create'', ''UA-' || (10000 + doc_id) || '-1''' AS ga_config_joined,
       |  '' AS html_errors,
-      |  CAST('2019-07-0' || (1 + doc_id % 3) AS DATE) AS crawl_day
+      |  '2019-07-0' || (1 + doc_id % 3) AS crawl_day
       |FROM d ORDER BY url""".stripMargin
 
   /** w02: RAKE keyword extraction (A1–A5) over document text — the A4
@@ -577,7 +583,7 @@ object WarcQueries {
           element_at($"headers", "X-Request-Id").as("header_request_id"),
           array_join($"google_analytics", "|").as("ga_joined"),
           array_join($"google_analytics_config", "|").as("ga_config_joined"),
-          $"html_errors", $"crawl_day")
+          $"html_errors", $"crawl_day".cast("string").as("crawl_day"))
         .orderBy($"url")
         .localCheckpoint(true) // materialize before the staging dir dies
     } finally stagingFs.delete(dirPath, true)

@@ -253,10 +253,12 @@ object Dev {
       // O(n) pass per shard, parallel across shards)
       "p03_warc_stream_pipeline", "p04_sequence_pack",
       "p05_mixture_resample",
-      // round-14 addition: the hot-domain threshold-cap pipeline — the
+      // round-14 additions: the hot-domain threshold-cap pipeline — the
       // mode whose whole purpose is the 100 TB skew story, so its ratio
-      // is certified right beside exact-cap p01's
-      "p01b_threshold_cap")
+      // is certified right beside exact-cap p01's — and the
+      // decontaminated split (d02's certified near-dup pass + a
+      // broadcast-sized edge join)
+      "p01b_threshold_cap", "p06_decontaminated_split")
     // late guard events: the 500 ms post-run sleep is best-effort — an
     // event landing after it would otherwise be silently charged to the
     // NEXT run; drain leftovers at run start and attribute them to the

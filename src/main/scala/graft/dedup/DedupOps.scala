@@ -318,49 +318,67 @@ object DedupOps {
     // the signature subtree feeds three consumers (buckets + both verify
     // joins) — cache so the UDF chain runs once, not per consumer
     withCacheImpl(withNearDups(s, d).withColumn("sig", sigWithHashesU($"text")), eager) { docs =>
-      val buckets = docs.select($"doc_id",
-        posexplode($"sig._2").as(Seq("band", "bucket")))
-      val cand = guardedBucketPairs(buckets, Seq("band", "bucket"))
-      val hsT = docs.select($"doc_id", $"sig._1".as("hs"))
-      // Verify on the 64-bit hash sets with an exact-decision slack band:
-      // J ≥ 0.8 ⇔ 5i ≥ 4u on the TRUE shingle sets. A hash collision
-      // perturbs (i, u) by at most 1 each, so c colliding hashes move
-      // 5i − 4u by at most 9c; pairs with |5i − 4u| > 18 are decided by
-      // the hash sets EXACTLY unless ≥ 3 collisions hit one pair
-      // (P ≈ (126²/2⁶⁴)³ ≈ 1e-45); only the razor-thin band around the
-      // threshold falls back to the collision-free string Jaccard — so
-      // the answer still equals the oracle's string-set recomputation,
-      // but the per-pair cost is a two-pointer long-array merge instead
-      // of two regex tokenizations + shingle-set builds, and the text
-      // column is shuffled only for the in-band handful.
-      // the intersection count runs as a native codegen'd expression
-      // (no per-row boxing of the hash arrays); with u = |a| + |b| − i,
-      // the margin 5i − 4u rewrites to 9i − 4(|a| + |b|) — all builtins
-      val iNative = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
-      // scored feeds the sure and in-band branches — cache it (it is
-      // candidate-set-sized) so the bucket self-join runs once, not twice
-      withCacheImpl(cand
-          .join(hsT.select($"doc_id".as("id_a"), $"hs".as("hs_a"))
-            .hint("shuffle_hash"), "id_a")
-          .join(hsT.select($"doc_id".as("id_b"), $"hs".as("hs_b"))
-            .hint("shuffle_hash"), "id_b")
-          .select($"id_a", $"id_b",
-            (iNative * 9 - (size($"hs_a") + size($"hs_b")).cast("long") * 4)
-              .as("m")), eager) { scored =>
-        val sure = scored.filter($"m" > 18).select($"id_a", $"id_b")
-        val texts = docs.select($"doc_id", $"text")
-        val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
-        val bandPairs = scored.filter($"m" >= -18 && $"m" <= 18)
-          .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
-          .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
-          .filter(jacU($"text_a", $"text_b") >= 0.8)
-          .select($"id_a", $"id_b")
-        sure.unionByName(bandPairs).agg(
+      withCacheImpl(scoredOf(docs), eager) { scored =>
+        confirmedPairsOf(docs, scored).agg(
           count(lit(1)).as("n_confirmed"),
           sum(when($"id_b" === $"id_a" + Shift, 1L).otherwise(0L))
             .as("n_planted_found"))
       }
     }
+  }
+
+  /** The d02 candidate-scoring stage over a `(doc_id, text, sig)` frame
+    * (r14 split of [[d02Impl]] so p06 can reuse the near-dup machinery):
+    * banded-bucket candidate pairs, then the exact-decision margin
+    * `m = 9i − 4(|a|+|b|)` from the native sorted-hash intersection. */
+  private[graft] def scoredOf(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val buckets = docs.select($"doc_id",
+      posexplode($"sig._2").as(Seq("band", "bucket")))
+    val cand = guardedBucketPairs(buckets, Seq("band", "bucket"))
+    val hsT = docs.select($"doc_id", $"sig._1".as("hs"))
+    // Verify on the 64-bit hash sets with an exact-decision slack band:
+    // J ≥ 0.8 ⇔ 5i ≥ 4u on the TRUE shingle sets. A hash collision
+    // perturbs (i, u) by at most 1 each, so c colliding hashes move
+    // 5i − 4u by at most 9c; pairs with |5i − 4u| > 18 are decided by
+    // the hash sets EXACTLY unless ≥ 3 collisions hit one pair
+    // (P ≈ (126²/2⁶⁴)³ ≈ 1e-45); only the razor-thin band around the
+    // threshold falls back to the collision-free string Jaccard — so
+    // the answer still equals the oracle's string-set recomputation,
+    // but the per-pair cost is a two-pointer long-array merge instead
+    // of two regex tokenizations + shingle-set builds, and the text
+    // column is shuffled only for the in-band handful.
+    // the intersection count runs as a native codegen'd expression
+    // (no per-row boxing of the hash arrays); with u = |a| + |b| − i,
+    // the margin 5i − 4u rewrites to 9i − 4(|a| + |b|) — all builtins
+    val iNative = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
+    cand
+      .join(hsT.select($"doc_id".as("id_a"), $"hs".as("hs_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(hsT.select($"doc_id".as("id_b"), $"hs".as("hs_b"))
+        .hint("shuffle_hash"), "id_b")
+      .select($"id_a", $"id_b",
+        (iNative * 9 - (size($"hs_a") + size($"hs_b")).cast("long") * 4)
+          .as("m"))
+  }
+
+  /** The d02 confirm stage: callers cache `scored` (it feeds the sure
+    * and in-band branches — the bucket self-join must run once, not
+    * twice). Emits the confirmed ≥0.8-Jaccard pair set `(id_a, id_b)`,
+    * id_a < id_b. */
+  private[graft] def confirmedPairsOf(docs: DataFrame, scored: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val sure = scored.filter($"m" > 18).select($"id_a", $"id_b")
+    val texts = docs.select($"doc_id", $"text")
+    val jacU = udf { (ta: String, tb: String) => jaccard(shingles(ta), shingles(tb)) }
+    val bandPairs = scored.filter($"m" >= -18 && $"m" <= 18)
+      .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
+      .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
+      .filter(jacU($"text_a", $"text_b") >= 0.8)
+      .select($"id_a", $"id_b")
+    sure.unionByName(bandPairs)
   }
 
   /** d03: SimHash near-dup with pigeonhole banding (4×16 bits finds every

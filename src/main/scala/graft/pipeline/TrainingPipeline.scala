@@ -574,12 +574,129 @@ object TrainingPipeline {
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   }
 
+  /** p06: DECONTAMINATED TRAIN/VALID/TEST SPLIT — the split-leakage
+    * guard between q30's deterministic split and training: a valid/test
+    * document with a confirmed near-duplicate (d02's MinHash-banded,
+    * exact-Jaccard-verified ≥0.8 pair machinery, reused verbatim) in
+    * the train split is REMOVED from the corpus, the GPT-3
+    * decontamination discipline applied to split leakage (an eval set
+    * whose members near-dup training docs measures memorization, not
+    * generalization). Dropping (rather than reassigning) keeps the rule
+    * non-transitive and deterministic: every decision is a pure
+    * function of the direct pair set. Run on the planted-union corpus
+    * (near-dup twins hash into independent split buckets, so ~32% of
+    * planted pairs straddle train/eval — the guard is genuinely
+    * exercised at every SF). Output: one audit row per split with drop
+    * counts and id checksums.
+    *
+    * Scale shape (100 TB posture): d02's near-dup pass is the dominant
+    * cost and already scale-certified (banded buckets, guarded, no
+    * all-pairs); the guard itself adds one broadcast-sized edge frame
+    * join and a 3-group rollup. Split assignment is map-side (md5
+    * bucket, q30's rule). */
+  def p06_decontaminated_split(s: SparkSession, d: String): DataFrame =
+    p06Impl(s, d, eager = true)
+
+  /** `eager = false` skips the materializing checkpoints so PlanSpec can
+    * assert the composed physical plan (same device as d02Impl). */
+  private[graft] def p06Impl(s: SparkSession, d: String,
+      eager: Boolean): DataFrame = {
+    import s.implicits._
+    import graft.dedup.DedupOps
+    DedupOps.withCacheImpl(DedupOps.withNearDups(s, d)
+        .withColumn("sig", DedupOps.sigWithHashesU($"text")), eager) { docs =>
+      DedupOps.withCacheImpl(DedupOps.scoredOf(docs), eager) { scored =>
+        val pairs = DedupOps.confirmedPairsOf(docs, scored)
+        val bucket =
+          (conv(substring(md5($"text"), 1, 4), 16, 10).cast("long") % 10)
+        val sp0 = docs.select($"doc_id",
+          when(bucket < 8, "train").when(bucket === 8, "valid")
+            .otherwise("test").as("split0"))
+        val edges = pairs.select($"id_a".as("id"), $"id_b".as("nbr"))
+          .unionByName(pairs.select($"id_b".as("id"), $"id_a".as("nbr")))
+        val leak = edges
+          .join(sp0.select($"doc_id".as("id"), $"split0".as("my_split")), "id")
+          .join(sp0.select($"doc_id".as("nbr"), $"split0".as("nbr_split")), "nbr")
+          .filter($"my_split" =!= "train" && $"nbr_split" === "train")
+          .select($"id".as("doc_id")).distinct()
+          .withColumn("leaked", lit(1L))
+        sp0.join(leak, Seq("doc_id"), "left")
+          .select($"doc_id", $"split0".as("split"), $"leaked")
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"leaked".isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+            sum(when($"leaked".isNull, 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"leaked".isNotNull, $"doc_id").otherwise(0L))
+              .as("dropped_id_sum"),
+            sum(when($"leaked".isNull, $"doc_id").otherwise(0L))
+              .as("kept_id_sum"))
+          .orderBy($"split")
+      }
+    }
+  }
+
+  /** [[p06_decontaminated_split]] replayed: d02's exact-Jaccard pair
+    * chain (the oracle ground truth the banded engine path provably
+    * equals), q30's md5 split buckets over the same planted union
+    * (twin text = last token dropped, rebuilt with single spaces —
+    * exactly [[graft.dedup.DedupOps.withNearDups]]), the direct-pair
+    * leak rule, and the per-split rollup. */
+  val p06Oracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text,
+      |    string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+      |      len(string_split_regex(trim(text), '\s+')) - 1), ' ') AS text,
+      |    list_slice(string_split_regex(trim(text), '\s+'), 1,
+      |      len(string_split_regex(trim(text), '\s+')) - 1) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+      |         ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
+      |  FROM all_docs,
+      |    UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |confirmed AS (
+      |  SELECT id_a, id_b FROM pairs
+      |    JOIN sizes sa ON sa.doc_id = id_a
+      |    JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8),
+      |sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+      |         ELSE 'test' END AS split0
+      |  FROM (SELECT doc_id,
+      |          CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 10 AS b
+      |        FROM all_docs)),
+      |edges AS (SELECT id_a AS id, id_b AS nbr FROM confirmed
+      |          UNION ALL SELECT id_b, id_a FROM confirmed),
+      |leak AS (
+      |  SELECT DISTINCT e.id AS doc_id FROM edges e
+      |  JOIN sp me ON me.doc_id = e.id
+      |  JOIN sp nb ON nb.doc_id = e.nbr
+      |  WHERE me.split0 <> 'train' AND nb.split0 = 'train')
+      |SELECT sp.split0 AS split, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN sp.doc_id ELSE 0 END) AS BIGINT) AS dropped_id_sum,
+      |  CAST(SUM(CASE WHEN l.doc_id IS NULL THEN sp.doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      |FROM sp LEFT JOIN leak l USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_pipeline" -> (p01_training_pipeline _),
     "p01b_threshold_cap" -> (p01b_threshold_cap _),
     "p02_warc_training_pipeline" -> (p02_warc_training_pipeline _),
     "p04_sequence_pack" -> (p04_sequence_pack _),
     "p05_mixture_resample" -> (p05_mixture_resample _),
+    "p06_decontaminated_split" -> (p06_decontaminated_split _),
     "io01_jsonl_roundtrip" -> (io01_jsonl_roundtrip _))
 
   val oracle: Map[String, String] = Map(
@@ -588,5 +705,6 @@ object TrainingPipeline {
     "p02_warc_training_pipeline" -> p02Oracle,
     "p04_sequence_pack" -> p04Oracle,
     "p05_mixture_resample" -> p05Oracle,
+    "p06_decontaminated_split" -> p06Oracle,
     "io01_jsonl_roundtrip" -> io01Oracle)
 }

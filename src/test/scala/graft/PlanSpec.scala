@@ -436,4 +436,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("p06: decontaminated split — equi-joins only on top of d02's guarded pass") {
+    requireTable("documents")
+    // the guard composes d02's certified near-dup machinery with split
+    // assignment + an edge join; nothing in the composition may plan as
+    // a cartesian/nested-loop at ANY size, and the only aggregation
+    // past the pair set is the 3-group rollup
+    val plan = physical(
+      graft.pipeline.TrainingPipeline.p06Impl(spark, sf, eager = false))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -258,7 +258,10 @@ object Dev {
       // is certified right beside exact-cap p01's — and the
       // decontaminated split (d02's certified near-dup pass + a
       // broadcast-sized edge join)
-      "p01b_threshold_cap", "p06_decontaminated_split")
+      "p01b_threshold_cap", "p06_decontaminated_split",
+      // t18: the two-phase budget selection — certify that the boundary
+      // window stays bucket-sized while the corpus grows
+      "t18_budget_select")
     // late guard events: the 500 ms post-run sleep is best-effort — an
     // event landing after it would otherwise be silently charged to the
     // NEXT run; drain leftovers at run start and attribute them to the

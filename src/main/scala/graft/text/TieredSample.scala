@@ -75,9 +75,119 @@ object TieredSample {
       |FROM dec GROUP BY 1, 2 ORDER BY 1""".stripMargin
   }
 
+  /** t18: BUDGET-CONSTRAINED QUALITY SELECTION — the "best data under a
+    * token budget" stage (quality-filtering literature's selection dual
+    * of p05's rate-based mixture): admit documents in quality order
+    * (integer stop-density score, DESC; doc_id tiebreak) until the
+    * cumulative token mass reaches the budget (half the corpus tokens
+    * here; a parameter in production). A doc is admitted iff the mass
+    * of everything ordered before it is still under the budget, so the
+    * last admitted doc may straddle the line — the greedy-fill contract,
+    * exactly what the oracle's window replays.
+    *
+    * Scale shape (100 TB posture) — the whole point of the op: the
+    * naive formulation is a GLOBAL sort + running sum over the corpus
+    * (a total order at 100 TB — the one thing to never do). This runs
+    * the classic two-phase threshold refinement instead:
+    *  1. one map-side-combined aggregation of token mass per score
+    *     bucket (≤1001 rows to the driver — the score's integer
+    *     RESOLUTION caps this),
+    *  2. the driver walks the ≤1001 buckets: buckets wholly under the
+    *     budget admit ENTIRELY with a map-side `isin` filter (no order
+    *     needed — membership is order-free for full buckets), buckets
+    *     past it admit nothing,
+    *  3. only the single BOUNDARY bucket — expected corpus/resolution
+    *     ≈ 0.1% of rows at resolution 1000 — pays a running-sum window,
+    *     and the resolution knob shrinks that share as the corpus
+    *     grows (the production dial: resolution ∝ corpus size keeps
+    *     the boundary bounded).
+    * Decisions are integer-exact (score = (n_stop·1000) div n_tok,
+    * long masses), so the oracle replays the admission bit-for-bit. */
+  def t18_budget_select(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.whitespaceTokens($"text")
+    val nTok = size(toks).cast("long")
+    val nStop = TextOps.stopCount(toks).cast("long")
+    val sig0 = Tables.documents(s, d)
+      .select($"doc_id", nTok.as("n_tok"), nStop.as("n_stop"))
+      .withColumn("score", when($"n_tok" === 0L, 0L)
+        .otherwise(least(lit(1000L), expr("(n_stop * 1000) div n_tok"))))
+      .select($"doc_id", $"n_tok", $"score")
+    graft.dedup.DedupOps.withCache(sig0) { sig =>
+      val buckets = sig.groupBy($"score").agg(sum($"n_tok").as("mass"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+      val budget = buckets.map(_._2).sum / 2
+      // descending walk: cum is the mass of strictly-higher buckets
+      var cum = 0L
+      var boundary = -1L
+      var massAbove = 0L
+      val full = scala.collection.mutable.ArrayBuffer[Long]()
+      buckets.foreach { case (sc, m) =>
+        if (cum + m < budget) { full += sc }
+        else if (cum < budget && boundary < 0) { boundary = sc; massAbove = cum }
+        cum += m
+      }
+      val fullDocs =
+        if (full.isEmpty) sig.limit(0) else sig.filter($"score".isin(full.toSeq: _*))
+      val bDocs = if (boundary < 0) sig.limit(0) else {
+        // running sum over the boundary bucket ONLY (see the scale note)
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        sig.filter($"score" === boundary)
+          .withColumn("prior", coalesce(sum($"n_tok").over(w), lit(0L)))
+          .filter(lit(massAbove) + $"prior" < budget)
+          .select($"doc_id", $"n_tok", $"score")
+      }
+      val admitted = fullDocs.unionByName(bDocs)
+      sig.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(admitted.agg(
+          count(lit(1)).as("n_admitted"),
+          coalesce(sum($"n_tok"), lit(0L)).as("admitted_tokens"),
+          coalesce(min($"score"), lit(-1L)).as("threshold_score"),
+          coalesce(sum($"doc_id"), lit(0L)).as("admitted_id_sum")))
+        .select($"n_docs", lit(budget).as("budget"), $"n_admitted",
+          $"admitted_tokens", $"threshold_score", $"admitted_id_sum")
+    }
+  }
+
+  /** The admission replayed the naive way — the window the engine
+    * avoids: rank everything (score DESC, doc_id), admit while the
+    * PRIOR mass is under the budget. Equal output proves the two-phase
+    * refinement is the same decision function. */
+  val t18Oracle: String = {
+    val toks = TextOps.oracleToks("text")
+    raw"""WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len($toks) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter($toks,
+      |      x -> x IN ('the','a','of','to','in','and','is','on','for','with'))) AS BIGINT) AS n_stop
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN n_tok = 0 THEN 0
+      |         ELSE LEAST(1000, (n_stop * 1000) // n_tok) END AS score
+      |  FROM base),
+      |g AS (SELECT CAST(SUM(n_tok) AS BIGINT) // 2 AS budget FROM sc),
+      |r AS (
+      |  SELECT *, CAST(COALESCE(SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+      |  FROM sc),
+      |adm AS (SELECT * FROM r WHERE prior < (SELECT budget FROM g))
+      |SELECT
+      |  (SELECT COUNT(*) FROM sc) AS n_docs,
+      |  (SELECT CAST(budget AS BIGINT) FROM g) AS budget,
+      |  CAST(COUNT(*) AS BIGINT) AS n_admitted,
+      |  CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS admitted_tokens,
+      |  CAST(COALESCE(MIN(score), -1) AS BIGINT) AS threshold_score,
+      |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS admitted_id_sum
+      |FROM adm""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t16_tiered_sample" -> (t16_tiered_sample _))
+    "t16_tiered_sample" -> (t16_tiered_sample _),
+    "t18_budget_select" -> (t18_budget_select _))
 
   val oracle: Map[String, String] = Map(
-    "t16_tiered_sample" -> t16Oracle)
+    "t16_tiered_sample" -> t16Oracle,
+    "t18_budget_select" -> t18Oracle)
 }

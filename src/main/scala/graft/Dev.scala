@@ -261,7 +261,9 @@ object Dev {
       "p01b_threshold_cap", "p06_decontaminated_split",
       // t18: the two-phase budget selection — certify that the boundary
       // window stays bucket-sized while the corpus grows
-      "t18_budget_select")
+      "t18_budget_select",
+      // d19: map-side URL normalization + near-unique-key agg (linear)
+      "d19_url_canonical_dedup")
     // late guard events: the 500 ms post-run sleep is best-effort — an
     // event landing after it would otherwise be silently charged to the
     // NEXT run; drain leftovers at run start and attribute them to the

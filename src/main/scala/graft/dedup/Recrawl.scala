@@ -129,11 +129,144 @@ object Recrawl {
       |    AS n_unchanged
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** d19: URL-CANONICALIZATION DEDUP — the crawl-frontier normalization
+    * every URL-keyed pipeline runs before content dedup: the same page
+    * reached as `HTTPS://HOST/x`, `…/x/`, `…/x#frag`, `…/x?utm_…`, or
+    * `host:443/x` must collapse to ONE canonical row (min-id keeper,
+    * d01's rule) while genuinely different resources (`…/x?page=2`)
+    * must NOT. The normalizer is a fixed chain of built-in regex
+    * expressions — fragment strip, utm_* tracking-param removal
+    * (mid-query and terminal forms), dangling-`?` cleanup, scheme+host
+    * lowercasing (path case preserved), default-port removal
+    * (http:80 / https:443), trailing-slash strip — chosen to evaluate
+    * identically under Java regex (engine) and RE2 (oracle): no
+    * lookarounds, no backreferences in patterns, only in replacements.
+    *
+    * Fixture: per-doc base URLs plus one merging variant per doc
+    * (rotating by doc_id % 4 over upper-case / utm / slash / fragment)
+    * plus a port variant and a NON-merging `?page=2` variant — every
+    * rule and the must-not-collapse case are exercised at every SF.
+    *
+    * Scale shape: canonicalization is pure map-side codegen'd string
+    * work; the dedup is one hash aggregation on the canonical key
+    * (near-unique — d01's shuffle shape); audit is 1 row. */
+  def d19_url_canonical_dedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select($"doc_id")
+    def host = concat(lit("docs"), ($"doc_id" % 50).cast("string"),
+      lit(".example.gov.au"))
+    def base = concat(lit("https://"), host, lit("/page/"), $"doc_id".cast("string"))
+    val hostU = concat(lit("DOCS"), ($"doc_id" % 50).cast("string"),
+      lit(".EXAMPLE.GOV.AU"))
+    val rows = ids.select($"doc_id", base.as("url"))
+      .unionByName(ids.filter($"doc_id" % 4 === 0)
+        .select(($"doc_id" + 200000L).as("doc_id"),
+          concat(lit("HTTPS://"), hostU, lit("/page/"),
+            $"doc_id".cast("string")).as("url")))
+      .unionByName(ids.filter($"doc_id" % 4 === 1)
+        .select(($"doc_id" + 300000L).as("doc_id"),
+          concat(base, lit("?utm_source=feed&utm_campaign=x")).as("url")))
+      .unionByName(ids.filter($"doc_id" % 4 === 2)
+        .select(($"doc_id" + 400000L).as("doc_id"),
+          concat(base, lit("/")).as("url")))
+      .unionByName(ids.filter($"doc_id" % 4 === 3)
+        .select(($"doc_id" + 500000L).as("doc_id"),
+          concat(base, lit("#section2")).as("url")))
+      .unionByName(ids.filter($"doc_id" % 8 === 0)
+        .select(($"doc_id" + 600000L).as("doc_id"),
+          concat(base, lit("?page=2")).as("url")))
+      .unionByName(ids.filter($"doc_id" % 8 === 1)
+        .select(($"doc_id" + 700000L).as("doc_id"),
+          concat(lit("https://"), host, lit(":443/page/"),
+            $"doc_id".cast("string")).as("url")))
+    val schemeHost = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val noFrag = regexp_replace($"url", "#.*", "")
+    val utmMid = regexp_replace(noFrag, "utm_[A-Za-z]+=[^&#]*&", "")
+    val utmQ = regexp_replace(utmMid, "\\?utm_[A-Za-z]+=[^&#]*$", "")
+    val utmA = regexp_replace(utmQ, "&utm_[A-Za-z]+=[^&#]*$", "")
+    val noQm = regexp_replace(utmA, "\\?$", "")
+    val lowered = concat(lower(regexp_extract(noQm, schemeHost, 0)),
+      regexp_replace(noQm, schemeHost, ""))
+    val p80 = regexp_replace(lowered, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
+    val p443 = regexp_replace(p80, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    val canonCol = regexp_replace(p443, "/$", "")
+    rows.withColumn("canon", canonCol)
+      .groupBy($"canon")
+      .agg(count(lit(1)).as("n_in_group"), min($"doc_id").as("keeper_id"))
+      .agg(count(lit(1)).as("n_canonical"),
+        sum($"n_in_group").as("n_urls"),
+        sum(when($"n_in_group" > 1, $"n_in_group" - 1).otherwise(0L))
+          .as("n_redundant"),
+        sum(when($"n_in_group" > 1, 1L).otherwise(0L)).as("n_groups_multi"),
+        sum($"keeper_id").as("keeper_id_sum"))
+  }
+
+  /** Same synthesis + the same normalizer chain in RE2 ('g' flag — Spark
+    * regexp_replace is always-global, DuckDB defaults to first-match;
+    * replacement backrefs are `\1` here vs Spark's `$1`). */
+  val d19Oracle: String =
+    raw"""WITH ids AS (SELECT doc_id FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    'https://docs' || (doc_id % 50) || '.example.gov.au/page/' || doc_id AS url
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |    'HTTPS://DOCS' || (doc_id % 50) || '.EXAMPLE.GOV.AU/page/' || doc_id
+      |  FROM ids WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000,
+      |    'https://docs' || (doc_id % 50) || '.example.gov.au/page/' || doc_id
+      |      || '?utm_source=feed&utm_campaign=x'
+      |  FROM ids WHERE doc_id % 4 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 400000,
+      |    'https://docs' || (doc_id % 50) || '.example.gov.au/page/' || doc_id || '/'
+      |  FROM ids WHERE doc_id % 4 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 500000,
+      |    'https://docs' || (doc_id % 50) || '.example.gov.au/page/' || doc_id || '#section2'
+      |  FROM ids WHERE doc_id % 4 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 600000,
+      |    'https://docs' || (doc_id % 50) || '.example.gov.au/page/' || doc_id || '?page=2'
+      |  FROM ids WHERE doc_id % 8 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 700000,
+      |    'https://docs' || (doc_id % 50) || '.example.gov.au:443/page/' || doc_id
+      |  FROM ids WHERE doc_id % 8 = 1),
+      |c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM u),
+      |c2 AS (SELECT doc_id, regexp_replace(u, 'utm_[A-Za-z]+=[^&#]*&', '', 'g') AS u FROM c1),
+      |c3 AS (SELECT doc_id, regexp_replace(u, '\?utm_[A-Za-z]+=[^&#]*$$', '', 'g') AS u FROM c2),
+      |c4 AS (SELECT doc_id, regexp_replace(u, '&utm_[A-Za-z]+=[^&#]*$$', '', 'g') AS u FROM c3),
+      |c5 AS (SELECT doc_id, regexp_replace(u, '\?$$', '', 'g') AS u FROM c4),
+      |c6 AS (SELECT doc_id,
+      |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+      |    || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS u
+      |  FROM c5),
+      |c7 AS (SELECT doc_id,
+      |  regexp_replace(u, '^(http://[^/:?#]+):80([/?#]|$$)', '\1\2', 'g') AS u FROM c6),
+      |c8 AS (SELECT doc_id,
+      |  regexp_replace(u, '^(https://[^/:?#]+):443([/?#]|$$)', '\1\2', 'g') AS u FROM c7),
+      |cn AS (SELECT doc_id, regexp_replace(u, '/$$', '', 'g') AS canon FROM c8),
+      |g AS (SELECT canon, COUNT(*) AS n_in_group, MIN(doc_id) AS keeper_id
+      |      FROM cn GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_canonical,
+      |  CAST(SUM(n_in_group) AS BIGINT) AS n_urls,
+      |  CAST(SUM(CASE WHEN n_in_group > 1 THEN n_in_group - 1 ELSE 0 END) AS BIGINT)
+      |    AS n_redundant,
+      |  CAST(SUM(CASE WHEN n_in_group > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_groups_multi,
+      |  CAST(SUM(keeper_id) AS BIGINT) AS keeper_id_sum
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d17_recrawl_latest" -> (d17_recrawl_latest _),
-    "d18_crawl_diff" -> (d18_crawl_diff _))
+    "d18_crawl_diff" -> (d18_crawl_diff _),
+    "d19_url_canonical_dedup" -> (d19_url_canonical_dedup _))
 
   val oracle: Map[String, String] = Map(
     "d17_recrawl_latest" -> d17Oracle,
-    "d18_crawl_diff" -> d18Oracle)
+    "d18_crawl_diff" -> d18Oracle,
+    "d19_url_canonical_dedup" -> d19Oracle)
 }

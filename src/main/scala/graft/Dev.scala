@@ -263,7 +263,9 @@ object Dev {
       // window stays bucket-sized while the corpus grows
       "t18_budget_select",
       // d19: map-side URL normalization + near-unique-key agg (linear)
-      "d19_url_canonical_dedup")
+      "d19_url_canonical_dedup",
+      // s13: map-side projection + 100-query broadcast top-1 (linear)
+      "s13_ann_random_projection")
     // late guard events: the 500 ms post-run sleep is best-effort — an
     // event landing after it would otherwise be silently charged to the
     // NEXT run; drain leftovers at run start and attribute them to the

@@ -478,11 +478,164 @@ object SimilarityOps {
       }
     }
   }
+  /** s13: RANDOM-PROJECTION near-dup retrieval — the dimensionality-
+    * reduction cost dial beside PQ (s05/s08): project 64-d float
+    * embeddings onto 16 md5-derived Rademacher (±1) hyperplanes
+    * ([[md5Planes]], the s03 device) — a 4× memory/bandwidth/compute
+    * reduction per comparison (JL/Achlioptas: ±1 projections preserve
+    * angles in expectation). The question a compression dial must
+    * answer is whether the SIMILARITY STRUCTURE THAT MATTERS survives:
+    * on this near-uniform synthetic corpus the top-5-of-uniform ranking
+    * does NOT (neighbor margins are razor-thin by construction — at 16
+    * dims recall@5 vs the full-dim exact baseline measured 0.14, the
+    * honest JL answer for margin-free data, same caveat s04 documents),
+    * but the planted near-duplicate structure (cosine ≈ 0.999 vs ≤ 0.5
+    * natural background) is exactly what a production dedup/retrieval
+    * pass needs preserved. So the audit: for a 100-query sample of base
+    * vectors, is the rank-1 neighbor in the PROJECTED space the planted
+    * twin? Plus the minimum projected twin cosine (quantized) — the
+    * worst-case similarity erosion under compression.
+    *
+    * Integer-exact and fully oracle-replayable: components quantize to
+    * a 2^-12 grid (|q| ≤ 2^12, |y_j| ≤ 64·2^12 = 2^18, dot terms
+    * ≤ 2^36, 16-term sums ≤ 2^40 — exact in Long AND Double on both
+    * engines), so every projected cosine is the same IEEE double in
+    * Spark and DuckDB and the quantized ranking cannot diverge.
+    *
+    * Scale shape: projection is map-side; the rank-1 scan is
+    * |queries| × corpus via broadcast queries + per-partition top-1
+    * partials (s01's bounded-aggregator shape) — linear in the corpus,
+    * never corpus × corpus. */
+  def s13_ann_random_projection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dims = 16
+    val planes = md5Planes(dims, 64)
+    val projU = udf { v: Seq[Float] =>
+      val q = new Array[Long](v.length)
+      var i = 0
+      while (i < v.length) {
+        q(i) = math.floor(v(i).toDouble * 4096.0).toLong
+        i += 1
+      }
+      Array.tabulate(dims) { j =>
+        var acc = 0L
+        var k = 0
+        val p = planes(j)
+        val n = math.min(p.length, q.length)
+        while (k < n) { acc += p(k) * q(k); k += 1 }
+        acc
+      }.toSeq
+    }
+    val cosU = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0L || nb == 0L) 0.0
+      else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    val qKeyU = udf { c: Double => qCosKey(c) }
+    graft.dedup.DedupOps.withCache(withNearDups(s, d)
+        .select($"vec_id", projU($"embedding").as("y"))) { proj =>
+      val queries = proj.filter($"vec_id" < 100)
+        .select($"vec_id".as("query_id"), $"y".as("qy"))
+      val top1 = udaf(new TopKCosine(1))
+      val best = proj.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos", cosU($"qy", $"y"))
+        .groupBy($"query_id")
+        .agg(top1($"cos", $"vec_id").as("nbrs"))
+        .select($"query_id", element_at($"nbrs", 1).as("best_id"))
+      val twinQ = proj.select(($"vec_id" - Shift).as("query_id"), $"y".as("ty"))
+        .join(queries, "query_id")
+        .select($"query_id", qKeyU(cosU($"qy", $"ty")).as("twin_qcos"))
+      best.join(twinQ, "query_id")
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(when($"best_id" === $"query_id" + Shift, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"))
+            .as("twin_recall_at_1"),
+          min($"twin_qcos").as("min_twin_qcos"))
+    }
+  }
+
+  /** The s13 projection + rank-1 audit replayed: the planted union
+    * ([[nearDupsSqlCtes]]), md5-regenerated ±1 planes (s03's SQL),
+    * 2^-12 integer quantization, exact BIGINT projections and dot
+    * products, the same IEEE double cosine, quantized-key rank-1, the
+    * twin check, and the worst projected twin cosine. (lazy: it splices
+    * [[nearDupsSqlCtes]], which is declared later in this object — an
+    * eager val would interpolate null at object init.) */
+  lazy val s13Oracle: String =
+    s"""WITH $nearDupsSqlCtes,
+      |qv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qv
+      |  FROM emb),
+      |sgn AS (
+      |  SELECT b,
+      |    list_transform(range(0, 64), i -> CASE WHEN
+      |        strpos('02468ace', substr(md5('lsh:' || b || ':' || i), 1, 1)) > 0
+      |      THEN 1 ELSE -1 END) AS srow
+      |  FROM (SELECT unnest(range(0, 16)) AS b)),
+      |pr AS (
+      |  SELECT qv.vec_id, sgn.b,
+      |    CAST(list_sum(list_transform(range(0, 64),
+      |      i -> sgn.srow[i + 1] * qv.qv[i + 1])) AS BIGINT) AS yj
+      |  FROM qv CROSS JOIN sgn),
+      |y AS (SELECT vec_id, list(yj ORDER BY b) AS y FROM pr GROUP BY 1),
+      |qs AS (SELECT vec_id AS query_id, y AS qy FROM y WHERE vec_id < 100),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> q.qy[i] * e.y[i])) AS BIGINT) AS dot,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> q.qy[i] * q.qy[i])) AS BIGINT) AS na,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> e.y[i] * e.y[i])) AS BIGINT) AS nb
+      |  FROM qs q CROSS JOIN y e WHERE e.vec_id <> q.query_id),
+      |cosd AS (
+      |  SELECT query_id, vec_id,
+      |    CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS DOUBLE)
+      |         ELSE CAST(dot AS DOUBLE)
+      |           / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS cos
+      |  FROM scored),
+      |best AS (
+      |  SELECT query_id, vec_id AS best_id FROM (
+      |    SELECT query_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY ${qCosKeySql("cos")} DESC, vec_id) AS rk
+      |    FROM cosd)
+      |  WHERE rk = 1),
+      |tw AS (
+      |  SELECT q.query_id,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> q.qy[i] * t.y[i])) AS BIGINT) AS dot,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> q.qy[i] * q.qy[i])) AS BIGINT) AS na,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> t.y[i] * t.y[i])) AS BIGINT) AS nb
+      |  FROM qs q JOIN y t ON t.vec_id = q.query_id + 100000),
+      |twq AS (
+      |  SELECT query_id,
+      |    CAST(trunc((CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS DOUBLE)
+      |      ELSE CAST(dot AS DOUBLE)
+      |        / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END)
+      |      * 4294967296) AS BIGINT) AS twin_qcos
+      |  FROM tw)
+      |SELECT COUNT(*) AS n_queries,
+      |  CAST(SUM(CASE WHEN b.best_id = b.query_id + 100000 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS twin_recall_at_1,
+      |  CAST(MIN(t.twin_qcos) AS BIGINT) AS min_twin_qcos
+      |FROM best b JOIN twq t USING (query_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01_ann_bruteforce _),
     "s02_embedding_neardup" -> (s02_embedding_neardup _),
     "s03_ann_lsh_recall" -> (s03_ann_lsh_recall _),
     "s04_ann_ivf" -> ((s: SparkSession, d: String) => s04_ann_ivf(s, d)),
+    "s13_ann_random_projection" -> (s13_ann_random_projection _),
   )
 
   /** The full s03 computation replayed in SQL: regenerate the ±1 planes
@@ -691,5 +844,6 @@ object SimilarityOps {
     "s02_embedding_neardup" -> s02Oracle,
     "s03_ann_lsh_recall" -> s03Oracle,
     "s04_ann_ivf" -> s04Oracle,
+    "s13_ann_random_projection" -> s13Oracle,
   )
 }

@@ -91,15 +91,26 @@ object Bench {
     spark.read.parquet(s"$sfDir/orders.parquet")
       .groupBy("o_orderstatus").count().count()
     // SPARK_GRAFT_BENCH_ONLY redirects the detail file so an isolated
-    // re-measure never clobbers the full-suite BENCH_DETAIL.json
+    // re-measure never clobbers the full-suite detail — UNCONDITIONALLY
+    // (r14 ADVICE: with SPARK_GRAFT_BENCH_DETAIL also set, the subset
+    // headline used to overwrite the named file, silently dropping the
+    // other queries' entries that priorMins reads on the next full run).
+    // The partial lands as a `.partial.json` sibling of whatever detail
+    // path is in effect, explicit or derived.
     val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val detail =
-      if (onlySet.isDefined && !sys.env.contains("SPARK_GRAFT_BENCH_DETAIL"))
-        detailPath.resolveSibling("BENCH_DETAIL.partial.json")
+      if (onlySet.isDefined)
+        detailPath.resolveSibling(
+          detailPath.getFileName.toString.stripSuffix(".json") + ".partial.json")
       else detailPath
     val prior = priorMins(detailPath)
     val loadStart = loadAvg
+    // environment stamp at measurement START (the end-of-run twin is
+    // evaluated at detail-write time below): r14's +8.5% shared-set
+    // drift was unattributable because nothing recorded load at the
+    // moments that bracket the suite
+    val metaStart = EnvMeta.json(spark)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // Each query family pays its own JIT/codegen bring-up on the first
     // run, and this box takes external load spikes that can inflate any
@@ -252,7 +263,7 @@ object Bench {
     val headlineFull = results.collect {
       case (k, _, _, Some(b), _) => s"\"" + k + "\":" + r3(b) }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(detail,
-      s"""{"headline":$headlineFull,"runs":$runsJson,"failed":$fjFull,"hot":$hjFull,"hot_threshold":${r3(hotThreshold)},"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"sf":"$sfDir","meta":${EnvMeta.json(spark)}}""")
+      s"""{"headline":$headlineFull,"runs":$runsJson,"failed":$fjFull,"hot":$hjFull,"hot_threshold":${r3(hotThreshold)},"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"sf":"$sfDir","meta_start":$metaStart,"meta":${EnvMeta.json(spark)}}""")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()

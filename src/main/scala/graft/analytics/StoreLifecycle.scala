@@ -274,12 +274,31 @@ object StoreLifecycle {
         released.set(true)
         heartbeat.interrupt()
         heartbeat.join(2000)
-        var attempts = 0
-        while (attempts < 5 &&
-            (try fs.exists(lease) catch { case _: java.io.IOException => false })) {
-          try fs.delete(lease, false)
-          catch { case _: java.io.IOException => () }
-          attempts += 1
+        def deleteUntilAbsent(): Unit = {
+          var attempts = 0
+          while (attempts < 5 &&
+              (try fs.exists(lease) catch { case _: java.io.IOException => false })) {
+            try fs.delete(lease, false)
+            catch { case _: java.io.IOException => () }
+            attempts += 1
+          }
+        }
+        deleteUntilAbsent()
+        // r14 ADVICE: if join(2000) timed out with the thread blocked
+        // inside fs.create, a rewrite could still land AFTER the fifth
+        // delete. Make the timeout loud, wait (bounded) for the thread
+        // to actually die, and run one final delete pass once it is
+        // OBSERVED dead — after that point no rewrite can follow.
+        if (heartbeat.isAlive) {
+          log.warn("store lifecycle: lease heartbeat did not stop within " +
+            "2000ms of release (filesystem call likely blocked); waiting " +
+            "up to 30s more before the final lease sweep")
+          heartbeat.join(30000)
+          if (heartbeat.isAlive)
+            log.warn("store lifecycle: lease heartbeat STILL alive after " +
+              "release — a dead-lease stall of up to the stale window is " +
+              "possible if it rewrites the lease after this sweep")
+          deleteUntilAbsent()
         }
       }
     } finally jvmLock.unlock()

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Tables
@@ -134,13 +134,15 @@ object Recrawl {
     * reached as `HTTPS://HOST/x`, `…/x/`, `…/x#frag`, `…/x?utm_…`, or
     * `host:443/x` must collapse to ONE canonical row (min-id keeper,
     * d01's rule) while genuinely different resources (`…/x?page=2`)
-    * must NOT. The normalizer is a fixed chain of built-in regex
-    * expressions — fragment strip, utm_* tracking-param removal
-    * (mid-query and terminal forms), dangling-`?` cleanup, scheme+host
-    * lowercasing (path case preserved), default-port removal
-    * (http:80 / https:443), trailing-slash strip — chosen to evaluate
-    * identically under Java regex (engine) and RE2 (oracle): no
-    * lookarounds, no backreferences in patterns, only in replacements.
+    * must NOT. The normalizer is a fixed chain of built-in string/regex
+    * expressions — fragment strip, utm_* tracking-param removal anchored
+    * to the query portion (split at the first `?`, clean, conditionally
+    * recombine — path segments are never touched and a dangling `?`
+    * cannot survive), scheme+host lowercasing (path case preserved),
+    * default-port removal (http:80 / https:443), trailing-slash strip —
+    * chosen to evaluate identically under Java regex (engine) and RE2
+    * (oracle): no lookarounds, no backreferences in patterns, only in
+    * replacements.
     *
     * Fixture: per-doc base URLs plus one merging variant per doc
     * (rotating by doc_id % 4 over upper-case / utm / slash / fragment)
@@ -150,6 +152,33 @@ object Recrawl {
     * Scale shape: canonicalization is pure map-side codegen'd string
     * work; the dedup is one hash aggregation on the canonical key
     * (near-unique — d01's shuffle shape); audit is 1 row. */
+  /** The d19 normalizer chain as a reusable column expression (pure
+    * map-side codegen'd string work). utm stripping is anchored to the
+    * QUERY portion (r14 ADVICE): split at the first '?', normalize only
+    * the query, conditionally recombine — a literal 'utm_x=y&' inside a
+    * path segment is never touched, and a dangling '?' cannot survive.
+    * A leading run of utm params (incl. the whole query) goes in one
+    * ^-anchored pass; interior/trailing ones each carry their '&'. */
+  def canonicalizeUrl(url: Column): Column = {
+    val schemeHost = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val noFrag = regexp_replace(url, "#.*", "")
+    val qPos = instr(noFrag, "?")
+    val prePart = when(qPos === 0, noFrag)
+      .otherwise(noFrag.substr(lit(1), qPos - 1))
+    val qryPart = when(qPos === 0, lit(""))
+      .otherwise(noFrag.substr(qPos + 1, length(noFrag)))
+    val qLead = regexp_replace(qryPart,
+      "^(?:utm_[A-Za-z]+=[^&]*(?:&|$))+", "")
+    val qRest = regexp_replace(qLead, "&utm_[A-Za-z]+=[^&]*", "")
+    val utmClean = when(qRest === "", prePart)
+      .otherwise(concat(prePart, lit("?"), qRest))
+    val lowered = concat(lower(regexp_extract(utmClean, schemeHost, 0)),
+      regexp_replace(utmClean, schemeHost, ""))
+    val p80 = regexp_replace(lowered, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
+    val p443 = regexp_replace(p80, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    regexp_replace(p443, "/$", "")
+  }
+
   def d19_url_canonical_dedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ids = Tables.documents(s, d).select($"doc_id")
@@ -179,18 +208,7 @@ object Recrawl {
         .select(($"doc_id" + 700000L).as("doc_id"),
           concat(lit("https://"), host, lit(":443/page/"),
             $"doc_id".cast("string")).as("url")))
-    val schemeHost = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
-    val noFrag = regexp_replace($"url", "#.*", "")
-    val utmMid = regexp_replace(noFrag, "utm_[A-Za-z]+=[^&#]*&", "")
-    val utmQ = regexp_replace(utmMid, "\\?utm_[A-Za-z]+=[^&#]*$", "")
-    val utmA = regexp_replace(utmQ, "&utm_[A-Za-z]+=[^&#]*$", "")
-    val noQm = regexp_replace(utmA, "\\?$", "")
-    val lowered = concat(lower(regexp_extract(noQm, schemeHost, 0)),
-      regexp_replace(noQm, schemeHost, ""))
-    val p80 = regexp_replace(lowered, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
-    val p443 = regexp_replace(p80, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
-    val canonCol = regexp_replace(p443, "/$", "")
-    rows.withColumn("canon", canonCol)
+    rows.withColumn("canon", canonicalizeUrl($"url"))
       .groupBy($"canon")
       .agg(count(lit(1)).as("n_in_group"), min($"doc_id").as("keeper_id"))
       .agg(count(lit(1)).as("n_canonical"),
@@ -236,10 +254,19 @@ object Recrawl {
       |    'https://docs' || (doc_id % 50) || '.example.gov.au:443/page/' || doc_id
       |  FROM ids WHERE doc_id % 8 = 1),
       |c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM u),
-      |c2 AS (SELECT doc_id, regexp_replace(u, 'utm_[A-Za-z]+=[^&#]*&', '', 'g') AS u FROM c1),
-      |c3 AS (SELECT doc_id, regexp_replace(u, '\?utm_[A-Za-z]+=[^&#]*$$', '', 'g') AS u FROM c2),
-      |c4 AS (SELECT doc_id, regexp_replace(u, '&utm_[A-Za-z]+=[^&#]*$$', '', 'g') AS u FROM c3),
-      |c5 AS (SELECT doc_id, regexp_replace(u, '\?$$', '', 'g') AS u FROM c4),
+      |cs AS (SELECT doc_id,
+      |  CASE WHEN strpos(u, '?') = 0 THEN u
+      |       ELSE substr(u, 1, strpos(u, '?') - 1) END AS pre,
+      |  CASE WHEN strpos(u, '?') = 0 THEN ''
+      |       ELSE substr(u, strpos(u, '?') + 1) END AS qry
+      |  FROM c1),
+      |cq AS (SELECT doc_id, pre,
+      |  regexp_replace(
+      |    regexp_replace(qry, '^(?:utm_[A-Za-z]+=[^&]*(?:&|$$))+', '', 'g'),
+      |    '&utm_[A-Za-z]+=[^&]*', '', 'g') AS q
+      |  FROM cs),
+      |c5 AS (SELECT doc_id,
+      |  CASE WHEN q = '' THEN pre ELSE pre || '?' || q END AS u FROM cq),
       |c6 AS (SELECT doc_id,
       |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
       |    || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS u

@@ -51,14 +51,49 @@ object TrainingPipeline {
   private[graft] def shardedAuditOf(docs: DataFrame): DataFrame =
     auditRollup(shardedSurvivorsOf(docs))
 
+  /** Stage-3 discipline resolution (r14 verdict item 6 — the hatch used
+    * to require the CALLER to know their corpus was skewed; now the
+    * default engages it automatically):
+    * `spark.graft.pipeline.capMode` = `window` (exact rank cap, forced) |
+    * `threshold` (salted-hash hatch, forced) | `auto` (default).
+    *
+    * AUTO probes the RAW input's per-source maximum — a column-pruned
+    * scan + map-side-combined count + 1-row max to the driver (bounded
+    * collect) — and engages the threshold hatch when any source exceeds
+    * `spark.graft.pipeline.skewBound` (default 1,000,000 rows: below it
+    * the exact window's single-task per-source sort is cheap; above it
+    * a mega-domain would serialize into one task). Pre-gate counts
+    * upper-bound post-dedup survivor counts, so auto is conservative:
+    * it can engage the hatch for a corpus the exact window could still
+    * have handled, never the reverse — and it costs one cheap probe job
+    * instead of re-running the gate+dedup stages for an exact count.
+    * Returns true when stage 3 should use the threshold hatch. */
+  private[graft] def resolveThresholdCap(docs: DataFrame): Boolean = {
+    val conf = docs.sparkSession.conf
+    conf.get("spark.graft.pipeline.capMode", "auto") match {
+      case "window"    => false
+      case "threshold" => true
+      case "auto" =>
+        val bound = conf.get("spark.graft.pipeline.skewBound", "1000000").toLong
+        val maxSrc = docs.groupBy("source").count()
+          .agg(coalesce(max("count"), lit(0L))).head.getLong(0)
+        maxSrc > bound
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.pipeline.capMode must be auto|window|threshold, got $other")
+    }
+  }
+
   /** The pipeline stages over a caller-supplied `(doc_id, text, source)`
     * frame — ONE definition of gate → dedup → cap → shard, shared by
     * p01 (the `documents` table) and p02 (the WARC-extracted corpus).
-    * `thresholdCap = true` selects the hot-domain escape hatch for
-    * stage 3 (see [[p01b_threshold_cap]]). */
+    * `thresholdCap`: Some(true) forces the hot-domain escape hatch for
+    * stage 3 (see [[p01b_threshold_cap]]), Some(false) forces the exact
+    * window; None (the default) resolves via [[resolveThresholdCap]] —
+    * `capMode=auto` unless the session says otherwise. */
   private def shardedSurvivorsOf(docs: DataFrame,
-      thresholdCap: Boolean = false): DataFrame = {
+      thresholdCap: Option[Boolean] = None): DataFrame = {
     import docs.sparkSession.implicits._
+    val useThreshold = thresholdCap.getOrElse(resolveThresholdCap(docs))
     // Stage 1 — t07's gate, bit-for-bit (same signal frame the gate and
     // the t13 classifier train on).
     val tooShort = $"n_tok" < 30
@@ -78,8 +113,9 @@ object TrainingPipeline {
       .withColumn("rn", row_number().over(byDigest))
       .filter($"rn" === 1).drop("rn")
     // Stage 3 — per-domain cap, two selectable disciplines sharing the
-    // same "p01cap:" salt family:
-    //  - EXACT (default): a deterministic salted order (t15's md5
+    // same "p01cap:" salt family (selection: forced by the caller, or
+    // capMode=auto's skew probe — see resolveThresholdCap):
+    //  - EXACT: a deterministic salted order (t15's md5
     //    device) so the ≤15 survivors per source are a reproducible
     //    uniform choice, not an input-order artifact. Costs a rank
     //    window on `source` — fine until a mega-domain runs hot.
@@ -92,7 +128,7 @@ object TrainingPipeline {
     //    costs the same per row as any other; the cap becomes
     //    approximate (binomial around DomainCap) — the documented
     //    price of the hatch.
-    val capped = if (thresholdCap) {
+    val capped = if (useThreshold) {
       val counts = deduped.groupBy($"source").agg(count(lit(1)).as("n_src"))
       val thr = counts.select($"source",
         (least(lit(1.0), lit(DomainCap).cast("double") /
@@ -152,13 +188,16 @@ object TrainingPipeline {
     * construction), the cap window on `source`, and the shard rollup
     * (8 groups after an order-key ranking window on `shard`). The one
     * key that CAN run hot at crawl scale is `source` (a mega-domain
-    * holds billions of docs); the exact-rank window here is the
-    * correctness-first choice, and the escape hatch for skewed domains
-    * is IMPLEMENTED as [[p01b_threshold_cap]] — same pipeline with
-    * stage 3 switched to t16's salted-hash threshold keep (map-side
-    * decision, no window on `source`), at the price of an approximate
-    * (± hash variance) rather than exact cap. Nothing driver-side
-    * anywhere: the audit is 8 rows. */
+    * holds billions of docs); the exact-rank window is the
+    * correctness-first choice on a cool corpus, and since r15 the
+    * DEFAULT is `capMode=auto` — [[resolveThresholdCap]]'s cheap skew
+    * probe engages the salted-hash hatch ([[p01b_threshold_cap]]'s
+    * stage 3: map-side decision, no window on `source`) the moment any
+    * source exceeds the skew bound, so a caller no longer needs to know
+    * their corpus is skewed (the r14 footgun). The hatch's price is an
+    * approximate (± hash variance) rather than exact cap. Nothing
+    * driver-side anywhere beyond the probe's 1-row max: the audit is
+    * 8 rows. */
   def p01_training_pipeline(s: SparkSession, d: String): DataFrame =
     auditRollup(shardedSurvivors(s, d))
 
@@ -176,7 +215,7 @@ object TrainingPipeline {
   def p01b_threshold_cap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     auditRollup(shardedSurvivorsOf(Tables.documents(s, d)
-      .select($"doc_id", $"text", $"source"), thresholdCap = true))
+      .select($"doc_id", $"text", $"source"), thresholdCap = Some(true)))
   }
 
   /** Materialize the pipeline's survivors as TRAINING SHARDS — the

@@ -905,14 +905,32 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q27 golden pin at sf0.001: HLL sketch estimates are deterministic") {
-    // approx_count_distinct has no cross-engine oracle by design; pin the
-    // exact estimates so sketch-parameter or implementation drift shows up
+    // approx_count_distinct estimates have no cross-engine oracle by
+    // design; pin the exact estimate values so sketch-parameter or
+    // implementation drift shows up (the driver-checked q27 row only
+    // sees the bound verdict, never the raw estimate)
     val rows = graft.analytics.Relational2
-      .q27_approx_distinct(spark, "/root/testdata/sf0.001").collect()
+      .q27_raw_estimates(spark, "/root/testdata/sf0.001").collect()
     val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("A", 1074L, 1081L), ("N", 1115L, 1110L), ("R", 1083L, 1096L)),
       s"got $got")
     rows.foreach(r => assert(r.getDouble(3) < 0.02)) // inside the rsd dial
+  }
+
+  test("q27 driver row at sf0.001: bound arithmetic matches the oracle form") {
+    // the registered q27 emits floor(exact*0.06) and the inside-bound
+    // verdict; replay the bound from the pinned exact counts and assert
+    // the verdicts read 1 (estimates above are 7, -5, -13 off exact —
+    // all well inside floor(exact*0.06) = 64/66/65)
+    val rows = graft.analytics.Relational2
+      .q27_approx_distinct(spark, "/root/testdata/sf0.001").collect()
+    val got = rows.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expect = Seq(("A", 1081L), ("N", 1110L), ("R", 1096L)).map {
+      case (f, exact) =>
+        (f, exact, math.floor(exact.toDouble * 0.06).toLong, 1L)
+    }
+    assert(got == expect, s"got $got")
   }
 
   test("connected components: chain, triangle, isolated pair resolve to min-id labels") {

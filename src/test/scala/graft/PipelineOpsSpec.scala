@@ -230,4 +230,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_kept"))).toSeq
     assert(again == rows.map(r => (r._1, r._4)))
   }
+
+  test("p01 capMode=auto above the skew bound is value-identical to p01b") {
+    // the auto-engaged hatch must be the SAME discipline p01b's oracle
+    // certifies — same salt family, same thresholds, same audit bytes
+    val expected = graft.pipeline.TrainingPipeline
+      .p01b_threshold_cap(spark, sf).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.pipeline.capMode", "auto")
+    spark.conf.set("spark.graft.pipeline.skewBound", "0")
+    try {
+      val got = graft.pipeline.TrainingPipeline
+        .p01_training_pipeline(spark, sf).collect().map(_.toSeq).toSeq
+      assert(got == expected)
+    } finally {
+      spark.conf.unset("spark.graft.pipeline.capMode")
+      spark.conf.unset("spark.graft.pipeline.skewBound")
+    }
+  }
+
+  test("d19 canonicalizer: utm strip is anchored to the query portion") {
+    val sp = spark
+    import sp.implicits._
+    // (input, expected canonical) — the r14 ADVICE cases first: a
+    // literal 'utm_x=y&' in a PATH segment must survive; runs of utm
+    // params (leading, interior, trailing, whole-query) must all strip
+    // without leaving a dangling '?'; non-utm params keep their order
+    val cases = Seq(
+      // path segment containing a utm-shaped literal: untouched
+      ("https://h.example/a/utm_x=y&b/c", "https://h.example/a/utm_x=y&b/c"),
+      ("https://h.example/p?utm_a=1", "https://h.example/p"),
+      ("https://h.example/p?utm_a=1&utm_b=2&utm_c=3", "https://h.example/p"),
+      ("https://h.example/p?utm_a=1&real=2&utm_b=3", "https://h.example/p?real=2"),
+      ("https://h.example/p?real=1&utm_a=2&utm_b=3", "https://h.example/p?real=1"),
+      ("https://h.example/p?real=1&utm_a=2&real2=3",
+        "https://h.example/p?real=1&real2=3"),
+      ("https://h.example/p?page=2", "https://h.example/p?page=2"),
+      // the classic chain: fragment + utm + case + port + slash
+      ("HTTPS://H.EXAMPLE:443/P/?utm_source=feed&utm_campaign=x#frag",
+        "https://h.example/P"),
+      ("http://h.example:80/p?utm_a=1&q=2#s", "http://h.example/p?q=2"),
+      // bare '?' with only utm content never leaves a dangling '?'
+      ("https://h.example/p?utm_a=", "https://h.example/p"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.dedup.Recrawl.canonicalizeUrl($"url"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
 }

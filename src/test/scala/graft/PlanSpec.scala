@@ -437,6 +437,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("p01 capMode=auto: both branches plan correctly either side of the skew bound") {
+    requireTable("documents")
+    def winKeys(plan: String): Set[String] =
+      "windowspecdefinition\\((\\w+)#".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    // branch 1 — corpus below the bound (default 1M; this one is tiny):
+    // auto must resolve to the EXACT window discipline, i.e. the same
+    // 3-rank-window plan the p01 oracle row certifies
+    spark.conf.set("spark.graft.pipeline.capMode", "auto")
+    try {
+      val calm = physical(
+        graft.pipeline.TrainingPipeline.p01_training_pipeline(spark, sf))
+      assert(winKeys(calm).contains("source"),
+        s"auto below the bound must keep the exact source window:\n$calm")
+      // branch 2 — force every source over the bound: auto must engage
+      // the hatch — NO window partitioned on source, thresholds broadcast
+      spark.conf.set("spark.graft.pipeline.skewBound", "0")
+      val hot = physical(
+        graft.pipeline.TrainingPipeline.p01_training_pipeline(spark, sf))
+      assert(!winKeys(hot).contains("source"),
+        s"auto above the bound failed to engage the threshold hatch:\n$hot")
+      assert(hot.contains("BroadcastHashJoin"),
+        s"threshold join lost broadcast:\n$hot")
+      // forced overrides win regardless of the bound
+      spark.conf.set("spark.graft.pipeline.capMode", "window")
+      val forced = physical(
+        graft.pipeline.TrainingPipeline.p01_training_pipeline(spark, sf))
+      assert(winKeys(forced).contains("source"), s"capMode=window ignored:\n$forced")
+    } finally {
+      spark.conf.unset("spark.graft.pipeline.capMode")
+      spark.conf.unset("spark.graft.pipeline.skewBound")
+    }
+  }
+
   test("p06: decontaminated split — equi-joins only on top of d02's guarded pass") {
     requireTable("documents")
     // the guard composes d02's certified near-dup machinery with split

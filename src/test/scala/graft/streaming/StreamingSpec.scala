@@ -141,6 +141,100 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally s.conf.set("spark.sql.shuffle.partitions", "2")
   }
 
+  test("checkpoint restart: a mid-batch crash recovers to the uninterrupted decisions") {
+    // r14 verdict item 4: the drains prove drain-equality and st09
+    // proves idempotent appends, but nothing killed a running stream
+    // mid-batch and restarted from checkpoint. This drives st08's exact
+    // per-batch admission plan (storeAdmissionDecisions against the
+    // persisted d10 store) through the WORST failure point — the query
+    // dies AFTER a batch's output is written but BEFORE its offset
+    // commits — then restarts against the same checkpoint + store and
+    // must land on the uninterrupted run's decisions exactly:
+    // committed batches are not re-run, the in-flight batch replays
+    // with the SAME batch id over its own output (the batchId-keyed
+    // overwrite is the foreachBatch exactly-once recipe), and the
+    // remaining input drains.
+    val s = spark
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val (bandT, digT) = graft.dedup.IncrementalDedup.ensureIncrementalStore(s, d)
+    val off = graft.dedup.IncrementalDedup.plantedOffsetFor(s, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-restart")
+    try {
+      // stage the corpus as THREE files so maxFilesPerTrigger=1 yields
+      // three micro-batches
+      val stage = s"$root/stage"
+      val docs = graft.analytics.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      (0 until 3).foreach { i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(stage)
+      }
+      val sch = s.read.parquet(stage).schema
+      // st08's planted derivation per batch: %31 exact-dup probes at
+      // +off, %37 near-dup (first-token-dropped) probes at +2*off —
+      // both admission outcomes fire in every micro-batch
+      def runIngest(outDir: String, ckpt: String, crashAtBatch: Int)
+          : (Option[Throwable], Seq[Long]) = {
+        val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val toks = split(trim(col("text")), "\\s+")
+        val dropped = array_join(slice(toks, lit(1), size(toks) - 1), " ")
+        val batchStream = stream.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + off).as("doc_id"), col("text"))
+          .unionByName(stream.filter(col("doc_id") % 37 === 0)
+            .select((col("doc_id") + 2L * off).as("doc_id"),
+              dropped.as("text")))
+        val q = batchStream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            seen.add(id)
+            val dec = graft.dedup.IncrementalDedup
+              .storeAdmissionDecisions(s, d, b, bandT, digT)
+            dec.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+            if (seen.size == crashAtBatch)
+              throw new RuntimeException("planted mid-stream crash")
+          }
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        import scala.jdk.CollectionConverters._
+        try { q.awaitTermination(); (None, seen.asScala.toSeq) }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            (Some(e), seen.asScala.toSeq)
+        }
+      }
+      def readAll(outDir: String): Seq[Seq[Any]] =
+        s.read.parquet(s"$outDir/batch_*")
+          .collect().map(_.toSeq.toList: Seq[Any]).sortBy(_.toString()).toSeq
+      // uninterrupted baseline (its own checkpoint + output)
+      val (baseErr, baseIds) = runIngest(s"$root/base", s"$root/ckpt_base", 99)
+      assert(baseErr.isEmpty && baseIds == Seq(0L, 1L, 2L))
+      // crashed run: batch id 1's output lands, then the query dies
+      // before that batch's offset commits
+      val (crashErr, crashIds) = runIngest(s"$root/cr", s"$root/ckpt_cr", 2)
+      assert(crashErr.isDefined, "planted crash did not surface")
+      assert(crashIds == Seq(0L, 1L))
+      // restart from the SAME checkpoint: batch 0 must NOT re-run
+      // (committed), batch 1 replays with its own id, batch 2 drains
+      val (recErr, recIds) = runIngest(s"$root/cr", s"$root/ckpt_cr", 99)
+      assert(recErr.isEmpty, s"restart failed: $recErr")
+      assert(recIds == Seq(1L, 2L),
+        s"restart replayed the wrong batches: $recIds")
+      val base = readAll(s"$root/base")
+      val rec = readAll(s"$root/cr")
+      assert(base.nonEmpty && rec == base,
+        s"recovered decisions diverge: base=${base.size} rec=${rec.size}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   test("p03: both admission outcomes fire — recrawl refused, novel admitted, audit binds") {
     // execution properties the DuckDB oracle cannot see: that the
     // RECRAWL half of the stream is actually refused by the persisted

@@ -13,11 +13,37 @@ import glob
 import json
 import math
 import os
+import re
 import sys
 
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Oracle output types that are driver-poison regardless of values: DuckDB
+# HUGEINT/DECIMAL (and unsigned ints) reach pandas as float64/object/uint,
+# so the driver's TYPED hash mismatches a Spark int64 even when == holds.
+# This exact gap hid s06's dropped_id_sum (SUM(BIGINT) -> HUGEINT) for
+# four rounds (r10-r13); the r14 root-cause device was a one-off DESCRIBE
+# sweep — standing since r15 (r14 verdict item 7).
+BAD_ORACLE_TYPE = re.compile(
+    r"HUGEINT|DECIMAL|UBIGINT|UINTEGER|USMALLINT|UTINYINT", re.I)
+
+
+def describe_sweep(con, oracle):
+    """DESCRIBE every oracle query; return (name, col, type) offenders."""
+    offenders = []
+    for name in sorted(oracle):
+        try:
+            rows = con.execute(f"DESCRIBE ({oracle[name]})").fetchall()
+        except Exception as e:
+            offenders.append((name, "<describe failed>", str(e)))
+            continue
+        for row in rows:
+            col, typ = row[0], row[1]
+            if BAD_ORACLE_TYPE.search(typ or ""):
+                offenders.append((name, col, typ))
+    return offenders
 
 
 def canon(df):
@@ -58,6 +84,11 @@ def main(sfdir, outdir):
     with open(os.path.join(outdir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
+    # standing dtype pre-gate: any oracle emitting a driver-poison type
+    # fails the gate BEFORE value comparison ever runs
+    for name, col, typ in describe_sweep(con, oracle):
+        print(f"FAIL {name}: oracle dtype sweep col={col} type={typ}")
+        n_fail += 1
     for name in sorted(oracle):
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not files:

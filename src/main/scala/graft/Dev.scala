@@ -30,6 +30,11 @@ object Dev {
         args.lift(4).map(_.toInt).getOrElse(10))
       spark.stop(); return
     }
+    if (args.headOption.contains("compaction-e2e")) {
+      compactionUnderLoad(spark, args(1),
+        args.lift(2).getOrElse("COMPACTION_E2E.json"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("show")) {
       SparkEntry.queries(args(1))(spark, sfDir).show(50, false)
       spark.stop(); return
@@ -218,7 +223,7 @@ object Dev {
       materialized
     }
     val annProbes = Set("s07_ann_store", "s08_ann_ivfpq", "s09_ann_ivfpq_rerank")
-    val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
+    val allNames = Seq("d01_exact_dedup", "d02_minhash_lsh", "d03_simhash",
       "d04_ngram_jaccard", "d06_dedup_clusters", "d10_store_incremental",
       "d11_line_dedup", "d12_span_dedup", "d13_span_removal",
       "d14_bloom_dedup", "d16_dedup_materialize", "d18_crawl_diff",
@@ -265,7 +270,63 @@ object Dev {
       // d19: map-side URL normalization + near-unique-key agg (linear)
       "d19_url_canonical_dedup",
       // s13: map-side projection + 100-query broadcast top-1 (linear)
-      "s13_ann_random_projection")
+      "s13_ann_random_projection",
+      // ---- round-15: the cert list extends to EVERY headline query
+      // whose input lives in the scaled corpus (documents / embeddings /
+      // events) — 41 additions; the remaining TPC-H-table queries are
+      // excluded with per-family justifications in COVERAGE.md (r14
+      // verdict item 2: "covered" and "low-risk" are different claims).
+      // dedup remainder: d05/d15 contamination n-gram probes, d07/d08
+      // the incremental store's batch twin + signature build, d09 the
+      // minhash Jaccard estimator
+      "d05_contamination", "d07_incremental_dedup", "d08_signature_store",
+      "d09_minhash_estimate", "d15_ngram_overlap",
+      // multimodal decode/feature extraction (real PNG/WAV codecs,
+      // per-row UDF cost — linear by shape, certified not argued)
+      "m01_media_decode", "m02_frame_sample", "m03_audio_features",
+      // events-based relational: the salted agg and range join the r14
+      // verdict named, plus the other corpus-proportional event shapes
+      "q09_window_running", "q14_timeseries", "q17_json_extract",
+      "q19_pivot", "q26_salted_agg", "q28_asof_join",
+      "q32_range_join", "q35_sessionize",
+      // documents-based relational: token explode, split/sample/mixture
+      "q23_explode_tokens", "q30_deterministic_split",
+      "q31_stratified_sample", "q33_temperature_mix",
+      // similarity remainder: brute-force baseline (linear by contract),
+      // LSH recall, IVF, PQ
+      "s01_ann_bruteforce", "s03_ann_lsh_recall", "s04_ann_ivf",
+      "s05_ann_pq",
+      // streaming remainder: watermarked stream dedup
+      "st03_stream_dedup",
+      // text family: per-doc map-side stats + bounded driver recurrences
+      // (t11's merge loop and t13's GD rounds are fixed-count; per-round
+      // cost must scale linearly)
+      "t01_token_stats", "t02_quality_score", "t03_lang_id",
+      "t04_fingerprint", "t05_repetition", "t06_pii_scrub",
+      "t07_quality_gate", "t09_rare_tokens", "t10_bigram_novelty",
+      "t11_bpe_vocab", "t12_sequence_pack", "t13_quality_model",
+      "t17_lm_perplexity",
+      // WARC family remainder (w09's gz twin already certified): parse
+      // chain, RAKE, blacklist, fallback extraction — all linear scans
+      "w01_warc_pipeline", "w02_rake_keywords", "w03_blacklist_filter",
+      "w04_fallback_extract", "w05_corpus_rake", "w06_rake_scores",
+      // round-15 ADVERSARIAL fixture (r14 verdict item 3): the banded
+      // joins' oversized-bucket guard certified under PLANTED skew — a
+      // hot key carrying ~20% of one band's signatures. pass REQUIRES
+      // the guard to fire (star fallback engaged) at BOTH scales while
+      // the cost ratio stays in contract: the O(N²) bucket must degrade
+      // to the O(N) star, never to a quadratic pair join.
+      "skew01_planted_hot_band")
+    // SPARK_GRAFT_SCALEBENCH_ONLY=a,b — dev-facing subset iteration
+    // (new cert rows are expensive to debug through a full 90+-query
+    // run); the round's certification artifact is ALWAYS produced by an
+    // unfiltered run — a filtered artifact's all_pass covers only the
+    // subset, so the run banner says so
+    val onlyFilter = sys.env.get("SPARK_GRAFT_SCALEBENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    onlyFilter.foreach(f => println(
+      s"[scalebench] SUBSET RUN (${f.size} of ${allNames.size} queries) — not a certification artifact"))
+    val names = onlyFilter.fold(allNames)(f => allNames.filter(f))
     // late guard events: the 500 ms post-run sleep is best-effort — an
     // event landing after it would otherwise be silently charged to the
     // NEXT run; drain leftovers at run start and attribute them to the
@@ -290,6 +351,7 @@ object Dev {
       val fn: (org.apache.spark.sql.SparkSession, String) => DataFrame =
         if (name == "s06_semantic_dedup") runS06
         else if (name == "s10_knn_graph") runS10
+        else if (name == "skew01_planted_hot_band") skewProbe
         else if (annProbes(name)) runAnnProbe(name)
         else SparkEntry.queries(name)
       val rows = fn(spark, dir).count()
@@ -342,17 +404,31 @@ object Dev {
         else ""
       val guardJson = guards.map { case (n, c, mx) =>
         s"""{"metric":"$n","members":$c,"largest":$mx}""" }.mkString("[", ",", "]")
+      // the skew fixture INVERTS the guard expectation: everywhere else
+      // a guard hit is recorded (and must be zero on healthy data), but
+      // the planted-hot-band row only passes when the star fallback
+      // ENGAGED at both scales — a silent non-engagement would mean the
+      // O(N²) bucket ran as an all-pairs join and merely got lucky on
+      // time at this SF
+      val guardExtra = if (name == "skew01_planted_hot_band") {
+        val gb = base.flatMap(_._2).nonEmpty
+        val gs = scaled.flatMap(_._2).nonEmpty
+        s""","skew_guard_engaged_base":$gb,"skew_guard_engaged_scaled":$gs"""
+      } else ""
+      val skewGuardOk = name != "skew01_planted_hot_band" ||
+        (base.flatMap(_._2).nonEmpty && scaled.flatMap(_._2).nonEmpty)
       // the contract, COMPUTED (advisory: it was only a prose string —
       // a quadratic regression would still write a green-looking
       // artifact); ANN probes additionally require the shrinking scan
-      val pass = ratio <= scaleFactor + 2 && annDrop.forall(identity)
+      val pass = ratio <= scaleFactor + 2 && annDrop.forall(identity) &&
+        skewGuardOk
       println(f"[scalebench] $name ratio=${ratio}%.2f pass=$pass")
       (name, pass,
         s"""{"base_cold":${r3(base(0)._1)},"base_warm":${r3(base(1)._1)},""" +
         s""""base_extra":${r3(base(2)._1)},""" +
         s""""scaled_cold":${r3(scaled(0)._1)},"scaled_warm":${r3(scaled(1)._1)},""" +
         s""""ratio_min":${r3(ratio)},"pass":$pass,""" +
-        s""""guard_overflows":$guardJson$annExtra$s06extra}""")
+        s""""guard_overflows":$guardJson$annExtra$s06extra$guardExtra}""")
     }
     val allPass = perQuery.forall(_._2)
     val lateJson = lateHits.map { case (run, n, c, mx) =>
@@ -369,6 +445,176 @@ object Dev {
     // artifact is on disk first; a contract breach still fails the run
     // loudly so automation can't mistake a red certification for green
     require(allPass, s"scalebench contract violated — see $outPath")
+  }
+
+  /** COMPACTION-UNDER-LOAD e2e (r14 verdict item 8, run per-round at
+    * the 10× corpus): an AnnStore generation swap executes WHILE a
+    * reader thread probes the store in a loop, certifying the
+    * rename-aside swap's reader-facing contract — a concurrent probe
+    * either answers from a COMPLETE generation (old base ∪ delta, or the
+    * folded new base; each FS rename is atomic so no probe ever computes
+    * over half a generation) or fails LOUDLY with table/file-not-found
+    * inside the vacant-name window and succeeds on retry after a
+    * refresh. Assertions: every successful probe — before, during, and
+    * after the swap — returns the SAME rank-1 decisions; failures during
+    * the window are only of the expected not-found kinds (counted,
+    * never silent); the delta is gone and decisions are invariant
+    * post-compaction. The store is an ISOLATED external copy of the
+    * shared content-addressed base (the shared generation's files are
+    * fingerprint-pinned by specs and must stay immutable); the query
+    * set is half ingested-delta vectors, half base vectors, so losing
+    * EITHER side of base ∪ delta mid-swap would flip a rank-1 self-match
+    * and be caught as a mismatch, not a timing artifact. */
+  def compactionUnderLoad(spark: SparkSession, dir: String,
+      outPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sim.AnnStore
+    import graft.analytics.StoreLifecycle
+    val (shared, cb, pqCb) = AnnStore.ensureAnnStore(spark, dir)
+    val k = cb.length
+    val base = shared + "_c8load"
+    val delta = base + "_delta"
+    val cleanupTbls = Seq(base, delta, base + "_compacting", base + "_pre_swap")
+    def dropAll(): Unit = {
+      cleanupTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val conf = spark.sparkContext.hadoopConfiguration
+      cleanupTbls.foreach { t =>
+        val p = StoreLifecycle.tablePath(spark, t)
+        p.getFileSystem(conf).delete(p, true)
+      }
+    }
+    dropAll()
+    try {
+      // isolated EXTERNAL base (the production store kind — the swap
+      // must exercise the FS directory rename path, not the managed
+      // metastore rename) + the corpus marker swapInExternal requires
+      StoreLifecycle.saveStoreTable(spark.table(shared), base,
+        k, Seq("cid"), Seq("cid"))
+      StoreLifecycle.carryMarker(spark, shared, base)
+      require(StoreLifecycle.isExternalStore(spark, base),
+        "compaction-e2e: isolated base must be external")
+      // delta: st09's ingest shape — rotated copies at derived-offset
+      // ids, additionally NEGATED: the 10× corpus's replicas are
+      // themselves rotations of replica 0 (genScaled), so a plain
+      // rotate-by-7 ingest equals the replica-7 vectors exactly and the
+      // self-match expectation dies on cosine-1 ties; no replica
+      // rotation can produce a negated vector, so rank-1 self-match is
+      // strict again
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val offset = emb.agg(max($"vec_id")).as[Long].head() + 1L
+      val rotU = udf { v: Seq[Float] => (v.drop(7) ++ v.take(7)).map(x => -x) }
+      val ingest = emb.filter($"vec_id" % 31 === 0)
+        .select(($"vec_id" + offset).as("vec_id"), rotU($"embedding").as("embedding"))
+      AnnStore.encodeForStore(ingest, cb, pqCb)
+        .write.bucketBy(k, "cid").sortBy("cid").saveAsTable(delta)
+      // fixed query set: 40 ingested + 40 base vectors — every query's
+      // expected rank-1 neighbor is itself, so a probe that lost either
+      // side of base ∪ delta flips a decision
+      val queries = ingest.limit(40)
+        .select($"vec_id".as("query_id"), $"embedding")
+        .unionByName(spark.table(base).select($"vec_id", $"embedding")
+          .filter($"vec_id" % 101 === 0).limit(40)
+          .select($"vec_id".as("query_id"), $"embedding"))
+        .localCheckpoint(true)
+      def probeOnce(): Seq[(Long, Long)] = {
+        val tbls = Seq(base) ++
+          (if (spark.catalog.tableExists(delta)) Seq(delta) else Nil)
+        tbls.foreach(spark.catalog.refreshTable)
+        AnnStore.annSearchOn(spark, tbls, cb, pqCb, queries,
+            topK = 1, rerank = 50)
+          .filter($"rank" === 1).select($"query_id", $"neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      }
+      val expected = probeOnce()
+      require(expected.nonEmpty && expected.forall(p => p._1 == p._2),
+        s"pre-compaction probe must self-match: ${expected.filter(p => p._1 != p._2).take(5)}")
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val fatal = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val okProbes = new java.util.concurrent.atomic.AtomicInteger(0)
+      val mismatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val retriedNotFound = new java.util.concurrent.atomic.AtomicInteger(0)
+      val reader = new Thread(() => {
+        while (!stop.get) {
+          try {
+            if (probeOnce() == expected) okProbes.incrementAndGet()
+            else mismatches.incrementAndGet()
+          } catch {
+            // the two LOUD shapes a reader racing the swap may see:
+            // the vacant-name window (table dropped/re-declared) and a
+            // stale file listing (aside reclaimed) — both retryable
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+                  e.getMessage.toLowerCase.contains("not found") =>
+              retriedNotFound.incrementAndGet()
+            case e: Throwable
+                if Option(e.getMessage).exists(_.contains("FileNotFound")) ||
+                  e.getCause.isInstanceOf[java.io.FileNotFoundException] ||
+                  e.isInstanceOf[java.io.FileNotFoundException] =>
+              retriedNotFound.incrementAndGet()
+            case e: Throwable => fatal.add(e); stop.set(true)
+          }
+        }
+      }, "graft-c8e2e-reader")
+      reader.start()
+      // let the reader establish steady-state probing before the swap
+      while (okProbes.get() < 1 && fatal.isEmpty) Thread.sleep(200)
+      val t0 = System.nanoTime()
+      AnnStore.compactDelta(spark, base, delta, k)
+      val compactSecs = (System.nanoTime() - t0) / 1e9
+      // post-swap: the reader must come back green (not just not-crash)
+      val postMark = okProbes.get()
+      val budget0 = System.nanoTime()
+      while (okProbes.get() < postMark + 2 && fatal.isEmpty &&
+          (System.nanoTime() - budget0) / 1e9 < 300) Thread.sleep(500)
+      stop.set(true); reader.join(120000)
+      val after = probeOnce()
+      def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      val pass = fatal.isEmpty && mismatches.get() == 0 &&
+        after == expected && !spark.catalog.tableExists(delta) &&
+        okProbes.get() >= postMark + 2
+      val json =
+        s"""{"dir":"$dir","pass":$pass,"n_queries":${expected.size},""" +
+        s""""ok_probes":${okProbes.get()},"ok_probes_pre_swap":$postMark,""" +
+        s""""mismatched_probes":${mismatches.get()},""" +
+        s""""retried_not_found":${retriedNotFound.get()},""" +
+        s""""fatal":${fatal.size()},"compact_secs":${r3(compactSecs)},""" +
+        s""""post_equals_pre":${after == expected},""" +
+        s""""delta_dropped":${!spark.catalog.tableExists(delta)}}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+      println(s"[compaction-e2e] $json")
+      if (!fatal.isEmpty) fatal.peek().printStackTrace()
+      require(pass, s"compaction-under-load contract violated — see $outPath")
+    } finally dropAll()
+  }
+
+  /** The planted-skew guard fixture (r14 verdict item 3, scalebench
+    * row `skew01_planted_hot_band`): d02's exact banded-bucket shape —
+    * [[graft.dedup.DedupOps.withNearDups]] corpus, minhash bands,
+    * posexplode to (band, bucket) — with ONE adversarial change: every
+    * 5th doc's band-0 signature is overwritten with a constant, so a
+    * single (band, bucket) key carries ~20% of the corpus (≈2N/5 rows —
+    * tens of thousands at sf0.1, 10× that at the scaled dir). All-pairs
+    * on that bucket would be O((N/5)²) — hundreds of millions of rows at
+    * base scale, ~100× that at 10×, a guaranteed ratio breach. The
+    * guard's star fallback must turn it into O(N/5) representative
+    * links; the scalebench pass rule for this row additionally requires
+    * the guard counter to be NON-ZERO at both scales (an engaged guard,
+    * not a lucky timing). Candidate generation only: the quadratic
+    * hazard lives in the bucket self-join, which is what this row
+    * certifies — the verify stage downstream is linear in candidates. */
+  def skewProbe(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.DedupOps
+    val docs = DedupOps.withNearDups(spark, sfDir)
+      .withColumn("bands", DedupOps.minhashBandsU(col("text")))
+    val buckets = docs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+      .withColumn("bucket",
+        when(col("band") === 0 && pmod(col("doc_id"), lit(5)) === 0,
+          lit(-777777L)).otherwise(col("bucket")))
+    DedupOps.guardedBucketPairs(buckets, Seq("band", "bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
   }
 
   /** Stage-by-stage timing of the d02 minhash pipeline. */

@@ -45,4 +45,19 @@ class BenchPolicySpec extends AnyFunSuite {
       Seq(3.5, 3.7, 7.1).foreach(l => assert(!Bench.isHot(l)))
     }
   }
+
+  test("EnvMeta load stamp: /proc/loadavg horizons parse and the quota probe never throws") {
+    // the r15 drift-attribution fields (r14 verdict item 5): on this
+    // Linux box all three horizons must come from /proc/loadavg
+    // (non-negative reals), and the cgroup quota probe must return a
+    // positive core count or the documented -1 unbounded/unknown
+    // sentinel — never raise
+    val (l1, l5, l15) = EnvMeta.loadAvg3
+    assert(l1 >= 0.0, s"1-min loadavg unreadable: $l1")
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get("/proc/loadavg"))) {
+      assert(l5 >= 0.0 && l15 >= 0.0, s"horizons missing: $l5 / $l15")
+    }
+    val q = EnvMeta.cgroupCpuQuota
+    assert(q == -1.0 || q > 0.0, s"quota must be positive or -1: $q")
+  }
 }

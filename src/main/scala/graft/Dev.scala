@@ -289,9 +289,13 @@ object Dev {
       "q09_window_running", "q14_timeseries", "q17_json_extract",
       "q19_pivot", "q26_salted_agg", "q28_asof_join",
       "q32_range_join", "q35_sessionize",
-      // documents-based relational: token explode, split/sample/mixture
+      // documents-based relational: token explode, split/sample/mixture,
+      // and the GK approx-quantile audit (one pass + a group-key join)
       "q23_explode_tokens", "q30_deterministic_split",
       "q31_stratified_sample", "q33_temperature_mix",
+      "q36_approx_quantile_audit",
+      // d20 quality-keeper: d02's banded chain + CC + one struct-max agg
+      "d20_quality_keeper",
       // similarity remainder: brute-force baseline (linear by contract),
       // LSH recall, IVF, PQ
       "s01_ann_bruteforce", "s03_ann_lsh_recall", "s04_ann_ivf",

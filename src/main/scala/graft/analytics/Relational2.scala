@@ -339,6 +339,49 @@ object Relational2 {
       .orderBy($"l_returnflag")
   }
 
+  // q36: approx-QUANTILE audit — q27's sketch-bound device applied to
+  // percentile_approx (Greenwald–Khanna at accuracy 100, ε = 1/100):
+  // per language, the engine computes the approximate median of
+  // n_chars, counts rows strictly below and at-or-below the estimate
+  // (the estimate's rank RANGE — GK returns an actual dataset element,
+  // and with integer ties the honest contract is that the range
+  // intersects the bound), and emits only SQL-replayable columns: the
+  // group size, the integer rank window [max(1, floor(0.49·n)),
+  // min(n, ceil(0.51·n))], and the intersection verdict. The estimate
+  // never crosses the channel, so GK's merge-order nondeterminism
+  // cannot leak into the output — any valid summary satisfies the
+  // bound, which is exactly the claim being certified. The oracle
+  // recomputes n + the same window arithmetic (double products of the
+  // same literals — IEEE-identical) and asserts the verdict literally.
+  def q36_approx_quantile_audit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"lang", $"n_chars")
+    val apx = docs.groupBy($"lang")
+      .agg(percentile_approx($"n_chars", lit(0.5), lit(100)).as("apx"),
+        count(lit(1)).as("n_docs"))
+    val nD = $"n_docs".cast("double")
+    val rankLo = greatest(lit(1L), floor(nD * lit(0.49)).cast("long"))
+    val rankHi = least($"n_docs", ceil(nD * lit(0.51)).cast("long"))
+    docs.join(apx, "lang")
+      .groupBy($"lang")
+      .agg(first($"n_docs").as("n_docs"),
+        sum(when($"n_chars" < $"apx", 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when($"n_chars" <= $"apx", 1L).otherwise(0L)).as("cnt_le"))
+      .select($"lang", $"n_docs", rankLo.as("rank_lo"), rankHi.as("rank_hi"),
+        ($"cnt_lt" + 1L <= rankHi && $"cnt_le" >= rankLo)
+          .cast("long").as("within_bound"))
+      .orderBy($"lang")
+  }
+
+  val q36Oracle: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  GREATEST(1, CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) * 0.49) AS BIGINT))
+      |    AS rank_lo,
+      |  LEAST(COUNT(*), CAST(CEIL(CAST(COUNT(*) AS DOUBLE) * 0.51) AS BIGINT))
+      |    AS rank_hi,
+      |  CAST(1 AS BIGINT) AS within_bound
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   // q29: explicit GROUPING SETS with grouping() markers.
   def q29_grouping_sets(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("g_orders_gs")
@@ -588,6 +631,7 @@ object Relational2 {
     "q26_salted_agg" -> (q26_salted_agg _),
     "q27_approx_distinct" -> (q27_approx_distinct _),
     "q27b_distinct_audit" -> (q27b_distinct_audit _),
+    "q36_approx_quantile_audit" -> (q36_approx_quantile_audit _),
     "q28_asof_join" -> (q28_asof_join _),
     "q29_grouping_sets" -> (q29_grouping_sets _),
     "q17_json_extract" -> (q17_json_extract _),
@@ -623,6 +667,7 @@ object Relational2 {
   val oracle: Map[String, String] = Map(
     "q27_approx_distinct" -> q27Oracle,
     "q27b_distinct_audit" -> q27bOracle,
+    "q36_approx_quantile_audit" -> q36Oracle,
     "q33_temperature_mix" -> q33Oracle,
     "q34_length_quantiles" -> q34Oracle,
     "q32_range_join" -> q32Oracle,

@@ -90,9 +90,124 @@ object Materialize {
       |WHERE comp.id IS NULL OR comp.root = a.doc_id
       |ORDER BY a.doc_id""".stripMargin
 
+  /** d20: QUALITY-KEEPER selection — the FineWeb-style refinement of
+    * d16's min-id rule: within each near-dup cluster keep the HIGHEST-
+    * QUALITY member (here: most tokens — "longest wins", the standard
+    * crawl heuristic for near-dup groups where one capture is truncated),
+    * tiebreak min doc_id. min-id is an arbitrary-but-stable choice;
+    * production pipelines keep the best capture, and the two rules
+    * genuinely diverge — the fixture plants BOTH directions so the rule
+    * is exercised, not vacuous: even doc_ids get an EXTENDED variant
+    * (first 3 tokens appended — longer, so keeper = the variant, NOT the
+    * min id) and odd doc_ids the dropped-last-token variant (shorter, so
+    * keeper = the original = min id). `n_keeper_not_min` in the audit
+    * counts the clusters where the quality rule overrode min-id — zero
+    * would mean the operator degenerated into d16.
+    *
+    * Machinery: d02's certified near-dup chain on the fixture corpus
+    * ([[DedupOps.scoredOf]] banded candidates + exact-margin verify at
+    * 0.8, the same scoredOf/confirmedPairsOf reuse p06 rides), then the
+    * distributed min-label [[DedupOps.connectedComponents]], then ONE
+    * aggregate per cluster — keeper = max(struct(n_tok, −doc_id)), a
+    * map-side-combinable struct max, no window. Scale shape: banded
+    * join + CC over confirmed-pair mass + two key joins; nothing
+    * pairwise beyond the guarded candidate stage. */
+  def d20_quality_keeper(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = DedupOps.spread(
+      graft.analytics.Tables.documents(s, d).select($"doc_id", $"text"))
+    val toks = split(trim($"text"), "\\s+")
+    val extended = array_join(concat(toks, slice(toks, 1, 3)), " ")
+    val dropped = array_join(slice(toks, lit(1), size(toks) - 1), " ")
+    val corpus = docs.unionByName(docs.select(
+      ($"doc_id" + DedupOps.Shift).as("doc_id"),
+      when($"doc_id" % 2 === 0, extended).otherwise(dropped).as("text")))
+    DedupOps.withCache(
+        corpus.withColumn("sig", DedupOps.sigWithHashesU($"text"))) { sigd =>
+      DedupOps.withCache(DedupOps.scoredOf(sigd)) { scored =>
+        val pairs = DedupOps.confirmedPairsOf(sigd, scored)
+        val labels = DedupOps.connectedComponents(pairs)
+          .withColumnRenamed("id", "doc_id")
+        val ntok = corpus.select($"doc_id",
+          size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+        val members = labels.join(ntok, "doc_id")
+        // keeper per cluster: lexicographic struct max = most tokens,
+        // then smallest id — a plain aggregate with partials, no window
+        val keepers = members.groupBy($"label")
+          .agg(count(lit(1)).as("sz"), min($"doc_id").as("min_id"),
+            max(struct($"n_tok", (-$"doc_id").as("neg_id"))).as("best"))
+          .select($"sz", $"min_id",
+            (-$"best.neg_id").as("keeper_id"), $"best.n_tok".as("keeper_tok"))
+        keepers.agg(
+          count(lit(1)).as("n_clusters"),
+          sum($"sz").as("n_docs_clustered"),
+          sum($"keeper_id").as("keeper_id_sum"),
+          sum(when($"keeper_id" =!= $"min_id", 1L).otherwise(0L))
+            .as("n_keeper_not_min"),
+          sum($"keeper_tok").as("kept_tok_mass"))
+      }
+    }
+  }
+
+  /** d06's recursive-CTE component chain on the mixed extended/dropped
+    * fixture at the 0.8 confirm threshold (d02's rule — what
+    * confirmedPairsOf implements), then the keeper window per root. */
+  val d20Oracle: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |all_docs AS (
+      |  SELECT doc_id, toks FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    CASE WHEN doc_id % 2 = 0 THEN list_concat(toks, toks[1:3])
+      |         ELSE list_slice(toks, 1, len(toks) - 1) END
+      |  FROM base),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+      |         ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
+      |  FROM all_docs,
+      |    UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |conf AS (
+      |  SELECT id_a, id_b FROM pairs
+      |    JOIN sizes sa ON sa.doc_id = id_a
+      |    JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM conf
+      |          UNION ALL SELECT id_b, id_a FROM conf),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+      |comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY 1),
+      |mem AS (
+      |  SELECT comp.root, comp.id, CAST(len(d.toks) AS BIGINT) AS n_tok
+      |  FROM comp JOIN all_docs d ON d.doc_id = comp.id),
+      |k AS (
+      |  SELECT root, id AS keeper_id, n_tok AS keeper_tok,
+      |    ROW_NUMBER() OVER (PARTITION BY root ORDER BY n_tok DESC, id) AS rn
+      |  FROM mem),
+      |cl AS (SELECT root, COUNT(*) AS sz, MIN(id) AS min_id FROM mem GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(cl.sz) AS BIGINT) AS n_docs_clustered,
+      |  CAST(SUM(k.keeper_id) AS BIGINT) AS keeper_id_sum,
+      |  CAST(SUM(CASE WHEN k.keeper_id <> cl.min_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_keeper_not_min,
+      |  CAST(SUM(k.keeper_tok) AS BIGINT) AS kept_tok_mass
+      |FROM cl JOIN k ON k.root = cl.root AND k.rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d16_dedup_materialize" -> (d16_dedup_materialize _))
+    "d16_dedup_materialize" -> (d16_dedup_materialize _),
+    "d20_quality_keeper" -> (d20_quality_keeper _))
 
   val oracle: Map[String, String] = Map(
-    "d16_dedup_materialize" -> d16Oracle)
+    "d16_dedup_materialize" -> d16Oracle,
+    "d20_quality_keeper" -> d20Oracle)
 }

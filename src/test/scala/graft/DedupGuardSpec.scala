@@ -933,6 +933,22 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect, s"got $got")
   }
 
+  test("d20: the quality keeper genuinely overrides min-id in both directions") {
+    // the fixture plants extended (longer ⇒ keeper = variant) and
+    // dropped (shorter ⇒ keeper = original = min id) variants; a
+    // degenerate rule (min-id in disguise) would read n_keeper_not_min
+    // == 0, an inverted one would read == n_clusters — both must fail
+    val r = graft.dedup.Materialize
+      .d20_quality_keeper(spark, "/root/testdata/sf0.001").collect()(0)
+    val nClusters = r.getAs[Long]("n_clusters")
+    val notMin = r.getAs[Long]("n_keeper_not_min")
+    assert(nClusters > 0)
+    assert(notMin > 0, "quality rule never overrode min-id — degenerated into d16")
+    assert(notMin < nClusters, "quality rule ALWAYS overrode min-id — dropped branch dead")
+    // every cluster holds >= 2 docs (singletons never enter CC labels)
+    assert(r.getAs[Long]("n_docs_clustered") >= 2 * nClusters)
+  }
+
   test("connected components: chain, triangle, isolated pair resolve to min-id labels") {
     val sp = spark
     import sp.implicits._

@@ -309,7 +309,7 @@ object Dev {
       "t04_fingerprint", "t05_repetition", "t06_pii_scrub",
       "t07_quality_gate", "t09_rare_tokens", "t10_bigram_novelty",
       "t11_bpe_vocab", "t12_sequence_pack", "t13_quality_model",
-      "t17_lm_perplexity",
+      "t17_lm_perplexity", "t19_chunk_windows",
       // WARC family remainder (w09's gz twin already certified): parse
       // chain, RAKE, blacklist, fallback extraction — all linear scans
       "w01_warc_pipeline", "w02_rake_keywords", "w03_blacklist_filter",

@@ -679,7 +679,69 @@ object TextOps {
       |  CAST(SUM(doc_id * rank) AS BIGINT) AS order_checksum
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** t19: OVERLAPPING TOKEN-WINDOW CHUNKING — the "split long documents
+    * into fixed-size windows with stride" primitive every RAG/embedding
+    * pipeline runs before encoding (and long-context training data prep
+    * runs before packing). t12/p04 PACK short docs INTO sequences; this
+    * is the complement — ONE long doc fans out into `ceil((n−W)/S)+1`
+    * windows of W tokens at stride S (W−S overlap), the final window
+    * clamped to the doc tail, a ≤W doc staying whole. Per chunk: index,
+    * token count, and the md5 of the rebuilt chunk text — so the oracle
+    * certifies every window's exact CONTENT and boundary, not just
+    * counts. W=32/S=24 here so the fixture corpus (docs mostly 40–120
+    * tokens) genuinely exercises multi-chunk fan-out, the overlap, and
+    * the clamped tail — at W=128 every test doc stayed whole and the
+    * stride path was dead code; production callers dial W/S to their
+    * encoder's context.
+    *
+    * Scale shape: pure map-side codegen'd array work — tokenize once,
+    * explode `sequence(0, nc−1)`, slice per index; zero shuffles except
+    * the presentation sort. Output rows = Σ chunks (≈ corpus_tokens/S),
+    * linear by construction — the 100 TB plan is the same plan. */
+  def t19_chunk_windows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = 32
+    val S = 24
+    val toksd = graft.analytics.Tables.documents(s, d)
+      .select($"doc_id", whitespaceTokens($"text").as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+    // ceil((n−W)/S)+1 via a double product of small ints — IEEE-exact
+    // and identical in DuckDB (integer div differs on negatives; this
+    // never goes negative but the double form needs no case analysis)
+    val nc = when($"n" <= W, lit(1L))
+      .otherwise(ceil(($"n" - W).cast("double") / S).cast("long") + 1L)
+    toksd.withColumn("nc", nc)
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0L), $"nc" - 1L)).as("chunk_idx"))
+      .withColumn("chunk",
+        slice($"toks", ($"chunk_idx" * S + 1L).cast("int"), lit(W)))
+      .select($"doc_id", $"chunk_idx",
+        size($"chunk").cast("long").as("n_chunk_tok"),
+        md5(array_join($"chunk", " ")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val t19Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    CASE WHEN len(toks) <= 32 THEN 1
+      |         ELSE CAST(CEIL(CAST(len(toks) - 32 AS DOUBLE) / 24) AS BIGINT) + 1
+      |    END AS nc
+      |  FROM t),
+      |w AS (
+      |  SELECT doc_id, toks, CAST(ci AS BIGINT) AS chunk_idx,
+      |    toks[ci * 24 + 1 : ci * 24 + 32] AS chunk
+      |  FROM c, UNNEST(range(0, nc)) AS u(ci))
+      |SELECT doc_id, chunk_idx,
+      |  CAST(len(chunk) AS BIGINT) AS n_chunk_tok,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+      |FROM w ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_chunk_windows" -> (t19_chunk_windows _),
     "t15_shard_layout" -> (t15_shard_layout _),
     "t09_rare_tokens" -> (t09_rare_tokens _),
     "t10_bigram_novelty" -> (t10_bigram_novelty _),
@@ -693,6 +755,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t19_chunk_windows" -> t19Oracle,
     "t15_shard_layout" -> t15Oracle,
     "t09_rare_tokens" -> t09Oracle,
     "t10_bigram_novelty" -> t10Oracle,

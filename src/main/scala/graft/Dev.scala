@@ -288,7 +288,7 @@ object Dev {
       // verdict named, plus the other corpus-proportional event shapes
       "q09_window_running", "q14_timeseries", "q17_json_extract",
       "q19_pivot", "q26_salted_agg", "q28_asof_join",
-      "q32_range_join", "q35_sessionize",
+      "q32_range_join", "q35_sessionize", "q37_funnel",
       // documents-based relational: token explode, split/sample/mixture,
       // and the GK approx-quantile audit (one pass + a group-key join)
       "q23_explode_tokens", "q30_deterministic_split",

@@ -78,9 +78,61 @@ object Sessions {
       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q37: ORDERED CONVERSION FUNNEL — the product-analytics primitive
+    * q35's sessionizer feeds: how many users complete view → click →
+    * purchase IN ORDER, each stage strictly after the previous stage's
+    * FIRST occurrence AND within a 24-hour conversion window of it (the
+    * classic first-touch attribution funnel; without the window this
+    * corpus converts 150/150/150 and the operator discriminates
+    * nothing — with it: 150 → 60 → 25 at sf0.01). All arithmetic is
+    * integer nanoseconds, tie timestamps never advance the funnel, on
+    * either engine. Three stage frames, each one filter + a per-user
+    * min aggregate gated on the previous stage's watermark, each
+    * strictly smaller than the last (that shrinkage IS the funnel),
+    * joined on user_id — co-partitioned after the first shuffle, AQE
+    * sizes the rest; no windows, no per-user event collection, so a
+    * user with millions of events costs one min per stage. Output is
+    * one audit row of stage counts. */
+  def q37_funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val windowNs = 24L * 3600L * 1000000000L
+    val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts_nanos")
+    val viewed = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_nanos").as("t_view"))
+    val clicked = ev.filter($"event_type" === "click").join(viewed, "user_id")
+      .filter($"ts_nanos" > $"t_view" && $"ts_nanos" <= $"t_view" + windowNs)
+      .groupBy($"user_id").agg(min($"ts_nanos").as("t_click"))
+    val purchased = ev.filter($"event_type" === "purchase").join(clicked, "user_id")
+      .filter($"ts_nanos" > $"t_click" && $"ts_nanos" <= $"t_click" + windowNs)
+      .groupBy($"user_id").agg(min($"ts_nanos").as("t_purchase"))
+    ev.agg(countDistinct($"user_id").as("n_users"))
+      .crossJoin(viewed.agg(count(lit(1)).as("n_viewed")))
+      .crossJoin(clicked.agg(count(lit(1)).as("n_clicked_after_view")))
+      .crossJoin(purchased.agg(count(lit(1)).as("n_purchased_after_click")))
+  }
+
+  val q37Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(epoch_ns(ts) AS BIGINT) AS tsn
+      |  FROM events),
+      |v AS (SELECT user_id, MIN(tsn) AS t_view FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(tsn) AS t_click FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND tsn > t_view
+      |        AND tsn <= t_view + 86400000000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(tsn) AS t_purchase FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND tsn > t_click
+      |        AND tsn <= t_click + 86400000000000 GROUP BY 1)
+      |SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+      |  (SELECT COUNT(*) FROM v) AS n_viewed,
+      |  (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+      |  (SELECT COUNT(*) FROM p) AS n_purchased_after_click""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q35_sessionize" -> (q35_sessionize _))
+    "q35_sessionize" -> (q35_sessionize _),
+    "q37_funnel" -> (q37_funnel _))
 
   val oracle: Map[String, String] = Map(
-    "q35_sessionize" -> q35Oracle)
+    "q35_sessionize" -> q35Oracle,
+    "q37_funnel" -> q37Oracle)
 }

@@ -470,6 +470,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q37 funnel: golden values at sf0.001 and a window-free stage plan") {
+    requireTable("events")
+    val df = graft.analytics.Sessions.q37_funnel(spark, sf)
+    // golden pin (DuckDB-cross-checked): 15 users, all view, 6 click
+    // within 24h of first view, 3 purchase within 24h of that click —
+    // the stages genuinely shrink, so the gates are live, not vacuous
+    val r = df.collect()(0)
+    assert(r.toSeq == Seq(15L, 15L, 6L, 3L), s"got ${r.toSeq}")
+    // plan shape: the per-user stage joins must be hash equi-joins on
+    // user_id — the ONLY nested-loop joins allowed are the three final
+    // 1-row × 1-row audit crossJoins, and no Window may appear (the
+    // funnel is min-aggregates, never a per-user sort)
+    val planFull = physical(df)
+    // AQE's string renders the final AND the initial plan — count nodes
+    // in the final section only, or the three audit joins double-count
+    val plan = planFull.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"funnel regressed to a window plan:\n$plan")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length +
+      "CartesianProduct".r.findAllIn(plan).length
+    assert(bnl <= 3, s"expected <=3 single-row audit crossJoins, got $bnl:\n$plan")
+  }
+
   test("p06: decontaminated split — equi-joins only on top of d02's guarded pass") {
     requireTable("documents")
     // the guard composes d02's certified near-dup machinery with split

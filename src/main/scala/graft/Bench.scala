@@ -82,6 +82,16 @@ object Bench {
 
   private[graft] def isHot(load: Double): Boolean = load > hotThreshold
 
+  /** Per-RUN contention marker (r15 verdict item 7): a run whose
+    * BRACKETING load samples (at run start and run end) exceed the hot
+    * threshold was measured while the box was busy — flagged, never
+    * deferred (the suite-level hot policy already handles deferral; this
+    * marker only distinguishes "slow" from "contended" per run so a
+    * spike like d13's 34.7 s extra2 is attributable from the run row
+    * itself, not by eyeballing neighboring load samples). */
+  private[graft] def isContended(loadStart: Double, loadEnd: Double): Boolean =
+    math.max(loadStart, loadEnd) > hotThreshold
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
@@ -126,20 +136,21 @@ object Bench {
     // from load noise without re-running.
     def measure(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame, hot: Boolean)
-        : (String, Seq[(Option[Double], Double)], Double, Option[Double], Boolean) = {
+        : (String, Seq[(Option[Double], Double, Double)], Double, Option[Double], Boolean) = {
       val loadBefore = loadAvg
-      // each RUN samples load at its own start: the up-to-2 extra runs
-      // can execute minutes after cold/warm under different interference,
-      // and a per-QUERY sample couldn't attribute which runs were
-      // poisoned (r5 advisory: s02's four runs spanned 8.7–47.2 s under
-      // one shared load number)
-      def once(): (Option[Double], Double) = {
+      // each RUN samples load at its own start AND end: the up-to-2
+      // extra runs can execute minutes after cold/warm under different
+      // interference, and a per-QUERY sample couldn't attribute which
+      // runs were poisoned (r5 advisory: s02's four runs spanned
+      // 8.7–47.2 s under one shared load number); the end sample feeds
+      // the per-run `contended` marker
+      def once(): (Option[Double], Double, Double) = {
         val load = loadAvg
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         spark.catalog.clearCache() // release per-query persists
-        (if (ok) Some((System.nanoTime() - t0) / 1e9) else None, load)
+        (if (ok) Some((System.nanoTime() - t0) / 1e9) else None, load, loadAvg)
       }
       val cold = once()
       val warm = once()
@@ -233,8 +244,10 @@ object Bench {
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, rs, lb, _, hot) =>
       val names = Seq("cold", "warm", "extra1", "extra2")
-      val fields = rs.zip(names).flatMap { case ((t, ld), n) =>
-        Seq(s"\"$n\":${num(t)}", s"\"${n}_load\":${r3(ld)}") } :+
+      val fields = rs.zip(names).flatMap { case ((t, ld, le), n) =>
+        Seq(s"\"$n\":${num(t)}", s"\"${n}_load\":${r3(ld)}",
+          s"\"${n}_load_end\":${r3(le)}",
+          s"\"${n}_contended\":${isContended(ld, le)}") } :+
         s"\"load_before\":${r3(lb)}" :+
         s"\"hot\":$hot" :+
         // previous snapshot's min alongside this round's runs: a judge

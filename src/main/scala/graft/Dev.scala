@@ -438,17 +438,30 @@ object Dev {
     val lateJson = lateHits.map { case (run, n, c, mx) =>
       s"""{"after_run":"$run","metric":"$n","members":$c,"largest":$mx}"""
     }.mkString("[", ",", "]")
+    // a SUBSET run must not be mistakable for the round's cert: its
+    // all_pass covers only the filtered rows, so (a) the artifact is
+    // redirected to a .partial.json sibling (the Bench BENCH_ONLY
+    // recipe) and (b) the JSON itself carries certification:false plus
+    // the filter, so even a copied file self-describes as partial
+    val isSubset = onlyFilter.isDefined
+    val effectiveOut =
+      if (isSubset) outPath.stripSuffix(".json") + ".partial.json"
+      else outPath
+    val filteredJson = onlyFilter.fold("[]")(
+      _.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]"))
     val json = perQuery.map { case (k, _, v) => s""""$k":$v""" }
       .mkString(s"""{"base":"$baseDir","scaled":"$scaledDir",""" +
         s""""scale_factor":$scaleFactor,"all_pass":$allPass,""" +
+        s""""certification":${!isSubset},"filtered":$filteredJson,""" +
         s""""contract":"ratio_min <= ${scaleFactor + 2} for ${scaleFactor}x data; scan_fraction_scaled < scan_fraction_base for ANN-store probes",""" +
         s""""late_guard_hits":$lateJson,"queries":{""",
         ",", "}}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
-    println(s"[scalebench] wrote $outPath all_pass=$allPass")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(effectiveOut), json)
+    println(s"[scalebench] wrote $effectiveOut all_pass=$allPass" +
+      (if (isSubset) " (SUBSET — not a certification artifact)" else ""))
     // artifact is on disk first; a contract breach still fails the run
     // loudly so automation can't mistake a red certification for green
-    require(allPass, s"scalebench contract violated — see $outPath")
+    require(allPass, s"scalebench contract violated — see $effectiveOut")
   }
 
   /** COMPACTION-UNDER-LOAD e2e (r14 verdict item 8, run per-round at
@@ -551,10 +564,16 @@ object Dev {
                 if e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
                   e.getMessage.toLowerCase.contains("not found") =>
               retriedNotFound.incrementAndGet()
+            // Spark task failures wrap as SparkException → job/stage
+            // layers → FileNotFoundException, so walk the FULL cause
+            // chain (type AND message at every level) before declaring
+            // a failure fatal — a one-level check misclassifies deep
+            // chains and spuriously reddens the cert (r15 ADVICE)
             case e: Throwable
-                if Option(e.getMessage).exists(_.contains("FileNotFound")) ||
-                  e.getCause.isInstanceOf[java.io.FileNotFoundException] ||
-                  e.isInstanceOf[java.io.FileNotFoundException] =>
+                if Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+                  .take(32).exists(c =>
+                    c.isInstanceOf[java.io.FileNotFoundException] ||
+                      Option(c.getMessage).exists(_.contains("FileNotFound"))) =>
               retriedNotFound.incrementAndGet()
             case e: Throwable => fatal.add(e); stop.set(true)
           }

@@ -155,8 +155,12 @@ object Materialize {
     val corpus = d20Corpus(s, d)
     val labels = DedupOps.connectedComponents(ensureD20Pairs(s, d))
       .withColumnRenamed("id", "doc_id")
+    // whitespaceTokens-style empty handling: split('') is [''] (size 1)
+    // but an emptied variant (single-token odd doc, dropped-last) must
+    // count 0 tokens like the oracle's actual variant list (r15 ADVICE)
     val ntok = corpus.select($"doc_id",
-      size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+      size(graft.text.TextOps.whitespaceTokens($"text"))
+        .cast("long").as("n_tok"))
     val members = labels.join(ntok, "doc_id")
     // keeper per cluster: lexicographic struct max = most tokens,
     // then smallest id — a plain aggregate with partials, no window
@@ -179,7 +183,9 @@ object Materialize {
     * confirmedPairsOf implements), then the keeper window per root. */
   val d20Oracle: String =
     """WITH RECURSIVE base AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN []
+      |         ELSE string_split_regex(trim(text), '\s+') END AS toks
       |  FROM documents),
       |all_docs AS (
       |  SELECT doc_id, toks FROM base

@@ -34,6 +34,12 @@ object TrainingPipeline {
     * spec asserts the exact stage identity Σ min(survivors, cap). */
   private[graft] val DomainCap = 15L
 
+  /** Default `spark.graft.pipeline.skewBound` — the per-source row count
+    * above which capMode=auto engages the threshold hatch. ONE constant
+    * shared by [[resolveThresholdCap]] and the auto-mode oracle SQL
+    * ([[pipelineStagesSqlMode]]) so the two channels cannot drift. */
+  private[graft] val SkewBoundDefault = 1000000L
+
   /** The per-document survivor frame all p01 surfaces share: gate →
     * dedup → cap → shard+rank, one row per surviving doc with its text
     * carried through (the audit drops it; the shard WRITER ships it). */
@@ -68,16 +74,36 @@ object TrainingPipeline {
     * have handled, never the reverse — and it costs one cheap probe job
     * instead of re-running the gate+dedup stages for an exact count.
     * Returns true when stage 3 should use the threshold hatch. */
+  /** Memoized auto-probe results, keyed by (appId, skewBound,
+    * canonicalized input plan): the probe is a construction-time action
+    * (the discipline decides the PLAN — a window vs a broadcast-filter —
+    * so it genuinely cannot defer to execution the way a runtime filter
+    * could), which folds its job into every caller that merely BUILDS
+    * the frame (bench cold/warm/extra, PlanSpec explains). Memoizing by
+    * the canonicalized plan makes the probe a once-per-corpus cost and
+    * makes repeated constructions side-effect-free (r15 ADVICE).
+    * Limitation: a file-based input MUTATED IN PLACE at the same path
+    * within one application canonicalizes identically and would reuse
+    * the stale decision — fixtures that re-plant a corpus must use a
+    * fresh path (they do: StagingDir mints per-use dirs). */
+  private val probeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private[graft] def resolveThresholdCap(docs: DataFrame): Boolean = {
     val conf = docs.sparkSession.conf
     conf.get("spark.graft.pipeline.capMode", "auto") match {
       case "window"    => false
       case "threshold" => true
       case "auto" =>
-        val bound = conf.get("spark.graft.pipeline.skewBound", "1000000").toLong
-        val maxSrc = docs.groupBy("source").count()
-          .agg(coalesce(max("count"), lit(0L))).head.getLong(0)
-        maxSrc > bound
+        val bound = conf.get("spark.graft.pipeline.skewBound",
+          SkewBoundDefault.toString).toLong
+        val key = docs.sparkSession.sparkContext.applicationId + ":" + bound +
+          ":" + docs.queryExecution.analyzed.canonicalized.toString
+        probeMemo.computeIfAbsent(key, _ => {
+          val maxSrc = docs.groupBy("source").count()
+            .agg(coalesce(max("count"), lit(0L))).head.getLong(0)
+          maxSrc > bound
+        })
       case other => throw new IllegalArgumentException(
         s"spark.graft.pipeline.capMode must be auto|window|threshold, got $other")
     }
@@ -273,28 +299,62 @@ object TrainingPipeline {
     * surviving doc with shard + rank) — shared by the audit tail
     * (p01/p02/p03) and the packing walk (p04). */
   private[graft] def pipelineStagesSql(src: String,
-      thresholdCap: Boolean = false): String = {
-    val capCtes = if (thresholdCap)
+      thresholdCap: Boolean = false): String =
+    pipelineStagesSqlMode(src, if (thresholdCap) "threshold" else "window")
+
+  /** `capMode`-aware stage chain: `window` and `threshold` replay one
+    * forced discipline; `auto` replays [[resolveThresholdCap]]'s DEFAULT
+    * rule IN SQL — probe the raw `src`'s per-source max against the
+    * default skewBound ($SkewBoundDefault) and select the matching cap
+    * chain — so the oracle tracks the engine's auto decision at ANY
+    * corpus scale with no out-of-band channel (r15 ADVICE: a fixed
+    * window oracle would silently mismatch the moment auto engaged the
+    * hatch at a cert scale). Callers that override
+    * `spark.graft.pipeline.skewBound`/`capMode` in the session conf are
+    * outside the oracle channel by construction. */
+  private[graft] def pipelineStagesSqlMode(src: String,
+      capMode: String): String = {
+    val thresholdCtes =
       s"""scnt AS (SELECT source, COUNT(*) AS n_src FROM deduped GROUP BY 1),
          |sthr AS (
          |  SELECT source, CAST(trunc(LEAST(1.0,
          |    CAST($DomainCap AS DOUBLE) / CAST(n_src AS DOUBLE))
          |    * 4294967296.0) AS BIGINT) AS cap_thr
          |  FROM scnt),
-         |capped AS (
+         |cappedt AS (
          |  SELECT d.doc_id, d.n_tok, d.doc_md5
          |  FROM deduped d JOIN sthr t USING (source)
          |  WHERE CAST(concat('0x',
          |      substr(md5('p01cap:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
          |    AS UBIGINT) < t.cap_thr)""".stripMargin
-    else
+    val windowCtes =
       s"""cap AS (
          |  SELECT *, md5('p01cap:' || CAST(doc_id AS VARCHAR)) AS cap_key
          |  FROM deduped),
          |cr AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
          |    ORDER BY cap_key, doc_id) AS crn FROM cap),
-         |capped AS (SELECT doc_id, n_tok, doc_md5 FROM cr WHERE crn <= $DomainCap)""".stripMargin
+         |cappedw AS (SELECT doc_id, n_tok, doc_md5 FROM cr WHERE crn <= $DomainCap)""".stripMargin
+    val capCtes = capMode match {
+      case "threshold" =>
+        s"""$thresholdCtes,
+           |capped AS (SELECT * FROM cappedt)""".stripMargin
+      case "window" =>
+        s"""$windowCtes,
+           |capped AS (SELECT * FROM cappedw)""".stripMargin
+      case "auto" =>
+        s"""capprobe AS (
+           |  SELECT COALESCE(MAX(cnt), 0) > $SkewBoundDefault AS use_thr
+           |  FROM (SELECT COUNT(*) AS cnt FROM $src GROUP BY source)),
+           |$windowCtes,
+           |$thresholdCtes,
+           |capped AS (
+           |  SELECT * FROM cappedw WHERE NOT (SELECT use_thr FROM capprobe)
+           |  UNION ALL
+           |  SELECT * FROM cappedt WHERE (SELECT use_thr FROM capprobe))""".stripMargin
+      case other => throw new IllegalArgumentException(
+        s"capMode must be auto|window|threshold, got $other")
+    }
     s"""kept AS (
       |  SELECT b.doc_id, b.n_tok FROM base b JOIN rep r USING (doc_id)
       |  WHERE NOT (b.n_tok < 30 OR b.n_stop * 1000 < b.n_tok * 15
@@ -321,16 +381,22 @@ object TrainingPipeline {
 
   private[graft] def pipelineTailSql(src: String,
       thresholdCap: Boolean = false): String =
-    s"""${pipelineStagesSql(src, thresholdCap)}
+    pipelineTailSqlMode(src, if (thresholdCap) "threshold" else "window")
+
+  private[graft] def pipelineTailSqlMode(src: String,
+      capMode: String): String =
+    s"""${pipelineStagesSqlMode(src, capMode)}
       |SELECT shard, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
       |  CAST(SUM(doc_id * rank) AS BIGINT) AS order_checksum,
       |  md5(string_agg(doc_md5, ',' ORDER BY order_key, doc_id)) AS corpus_md5
       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // p01 runs capMode=auto (the engine default), so its oracle replays
+  // the auto rule — probe + branch select — not a hard-coded discipline
   val p01Oracle: String =
     s"""WITH ${graft.text.TextOps.gateSignalsSqlCtes},
-      |${pipelineTailSql("documents")}""".stripMargin
+      |${pipelineTailSqlMode("documents", "auto")}""".stripMargin
 
   val p01bOracle: String =
     s"""WITH ${graft.text.TextOps.gateSignalsSqlCtes},
@@ -369,7 +435,7 @@ object TrainingPipeline {
       |      'docs' || (doc_id % 50) || '.example.gov.au' AS source
       |  FROM documents),
       |${graft.text.TextOps.gateSignalsSqlCtesFrom("wdocs")},
-      |${pipelineTailSql("wdocs")}""".stripMargin
+      |${pipelineTailSqlMode("wdocs", "auto")}""".stripMargin
 
   /** io01: JSONL INTERCHANGE ROUND-TRIP — jsonl(.gz) is the lingua
     * franca of LLM corpus exchange (every public corpus release ships
@@ -506,7 +572,7 @@ object TrainingPipeline {
     * engine's per-shard linear pass. */
   val p04Oracle: String =
     s"""WITH RECURSIVE ${graft.text.TextOps.gateSignalsSqlCtes},
-      |${pipelineStagesSql("documents")},
+      |${pipelineStagesSqlMode("documents", "auto")},
       |seq AS (
       |  SELECT shard, rank, doc_id, LEAST(n_tok, $PackCtx) AS t FROM rk),
       |walk AS (

@@ -330,7 +330,7 @@ object StreamStoreIngest {
       |  SELECT doc_id, text, source FROM wsurv
       |  WHERE doc_id NOT IN (SELECT doc_id FROM anrd)),
       |${graft.text.TextOps.gateSignalsSqlCtesFrom("admitted")},
-      |${graft.pipeline.TrainingPipeline.pipelineTailSql("admitted")}""".stripMargin
+      |${graft.pipeline.TrainingPipeline.pipelineTailSqlMode("admitted", "auto")}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st08_stream_store_dedup" -> (st08_stream_store_dedup _),

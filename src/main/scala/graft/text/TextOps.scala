@@ -721,9 +721,14 @@ object TextOps {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  // empty guard: DuckDB's string_split_regex('', …) yields [''] (len 1)
+  // where whitespaceTokens yields [] — an empty doc entering the corpus
+  // would mismatch n_chunk_tok/chunk_md5 without the CASE (r15 ADVICE)
   val t19Oracle: String =
     """WITH t AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN []
+      |         ELSE string_split_regex(trim(text), '\s+') END AS toks
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, toks, len(toks) AS n,

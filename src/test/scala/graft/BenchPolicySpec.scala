@@ -46,6 +46,23 @@ class BenchPolicySpec extends AnyFunSuite {
     }
   }
 
+  test("isContended: a run bracketed by a hot load sample on EITHER side " +
+      "is flagged (r15 verdict item 7 — d13's 34.7s extra2 spike must be " +
+      "attributable from its own run row)") {
+    val t = Bench.hotThreshold
+    assert(!Bench.isContended(t, t)) // calm on both sides
+    assert(Bench.isContended(t + 0.01, 0.0)) // hot at start only
+    assert(Bench.isContended(0.0, t + 0.01)) // hot at end only (the d13 shape)
+    assert(Bench.isContended(t + 1, t + 1))
+    // on the 32-CPU bench box: d13's extra2 ran calm-in (1.89) but the
+    // spike registered by suite end (14.4) — the marker must catch a
+    // run whose interference arrives mid-measurement
+    if (Runtime.getRuntime.availableProcessors() == 32) {
+      assert(Bench.isContended(1.89, 14.4))
+      assert(!Bench.isContended(3.5, 7.1))
+    }
+  }
+
   test("EnvMeta load stamp: /proc/loadavg horizons parse and the quota probe never throws") {
     // the r15 drift-attribution fields (r14 verdict item 5): on this
     // Linux box all three horizons must come from /proc/loadavg

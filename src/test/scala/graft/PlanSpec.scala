@@ -492,6 +492,102 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnl <= 3, s"expected <=3 single-row audit crossJoins, got $bnl:\n$plan")
   }
 
+  test("unpartitioned-window inventory: every registered query's plan " +
+      "confines partition-less windows to the documented bounded sites") {
+    // r15 verdict item 4: `WindowExec: No Partition Defined` warnings in
+    // the bench log were unattributed — every unpartitioned window in
+    // src/main is bounded BY CONSTRUCTION (t18's boundary bucket holds
+    // ≈corpus/resolution rows, TieredSample.scala:134; p05's per-lang
+    // masses are |langs| rows, TrainingPipeline p05; w08's rank compare
+    // is 50 rows), but a NEW corpus-sized one would emit the identical
+    // warning and drown. This sweep makes the inventory a CONTRACT: a
+    // query whose optimized plan (subqueries + cached-artifact plans
+    // included) contains a partition-less Window must be on the
+    // allowlist below, each entry carrying its documented row bound.
+    requireTable("documents")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // sites with a documented bound (query name -> bound rationale).
+    // Two detection channels, because eager operators hide their plan:
+    //  - LAZY plans: collect partition-less logical Window nodes from
+    //    the returned frame's optimized plan (subqueries + cached
+    //    artifacts included) — catches the window BEFORE it ever runs;
+    //  - EAGER construction (withCache/localCheckpoint operators whose
+    //    returned frame is a LogicalRDD scan): capture WindowExec's own
+    //    "No Partition Defined" warning during each query's
+    //    construction, attributed by name (construction is sequential).
+    val allowed = Map(
+      "t18_budget_select" ->
+        "boundary bucket ≈ corpus/resolution rows (construction-time, behind localCheckpoint)",
+      "p05_mixture_resample" -> "|langs|-row per-language masses (lazy plan)")
+    // the streaming drains (st01–st09, p03) EXECUTE at construction and
+    // return parquet read-back scans — their internal pipeline tail is
+    // this same swept shardedAuditOf/pipeline code, and their plan
+    // shapes are pinned in StreamingSpec; sweeping them here would
+    // re-run every drain per suite run for a window-free scan plan
+    val skipped = (1 to 9).map(i => f"st$i%02d_").toSet + "p03_"
+    val offenders = scala.collection.mutable.Map[String, Int]()
+    // log-capture channel: a root-logger appender filtering on the
+    // WindowExec warning text, attributing events to the query whose
+    // construction is in flight (volatile: executor tasks run on other
+    // threads of this JVM)
+    @volatile var current = "startup"
+    val warned = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val sniffer = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-window-sniffer", null, null, true,
+        Array.empty[org.apache.logging.log4j.core.config.Property]) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getMessage.getFormattedMessage.contains("No Partition Defined"))
+          warned.merge(current, 1, (a, b) => a + b)
+    }
+    sniffer.start()
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(sniffer, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => skipped.exists(n.startsWith) }
+        .foreach { case (name, fn) =>
+          current = name
+          val df = fn(spark, sf)
+          val lp = df.queryExecution.optimizedPlan
+          val logicalHits = lp.collectWithSubqueries {
+            case w: LWindow if w.partitionSpec.isEmpty => 1 }.sum
+          // cached artifacts (ensureVerifiedPairs etc.) appear as
+          // InMemoryRelation leaves whose physical plan the logical
+          // collect can't see — sweep those too
+          val cachedHits = lp.collectWithSubqueries {
+            case r: InMemoryRelation => r.cachedPlan.collect {
+              case w: WindowExec if w.partitionSpec.isEmpty => 1 }.sum }.sum
+          val hits = logicalHits + cachedHits
+          if (hits > 0) offenders(name) = hits
+        }
+      current = "post-sweep"
+    } finally {
+      rootCfg.removeAppender("graft-window-sniffer")
+      ctx.updateLoggers()
+      sniffer.stop()
+    }
+    warned.forEach((n, c) =>
+      if (n != "startup" && n != "post-sweep")
+        offenders(n) = offenders.getOrElse(n, 0) + c)
+    val undocumented = offenders.keySet -- allowed.keySet
+    assert(undocumented.isEmpty,
+      s"NEW unpartitioned window(s) outside the documented bounded " +
+        s"sites: ${undocumented.toSeq.sorted.map(n => s"$n(${offenders(n)})")} — " +
+        s"either partition it or document its bound here")
+    // the inventory must also not silently shrink: a site leaving the
+    // list should retire its allowlist entry (stale documentation is
+    // the drift class the s06 saga taught this repo to kill)
+    val stale = allowed.keySet -- offenders.keySet
+    assert(stale.isEmpty,
+      s"allowlisted sites no longer contain an unpartitioned window " +
+        s"(retire their entries): ${stale.toSeq.sorted}")
+  }
+
   test("p06: decontaminated split — equi-joins only on top of d02's guarded pass") {
     requireTable("documents")
     // the guard composes d02's certified near-dup machinery with split

@@ -35,6 +35,14 @@ object Dev {
         args.lift(2).getOrElse("COMPACTION_E2E.json"))
       spark.stop(); return
     }
+    if (args.headOption.contains("cert-summary")) {
+      // r15 verdict item 3: COVERAGE.md's hand-written 10×-cert sentence
+      // drifted from the shipped artifact ("worst 9.30 t10" vs final
+      // worst 7.852 d15). This prints the summary sentence FROM the
+      // artifact — paste its output verbatim; never hand-write it.
+      certSummary(args.lift(1).getOrElse("BENCH_SF1.json"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("show")) {
       SparkEntry.queries(args(1))(spark, sfDir).show(50, false)
       spark.stop(); return
@@ -60,6 +68,38 @@ object Dev {
       spark.catalog.clearCache()
     }
     spark.stop()
+  }
+
+  /** The 10×-cert summary sentence, computed from the artifact (see the
+    * cert-summary subcommand note). Counts are derived: certified =
+    * artifact rows that are registry headline queries, fixtures =
+    * artifact rows that are not (adversarial plants like skew01),
+    * excluded = registry headline queries absent from the artifact. */
+  private def certSummary(path: String): Unit = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val qs = node.get("queries")
+    val names = {
+      val b = Seq.newBuilder[String]
+      qs.fieldNames().forEachRemaining(b += _)
+      b.result()
+    }
+    val registry = SparkEntry.queries.keySet -- SparkEntry.diagnosticQueries
+    val certified = names.filter(registry)
+    val fixtures = names.filterNot(registry)
+    val excluded = (registry -- names.toSet).toSeq.sorted
+    val worst = names.maxBy(n => qs.get(n).get("ratio_min").asDouble)
+    val worstRatio = qs.get(worst).get("ratio_min").asDouble
+    val allPass = node.get("all_pass").asBoolean
+    val cert = Option(node.get("certification")).forall(_.asBoolean)
+    if (!cert) println(s"[cert-summary] WARNING: $path is a SUBSET artifact, not a certification")
+    println(
+      s"${names.size}-row 10× cert ${if (allPass) "all_pass" else "FAILED"} " +
+      s"(${certified.size} certified headline queries + ${fixtures.size} " +
+      s"adversarial fixture${if (fixtures.size == 1) "" else "s"}" +
+      s"${if (fixtures.nonEmpty) fixtures.mkString(" [", ", ", "]") else ""}; " +
+      s"worst ratio $worstRatio = $worst; " +
+      s"${excluded.size} registry queries excluded — see the exclusion note).")
   }
 
   /** Deterministic scaled corpus from an existing sf dir (the sf1

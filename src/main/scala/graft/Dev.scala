@@ -30,6 +30,15 @@ object Dev {
         args.lift(4).map(_.toInt).getOrElse(10))
       spark.stop(); return
     }
+    if (args.headOption.contains("scalebench-core")) {
+      // the ~100× DIGEST-CORE spot-cert (r15 verdict item 1): only the
+      // families whose shuffles carry digests/longs — text/embedding
+      // bytes never cross their exchanges, so a 100× corpus fits this
+      // box and the measured point extends the scale evidence past 10×
+      scaleBench(spark, args(1), args(2), args(3),
+        args.lift(4).map(_.toInt).getOrElse(100), coreOnly = true)
+      spark.stop(); return
+    }
     if (args.headOption.contains("compaction-e2e")) {
       compactionUnderLoad(spark, args(1),
         args.lift(2).getOrElse("COMPACTION_E2E.json"))
@@ -118,10 +127,15 @@ object Dev {
   def genScaled(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int): Unit = {
     import org.apache.spark.sql.functions._
-    // rotation by r mod 64 is the identity at r = 64 — replica 64 would
-    // duplicate replica 0's vectors exactly and break the cross-replica
-    // disjointness the certification relies on
-    require(replicas <= 64, s"replicas=$replicas > 64: embedding rotation wraps")
+    // rotation by r mod 64 is the identity at r = 64, so replicas past
+    // 63 additionally NEGATE the vectors (the established tie-breaking
+    // device — see the compaction-e2e rotation note): negation preserves
+    // norms and intra-replica geometry while sending every cross-replica
+    // cosine against replicas 0..63 to its negative, so replica 64+k
+    // cannot tie replica k's matches. That buys 128 disjoint replicas —
+    // enough for the ~100× digest-core certification.
+    require(replicas <= 128,
+      s"replicas=$replicas > 128: rotation+negation space exhausted")
     // The testdata layout is one parquet FILE per table (events.parquet
     // is a file, not a directory) and the streaming sources select their
     // table with `pathGlobFilter` on the FILE name — a directory of
@@ -159,8 +173,14 @@ object Dev {
         val rotated = if (rot == 0) col("embedding")
           else concat(slice(col("embedding"), rot + 1, 64 - rot),
             slice(col("embedding"), 1, rot))
+        // transform on this plain parquet lineage is outside the pinned
+        // lambda-HOF hazard shape (UDF-heavy lineage + Filter on the
+        // aliased column) — the text-prefix transform above has run here
+        // since r5
+        val signed = if (r < 64) rotated
+          else transform(rotated, x => -x)
         emb.select((col("vec_id") + lit(r * stride)).as("vec_id"),
-          rotated.as("embedding"), col("label"))
+          signed.as("embedding"), col("label"))
       }
     }.reduce(_ unionByName _)
     writeSingleFile(embOut, "embeddings.parquet")
@@ -198,7 +218,8 @@ object Dev {
     * measured scan fraction per scale so the corpus-scaled codebook's
     * shrinking-scan contract is certified, not argued. */
   def scaleBench(spark: SparkSession, baseDir: String, scaledDir: String,
-      outPath: String, scaleFactor: Int = 10): Unit = {
+      outPath: String, scaleFactor: Int = 10,
+      coreOnly: Boolean = false): Unit = {
     import org.apache.spark.sql.DataFrame
     val guardHits = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -212,7 +233,8 @@ object Dev {
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
-    try scaleBenchBody(spark, baseDir, scaledDir, outPath, scaleFactor, guardHits)
+    try scaleBenchBody(spark, baseDir, scaledDir, outPath, scaleFactor,
+      guardHits, coreOnly)
     // unregister in a finally: the r6 shape leaked one listener per
     // scaleBench call into the shared session (advisory)
     finally spark.listenerManager.unregister(listener)
@@ -220,7 +242,8 @@ object Dev {
 
   private def scaleBenchBody(spark: SparkSession, baseDir: String,
       scaledDir: String, outPath: String, scaleFactor: Int,
-      guardHits: java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]): Unit = {
+      guardHits: java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)],
+      coreOnly: Boolean = false): Unit = {
     import org.apache.spark.sql.DataFrame
     // s06/s10 go through their Impl so the star-overflow accumulator is
     // OURS to read (recorded PER DIR — a single last-run field would
@@ -283,6 +306,10 @@ object Dev {
       // surface feeding the composed pipeline (parse chain + the p01
       // stages — linear by shape)
       "s12_ann_search_heldout", "p02_warc_training_pipeline",
+      // round-16: per-doc provenance — p01's stage topology with the
+      // verdicts kept instead of filtered (same windows/joins, plus
+      // four left key equi-joins; output rows = corpus rows)
+      "p07_provenance",
       "q34_length_quantiles", "w07_link_graph", "w08_pagerank",
       "w09_warcgz_pipeline",
       // streaming: windowed-agg state scales in values, keyed state
@@ -361,6 +388,19 @@ object Dev {
       // the cost ratio stays in contract: the O(N²) bucket must degrade
       // to the O(N) star, never to a quadratic pair join.
       "skew01_planted_hot_band")
+    // the ~100× DIGEST-CORE list (scalebench-core): the six families the
+    // r15 verdict named whose shuffles move digests/longs only — d01's
+    // md5 groupBy, d02's banded signature join, d07/d10's store
+    // admission probes, s07's bucket-pruned ANN probe (shrinking-scan
+    // contract re-certified at the new point), t15's shard layout. Text
+    // and raw embeddings are scanned map-side but never cross an
+    // exchange in any of them, which is exactly why a 100× corpus fits
+    // this box and why these are the operators whose 100 TB posture
+    // most needed a second measured point.
+    val coreNames = Seq("d01_exact_dedup", "d02_minhash_lsh",
+      "d07_incremental_dedup", "d10_store_incremental",
+      "s07_ann_store", "t15_shard_layout")
+    val fullNames = if (coreOnly) coreNames else allNames
     // SPARK_GRAFT_SCALEBENCH_ONLY=a,b — dev-facing subset iteration
     // (new cert rows are expensive to debug through a full 90+-query
     // run); the round's certification artifact is ALWAYS produced by an
@@ -369,8 +409,8 @@ object Dev {
     val onlyFilter = sys.env.get("SPARK_GRAFT_SCALEBENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     onlyFilter.foreach(f => println(
-      s"[scalebench] SUBSET RUN (${f.size} of ${allNames.size} queries) — not a certification artifact"))
-    val names = onlyFilter.fold(allNames)(f => allNames.filter(f))
+      s"[scalebench] SUBSET RUN (${f.size} of ${fullNames.size} queries) — not a certification artifact"))
+    val names = onlyFilter.fold(fullNames)(f => fullNames.filter(f))
     // late guard events: the 500 ms post-run sleep is best-effort — an
     // event landing after it would otherwise be silently charged to the
     // NEXT run; drain leftovers at run start and attribute them to the
@@ -492,6 +532,7 @@ object Dev {
     val json = perQuery.map { case (k, _, v) => s""""$k":$v""" }
       .mkString(s"""{"base":"$baseDir","scaled":"$scaledDir",""" +
         s""""scale_factor":$scaleFactor,"all_pass":$allPass,""" +
+        s""""scope":"${if (coreOnly) "digest_core" else "full_registry"}",""" +
         s""""certification":${!isSubset},"filtered":$filteredJson,""" +
         s""""contract":"ratio_min <= ${scaleFactor + 2} for ${scaleFactor}x data; scan_fraction_scaled < scan_fraction_base for ANN-store probes",""" +
         s""""late_guard_hits":$lateJson,"queries":{""",

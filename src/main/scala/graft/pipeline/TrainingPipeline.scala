@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,18 +116,28 @@ object TrainingPipeline {
     * stage 3 (see [[p01b_threshold_cap]]), Some(false) forces the exact
     * window; None (the default) resolves via [[resolveThresholdCap]] —
     * `capMode=auto` unless the session says otherwise. */
+  /** Stage-1 verdict as ONE shared column: the first-failing gate
+    * predicate by documented priority, 'none' when the doc passes —
+    * consumed as a filter (=== "none") by the survivor path and as a
+    * per-doc fact by p07's provenance frame, so the gate rule has a
+    * single engine-side definition (its SQL twin is the `rsn` CTE in
+    * [[pipelineStagesSqlMode]]). */
+  private[graft] def gateReasonCol: Column =
+    when(col("n_tok") < 30, lit("too_short"))
+      .when(col("n_stop") * 1000 < col("n_tok") * 15, lit("low_stopword"))
+      .when(col("n_punct") * 10 > col("n_chars_m"), lit("high_punct"))
+      .when((col("n_grams") - col("n_distinct")) * 10 > col("n_grams"),
+        lit("repetitive"))
+      .otherwise(lit("none"))
+
   private def shardedSurvivorsOf(docs: DataFrame,
       thresholdCap: Option[Boolean] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val useThreshold = thresholdCap.getOrElse(resolveThresholdCap(docs))
     // Stage 1 — t07's gate, bit-for-bit (same signal frame the gate and
-    // the t13 classifier train on).
-    val tooShort = $"n_tok" < 30
-    val lowStop = $"n_stop" * 1000 < $"n_tok" * 15
-    val highPunct = $"n_punct" * 10 > $"n_chars_m"
-    val repetitive = ($"n_grams" - $"n_distinct") * 10 > $"n_grams"
+    // the t13 classifier train on), via the shared verdict column
     val kept = graft.text.TextOps.gateSignalsOf(docs.select($"doc_id", $"text"))
-      .filter(!tooShort && !lowStop && !highPunct && !repetitive)
+      .filter(gateReasonCol === "none")
       .select($"doc_id", $"n_tok")
     // text/source rejoin on doc_id (the gate's gram aggregation cannot
     // carry the text through); co-partitioned equi-join, no skew
@@ -244,6 +254,128 @@ object TrainingPipeline {
       .select($"doc_id", $"text", $"source"), thresholdCap = Some(true)))
   }
 
+  /** p07: PER-DOC PROVENANCE through the composed pipeline (r15 verdict
+    * item 2) — the "why did my doc vanish?" frame every curation user
+    * runs. One row per INPUT doc with its terminal disposition and the
+    * facts of the stage that decided it:
+    *   - `disposition`: gated | duplicate | capped | kept
+    *   - `gate_reason`: first-failing gate predicate by documented
+    *     priority (too_short, low_stopword, high_punct, repetitive), or
+    *     'none' — the per-doc twin of t07's reasons
+    *   - `keeper_id`: the exact-dedup keeper (min doc_id of the doc's
+    *     md5 cluster among gate survivors; equals the doc itself for
+    *     cluster keepers, −1 for gated docs that never reached dedup)
+    *   - `cap_draw`: the stage-3 decision input under the RESOLVED
+    *     discipline — the doc's salted rank within its source (window
+    *     mode) or its 2^32-grid salted hash (threshold mode); −1 before
+    *     stage 3
+    *   - `shard`/`shard_rank`: final placement, −1 unless kept.
+    * The reference's moral equivalent is its per-record error
+    * containment + debug sink (`src/lib.rs:347-371`, `main.rs:289-301`);
+    * here the composed stages get the same per-record observability as
+    * one oracle-checked frame.
+    *
+    * Scale shape: identical stage topology to [[shardedSurvivorsOf]]
+    * (same windows/joins over the same keys — the doc-md5 dedup window
+    * additionally carries a min(), the cap stage keeps its draw instead
+    * of dropping it) plus four LEFT key equi-joins to assemble the
+    * verdicts; nothing new shuffles, no driver collects beyond capMode's
+    * memoized probe. The WindowGroupLimit pushdown p01 enjoys does NOT
+    * apply here by design — provenance must KEEP the beyond-limit rows
+    * it reports, that is the product. PipelineOpsSpec pins Σ
+    * per-disposition counts against p01's stage audit so the two
+    * surfaces cannot drift. */
+  def p07_provenance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    provenanceOf(Tables.documents(s, d)
+      .select($"doc_id", $"text", $"source"))
+  }
+
+  private[graft] def provenanceOf(docs: DataFrame,
+      thresholdCap: Option[Boolean] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val useThreshold = thresholdCap.getOrElse(resolveThresholdCap(docs))
+    val rsn = graft.text.TextOps.gateSignalsOf(docs.select($"doc_id", $"text"))
+      .select($"doc_id", $"n_tok", gateReasonCol.as("gate_reason"))
+    val gated = rsn.filter($"gate_reason" === "none")
+      .select($"doc_id", $"n_tok")
+      .join(docs, "doc_id")
+      .withColumn("doc_md5", md5($"text"))
+    val byMd5 = Window.partitionBy($"doc_md5").orderBy($"doc_id")
+    val dd = gated
+      .withColumn("rn", row_number().over(byMd5))
+      .withColumn("keeper_id",
+        min($"doc_id").over(Window.partitionBy($"doc_md5")))
+    val deduped = dd.filter($"rn" === 1)
+    val capv = if (useThreshold) {
+      val counts = deduped.groupBy($"source").agg(count(lit(1)).as("n_src"))
+      val thr = counts.select($"source",
+        (least(lit(1.0), lit(DomainCap).cast("double") /
+          $"n_src".cast("double")) * lit(4294967296.0))
+          .cast("long").as("cap_thr"))
+      deduped.join(broadcast(thr), "source")
+        .withColumn("cap_draw", conv(substring(
+          md5(concat(lit("p01cap:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+          .cast("long"))
+        .withColumn("capped_out", $"cap_draw" >= $"cap_thr")
+    } else {
+      val capKey = md5(concat(lit("p01cap:"), $"doc_id".cast("string")))
+      val bySource = Window.partitionBy($"source").orderBy($"cap_key", $"doc_id")
+      deduped.withColumn("cap_key", capKey)
+        .withColumn("cap_draw", row_number().over(bySource).cast("long"))
+        .withColumn("capped_out", $"cap_draw" > DomainCap)
+    }
+    val orderKey = md5(concat(lit("p01shuf:"), $"doc_id".cast("string")))
+    val rk = capv.filter(!$"capped_out")
+      .withColumn("order_key", orderKey)
+      .withColumn("shard",
+        conv(substring($"order_key", 1, 4), 16, 10).cast("long") % 8)
+      .withColumn("shard_rank", row_number()
+        .over(Window.partitionBy($"shard").orderBy($"order_key", $"doc_id"))
+        .cast("long"))
+      .select($"doc_id", $"shard", $"shard_rank")
+    docs.select($"doc_id")
+      .join(rsn.select($"doc_id", $"gate_reason"), "doc_id")
+      .join(dd.select($"doc_id", $"rn", $"keeper_id"), Seq("doc_id"), "left")
+      .join(capv.select($"doc_id", $"cap_draw", $"capped_out"),
+        Seq("doc_id"), "left")
+      .join(rk, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"gate_reason" =!= "none", lit("gated"))
+          .when($"rn" > 1, lit("duplicate"))
+          .when($"capped_out", lit("capped"))
+          .otherwise(lit("kept")).as("disposition"),
+        $"gate_reason",
+        coalesce($"keeper_id", lit(-1L)).as("keeper_id"),
+        coalesce($"cap_draw", lit(-1L)).as("cap_draw"),
+        coalesce($"shard", lit(-1L)).as("shard"),
+        coalesce($"shard_rank", lit(-1L)).as("shard_rank"))
+      .orderBy($"doc_id")
+  }
+
+  /** p07's replay: the SAME verdict-carrying stage CTEs the p01/p02
+    * tail filters ([[pipelineStagesSqlMode]] — rsn/dd/capv/rk), here
+    * PROJECTED per doc instead of rolled up. */
+  val p07Oracle: String =
+    s"""WITH ${graft.text.TextOps.gateSignalsSqlCtes},
+      |${pipelineStagesSqlMode("documents", "auto")}
+      |SELECT d.doc_id,
+      |  CASE WHEN rsn.gate_reason <> 'none' THEN 'gated'
+      |       WHEN dd.rn > 1 THEN 'duplicate'
+      |       WHEN capv.capped_out THEN 'capped'
+      |       ELSE 'kept' END AS disposition,
+      |  rsn.gate_reason,
+      |  COALESCE(dd.keeper_id, -1) AS keeper_id,
+      |  COALESCE(capv.cap_draw, -1) AS cap_draw,
+      |  COALESCE(rk.shard, -1) AS shard,
+      |  COALESCE(rk.rank, -1) AS shard_rank
+      |FROM documents d
+      |JOIN rsn USING (doc_id)
+      |LEFT JOIN dd USING (doc_id)
+      |LEFT JOIN capv USING (doc_id)
+      |LEFT JOIN rk USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Materialize the pipeline's survivors as TRAINING SHARDS — the
     * artifact a trainer actually mounts, not just the audit rows. One
     * `shard=N/` directory per shard (Hive layout, so a reader can
@@ -314,6 +446,11 @@ object TrainingPipeline {
     * outside the oracle channel by construction. */
   private[graft] def pipelineStagesSqlMode(src: String,
       capMode: String): String = {
+    // VERDICT-CARRYING chain (r15 verdict item 2): every stage keeps its
+    // per-doc decision columns (gate_reason, rn/keeper_id, cap_draw/
+    // capped_out) and the survivor CTEs FILTER them — so the p01/p02
+    // audit tail and p07's per-doc provenance projection read the SAME
+    // stage definitions, and a rule change cannot drift between them.
     val thresholdCtes =
       s"""scnt AS (SELECT source, COUNT(*) AS n_src FROM deduped GROUP BY 1),
          |sthr AS (
@@ -321,12 +458,15 @@ object TrainingPipeline {
          |    CAST($DomainCap AS DOUBLE) / CAST(n_src AS DOUBLE))
          |    * 4294967296.0) AS BIGINT) AS cap_thr
          |  FROM scnt),
-         |cappedt AS (
-         |  SELECT d.doc_id, d.n_tok, d.doc_md5
-         |  FROM deduped d JOIN sthr t USING (source)
-         |  WHERE CAST(concat('0x',
+         |capvt AS (
+         |  SELECT d.doc_id, d.n_tok, d.doc_md5,
+         |    CAST(CAST(concat('0x',
          |      substr(md5('p01cap:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
-         |    AS UBIGINT) < t.cap_thr)""".stripMargin
+         |      AS UBIGINT) AS BIGINT) AS cap_draw,
+         |    CAST(CAST(concat('0x',
+         |      substr(md5('p01cap:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+         |      AS UBIGINT) AS BIGINT) >= t.cap_thr AS capped_out
+         |  FROM deduped d JOIN sthr t USING (source))""".stripMargin
     val windowCtes =
       s"""cap AS (
          |  SELECT *, md5('p01cap:' || CAST(doc_id AS VARCHAR)) AS cap_key
@@ -334,40 +474,49 @@ object TrainingPipeline {
          |cr AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
          |    ORDER BY cap_key, doc_id) AS crn FROM cap),
-         |cappedw AS (SELECT doc_id, n_tok, doc_md5 FROM cr WHERE crn <= $DomainCap)""".stripMargin
+         |capvw AS (
+         |  SELECT doc_id, n_tok, doc_md5, CAST(crn AS BIGINT) AS cap_draw,
+         |    crn > $DomainCap AS capped_out
+         |  FROM cr)""".stripMargin
     val capCtes = capMode match {
       case "threshold" =>
         s"""$thresholdCtes,
-           |capped AS (SELECT * FROM cappedt)""".stripMargin
+           |capv AS (SELECT * FROM capvt)""".stripMargin
       case "window" =>
         s"""$windowCtes,
-           |capped AS (SELECT * FROM cappedw)""".stripMargin
+           |capv AS (SELECT * FROM capvw)""".stripMargin
       case "auto" =>
         s"""capprobe AS (
            |  SELECT COALESCE(MAX(cnt), 0) > $SkewBoundDefault AS use_thr
            |  FROM (SELECT COUNT(*) AS cnt FROM $src GROUP BY source)),
            |$windowCtes,
            |$thresholdCtes,
-           |capped AS (
-           |  SELECT * FROM cappedw WHERE NOT (SELECT use_thr FROM capprobe)
+           |capv AS (
+           |  SELECT * FROM capvw WHERE NOT (SELECT use_thr FROM capprobe)
            |  UNION ALL
-           |  SELECT * FROM cappedt WHERE (SELECT use_thr FROM capprobe))""".stripMargin
+           |  SELECT * FROM capvt WHERE (SELECT use_thr FROM capprobe))""".stripMargin
       case other => throw new IllegalArgumentException(
         s"capMode must be auto|window|threshold, got $other")
     }
-    s"""kept AS (
-      |  SELECT b.doc_id, b.n_tok FROM base b JOIN rep r USING (doc_id)
-      |  WHERE NOT (b.n_tok < 30 OR b.n_stop * 1000 < b.n_tok * 15
-      |    OR b.n_punct * 10 > b.n_chars_m
-      |    OR (r.n_grams - r.n_distinct) * 10 > r.n_grams)),
+    s"""rsn AS (
+      |  SELECT b.doc_id, b.n_tok,
+      |    CASE WHEN b.n_tok < 30 THEN 'too_short'
+      |         WHEN b.n_stop * 1000 < b.n_tok * 15 THEN 'low_stopword'
+      |         WHEN b.n_punct * 10 > b.n_chars_m THEN 'high_punct'
+      |         WHEN (r.n_grams - r.n_distinct) * 10 > r.n_grams THEN 'repetitive'
+      |         ELSE 'none' END AS gate_reason
+      |  FROM base b JOIN rep r USING (doc_id)),
+      |kept AS (SELECT doc_id, n_tok FROM rsn WHERE gate_reason = 'none'),
       |gated AS (
       |  SELECT k.doc_id, k.n_tok, d.source, md5(d.text) AS doc_md5
       |  FROM kept k JOIN $src d USING (doc_id)),
       |dd AS (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_md5 ORDER BY doc_id) AS rn
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_md5 ORDER BY doc_id) AS rn,
+      |    MIN(doc_id) OVER (PARTITION BY doc_md5) AS keeper_id
       |  FROM gated),
       |deduped AS (SELECT doc_id, n_tok, source, doc_md5 FROM dd WHERE rn = 1),
       |$capCtes,
+      |capped AS (SELECT doc_id, n_tok, doc_md5 FROM capv WHERE NOT capped_out),
       |sh AS (
       |  SELECT *, md5('p01shuf:' || CAST(doc_id AS VARCHAR)) AS order_key
       |  FROM capped),
@@ -802,6 +951,7 @@ object TrainingPipeline {
     "p04_sequence_pack" -> (p04_sequence_pack _),
     "p05_mixture_resample" -> (p05_mixture_resample _),
     "p06_decontaminated_split" -> (p06_decontaminated_split _),
+    "p07_provenance" -> (p07_provenance _),
     "io01_jsonl_roundtrip" -> (io01_jsonl_roundtrip _))
 
   val oracle: Map[String, String] = Map(
@@ -811,5 +961,6 @@ object TrainingPipeline {
     "p04_sequence_pack" -> p04Oracle,
     "p05_mixture_resample" -> p05Oracle,
     "p06_decontaminated_split" -> p06Oracle,
+    "p07_provenance" -> p07Oracle,
     "io01_jsonl_roundtrip" -> io01Oracle)
 }

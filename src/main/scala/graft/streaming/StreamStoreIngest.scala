@@ -114,6 +114,35 @@ object StreamStoreIngest {
     * mark. The post-drain read probes base ∪ delta-if-present and
     * derives the ingested set by id range, so it is correct whether or
     * not a compaction consumed the delta mid-stream. */
+  /** st09's per-micro-batch ingest body, extracted so the
+    * checkpoint-restart cert (StreamingSpec) drives the EXACT production
+    * append — recreate-delta-if-compacted, idempotency anti-join against
+    * base ∪ delta at ≥ offset, encode + bucketed append, compaction
+    * policy check — rather than a spec-local copy that could drift. */
+  private[graft] def st09AppendBatch(tbl: String, delta: String, k: Int,
+      cb: Array[(Int, Seq[Float])], pqCb: Array[Array[Array[Double]]],
+      offset: Long, compactAtDeltaRows: Long)(b: DataFrame): Unit = {
+    import graft.sim.AnnStore
+    val bs = b.sparkSession
+    // a compaction may have consumed the delta last batch —
+    // recreate the empty side table before appending
+    if (!bs.catalog.tableExists(delta))
+      bs.table(tbl).limit(0).write.bucketBy(k, "cid").sortBy("cid")
+        .saveAsTable(delta)
+    // idempotency guard: ingested ids live past `offset`, so the
+    // already-present set is base∪delta rows at >= offset (the
+    // delta alone forgets ids a compaction folded into base)
+    val present = Seq(tbl, delta).map(t => bs.table(t))
+      .reduce(_.unionByName(_))
+      .filter(col("vec_id") >= offset).select("vec_id")
+    val fresh = b.join(present, Seq("vec_id"), "left_anti")
+    AnnStore.encodeForStore(fresh, cb, pqCb)
+      .write.mode("append").bucketBy(k, "cid").sortBy("cid")
+      .saveAsTable(delta)
+    AnnStore.maybeCompactDelta(bs, tbl, delta, k, compactAtDeltaRows)
+    ()
+  }
+
   private[graft] def st09Impl(s: SparkSession, d: String,
       compactAtDeltaRows: Long, baseOverride: Option[String] = None)
       : DataFrame =
@@ -144,24 +173,8 @@ object StreamStoreIngest {
             rotU($"embedding").as("embedding"))
         val q = batchStream.writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val bs = b.sparkSession
-            // a compaction may have consumed the delta last batch —
-            // recreate the empty side table before appending
-            if (!bs.catalog.tableExists(delta))
-              bs.table(tbl).limit(0).write.bucketBy(k, "cid").sortBy("cid")
-                .saveAsTable(delta)
-            // idempotency guard: ingested ids live past `offset`, so the
-            // already-present set is base∪delta rows at >= offset (the
-            // delta alone forgets ids a compaction folded into base)
-            val present = Seq(tbl, delta).map(t => bs.table(t))
-              .reduce(_.unionByName(_))
-              .filter(col("vec_id") >= offset).select("vec_id")
-            val fresh = b.join(present, Seq("vec_id"), "left_anti")
-            AnnStore.encodeForStore(fresh, cb, pqCb)
-              .write.mode("append").bucketBy(k, "cid").sortBy("cid")
-              .saveAsTable(delta)
-            AnnStore.maybeCompactDelta(bs, tbl, delta, k, compactAtDeltaRows)
-            ()
+            st09AppendBatch(tbl, delta, k, cb, pqCb, offset,
+              compactAtDeltaRows)(b)
           }
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()

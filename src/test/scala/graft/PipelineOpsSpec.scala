@@ -61,6 +61,69 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stage identity broken: pipeline kept $total, Σ min(survivors, cap) = $expected")
   }
 
+  test("p07 provenance: dispositions reconcile with p01's audit; every " +
+      "disposition and gate reason fires on a planted corpus") {
+    val sp = spark
+    import sp.implicits._
+    // (a) on p01's actual corpus: per-disposition counts must reconcile
+    // with the stage audit — Σ all == input rows, kept == p01's Σ n_docs
+    val prov = graft.pipeline.TrainingPipeline.p07_provenance(spark, sf).cache()
+    val byDisp = prov.groupBy($"disposition").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.analytics.Tables.documents(spark, sf).count()
+    assert(byDisp.values.sum == total, s"provenance lost rows: $byDisp vs $total")
+    val p01docs = graft.pipeline.TrainingPipeline
+      .p01_training_pipeline(spark, sf)
+      .agg(sum($"n_docs")).head.getLong(0)
+    assert(byDisp.getOrElse("kept", 0L) == p01docs,
+      s"kept=${byDisp.get("kept")} != p01 audit $p01docs")
+    // kept rows carry real placements, everything else carries sentinels
+    assert(prov.filter($"disposition" === "kept" &&
+      ($"shard" < 0 || $"shard_rank" < 1)).count() == 0)
+    assert(prov.filter($"disposition" =!= "kept" && $"shard" =!= -1L)
+      .count() == 0)
+    prov.unpersist()
+    // (b) discrimination (the SURVEY §5 rule): the raw corpus has no
+    // exact duplicates (d01 plants its own), so 'duplicate' would be
+    // dead code above — plant a corpus that exercises every disposition
+    // and all four gate reasons, with known counts
+    def okDoc(i: Int): String =
+      (1 to 30).map(j => if (j % 5 == 0) "the" else s"w${i}x$j").mkString(" ")
+    val big = (1 to 20).map(i => (100L + i, okDoc(i), "big"))
+    val dupText = okDoc(99)
+    val planted = (big ++ Seq(
+      (51L, dupText, "dup"), (52L, dupText, "dup"), // exact pair: 52 loses
+      (61L, "tiny", "bad"), // too_short
+      (62L, (1 to 40).map(j => s"z$j").mkString(" "), "bad"), // low_stopword
+      (63L, (1 to 30).map(j => if (j % 5 == 0) "the" else s"p$j!!!")
+        .mkString(" "), "bad"), // high_punct
+      (64L, Seq.fill(20)("the cat sat").mkString(" "), "bad") // repetitive
+    )).toDF("doc_id", "text", "source")
+    val pv = graft.pipeline.TrainingPipeline.provenanceOf(planted).cache()
+    val d = pv.groupBy($"disposition").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // big: 20 survivors vs DomainCap 15 → 5 capped; dup: keeper kept,
+    // twin duplicate; bad: all four gated
+    assert(d == Map("kept" -> 16L, "capped" -> 5L, "duplicate" -> 1L,
+      "gated" -> 4L), s"got $d")
+    val reasons = pv.select($"gate_reason").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(reasons == Set("none", "too_short", "low_stopword",
+      "high_punct", "repetitive"), s"got $reasons")
+    val dupRow = pv.filter($"doc_id" === 52L).collect()(0)
+    assert(dupRow.getAs[String]("disposition") == "duplicate" &&
+      dupRow.getAs[Long]("keeper_id") == 51L)
+    // the keeper itself survived (kept — its 2-doc source is under cap)
+    assert(pv.filter($"doc_id" === 51L).collect()(0)
+      .getAs[String]("disposition") == "kept")
+    // the planted kept-set also reconciles with the REAL pipeline run
+    // on the same corpus — provenance and survivors cannot drift
+    val audited = graft.pipeline.TrainingPipeline.shardedAuditOf(planted)
+      .agg(sum($"n_docs")).head.getLong(0)
+    assert(d("kept") == audited, s"planted kept ${d("kept")} != audit $audited")
+    pv.unpersist()
+  }
+
   test("p01: deterministic across runs") {
     val a = graft.pipeline.TrainingPipeline.p01_training_pipeline(spark, sf)
       .collect().map(_.toString).toSeq

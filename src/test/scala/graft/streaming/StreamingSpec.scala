@@ -235,6 +235,115 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("st09 checkpoint restart: crash after the delta append lands but " +
+      "before its offset commits — delta stays single-copy, probe " +
+      "decisions invariant") {
+    // r15 verdict item 5: st08's restart cert proved the dedup-ingest
+    // side; this is the ANN-ingest analogue at the same worst failure
+    // point. The planted crash fires AFTER st09AppendBatch returns (the
+    // delta append + bucketed table commit are durable) but BEFORE
+    // foreachBatch's offset commits — so the restart MUST replay exactly
+    // that batch, and the production body's idempotency anti-join (base
+    // ∪ delta at ≥ offset) must keep the delta at exactly one copy per
+    // ingested id while probes return the uninterrupted run's decisions.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.sim.AnnStore
+    val d = "/root/testdata/sf0.001"
+    val (tbl, cb, pqCb) = AnnStore.ensureAnnStore(s, d)
+    val k = cb.length
+    val root = java.nio.file.Files.createTempDirectory("graft-st09-restart")
+    val dBase = tbl + "_st09cert_base"
+    val dCr = tbl + "_st09cert_cr"
+    try {
+      Seq(dBase, dCr).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      // stage embeddings as three files → three micro-batches
+      val stage = s"$root/stage"
+      val embSchema = s.read
+        .option("pathGlobFilter", "embeddings.parquet").parquet(d).schema
+      val emb = s.read.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      (0 until 3).foreach { i =>
+        emb.filter(col("vec_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(stage)
+      }
+      val offset = emb.agg(max($"vec_id")).as[Long].head() + 1L
+      val rotU = udf { v: Seq[Float] => v.drop(7) ++ v.take(7) }
+      def runIngest(delta: String, ckpt: String, crashAtBatch: Int)
+          : (Option[Throwable], Seq[Long]) = {
+        val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val stream = s.readStream.schema(embSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val batchStream = stream.filter($"vec_id" % 31 === 0)
+          .select(($"vec_id" + offset).as("vec_id"),
+            rotU($"embedding").as("embedding"))
+        val q = batchStream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            seen.add(id)
+            StreamStoreIngest.st09AppendBatch(tbl, delta, k, cb, pqCb,
+              offset, Long.MaxValue)(b)
+            if (seen.size == crashAtBatch)
+              throw new RuntimeException("planted post-append crash")
+          }
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        import scala.jdk.CollectionConverters._
+        try { q.awaitTermination(); (None, seen.asScala.toSeq) }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            (Some(e), seen.asScala.toSeq)
+        }
+      }
+      def decisions(delta: String): (Long, Seq[(Long, Long)]) = {
+        s.catalog.refreshTable(tbl); s.catalog.refreshTable(delta)
+        val ingested = s.table(delta).filter($"vec_id" >= offset)
+          .select($"vec_id".as("query_id"), $"embedding")
+          .localCheckpoint(true)
+        val n = ingested.count()
+        val dec = AnnStore.annSearchOn(s, Seq(tbl, delta), cb, pqCb,
+            ingested, topK = 1, rerank = 50)
+          .filter($"rank" === 1).select($"query_id", $"neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+        (n, dec)
+      }
+      // uninterrupted baseline
+      val (e0, ids0) = runIngest(dBase, s"$root/ckpt_base", 99)
+      assert(e0.isEmpty && ids0 == Seq(0L, 1L, 2L), s"base: $e0 $ids0")
+      val (nBase, decBase) = decisions(dBase)
+      assert(nBase > 0 && decBase.forall(p => p._1 == p._2),
+        s"baseline must self-match: ${decBase.filter(p => p._1 != p._2).take(5)}")
+      // crashed run: batch 1's delta append lands, then the crash —
+      // its offset never commits
+      val (e1, ids1) = runIngest(dCr, s"$root/ckpt_cr", 2)
+      assert(e1.isDefined, "planted crash did not surface")
+      assert(ids1 == Seq(0L, 1L), s"crashed run saw $ids1")
+      // restart from the SAME checkpoint: batch 0 committed (not
+      // re-run), batch 1 replays OVER its own landed append, batch 2
+      // drains
+      val (e2, ids2) = runIngest(dCr, s"$root/ckpt_cr", 99)
+      assert(e2.isEmpty, s"restart failed: $e2")
+      assert(ids2 == Seq(1L, 2L), s"restart replayed wrong batches: $ids2")
+      // exactly one copy of every ingested id — the replayed append was
+      // fully absorbed by the idempotency guard
+      val dup = s.table(dCr).groupBy($"vec_id").count()
+        .filter($"count" > 1).count()
+      assert(dup == 0, "replayed batch double-appended into the delta")
+      val (nRec, decRec) = decisions(dCr)
+      assert(nRec == nBase, s"recovered delta size $nRec != baseline $nBase")
+      assert(decRec == decBase, "recovered probe decisions diverge")
+    } finally {
+      Seq(dBase, dCr).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   test("p03: both admission outcomes fire — recrawl refused, novel admitted, audit binds") {
     // execution properties the DuckDB oracle cannot see: that the
     // RECRAWL half of the stream is actually refused by the persisted

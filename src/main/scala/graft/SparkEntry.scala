@@ -13,7 +13,7 @@ object SparkEntry {
       graft.text.TextOps.queries ++ graft.text.BpeOps.queries ++
       graft.text.QualityModel.queries ++ graft.text.LangId.queries ++
       graft.text.TieredSample.queries ++
-      graft.text.LangModel.queries ++
+      graft.text.LangModel.queries ++ graft.text.UnigramLm.queries ++
       graft.dedup.DedupOps.queries ++ graft.dedup.IncrementalDedup.queries ++
       graft.dedup.LineDedup.queries ++ graft.dedup.Contamination.queries ++
       graft.dedup.SpanDedup.queries ++ graft.dedup.BloomDedup.queries ++
@@ -40,7 +40,7 @@ object SparkEntry {
       graft.text.TextOps.oracle ++ graft.text.BpeOps.oracle ++
       graft.text.QualityModel.oracle ++ graft.text.LangId.oracle ++
       graft.text.TieredSample.oracle ++
-      graft.text.LangModel.oracle ++
+      graft.text.LangModel.oracle ++ graft.text.UnigramLm.oracle ++
       graft.dedup.DedupOps.oracle ++ graft.dedup.IncrementalDedup.oracle ++
       graft.dedup.LineDedup.oracle ++ graft.dedup.Contamination.oracle ++
       graft.dedup.SpanDedup.oracle ++ graft.dedup.BloomDedup.oracle ++

@@ -1,0 +1,323 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Tables
+
+/** t20: UNIGRAM-LM (SentencePiece-style) TOKENIZER INDUCTION — the
+  * other half of the tokenizer story next to BPE (t11/t14): Kudo 2018's
+  * unigram language model, where a subword vocabulary is INDUCED by
+  * (1) seeding candidate pieces from frequent substrings, (2) EM rounds
+  * that re-segment the corpus under current piece probabilities and
+  * re-estimate them, and (3) pruning pieces the segmentation stopped
+  * using. The engine runs the standard scalable simplification —
+  * VITERBI (hard) EM: each round segments every dictionary word by an
+  * exact max-probability DP over the current vocabulary, recounts
+  * pieces from those segmentations, and drops pieces no Viterbi path
+  * used (every surviving word's path pieces survive pruning by
+  * construction, so segmentability is invariant across rounds).
+  * Probabilities live as t17's fixed-point quantized log-probs —
+  * qlp = floor(4096·ln(c/total)) — so every DP compare and every
+  * downstream aggregate is INTEGER arithmetic; ln is the one libm
+  * call, on bit-identical operands in both engines (the accepted t17
+  * device). Unreachable DP states carry an integer SENTINEL (−10^12,
+  * five orders below any real score) instead of NULL, so no
+  * cross-engine NULL-propagation semantics are in play.
+  *
+  * Shape constants: pieces up to [[MaxPieceLen]] = 4 chars, induction
+  * over words up to [[MaxWordLen]] = 12 chars (longer words are
+  * excluded and REPORTED — the `long_words_excluded` column, the
+  * no-silent-caps rule), [[Rounds]] = 2 EM rounds, seed floor
+  * [[MinSeedCount]] = 2 with all single chars retained (coverage:
+  * every word segments in round 1). Deterministic tie-break at each DP
+  * position: highest score, then longest piece.
+  *
+  * Plan shape — deliberately FLAT (the first formulation kept per-
+  * position DataFrames referencing the previous 4, and Catalyst plan
+  * trees COPY referenced subplans, so the DP tree grew as a tetranacci
+  * — analysis alone outran the data). Here each DP value materializes
+  * as a real COLUMN on one dictionary-sized frame: 48 small left
+  * equi-joins bring the piece log-prob for every (position, length)
+  * candidate, 12 projection steps compute qdp_i/bk_i from prior
+  * COLUMNS (attribute references, not subplan copies), and the
+  * backtrace is pure per-row expression work — the chosen-piece walk
+  * reads bk out of an array column by data-dependent index
+  * (element_at), emits ≤12 piece columns, explodes, and counts. Zero
+  * windows, zero driver collects, one corpus-sized pass (the word
+  * count); everything else is dictionary-sized.
+  *
+  * Oracle: the identical induction generated as SQL by the same loop
+  * bounds (w08's per-iteration CTE device) — 48 LEFT JOINs, the same
+  * chained qdp/bk CTEs, the same array-indexed backtrace — so the two
+  * sides cannot drift structurally. Output: per-piece-length rollup of
+  * the final vocabulary (count, Σ count, Σ qlp, md5 of the ordered
+  * piece list) — any wrong segmentation anywhere moves a checksum. */
+object UnigramLm {
+
+  private val Q = 4096.0
+  private[graft] val MaxWordLen = 12
+  private[graft] val MaxPieceLen = 4
+  private[graft] val Rounds = 2
+  private val MinSeedCount = 2L
+  /** Unreachable-state score: far below any real path score (|qlp| ≤
+    * ~60k per piece, ≤ 12 pieces per word ⇒ |qdp| ≤ ~7·10^5). */
+  private val Sent = -1000000000000L
+
+  /** (piece, c) -> (piece, c, qlp) with qlp = floor(Q·ln(c/Σc)). */
+  private def qlpOf(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    val tot = counts.agg(sum($"c").as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select($"piece", $"c",
+        floor(lit(Q) * log($"c".cast("double") / $"tot".cast("double")))
+          .cast("long").as("qlp"))
+  }
+
+  /** The (word, end-position, piece-length, piece) candidate
+    * enumeration — vocabulary-INDEPENDENT, so it is built once per
+    * corpus and reused by every EM round. */
+  private def candidatesOf(words: DataFrame): DataFrame = {
+    import words.sparkSession.implicits._
+    (1 to MaxPieceLen).map { k =>
+      words.filter($"len" >= k)
+        .select($"word", explode(expr(s"sequence($k, len)")).as("i"),
+          lit(k).as("k"))
+        .select($"word", $"i", $"k",
+          expr(s"substr(word, i - $k + 1, $k)").as("piece"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** One Viterbi-EM E-step: exact max-qlp segmentation of every
+    * dictionary word under `pieces`, returning the piece counts of all
+    * chosen segmentations weighted by word frequency. */
+  private def viterbiCounts(words: DataFrame, cands: DataFrame,
+      pieces: DataFrame): DataFrame = {
+    import words.sparkSession.implicits._
+    val L = MaxWordLen
+    val K = MaxPieceLen
+    // candidate lookups as ONE vocab join + a conditional-aggregate
+    // pivot back to qlp_{i}_{k} columns: the first formulation ran a
+    // join per (position, length) — 48 of them — and the ORACLE twin of
+    // that shape sent DuckDB's join-order optimizer into the weeds (a
+    // 96-relation join graph); two joins per round keeps both planners
+    // trivial. qlp_{i}_{k} = log-prob of the k-char piece ENDING at
+    // position i, null when absent from the vocab.
+    val pivots = for (i <- 1 to L; k <- 1 to math.min(K, i))
+      yield max(when($"i" === i && $"k" === k, $"qlp")).as(s"qlp_${i}_$k")
+    val lut = cands.join(pieces.select($"piece", $"qlp"), "piece")
+      .groupBy($"word").agg(pivots.head, pivots.tail: _*)
+    var f = words.join(lut, Seq("word"), "left")
+    // DP forward: qdp_i / bk_i as materialized columns (flat plan)
+    f = f.withColumn("qdp_0", lit(0L))
+    for (i <- 1 to L) {
+      val ks = (1 to math.min(K, i)).reverse // longest-piece preference
+      def cand(k: Int): Column =
+        when(col(s"qlp_${i}_$k").isNotNull &&
+            col(s"qdp_${i - k}") =!= Sent,
+          col(s"qdp_${i - k}") + col(s"qlp_${i}_$k"))
+          .otherwise(lit(Sent))
+      f = f.withColumn(s"qdp_$i",
+        if (ks.size == 1) cand(ks.head) else greatest(ks.map(cand): _*))
+      // bk_i = LONGEST k achieving the max (score DESC, k DESC): first
+      // match in descending-k order
+      f = f.withColumn(s"bk_$i",
+        when(col(s"qdp_$i") === Sent, lit(0L))
+          .otherwise(ks.tail.foldLeft(
+            when(cand(ks.head) === col(s"qdp_$i"), lit(ks.head.toLong))) {
+            (acc, k) => acc.when(cand(k) === col(s"qdp_$i"), lit(k.toLong))
+          }))
+    }
+    // backtrace as per-row expressions: pos_t = pos_{t-1} − bk[pos_{t-1}]
+    // via array indexing; piece_t = the substring that step consumed
+    f = f.withColumn("bk_arr", array((1 to L).map(i => col(s"bk_$i")): _*))
+      .withColumn("pos_0", $"len".cast("long"))
+    for (t <- 1 to L) {
+      f = f.withColumn(s"step_$t",
+        when(col(s"pos_${t - 1}") > 0,
+          element_at($"bk_arr", col(s"pos_${t - 1}").cast("int")))
+          .otherwise(lit(0L)))
+      f = f.withColumn(s"piece_$t",
+        when(col(s"step_$t") > 0,
+          expr(s"substr(word, CAST(pos_${t - 1} - step_$t + 1 AS INT), " +
+            s"CAST(step_$t AS INT))")).otherwise(lit("")))
+      f = f.withColumn(s"pos_$t", col(s"pos_${t - 1}") - col(s"step_$t"))
+    }
+    f.select($"cw",
+        explode(array((1 to L).map(t => col(s"piece_$t")): _*)).as("piece"))
+      .filter($"piece" =!= "")
+      .groupBy($"piece").agg(sum($"cw").as("c"))
+  }
+
+  def t20_unigram_lm(s: SparkSession, d: String): DataFrame =
+    t20Impl(Tables.documents(s, d))
+
+  /** The induction over a caller-supplied `(text)` corpus — the spec
+    * plants a >MaxWordLen word through this to keep the exclusion path
+    * exercised (the gate corpora top out at 8-char words, so
+    * `long_words_excluded` is structurally 0 there). */
+  private[graft] def t20Impl(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val allWords = docs
+      .select(explode(TextOps.whitespaceTokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cw"))
+      .withColumn("len", length($"word"))
+    val longCnt = allWords.filter($"len" > MaxWordLen)
+      .agg(coalesce(sum($"cw"), lit(0L)).as("long_words_excluded"))
+      .localCheckpoint(true)
+    // the ONLY corpus-sized work above; dictionary-sized from here on
+    val words = allWords.filter($"len" <= MaxWordLen)
+      .localCheckpoint(true)
+    // seed: all ≤MaxPieceLen-char substrings above the count floor,
+    // plus every single char (coverage)
+    val sub = (1 to MaxPieceLen).map { k =>
+      words.filter($"len" >= k)
+        .select($"word", $"cw",
+          explode(expr(s"sequence(1, len - $k + 1)")).as("i"))
+        .select(expr(s"substr(word, i, $k)").as("piece"), $"cw")
+    }.reduce(_ unionByName _)
+    val seed = sub.groupBy($"piece").agg(sum($"cw").as("c"))
+      .filter($"c" >= MinSeedCount || length($"piece") === 1)
+    val cands = candidatesOf(words).localCheckpoint(true)
+    var pieces = qlpOf(seed).localCheckpoint(true)
+    for (_ <- 1 to Rounds) {
+      // E: Viterbi recount; M: re-quantize; prune = pieces the
+      // segmentation stopped using simply never re-enter
+      pieces = qlpOf(viterbiCounts(words, cands, pieces))
+        .localCheckpoint(true)
+    }
+    pieces
+      .groupBy(length($"piece").cast("long").as("piece_len"))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum($"c").as("total_count"),
+        sum($"qlp").as("sum_qlp"),
+        md5(concat_ws(",", array_sort(collect_list($"piece"))))
+          .as("vocab_md5"))
+      .crossJoin(broadcast(longCnt))
+      .orderBy($"piece_len")
+  }
+
+  /** The induction unrolled in SQL — generated by the SAME loop bounds
+    * and the same candidate/tie-break/backtrace expressions as the
+    * engine. */
+  val t20Oracle: String = {
+    val L = MaxWordLen
+    val K = MaxPieceLen
+    val subUnion = (1 to K).map { k =>
+      s"""SELECT substr(word, CAST(i AS INT), $k) AS piece, cw
+         |  FROM words, UNNEST(range(1, len - $k + 2)) AS u(i)
+         |  WHERE len >= $k""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    def roundCtes(r: Int): String = {
+      val prev = if (r == 1) "p_0" else s"p_${r - 1}"
+      // candidate lookups via ONE vocab join + conditional-aggregate
+      // pivot (the engine's exact shape — a join per (i, k) gave DuckDB
+      // a 96-relation join graph and planning outran execution)
+      val pivotCols = (for (i <- 1 to L; k <- 1 to math.min(K, i)) yield
+        s"MAX(CASE WHEN c.i = $i AND c.k = $k THEN c.qlp END) AS qlp_${i}_$k")
+        .mkString(",\n    ")
+      val j = s"""candq_$r AS (
+        |  SELECT c.word, c.i, c.k, p.qlp
+        |  FROM cands c JOIN $prev p USING (piece)),
+        |j_$r AS (
+        |  SELECT w.word, w.cw, w.len,
+        |    $pivotCols
+        |  FROM words w LEFT JOIN candq_$r c USING (word)
+        |  GROUP BY w.word, w.cw, w.len)""".stripMargin
+      // DP columns, one chained CTE per position
+      val d0 = s"d_${r}_0 AS (SELECT *, CAST(0 AS BIGINT) AS qdp_0 FROM j_$r)"
+      val ds = (1 to L).map { i =>
+        val ks = (1 to math.min(K, i)).reverse
+        def cand(k: Int): String =
+          s"(CASE WHEN qlp_${i}_$k IS NOT NULL AND qdp_${i - k} <> $Sent " +
+            s"THEN qdp_${i - k} + qlp_${i}_$k ELSE $Sent END)"
+        val qdp =
+          if (ks.size == 1) cand(ks.head)
+          else s"greatest(${ks.map(cand).mkString(", ")})"
+        val bk = s"""CASE WHEN qdp_$i = $Sent THEN 0
+          |      ${ks.map(k => s"WHEN ${cand(k)} = qdp_$i THEN $k")
+            .mkString("\n      ")}
+          |      END""".stripMargin
+        s"""d_${r}_$i AS (
+           |  SELECT *, CAST($bk AS BIGINT) AS bk_$i FROM (
+           |    SELECT *, CAST($qdp AS BIGINT) AS qdp_$i FROM d_${r}_${i - 1}
+           |  ) q_${r}_$i)""".stripMargin
+      }
+      // backtrace: array-indexed walk, one chained CTE per step
+      val arr = s"""a_${r}_0 AS (
+        |  SELECT word, cw, len,
+        |    [${(1 to L).map(i => s"bk_$i").mkString(", ")}] AS bk_arr,
+        |    CAST(len AS BIGINT) AS pos_0
+        |  FROM d_${r}_$L)""".stripMargin
+      val bts = (1 to L).map { t =>
+        s"""a_${r}_$t AS (
+           |  SELECT *, pos_${t - 1} - step_$t AS pos_$t,
+           |    CASE WHEN step_$t > 0 THEN
+           |      substr(word, CAST(pos_${t - 1} - step_$t + 1 AS INT),
+           |             CAST(step_$t AS INT))
+           |    ELSE '' END AS piece_$t
+           |  FROM (
+           |    SELECT *, CASE WHEN pos_${t - 1} > 0
+           |      THEN bk_arr[CAST(pos_${t - 1} AS INT)]
+           |      ELSE 0 END AS step_$t
+           |    FROM a_${r}_${t - 1}
+           |  ) s_${r}_$t)""".stripMargin
+      }
+      // ONE reference to the backtrace chain (UNNEST of the piece
+      // columns as a list) and MATERIALIZED: the first form read a_r_L
+      // once per piece column (12×) and DuckDB inlined each reference —
+      // across two rounds that compounded to ~144 copies of the whole
+      // chain and planning outran execution by minutes
+      val cnt = s"""cnt_$r AS MATERIALIZED (
+        |  SELECT piece, CAST(SUM(cw) AS BIGINT) AS c FROM (
+        |    SELECT cw, UNNEST([${(1 to L).map(t => s"piece_$t")
+          .mkString(", ")}]) AS piece FROM a_${r}_$L
+        |  ) em_$r WHERE piece <> '' GROUP BY 1)""".stripMargin
+      val pr = s"""p_$r AS MATERIALIZED (
+        |  SELECT piece, c,
+        |    CAST(floor(4096.0 * ln(CAST(c AS DOUBLE) /
+        |      (SELECT CAST(SUM(c) AS DOUBLE) FROM cnt_$r))) AS BIGINT) AS qlp
+        |  FROM cnt_$r)""".stripMargin
+      (Seq(j, d0) ++ ds ++ Seq(arr) ++ bts ++ Seq(cnt, pr)).mkString(",\n")
+    }
+    s"""WITH wall AS (
+      |  SELECT w AS word, COUNT(*) AS cw, length(w) AS len
+      |  FROM (SELECT ${TextOps.oracleToks("text")} AS tk FROM documents) t,
+      |    UNNEST(tk) AS u(w)
+      |  GROUP BY 1),
+      |longw AS (
+      |  SELECT CAST(COALESCE(SUM(cw), 0) AS BIGINT) AS long_words_excluded
+      |  FROM wall WHERE len > $L),
+      |words AS MATERIALIZED (SELECT word, cw, len FROM wall WHERE len <= $L),
+      |cands AS MATERIALIZED (
+      |  ${(1 to K).map(k =>
+          s"SELECT word, CAST(i AS INT) AS i, $k AS k, " +
+          s"substr(word, CAST(i AS INT) - $k + 1, $k) AS piece " +
+          s"FROM words, UNNEST(range($k, len + 1)) AS u_$k(i) WHERE len >= $k")
+        .mkString("\n  UNION ALL\n  ")}),
+      |sub AS (
+      |  $subUnion),
+      |seed AS MATERIALIZED (
+      |  SELECT piece, CAST(SUM(cw) AS BIGINT) AS c FROM sub GROUP BY 1
+      |  HAVING SUM(cw) >= $MinSeedCount OR length(piece) = 1),
+      |p_0 AS MATERIALIZED (
+      |  SELECT piece, c,
+      |    CAST(floor(4096.0 * ln(CAST(c AS DOUBLE) /
+      |      (SELECT CAST(SUM(c) AS DOUBLE) FROM seed))) AS BIGINT) AS qlp
+      |  FROM seed),
+      |${(1 to Rounds).map(roundCtes).mkString(",\n")}
+      |SELECT CAST(length(piece) AS BIGINT) AS piece_len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pieces,
+      |  CAST(SUM(c) AS BIGINT) AS total_count,
+      |  CAST(SUM(qlp) AS BIGINT) AS sum_qlp,
+      |  md5(string_agg(piece, ',' ORDER BY piece)) AS vocab_md5,
+      |  (SELECT long_words_excluded FROM longw) AS long_words_excluded
+      |FROM p_$Rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_unigram_lm" -> (t20_unigram_lm _))
+
+  val oracle: Map[String, String] = Map(
+    "t20_unigram_lm" -> t20Oracle)
+}

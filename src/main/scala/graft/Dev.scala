@@ -100,15 +100,21 @@ object Dev {
     val worst = names.maxBy(n => qs.get(n).get("ratio_min").asDouble)
     val worstRatio = qs.get(worst).get("ratio_min").asDouble
     val allPass = node.get("all_pass").asBoolean
+    val sfx = node.get("scale_factor").asInt
+    val scope = Option(node.get("scope")).map(_.asText)
+      .getOrElse("full_registry")
     val cert = Option(node.get("certification")).forall(_.asBoolean)
     if (!cert) println(s"[cert-summary] WARNING: $path is a SUBSET artifact, not a certification")
+    val exclNote =
+      if (scope == "digest_core")
+        s"scope = digest-only core; ${excluded.size} registry queries outside it"
+      else s"${excluded.size} registry queries excluded — see the exclusion note"
     println(
-      s"${names.size}-row 10× cert ${if (allPass) "all_pass" else "FAILED"} " +
+      s"${names.size}-row ${sfx}× cert ${if (allPass) "all_pass" else "FAILED"} " +
       s"(${certified.size} certified headline queries + ${fixtures.size} " +
       s"adversarial fixture${if (fixtures.size == 1) "" else "s"}" +
       s"${if (fixtures.nonEmpty) fixtures.mkString(" [", ", ", "]") else ""}; " +
-      s"worst ratio $worstRatio = $worst; " +
-      s"${excluded.size} registry queries excluded — see the exclusion note).")
+      s"worst ratio $worstRatio = $worst; $exclNote).")
   }
 
   /** Deterministic scaled corpus from an existing sf dir (the sf1

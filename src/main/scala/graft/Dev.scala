@@ -410,7 +410,12 @@ object Dev {
     // most needed a second measured point.
     val coreNames = Seq("d01_exact_dedup", "d02_minhash_lsh",
       "d07_incremental_dedup", "d10_store_incremental",
-      "s07_ann_store", "t15_shard_layout")
+      "s07_ann_store", "t15_shard_layout",
+      // the adversarial fixture at the second scale point: a hot band
+      // key carrying ~20% of signatures (~100k members at 100×) — pass
+      // REQUIRES the star-fallback guard to engage at BOTH scales while
+      // the ratio stays in the linear contract
+      "skew01_planted_hot_band")
     val fullNames = if (coreOnly) coreNames else allNames
     // SPARK_GRAFT_SCALEBENCH_ONLY=a,b — dev-facing subset iteration
     // (new cert rows are expensive to debug through a full 90+-query
@@ -604,15 +609,18 @@ object Dev {
       require(StoreLifecycle.isExternalStore(spark, base),
         "compaction-e2e: isolated base must be external")
       // delta: st09's ingest shape — rotated copies at derived-offset
-      // ids, additionally NEGATED: the 10× corpus's replicas are
-      // themselves rotations of replica 0 (genScaled), so a plain
-      // rotate-by-7 ingest equals the replica-7 vectors exactly and the
-      // self-match expectation dies on cosine-1 ties; no replica
-      // rotation can produce a negated vector, so rank-1 self-match is
-      // strict again
+      // ids, additionally REVERSED and negated: the scaled corpora's
+      // replicas are ±rotations of replica 0 (genScaled rotates 0..63
+      // and NEGATES past 63 for the 100× corpus), so any ±rotation
+      // ingest ties cosine-1 with some replica (observed: at 100×,
+      // -rot7(v) == replica 71 exactly, and rank-1 self-match died).
+      // REVERSAL is a reflection — outside the ±rotation group entirely
+      // — so the ingested directions exist nowhere in the corpus at any
+      // replica count and rank-1 self-match is strict again
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val offset = emb.agg(max($"vec_id")).as[Long].head() + 1L
-      val rotU = udf { v: Seq[Float] => (v.drop(7) ++ v.take(7)).map(x => -x) }
+      val rotU = udf { v: Seq[Float] =>
+        (v.drop(7) ++ v.take(7)).reverse.map(x => -x) }
       val ingest = emb.filter($"vec_id" % 31 === 0)
         .select(($"vec_id" + offset).as("vec_id"), rotU($"embedding").as("embedding"))
       AnnStore.encodeForStore(ingest, cb, pqCb)

@@ -383,11 +383,12 @@ object Dev {
       "t07_quality_gate", "t09_rare_tokens", "t10_bigram_novelty",
       "t11_bpe_vocab", "t12_sequence_pack", "t13_quality_model",
       "t17_lm_perplexity", "t19_chunk_windows",
-      // round-16: unigram-LM induction — one corpus pass to the word
-      // dict, then dictionary-sized EM rounds (cost is Heaps-law
-      // sublinear in corpus size; the replica-prefixed scaled dict
-      // grows ~linearly so the ratio contract still binds)
-      "t20_unigram_lm",
+      // round-16: unigram-LM induction + encode — one corpus pass to
+      // the word dict, then dictionary-sized EM rounds (cost is
+      // Heaps-law sublinear in corpus size; the replica-prefixed scaled
+      // dict grows ~linearly so the ratio contract still binds); the
+      // encode adds one dict-sized DP + a linear corpus join
+      "t20_unigram_lm", "t21_unigram_encode",
       // WARC family remainder (w09's gz twin already certified): parse
       // chain, RAKE, blacklist, fallback extraction — all linear scans
       "w01_warc_pipeline", "w02_rake_keywords", "w03_blacklist_filter",

@@ -437,6 +437,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("p07 provenance: equi-joins only, window keys confined to the " +
+      "pipeline's partition columns") {
+    requireTable("documents")
+    val plan = physical(
+      graft.pipeline.TrainingPipeline.p07_provenance(spark, sf))
+    // provenance keeps the rows the survivor path filters, so it may
+    // NOT regress to anything pairwise: every join must stay a key
+    // equi-join, and every window must partition on a pipeline key
+    // (doc_md5 dedup keeper+min, source cap rank, shard rank) — an
+    // unpartitioned or corpus-keyed window here would serialize the
+    // corpus through one task at crawl scale
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val winKeys = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(winKeys.nonEmpty && winKeys.subsetOf(Set("doc_md5", "source", "shard")),
+      s"unexpected window partition keys $winKeys:\n$plan")
+  }
+
   test("p01 capMode=auto: both branches plan correctly either side of the skew bound") {
     requireTable("documents")
     def winKeys(plan: String): Set[String] =

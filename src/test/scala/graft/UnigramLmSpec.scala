@@ -47,6 +47,49 @@ class UnigramLmSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 1L, 3L, md5("ab"), 1L)), s"got $out")
   }
 
+  test("t21 golden encode: the planted corpus's piece streams are " +
+      "exactly the hand-derived tokenizations") {
+    val sp = spark
+    import sp.implicits._
+    // same corpus as the induction golden: vocab {ab, c, d}. Doc 1
+    // "ab ab cd" → ab · ab · c|d (3 words, 4 pieces); doc 2
+    // "ab extraordinarily" → ab · <long> (1 word + 1 excluded).
+    val docs = Seq(
+      (1L, "ab ab cd"), (2L, "ab extraordinarily")).toDF("doc_id", "text")
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = graft.text.UnigramLm.t21Impl(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 4L, md5("ab ab c|d")),
+      (2L, 1L, 1L, 1L, md5("ab <long>"))), s"got $out")
+  }
+
+  test("t21 real corpus: per-doc accounting binds and encode is " +
+      "deterministic") {
+    val sp = spark
+    import sp.implicits._
+    val enc = graft.text.UnigramLm.t21_unigram_encode(spark, sf).cache()
+    // every token is either counted or excluded, and every counted word
+    // yields at least one piece (total segmentability)
+    val bad = enc.filter($"n_pieces" < $"n_words").count()
+    assert(bad == 0, s"$bad docs with unsegmented words")
+    val docs = graft.analytics.Tables.documents(spark, sf)
+    val tokTotal = docs.select(
+        org.apache.spark.sql.functions.explode(
+          graft.text.TextOps.whitespaceTokens($"text"))).count()
+    val accounted = enc.agg(
+      org.apache.spark.sql.functions.sum($"n_words" + $"n_long_words"))
+      .head.getLong(0)
+    assert(accounted == tokTotal, s"$accounted words accounted vs $tokTotal tokens")
+    val a = enc.collect().map(_.toSeq).toSeq
+    enc.unpersist()
+    val b = graft.text.UnigramLm.t21_unigram_encode(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "encode not deterministic")
+  }
+
   test("real corpus: multi-char pieces win mass (discrimination) and " +
       "the induction is deterministic across runs") {
     val sp = spark

@@ -97,10 +97,16 @@ object Dev {
     val certified = names.filter(registry)
     val fixtures = names.filterNot(registry)
     val excluded = (registry -- names.toSet).toSeq.sorted
-    val worst = names.maxBy(n => qs.get(n).get("ratio_min").asDouble)
-    val worstRatio = qs.get(worst).get("ratio_min").asDouble
+    // Older BENCH_r*.json shapes lack ratio_min / scale_factor — fail
+    // with the offending row named instead of an anonymous NPE.
+    def ratioOf(n: String): Double =
+      Option(qs.get(n).get("ratio_min")).map(_.asDouble).getOrElse(sys.error(
+        s"[cert-summary] $path: row '$n' has no ratio_min — not a scale-cert artifact"))
+    val worst = names.maxBy(ratioOf)
+    val worstRatio = ratioOf(worst)
     val allPass = node.get("all_pass").asBoolean
-    val sfx = node.get("scale_factor").asInt
+    val sfx = Option(node.get("scale_factor")).map(_.asInt).getOrElse(sys.error(
+      s"[cert-summary] $path: no scale_factor at root — not a scale-cert artifact"))
     val scope = Option(node.get("scope")).map(_.asText)
       .getOrElse("full_registry")
     val cert = Option(node.get("certification")).forall(_.asBoolean)

@@ -122,8 +122,23 @@ object TrainingPipeline {
     * per-doc fact by p07's provenance frame, so the gate rule has a
     * single engine-side definition (its SQL twin is the `rsn` CTE in
     * [[pipelineStagesSqlMode]]). */
+  /** The gate-signal columns [[gateReasonCol]] reads. All are non-null
+    * by construction ([[graft.text.TextOps.gateSignalsOf]] builds them
+    * from size/length/count over non-null text, and every doc_id owns
+    * ≥1 gram row so the sums never aggregate an empty group) — but the
+    * when-chain's fall-through keeps a NULL-signaled doc (a NULL
+    * predicate skips its branch and lands on 'none'), the OPPOSITE of
+    * the conjunction filter this column replaced, where NULL dropped.
+    * The defensive first branch below turns that silent keep into a
+    * loud failure if a future signal ever goes nullable-in-data. */
+  private[graft] val GateSignalCols =
+    Seq("n_tok", "n_stop", "n_punct", "n_chars_m", "n_grams", "n_distinct")
+
   private[graft] def gateReasonCol: Column =
-    when(col("n_tok") < 30, lit("too_short"))
+    when(GateSignalCols.map(col(_).isNull).reduce(_ || _),
+        raise_error(concat(lit("gateReasonCol: NULL gate signal for doc_id="),
+          col("doc_id").cast("string"))))
+      .when(col("n_tok") < 30, lit("too_short"))
       .when(col("n_stop") * 1000 < col("n_tok") * 15, lit("low_stopword"))
       .when(col("n_punct") * 10 > col("n_chars_m"), lit("high_punct"))
       .when((col("n_grams") - col("n_distinct")) * 10 > col("n_grams"),

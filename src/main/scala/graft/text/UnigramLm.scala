@@ -37,9 +37,12 @@ import graft.analytics.Tables
   * position DataFrames referencing the previous 4, and Catalyst plan
   * trees COPY referenced subplans, so the DP tree grew as a tetranacci
   * — analysis alone outran the data). Here each DP value materializes
-  * as a real COLUMN on one dictionary-sized frame: 48 small left
-  * equi-joins bring the piece log-prob for every (position, length)
-  * candidate, 12 projection steps compute qdp_i/bk_i from prior
+  * as a real COLUMN on one dictionary-sized frame: ONE vocab
+  * equi-join plus a conditional-aggregate pivot back to 42 qlp_{i}_{k}
+  * columns (Σ_{i=1..12} min(4,i) = 42 — the abandoned join-per-(i,k)
+  * formulation is described at [[viterbiSegments]]) brings the piece
+  * log-prob for every (position, length) candidate, 12 projection
+  * steps compute qdp_i/bk_i from prior
   * COLUMNS (attribute references, not subplan copies), and the
   * backtrace is pure per-row expression work — the chosen-piece walk
   * reads bk out of an array column by data-dependent index
@@ -48,9 +51,10 @@ import graft.analytics.Tables
   * count); everything else is dictionary-sized.
   *
   * Oracle: the identical induction generated as SQL by the same loop
-  * bounds (w08's per-iteration CTE device) — 48 LEFT JOINs, the same
-  * chained qdp/bk CTEs, the same array-indexed backtrace — so the two
-  * sides cannot drift structurally. Output: per-piece-length rollup of
+  * bounds (w08's per-iteration CTE device) — the same single vocab
+  * join + 42-column conditional-aggregate pivot, the same chained
+  * qdp/bk CTEs, the same array-indexed backtrace — so the two sides
+  * cannot drift structurally. Output: per-piece-length rollup of
   * the final vocabulary (count, Σ count, Σ qlp, md5 of the ordered
   * piece list) — any wrong segmentation anywhere moves a checksum. */
 object UnigramLm {

@@ -311,6 +311,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gateReasonCol fails loudly on a NULL gate signal instead of keeping the doc") {
+    // The when-chain's fall-through would silently land a NULL-signaled
+    // doc on 'none' (kept) — the OPPOSITE of the conjunction filter it
+    // replaced. The defensive first branch must raise instead (r16
+    // ADVICE). Signals are non-null by construction today, so the guard
+    // can only fire if a future signal goes nullable-in-data.
+    val sp = spark
+    import sp.implicits._
+    val cols = graft.pipeline.TrainingPipeline.GateSignalCols
+    def row(nStop: java.lang.Long) =
+      Seq((1L, 1000L, nStop, 0L, 1000L, 50L, 50L))
+        .toDF(("doc_id" +: cols): _*)
+    // non-null signals: normal verdict, guard dormant
+    val ok = row(300L)
+      .select(graft.pipeline.TrainingPipeline.gateReasonCol.as("r"))
+      .as[String].collect()
+    assert(ok.toSeq == Seq("none"))
+    // a NULL signal: loud failure naming the doc, never a silent keep
+    val ex = intercept[Exception] {
+      row(null)
+        .select(graft.pipeline.TrainingPipeline.gateReasonCol.as("r"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("NULL gate signal")),
+      s"expected the gate-signal guard to raise, got: ${messages(ex)}")
+  }
+
   test("d19 canonicalizer: utm strip is anchored to the query portion") {
     val sp = spark
     import sp.implicits._

@@ -97,9 +97,161 @@ object Contamination {
       |  CAST(SUM(hits) AS BIGINT) AS total_hits
       |FROM per_doc""".stripMargin
 
+  /** d21: EMBEDDING-SPACE benchmark contamination — the third tier of
+    * the decontamination stack: d05 catches verbatim copies (digest),
+    * d15 catches pasted excerpts (13-gram overlap), and this catches
+    * PARAPHRASE leakage — a benchmark item rewritten enough that no
+    * 13-gram survives but the embedding still sits at cosine ≈ 1
+    * (the modern-eval decontamination gap both GPT-3 and FineWeb-style
+    * digest/gram passes are blind to).
+    *
+    * Fixture (the s02 plant device on a benchmark split): vectors with
+    * `vec_id <` [[BenchN]] are the benchmark; the corpus is everything
+    * else PLUS a perturbed copy of each benchmark vector at
+    * `vec_id + 100000` (first component +0.05f ⇒ cosine ≈ 0.999 against
+    * its source — a stand-in paraphrase; natural pairwise cosines in
+    * this corpus stay ≲ 0.6, so the 0.9 threshold discriminates).
+    *
+    * Scale shape (100 TB posture): band signatures are computed
+    * MAP-SIDE (md5-Rademacher ±1 planes, fixed-point integer dot
+    * products — s03's fully SQL-replayable device, 8 bands × 8 bits =
+    * s02's collision dial: a cosine-0.999 pair misses all 8 bands with
+    * p ≈ 2e-8, a random pair collides anywhere with p ≈ 3%); the
+    * benchmark's banded signature table is BROADCAST (benchmark ≪
+    * corpus — the d15 assumption made explicit), so candidate
+    * generation and the exact-cosine verify are both map-side over the
+    * corpus scan, and the ONLY shuffle in the plan is the final
+    * distinct over (corpus_id, bench_id, qcos) long triples. No
+    * corpus×benchmark product, no corpus-side self-join: cost is linear
+    * in corpus size with a broadcast-bounded constant.
+    *
+    * Oracle: the ENTIRE path replayed in SQL — the float perturbation
+    * (exact: a float+float sum fits in a double, so DuckDB's
+    * double-add-then-round-to-float equals Scala's single-rounded
+    * float add), the 2^-24 fixed-point sign bits, the banded bucket
+    * join, and the exact-cosine verify as [[SimilarityOps.cosFoldSql]]
+    * with the 2^32-quantized score projected out. */
+  private val BenchN = 32L
+  private val D21Bands = 8
+  private val D21Bits = 8
+
+  private def d21Planes =
+    graft.sim.SimilarityOps.md5Planes(D21Bands * D21Bits, 64)
+
+  /** Corpus and benchmark frames with their band buckets exploded —
+    * shared by the operator and the candidate-liveness spec. Returns
+    * (corpusBuckets(corpus_id, c_emb, bucket), benchBuckets(bench_id,
+    * b_emb, bucket)). */
+  private[graft] def d21Sides(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val planes = d21Planes
+    val nBands = D21Bands; val bits = D21Bits
+    val bandsU = udf { v: Seq[Float] =>
+      val sig = graft.sim.SimilarityOps.md5SignBits(v, planes)
+      (0 until nBands).map(b =>
+        (b.toLong << 32) | ((sig >>> (b * bits)) & ((1L << bits) - 1)))
+    }
+    val perturb = udf { v: Seq[Float] =>
+      if (v.isEmpty) v else (v.head + 0.05f) +: v.tail
+    }
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val bench = emb.filter($"vec_id" < BenchN)
+    val corpus = emb.filter($"vec_id" >= BenchN).unionByName(
+      bench.select(($"vec_id" + graft.sim.SimilarityOps.Shift).as("vec_id"),
+        perturb($"embedding").as("embedding")))
+    (corpus.select($"vec_id".as("corpus_id"), $"embedding".as("c_emb"),
+        explode(bandsU($"embedding")).as("bucket")),
+      bench.select($"vec_id".as("bench_id"), $"embedding".as("b_emb"),
+        explode(bandsU($"embedding")).as("bucket")))
+  }
+
+  /** Bucket-collision candidate pairs BEFORE the exact verify — the
+    * spec asserts these strictly exceed the flagged set, so the 0.9
+    * threshold is live (rejecting random collisions), not vacuous. */
+  private[graft] def d21Candidates(s: SparkSession, d: String): DataFrame = {
+    val (corpusB, benchB) = d21Sides(s, d)
+    corpusB.join(broadcast(benchB), "bucket")
+      .select(col("corpus_id"), col("bench_id")).distinct()
+  }
+
+  def d21_semantic_contamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (corpusB, benchB) = d21Sides(s, d)
+    corpusB.join(broadcast(benchB), "bucket")
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine_sim($"c_emb", $"b_emb"))
+      .filter($"cos" >= 0.9)
+      .select($"corpus_id", $"bench_id",
+        ($"cos" * lit(graft.sim.SimilarityOps.CosKeyScale)).cast("long")
+          .as("qcos"))
+      .distinct()
+      .orderBy($"corpus_id", $"bench_id")
+  }
+
+  val d21Oracle: String = {
+    import graft.sim.SimilarityOps.cosFoldSql
+    s"""WITH bench AS (
+      |  SELECT vec_id AS bench_id, embedding
+      |  FROM embeddings WHERE vec_id < $BenchN),
+      |corpus AS (
+      |  SELECT vec_id AS corpus_id, embedding
+      |  FROM embeddings WHERE vec_id >= $BenchN
+      |  UNION ALL
+      |  SELECT bench_id + 100000 AS corpus_id,
+      |    list_prepend(CAST(CAST(embedding[1] AS DOUBLE)
+      |        + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
+      |      embedding[2:]) AS embedding
+      |  FROM bench),
+      |sgn AS (
+      |  SELECT b,
+      |    list_transform(range(0, 64), i -> CASE WHEN
+      |        strpos('02468ace', substr(md5('lsh:' || b || ':' || i), 1, 1)) > 0
+      |      THEN 1 ELSE -1 END) AS srow
+      |  FROM (SELECT unnest(range(0, ${D21Bands * D21Bits})) AS b)),
+      |cq AS (
+      |  SELECT corpus_id, embedding,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 16777216) AS BIGINT)) AS qv
+      |  FROM corpus),
+      |bq AS (
+      |  SELECT bench_id, embedding,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 16777216) AS BIGINT)) AS qv
+      |  FROM bench),
+      |cbits AS (
+      |  SELECT corpus_id, b // $D21Bits AS band,
+      |    CAST(SUM(CASE WHEN list_sum(
+      |        list_transform(range(0, 64), i -> sgn.srow[i + 1] * qv[i + 1])
+      |      ) > 0 THEN (1 << (b % $D21Bits)) ELSE 0 END) AS BIGINT) AS byte
+      |  FROM cq CROSS JOIN sgn GROUP BY corpus_id, b // $D21Bits),
+      |bbits AS (
+      |  SELECT bench_id, b // $D21Bits AS band,
+      |    CAST(SUM(CASE WHEN list_sum(
+      |        list_transform(range(0, 64), i -> sgn.srow[i + 1] * qv[i + 1])
+      |      ) > 0 THEN (1 << (b % $D21Bits)) ELSE 0 END) AS BIGINT) AS byte
+      |  FROM bq CROSS JOIN sgn GROUP BY bench_id, b // $D21Bits),
+      |cand AS (
+      |  SELECT DISTINCT cb.corpus_id, bb.bench_id
+      |  FROM cbits cb JOIN bbits bb
+      |    ON cb.band = bb.band AND cb.byte = bb.byte),
+      |scored AS (
+      |  SELECT c.corpus_id, c.bench_id,
+      |    ${cosFoldSql("ce.embedding", "be.embedding")} AS cos
+      |  FROM cand c
+      |  JOIN corpus ce ON ce.corpus_id = c.corpus_id
+      |  JOIN bench be ON be.bench_id = c.bench_id)
+      |SELECT corpus_id, bench_id,
+      |  CAST(trunc(cos * 4294967296) AS BIGINT) AS qcos
+      |FROM scored WHERE cos >= 0.9
+      |ORDER BY corpus_id, bench_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d15_ngram_overlap" -> (d15_ngram_overlap _))
+    "d15_ngram_overlap" -> (d15_ngram_overlap _),
+    "d21_semantic_contamination" -> (d21_semantic_contamination _))
 
   val oracle: Map[String, String] = Map(
-    "d15_ngram_overlap" -> d15Oracle)
+    "d15_ngram_overlap" -> d15Oracle,
+    "d21_semantic_contamination" -> d21Oracle)
 }

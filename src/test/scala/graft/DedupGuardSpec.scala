@@ -68,6 +68,26 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(1) == 386L, s"n_planted_found=${row.getLong(1)}")
   }
 
+  test("d21: threshold is live and flagged = exactly the planted paraphrases") {
+    // Fixture-discrimination pin (SURVEY §5): the 0.9 cosine verify must
+    // REJECT candidates (random band collisions), not rubber-stamp them,
+    // and the flagged set must be exactly the 32 perturbed benchmark
+    // plants — no natural pair crosses 0.9 in this corpus.
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.dedup.Contamination
+      .d21_semantic_contamination(spark, sf).collect()
+    val nCand = graft.dedup.Contamination.d21Candidates(spark, sf).count()
+    assert(out.length == 32, s"flagged=${out.length}")
+    assert(nCand > out.length,
+      s"verify stage vacuous: candidates=$nCand flagged=${out.length}")
+    assert(out.forall(r => r.getLong(0) == r.getLong(1) + 100000L),
+      "a non-planted pair was flagged")
+    assert(out.map(_.getLong(1)).sorted.toSeq == (0L until 32L),
+      "a planted paraphrase was missed")
+    // every flagged score clears the quantized 0.9 threshold
+    assert(out.forall(_.getLong(2) >= (0.9 * 4294967296.0).toLong))
+  }
+
   test("s03 LSH recall pin at sf0.001: md5-Rademacher planes are deterministic") {
     // recall@5 of sign-LSH bucket probing vs the exact baseline: the
     // md5-derived ±1 planes + fixed-point signs make it a pure function

@@ -375,6 +375,12 @@ object Dev {
       "q36_approx_quantile_audit",
       // d20 quality-keeper: d02's banded chain + CC + one struct-max agg
       "d20_quality_keeper",
+      // round-17 additions: d21 embedding-space contamination (map-side
+      // banded signatures vs a FIXED broadcast benchmark — corpus grows
+      // 10×, benchmark doesn't, so cost must stay linear in the corpus)
+      // and q38's cohort retention matrix (one user_id shuffle + a
+      // ≤8-element per-user offset set; users grow 10×, offsets don't)
+      "d21_semantic_contamination", "q38_retention_cohorts",
       // similarity remainder: brute-force baseline (linear by contract),
       // LSH recall, IVF, PQ
       "s01_ann_bruteforce", "s03_ann_lsh_recall", "s04_ann_ivf",

@@ -128,11 +128,77 @@ object Sessions {
       |  (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
       |  (SELECT COUNT(*) FROM p) AS n_purchased_after_click""".stripMargin
 
+  /** q38: COHORT RETENTION MATRIX — the other product-analytics
+    * primitive next to q35's sessions and q37's funnel: group users by
+    * their first-activity day (the cohort), then for each day offset
+    * 0..7 count how many of that cohort were active again (the classic
+    * day-N retention table every growth dashboard plots). The 7-day cap
+    * BINDS on this corpus (16 capped cells vs 59 uncapped — measured in
+    * DuckDB before wiring, per SURVEY §5's fixture-discrimination
+    * rule). Day arithmetic is integer micros `div` 86400000000 —
+    * truncating division on positive epochs, identical to DuckDB `//`.
+    *
+    * Scale shape (100 TB posture): ONE hash shuffle of events on
+    * user_id feeds both the per-user min (cohort assignment) and the
+    * rejoin; per-user offset sets come from a `collect_set` bounded by
+    * the 8-offset cap (never raw events — a mega-user contributes ≤8
+    * elements), and the final rollup shuffles ≤ users×8 exploded rows
+    * with map-side partial counts. Cohort sizes (offset 0) are a
+    * cohort-day-sized frame — broadcast back onto the matrix. No
+    * windows, no distinct over raw events, no global sort except the
+    * presentation orderBy. */
+  def q38_retention_cohorts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val offsets = ev.join(cohorts, "user_id")
+      .select($"user_id", $"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+      .filter($"day_offset" <= 7)
+      .groupBy($"user_id", $"cohort_day")
+      .agg(collect_set($"day_offset").as("offs"))
+      .select($"cohort_day", explode($"offs").as("day_offset"))
+    val counts = offsets.groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_active"))
+    // offset 0 is every cohort member's first day, so its count IS the
+    // cohort size; one row per cohort day — broadcast
+    val sizes = counts.filter($"day_offset" === 0)
+      .select($"cohort_day", $"n_active".as("n_cohort"))
+    counts.join(broadcast(sizes), "cohort_day")
+      .select($"cohort_day", $"day_offset", $"n_active", $"n_cohort",
+        ($"n_active".cast("double") / $"n_cohort".cast("double"))
+          .as("retention"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val q38Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |cohort AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1),
+      |offs AS (
+      |  SELECT DISTINCT e.user_id, c.cohort_day,
+      |    e.day - c.cohort_day AS day_offset
+      |  FROM ev e JOIN cohort c USING (user_id)
+      |  WHERE e.day - c.cohort_day <= 7),
+      |counts AS (
+      |  SELECT cohort_day, day_offset, COUNT(*) AS n_active
+      |  FROM offs GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort_day, n_active AS n_cohort FROM counts
+      |  WHERE day_offset = 0)
+      |SELECT c.cohort_day, c.day_offset, c.n_active, s.n_cohort,
+      |  CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+      |FROM counts c JOIN sizes s USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sessionize" -> (q35_sessionize _),
-    "q37_funnel" -> (q37_funnel _))
+    "q37_funnel" -> (q37_funnel _),
+    "q38_retention_cohorts" -> (q38_retention_cohorts _))
 
   val oracle: Map[String, String] = Map(
     "q35_sessionize" -> q35Oracle,
-    "q37_funnel" -> q37Oracle)
+    "q37_funnel" -> q37Oracle,
+    "q38_retention_cohorts" -> q38Oracle)
 }

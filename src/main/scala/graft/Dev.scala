@@ -381,6 +381,10 @@ object Dev {
       // and q38's cohort retention matrix (one user_id shuffle + a
       // ≤8-element per-user offset set; users grow 10×, offsets don't)
       "d21_semantic_contamination", "q38_retention_cohorts",
+      // p08: p07's provenance topology + bounded-cardinality rollups;
+      // st10: stateless per-row verdicts against a FIXED broadcast
+      // benchmark — a pure map over the stream, linear by construction
+      "p08_dataset_card", "st10_stream_semantic_gate",
       // similarity remainder: brute-force baseline (linear by contract),
       // LSH recall, IVF, PQ
       "s01_ann_bruteforce", "s03_ann_lsh_recall", "s04_ann_ivf",
@@ -424,6 +428,18 @@ object Dev {
     val coreNames = Seq("d01_exact_dedup", "d02_minhash_lsh",
       "d07_incremental_dedup", "d10_store_incremental",
       "s07_ann_store", "t15_shard_layout",
+      // round-17 extensions — five more families whose exchanges carry
+      // digests/longs only, so the ~100× corpus fits the same box:
+      // d03's 4×16 pigeonhole band join (NOTE its random 16-bit band
+      // collisions transition sparse→dense at 640k docs — the candidate
+      // count grows superlinearly by design and the ratio contract is
+      // the check that the hamming verify absorbs it), d15's gram-digest
+      // equi-join (replica-disjoint grams ⇒ hits stay within replica,
+      // linear), d21's map-side banded signatures vs a FIXED broadcast
+      // benchmark, t19's pure map-side chunker, and q38's one user_id
+      // shuffle + ≤8-element per-user offset sets
+      "d03_simhash", "d15_ngram_overlap", "d21_semantic_contamination",
+      "t19_chunk_windows", "q38_retention_cohorts",
       // the adversarial fixture at the second scale point: a hot band
       // key carrying ~20% of signatures (~100k members at 100×) — pass
       // REQUIRES the star-fallback guard to engage at BOTH scales while

@@ -391,6 +391,89 @@ object TrainingPipeline {
       |LEFT JOIN rk USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** p08: DATASET CARD — the aggregate release audit a curation team
+    * publishes beside the shards (the "dataset card" numbers every
+    * FineWeb/Dolma-style release README carries): per-disposition
+    * doc/token masses, the gate-reason histogram, per-language and
+    * per-shard composition of the KEPT corpus. One long frame
+    * `(section, key, n_docs, n_tokens)` so a single oracle certifies
+    * all four tables at once.
+    *
+    * Built ON [[provenanceOf]] — the card is an aggregation of the
+    * certified per-doc provenance frame, not a third derivation of the
+    * stage rules, so p01's audit, p07's per-doc verdicts, and this
+    * card cannot drift pairwise. The extra `gateSignalsOf` pass only
+    * re-reads `n_tok` (p07's output schema is contract-frozen and does
+    * not carry it); that pass is map-side over the corpus scan — at
+    * production scale you would project `n_tok` out of the provenance
+    * frame instead and skip it.
+    *
+    * Scale shape: provenance topology + three key equi-joins, then four
+    * partial-aggregated rollups over (section, key) — each output
+    * section is bounded (4 dispositions / 4 reasons / |langs| / 8
+    * shards), so the final shuffle moves a handful of rows. */
+  def p08_dataset_card(s: SparkSession, d: String): DataFrame =
+    cardOf(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"), col("lang")))
+
+  private[graft] def cardOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val prov = provenanceOf(docs.select($"doc_id", $"text", $"source"))
+    val tok = graft.text.TextOps.gateSignalsOf(docs.select($"doc_id", $"text"))
+      .select($"doc_id", $"n_tok")
+    val base = prov
+      .join(tok, "doc_id")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    def roll(df: DataFrame, section: String, key: Column): DataFrame =
+      df.select(lit(section).as("section"), key.cast("string").as("key"),
+          $"n_tok")
+        .groupBy($"section", $"key")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    roll(base, "disposition", $"disposition")
+      .unionByName(roll(base.filter($"gate_reason" =!= "none"),
+        "gate_reason", $"gate_reason"))
+      .unionByName(roll(base.filter($"disposition" === "kept"),
+        "lang", $"lang"))
+      .unionByName(roll(base.filter($"disposition" === "kept"),
+        "shard", $"shard"))
+      .orderBy($"section", $"key")
+  }
+
+  /** p08's replay: the same rsn/dd/capv/rk stage CTEs projected per doc
+    * (p07's `prov` shape plus lang/n_tok), then the four rollups. */
+  val p08Oracle: String =
+    s"""WITH ${graft.text.TextOps.gateSignalsSqlCtes},
+      |${pipelineStagesSqlMode("documents", "auto")},
+      |prov AS (
+      |  SELECT d.doc_id, d.lang, rsn.n_tok, rsn.gate_reason,
+      |    CASE WHEN rsn.gate_reason <> 'none' THEN 'gated'
+      |         WHEN dd.rn > 1 THEN 'duplicate'
+      |         WHEN capv.capped_out THEN 'capped'
+      |         ELSE 'kept' END AS disposition,
+      |    COALESCE(rk.shard, -1) AS shard
+      |  FROM documents d
+      |  JOIN rsn USING (doc_id)
+      |  LEFT JOIN dd USING (doc_id)
+      |  LEFT JOIN capv USING (doc_id)
+      |  LEFT JOIN rk USING (doc_id)),
+      |card AS (
+      |  SELECT 'disposition' AS section, disposition AS key,
+      |    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |  FROM prov GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'gate_reason', gate_reason, COUNT(*),
+      |    CAST(SUM(n_tok) AS BIGINT)
+      |  FROM prov WHERE gate_reason <> 'none' GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'lang', lang, COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      |  FROM prov WHERE disposition = 'kept' GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'shard', CAST(shard AS VARCHAR), COUNT(*),
+      |    CAST(SUM(n_tok) AS BIGINT)
+      |  FROM prov WHERE disposition = 'kept' GROUP BY 2)
+      |SELECT section, key, n_docs, n_tokens FROM card
+      |ORDER BY section, key""".stripMargin
+
   /** Materialize the pipeline's survivors as TRAINING SHARDS — the
     * artifact a trainer actually mounts, not just the audit rows. One
     * `shard=N/` directory per shard (Hive layout, so a reader can
@@ -967,6 +1050,7 @@ object TrainingPipeline {
     "p05_mixture_resample" -> (p05_mixture_resample _),
     "p06_decontaminated_split" -> (p06_decontaminated_split _),
     "p07_provenance" -> (p07_provenance _),
+    "p08_dataset_card" -> (p08_dataset_card _),
     "io01_jsonl_roundtrip" -> (io01_jsonl_roundtrip _))
 
   val oracle: Map[String, String] = Map(
@@ -977,5 +1061,6 @@ object TrainingPipeline {
     "p05_mixture_resample" -> p05Oracle,
     "p06_decontaminated_split" -> p06Oracle,
     "p07_provenance" -> p07Oracle,
+    "p08_dataset_card" -> p08Oracle,
     "io01_jsonl_roundtrip" -> io01Oracle)
 }

@@ -648,8 +648,150 @@ object StreamingOps {
   }
 
 
+  /** st10: STREAMING SEMANTIC-CONTAMINATION GATE — d21's paraphrase
+    * screen run as continuous admission: every incoming embedding is
+    * checked against the (small, broadcast) benchmark BEFORE it can
+    * enter the corpus, the placement a decontamination stage actually
+    * wants at 100 TB — screen on ingest, never re-scan the corpus.
+    *
+    * The verdict is STATELESS per row (the d21 semantics exactly: band
+    * signature via md5-Rademacher fixed-point sign bits, candidates =
+    * benchmark members sharing ≥1 of 8 byte-bands, contaminated iff any
+    * candidate's exact cosine ≥ 0.9), so the stream needs no watermark,
+    * no state store, and scales as a pure map over the source — the
+    * benchmark index rides the closure like a broadcast. Per-vector
+    * output: `contaminated` plus the max 2^32-quantized candidate
+    * cosine (−2·2^32 — outside the valid qcos range — when no band
+    * collides: the honest "never even compared" marker; −1 would
+    * collide with real negative-cosine candidates). Benchmark members streaming past flag
+    * THEMSELVES at cosine 1.0 (verbatim leakage); everything else on
+    * this corpus stays below 0.9, and sub-threshold band collisions
+    * exercise the reject path (the d21 discrimination story).
+    *
+    * Oracle: the full path in SQL — the d21 signature/bucket CTEs over
+    * the whole corpus, cosFold verify, per-vector bool_or/max rollup,
+    * LEFT JOIN back so never-collided vectors carry (false, −1). */
+  def st10_stream_semantic_gate(s: SparkSession, d: String): DataFrame =
+    st10Impl(s, d, fileDrainDir = None)
+
+  /** st10 through the native append-mode parquet sink (the st04
+    * pattern — per-row verdicts need no foreachBatch). Hash-equal to
+    * the memory path (spec-pinned). */
+  private[graft] def st10_stream_semantic_gate_files(s: SparkSession,
+      d: String, dir: String): DataFrame = st10Impl(s, d, Some(dir))
+
+  private def st10Impl(s: SparkSession, d: String,
+      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
+    val nBands = 8; val bits = 8
+    val planes = graft.sim.SimilarityOps.md5Planes(nBands * bits, 64)
+    def bandKeys(v: Seq[Float]): Array[Long] = {
+      val sig = graft.sim.SimilarityOps.md5SignBits(v, planes)
+      Array.tabulate(nBands)(b =>
+        (b.toLong << 32) | ((sig >>> (b * bits)) & ((1L << bits) - 1)))
+    }
+    // benchmark index: 32 rows by contract (vec_id < 32) — a bounded
+    // driver collect, carried into the verdict UDF like a broadcast
+    val bench: Array[(Long, Array[Float], Array[Long])] = s.read
+      .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 32)
+      .collect()
+      .map(r => {
+        val v = r.getSeq[Float](1).toArray
+        (r.getLong(0), v, bandKeys(v))
+      })
+    // "never even band-collided" marker: −2·2^32, strictly outside the
+    // quantized-cosine range [−2^32, 2^32] — a plain −1 would collide
+    // with real negative-cosine candidates (qcos < −1 exists, so a −1
+    // sentinel silently wins the max; caught by the sf0.001 oracle)
+    val NoCand = -8589934592L
+    val verdictU = udf { v: Seq[Float] =>
+      val keys = bandKeys(v)
+      var contaminated = false
+      var qmax = NoCand
+      bench.foreach { case (_, bv, bk) =>
+        if (keys.exists(k => bk.contains(k))) {
+          val cos = graft.sim.SimilarityOps.cosineArr(v.toArray, bv)
+          val q = graft.sim.SimilarityOps.qCosKey(cos)
+          if (q > qmax) qmax = q
+          if (cos >= 0.9) contaminated = true
+        }
+      }
+      (contaminated, qmax)
+    }
+    val embSchema = s.read
+      .option("pathGlobFilter", "embeddings.parquet").parquet(d).schema
+    val verdicts = s.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      .select(col("vec_id"), verdictU(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v._1").as("contaminated"),
+        col("v._2").as("qcos_max"))
+    val finish = (t: DataFrame) => t.orderBy("vec_id")
+    fileDrainDir match {
+      case Some(dir) =>
+        val q = verdicts.writeStream.format("parquet")
+          .option("path", s"$dir/out")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        finish(s.read.parquet(s"$dir/out")).localCheckpoint(true)
+      case None =>
+        val name = s"st10_sink_${System.nanoTime()}"
+        val q = verdicts.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, name, finish)
+    }
+  }
+
+  val st10Oracle: String = {
+    import graft.sim.SimilarityOps.cosFoldSql
+    s"""WITH bench AS (
+      |  SELECT vec_id AS bench_id, embedding
+      |  FROM embeddings WHERE vec_id < 32),
+      |sgn AS (
+      |  SELECT b,
+      |    list_transform(range(0, 64), i -> CASE WHEN
+      |        strpos('02468ace', substr(md5('lsh:' || b || ':' || i), 1, 1)) > 0
+      |      THEN 1 ELSE -1 END) AS srow
+      |  FROM (SELECT unnest(range(0, 64)) AS b)),
+      |cq AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 16777216) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cbits AS (
+      |  SELECT vec_id, b // 8 AS band,
+      |    CAST(SUM(CASE WHEN list_sum(
+      |        list_transform(range(0, 64), i -> sgn.srow[i + 1] * qv[i + 1])
+      |      ) > 0 THEN (1 << (b % 8)) ELSE 0 END) AS BIGINT) AS byte
+      |  FROM cq CROSS JOIN sgn GROUP BY vec_id, b // 8),
+      |cand AS (
+      |  -- benchmark bits are the corpus bits of vec_id < 32 (the bench
+      |  -- IS a corpus subset here), so one self-join replaces a second
+      |  -- signature CTE
+      |  SELECT DISTINCT cb.vec_id, bb.vec_id AS bench_id
+      |  FROM cbits cb JOIN cbits bb
+      |    ON cb.band = bb.band AND cb.byte = bb.byte AND bb.vec_id < 32),
+      |scored AS (
+      |  SELECT c.vec_id,
+      |    ${cosFoldSql("e.embedding", "b.embedding")} AS cos
+      |  FROM (SELECT vec_id, bench_id FROM cand) c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN bench b ON b.bench_id = c.bench_id),
+      |per AS (
+      |  SELECT vec_id, bool_or(cos >= 0.9) AS contaminated,
+      |    MAX(CAST(trunc(cos * 4294967296) AS BIGINT)) AS qcos_max
+      |  FROM scored GROUP BY 1)
+      |SELECT e.vec_id, COALESCE(p.contaminated, false) AS contaminated,
+      |  COALESCE(p.qcos_max, -8589934592) AS qcos_max
+      |FROM embeddings e LEFT JOIN per p USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st07_stream_quality_gate" -> (st07_stream_quality_gate _),
+    "st10_stream_semantic_gate" -> (st10_stream_semantic_gate _),
     "st01_stream_window" -> (st01_stream_window _),
     "st02_session_window" -> (st02_session_window _),
     "st03_stream_dedup" -> (st03_stream_dedup _),
@@ -660,6 +802,7 @@ object StreamingOps {
 
   val oracle: Map[String, String] = Map(
     "st07_stream_quality_gate" -> st07Oracle,
+    "st10_stream_semantic_gate" -> st10Oracle,
     "st01_stream_window" -> st01Oracle,
     "st02_session_window" -> st02Oracle,
     "st03_stream_dedup" -> st03Oracle,

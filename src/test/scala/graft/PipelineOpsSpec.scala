@@ -311,6 +311,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p08 dataset card: sections reconcile; planted-duplicate row is live") {
+    val sp = spark
+    import sp.implicits._
+    val card = graft.pipeline.TrainingPipeline.p08_dataset_card(spark, sf)
+      .collect()
+    val bySec = card.groupBy(_.getString(0))
+    // disposition section partitions the whole corpus
+    val nDocs = graft.analytics.Tables.documents(spark, sf).count()
+    assert(bySec("disposition").map(_.getLong(2)).sum == nDocs)
+    // lang and shard sections cover exactly the kept docs/token mass
+    val kept = bySec("disposition").find(_.getString(1) == "kept").get
+    assert(bySec("lang").map(_.getLong(2)).sum == kept.getLong(2))
+    assert(bySec("shard").map(_.getLong(2)).sum == kept.getLong(2))
+    assert(bySec("shard").map(_.getLong(3)).sum == kept.getLong(3))
+    assert(bySec("shard").length == 8, "a shard is empty or missing")
+    val gated = bySec("disposition").find(_.getString(1) == "gated").get
+    assert(bySec("gate_reason").map(_.getLong(2)).sum == gated.getLong(2),
+      "gate_reason histogram does not sum to the gated disposition")
+    // the raw corpus has no exact dups (the p07 lesson) — the duplicate
+    // row must appear once dups are PLANTED, or the section is dead code
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source", $"lang")
+    val copies = docs.select(($"doc_id" + 10000000L).as("doc_id"),
+      $"text", $"source", $"lang")
+    val planted = graft.pipeline.TrainingPipeline
+      .cardOf(docs.unionByName(copies)).collect()
+    val dup = planted.find(r =>
+      r.getString(0) == "disposition" && r.getString(1) == "duplicate")
+    assert(dup.exists(_.getLong(2) > 0), "planted duplicates not reported")
+  }
+
   test("gateReasonCol fails loudly on a NULL gate signal instead of keeping the doc") {
     // The when-chain's fall-through would silently land a NULL-signaled
     // doc on 'none' (kept) — the OPPOSITE of the conjunction filter it

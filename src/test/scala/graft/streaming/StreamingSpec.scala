@@ -121,6 +121,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .st07_stream_quality_gate_files(spark, sf, s"$dir/st07").collect().toSeq
       assert(mem07.nonEmpty && mem07 == file07,
         s"st07 drains diverge: mem=${mem07.take(3)} file=${file07.take(3)}")
+      // st10 is stateless-append like st04 — native file sink twin
+      val mem10 = StreamingOps.st10_stream_semantic_gate(spark, sf).collect().toSeq
+      val file10 = StreamingOps
+        .st10_stream_semantic_gate_files(spark, sf, s"$dir/st10").collect().toSeq
+      assert(mem10.nonEmpty && mem10 == file10,
+        s"st10 drains diverge: mem=${mem10.take(3)} file=${file10.take(3)}")
+      // st10 discrimination: the benchmark members flag themselves at
+      // cosine 1.0; nothing else crosses 0.9 on this corpus; at least
+      // one sub-threshold band collision exercises the reject path
+      val flagged = mem10.filter(_.getBoolean(1)).map(_.getLong(0))
+      assert(flagged == (0L until 32L).filter(i => mem10.exists(_.getLong(0) == i)),
+        s"flagged=$flagged")
+      assert(mem10.exists(r => !r.getBoolean(1) && r.getLong(2) > -8589934592L),
+        "no sub-threshold candidate ever scored — the verify path is vacuous")
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(dir)

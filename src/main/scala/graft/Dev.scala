@@ -385,6 +385,10 @@ object Dev {
       // st10: stateless per-row verdicts against a FIXED broadcast
       // benchmark — a pure map over the stream, linear by construction
       "p08_dataset_card", "st10_stream_semantic_gate",
+      // d22: probe-prefix × full-index containment join — candidate
+      // cost is Σ_prefix df(h); replica-disjoint shingles keep hits
+      // within replica, so growth must stay linear like d04's
+      "d22_containment",
       // similarity remainder: brute-force baseline (linear by contract),
       // LSH recall, IVF, PQ
       "s01_ann_bruteforce", "s03_ann_lsh_recall", "s04_ann_ivf",

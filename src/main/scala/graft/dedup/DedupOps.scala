@@ -568,6 +568,120 @@ object DedupOps {
     }
   }
 
+  /** documents ∪ containment plants — the d22 fixture. Two plant
+    * families: `% 13` docs get a copy (id + 200000) extended with a
+    * doc-unique filler suffix of 2× their token count — containment 1.0
+    * toward the original but Jaccard ≈ 1/3, the pair symmetric dedup is
+    * BLIND to; `% 29` docs get a copy (id + 300000) extended by only
+    * tokens/5 — containment 1.0 AND Jaccard ≈ 0.83, the near-dup case
+    * d04 already owns, planted so d22's J < 0.6 exclusion provably
+    * binds (92 → 44 rows at sf0.01, measured in DuckDB before wiring).
+    * Filler tokens embed the source doc_id, so no cross-plant dups. */
+  private[graft] def withContainmentPlants(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = spread(Tables.documents(s, d).select($"doc_id", $"text"))
+    def planted(mod: Int, shift: Long, fillerExpr: String) =
+      docs.filter($"doc_id" % mod === 0)
+        .select(($"doc_id" + shift).as("doc_id"),
+          concat($"text", lit(" "), expr(fillerExpr)).as("text"))
+    // corpus token floor is 10 (all SFs + the replica generator keeps
+    // counts), so size/5 >= 2 — Spark's descending sequence(1, 0) and
+    // DuckDB's empty range(1, 1) can never be asked to disagree
+    val big = planted(13, 200000L,
+      "array_join(transform(sequence(1, 2 * size(split(trim(text), '\\\\s+'))), " +
+        "j -> concat('c', CAST(doc_id AS STRING), 'x', CAST(j AS STRING))), ' ')")
+    val near = planted(29, 300000L,
+      "array_join(transform(sequence(1, CAST(size(split(trim(text), '\\\\s+')) / 5 AS INT)), " +
+        "j -> concat('n', CAST(doc_id AS STRING), 'x', CAST(j AS STRING))), ' ')")
+    docs.unionByName(big).unionByName(near)
+  }
+
+  /** d22: CONTAINMENT detection — the asymmetric near-dup case every
+    * symmetric pass (d02's resemblance, d04's Jaccard) is structurally
+    * blind to: a document that CONTAINS most of another (a quote-heavy
+    * page wrapping an article, a benchmark item pasted into a long
+    * post) has containment |A∩B|/min(|A|,|B|) ≈ 1 while its Jaccard
+    * dilutes below every dedup threshold as the host grows. Emits the
+    * specifically-asymmetric pairs: containment ≥ 0.8 AND Jaccard
+    * < 0.6 (pairs over 0.6 are d04's jurisdiction — the exclusion is
+    * spec-pinned live, see [[withContainmentPlants]]).
+    *
+    * Scale shape (100 TB posture): the candidate phase is the
+    * containment variant of d04's PPJoin — a probe-PREFIX × FULL-INDEX
+    * equi-join on 64-bit shingle hashes. Asymmetry changes the filter
+    * algebra: there is NO length filter (a tiny doc can live inside a
+    * huge one) and only the CONTAINED side's prefix prunes — the
+    * pigeonhole guarantee is one-sided (if C(A→B) ≥ 0.8, fewer than
+    * ⌈0.2|A|⌉ + 1 of A's shingles miss B, so A's ⌊0.3|A|⌋ + 1 rarest
+    * shingles — prefix at slack t' = 0.7, collision headroom included —
+    * must hit B). Since min-side containment is symmetric in the pair,
+    * EVERY doc probes with its own prefix and recall follows. Candidate
+    * cost is Σ_prefix df(h) — rare-first ranking keeps that small on
+    * long-tail shingle distributions; a boilerplate-flooded corpus
+    * (every doc sharing hot shingles) needs d11's line dedup upstream,
+    * the documented pipeline order. Shuffles carry longs only until the
+    * output-sized verify; the exact string verify (collision-free, the
+    * d04 two-phase device with a hash pre-filter at slack 0.7) computes
+    * the EMITTED values, so output is exact-by-construction. Residual
+    * risk is d04's: a 64-bit murmur collision can hide a candidate
+    * (P ≈ n²/2^64), never corrupt an emitted pair. */
+  def d22_containment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashShinglesU = udf { text: String =>
+      val hs = shingles(text).iterator.map(hash64).toArray.distinct
+      java.util.Arrays.sort(hs)
+      hs.toSeq
+    }
+    val pre = withContainmentPlants(s, d)
+      .select($"doc_id", hashShinglesU($"text").as("hs"))
+    withCache(pre) { preC =>
+      val idx = preC.select($"doc_id", size($"hs").cast("long").as("n_sh"),
+        explode($"hs").as("h"))
+      val df = idx.groupBy($"h").agg(count(lit(1)).as("df"))
+      val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"h")
+      val ranked = idx.join(df, "h")
+        .withColumn("rk", row_number().over(byRarity))
+      // prefix size ⌊3n/10⌋ + 1 (slack t' = 0.7 vs the 0.8 threshold):
+      // covers the ≤ ⌈0.2n⌉ outside-shingles plus one collision for
+      // every n ≥ 10 (the corpus floor)
+      val prefix = ranked.filter($"rk" <= ($"n_sh" * 3 / 10).cast("long") + 1)
+        .select($"doc_id".as("id_p"), $"h")
+      // probe-prefix × full-index join; normalize the pair (containment
+      // toward the min side is direction-free) and dedup — longs only
+      val cand = prefix.join(idx.select($"doc_id".as("id_i"), $"h"), "h")
+        .filter($"id_p" =!= $"id_i")
+        .select(least($"id_p", $"id_i").as("id_a"),
+          greatest($"id_p", $"id_i").as("id_b"))
+        .distinct()
+      // phase 1: hash overlap in codegen, keep at slack 0.7·min
+      val iNat = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
+      val winners = cand
+        .join(preC.select($"doc_id".as("id_a"), $"hs".as("hs_a"))
+          .hint("shuffle_hash"), "id_a")
+        .join(preC.select($"doc_id".as("id_b"), $"hs".as("hs_b"))
+          .hint("shuffle_hash"), "id_b")
+        .filter(iNat * 10 >= least(size($"hs_a"), size($"hs_b")).cast("long") * 7)
+        .select($"id_a", $"id_b")
+      // phase 2: collision-free string verify computes the emitted values
+      val texts = withContainmentPlants(s, d)
+      val contU = udf { (ta: String, tb: String) =>
+        val sa = shingles(ta); val sb = shingles(tb)
+        val i = sa.intersect(sb).size
+        (i.toDouble / math.min(sa.size, sb.size),
+          i.toDouble / (sa.size + sb.size - i))
+      }
+      winners
+        .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a"))
+          .hint("shuffle_hash"), "id_a")
+        .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b"))
+          .hint("shuffle_hash"), "id_b")
+        .withColumn("cj", contU($"text_a", $"text_b"))
+        .select($"id_a", $"id_b", $"cj._1".as("containment"), $"cj._2".as("jaccard"))
+        .filter($"containment" >= 0.8 && $"jaccard" < 0.6)
+        .orderBy($"id_a", $"id_b")
+    }
+  }
+
   /** d05: benchmark-contamination check — the "is the eval set in the
     * training data?" gate every pretraining pipeline needs. A synthetic
     * benchmark is derived from every 97th document (even ids verbatim,
@@ -728,6 +842,7 @@ object DedupOps {
     "d02_minhash_lsh" -> (d02_minhash_lsh _),
     "d03_simhash" -> (d03_simhash _),
     "d04_ngram_jaccard" -> (d04_ngram_jaccard _),
+    "d22_containment" -> (d22_containment _),
     "d05_contamination" -> (d05_contamination _),
     "d06_dedup_clusters" -> (d06_dedup_clusters _),
     "d09_minhash_estimate" -> (d09_minhash_estimate _),
@@ -738,6 +853,7 @@ object DedupOps {
     "d02_minhash_lsh" -> DedupOracles.d02Oracle,
     "d03_simhash" -> DedupOracles.d03Oracle,
     "d04_ngram_jaccard" -> DedupOracles.d04Oracle,
+    "d22_containment" -> DedupOracles.d22Oracle,
     "d05_contamination" -> DedupOracles.d05Oracle,
     "d06_dedup_clusters" -> DedupOracles.d06Oracle,
     "d09_minhash_estimate" -> DedupOracles.d09Oracle,

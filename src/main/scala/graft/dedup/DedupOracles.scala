@@ -97,6 +97,52 @@ object DedupOracles {
       |    AS n_planted_found
       |FROM confirmed""".stripMargin
 
+  /** d22: the containment semantics computed directly from the shingle
+    * sets (the d04Oracle idiom — the oracle replays the SEMANTICS; the
+    * engine's prefix-probe candidate phase has a pigeonhole recall
+    * guarantee, so the two must emit the same set). */
+  val d22Oracle: String =
+    raw"""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |    text || ' ' || array_to_string(list_transform(
+      |      range(1, 2 * len(string_split_regex(trim(text), '\s+')) + 1),
+      |      j -> 'c' || doc_id || 'x' || j), ' ')
+      |  FROM documents WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000,
+      |    text || ' ' || array_to_string(list_transform(
+      |      range(1, len(string_split_regex(trim(text), '\s+')) // 5 + 1),
+      |      j -> 'n' || doc_id || 'x' || j), ' ')
+      |  FROM documents WHERE doc_id % 29 = 0),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM all_docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+      |         ELSE array_to_string(toks[i:i+2], ' ') END AS shingle
+      |  FROM toks, UNNEST(range(1, GREATEST(len(toks) - 1, 2))) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(common AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)
+      |    AS containment,
+      |  CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE)
+      |    AS jaccard
+      |FROM pairs
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(common AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)
+      |    >= 0.8
+      |  AND CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE)
+      |    < 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
   val d04Oracle: String =
     """WITH all_docs AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents

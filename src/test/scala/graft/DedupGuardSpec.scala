@@ -68,6 +68,27 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(1) == 386L, s"n_planted_found=${row.getLong(1)}")
   }
 
+  test("d22: containment plants found, near-dup plants excluded by the J filter") {
+    // Fixture-discrimination pin (SURVEY §5): every %13 big-host plant
+    // must be emitted (containment ≥ 0.8, J < 0.6 — the pair symmetric
+    // dedup cannot see), and NO %29 near-copy plant may appear (its
+    // J ≈ 0.83 is d04's jurisdiction — the J < 0.6 exclusion binds).
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.dedup.DedupOps.d22_containment(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nBig = graft.analytics.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 13 === 0).count()
+    val bigPlantPairs = out.filter(r =>
+      r.getLong(1) == r.getLong(0) + 200000L)
+    assert(bigPlantPairs.length == nBig,
+      s"expected $nBig self-containment plant pairs, got ${bigPlantPairs.length}")
+    // a %29 plant may legitimately HOST some other contained doc; only
+    // its SELF-pair (J ≈ 0.83) must be filtered
+    assert(out.forall(r => r.getLong(1) != r.getLong(0) + 300000L),
+      "a %29 near-copy self-pair leaked past the J < 0.6 exclusion")
+    assert(out.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(3) < 0.6))
+  }
+
   test("d21: threshold is live and flagged = exactly the planted paraphrases") {
     // Fixture-discrimination pin (SURVEY §5): the 0.9 cosine verify must
     // REJECT candidates (random band collisions), not rubber-stamp them,

@@ -389,6 +389,10 @@ object Dev {
       // cost is Σ_prefix df(h); replica-disjoint shingles keep hits
       // within replica, so growth must stay linear like d04's
       "d22_containment",
+      // st11: stateless per-row gram probe vs the closure-broadcast
+      // benchmark — a pure map like st10 (bench grows with corpus/97
+      // here by fixture construction; the gate itself is linear)
+      "st11_stream_ngram_gate",
       // similarity remainder: brute-force baseline (linear by contract),
       // LSH recall, IVF, PQ
       "s01_ann_bruteforce", "s03_ann_lsh_recall", "s04_ann_ivf",

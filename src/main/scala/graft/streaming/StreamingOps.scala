@@ -789,9 +789,119 @@ object StreamingOps {
       |ORDER BY vec_id""".stripMargin
   }
 
+  /** st11: STREAMING N-GRAM DECONTAMINATION GATE — d15's 13-gram
+    * benchmark-overlap scoring run as continuous admission (the
+    * quartet's last seat: st07 screens quality, st08 duplicates, st10
+    * paraphrase leakage, st11 verbatim-excerpt leakage). Each incoming
+    * doc's distinct 13-gram digests are probed against the benchmark
+    * gram set inside ONE stateless per-row UDF; flagged iff
+    * 2·hits ≥ n13 (the integer form of d15's ≥ 0.5 rule — identical on
+    * integers, no float ever decides) with n13 > 0. Docs under 13
+    * tokens emit (0, 0, false) — a gate must decide EVERY doc.
+    *
+    * The benchmark set rides the closure like a broadcast: here it is
+    * d15's corpus-derived fixture (every 97th doc's middle slice,
+    * ~corpus/97 docs of grams — a bounded driver collect at the gate
+    * SFs, stated bound), but the OPERATOR contract is an external
+    * broadcast-sized benchmark suite (the d21/GPT-3 assumption); a
+    * corpus-sized benchmark belongs to batch d15's digest-join shape,
+    * not this gate. Scale: pure map over the stream, no state store,
+    * no shuffle.
+    *
+    * Oracle: d15's CTEs reshaped per-doc (bench grams, per-doc
+    * distinct grams, LEFT JOIN hit count, the integer flag rule), LEFT
+    * JOINed back so sub-13-token docs carry (0, 0, false). The spec
+    * additionally reconciles Σ flagged against d15's own n_flagged —
+    * two independent implementations of the same rule. */
+  def st11_stream_ngram_gate(s: SparkSession, d: String): DataFrame =
+    st11Impl(s, d, fileDrainDir = None)
+
+  private[graft] def st11_stream_ngram_gate_files(s: SparkSession,
+      d: String, dir: String): DataFrame = st11Impl(s, d, Some(dir))
+
+  private def st11Impl(s: SparkSession, d: String,
+      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
+    val N = 13
+    // benchmark gram digests — the exact d15 derivation (every 97th
+    // doc, first/last 5 tokens dropped, distinct 13-gram md5)
+    val docsBatch = s.read
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val tk = split(trim(col("text")), "\\s+")
+    val grams = expr(s"transform(sequence(1, size(tk) - ${N - 1}), " +
+      s"i -> md5(array_join(slice(tk, i, $N), ' ')))")
+    val benchSet: Set[String] = docsBatch
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(col("doc_id") % 97 === 0 && size(col("tk")) >= N + 10)
+      .select(expr(s"slice(tk, 6, size(tk) - 10)").as("tk"))
+      .select(explode(grams).as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val gateU = udf { text: String =>
+      val toks = graft.dedup.DedupOps.WsPattern
+        .split(graft.dedup.DedupOps.sqlTrim(text))
+      if (toks.length < N) (0L, 0L, false)
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val gs = toks.sliding(N).map { w =>
+          md.reset()
+          md.digest(w.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }.toSet
+        val hits = gs.count(benchSet)
+        (gs.size.toLong, hits.toLong, hits * 2 >= gs.size && gs.nonEmpty)
+      }
+    }
+    val docsSchema = docsBatch.schema
+    val verdicts = s.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id"), gateU(col("text")).as("v"))
+      .select(col("doc_id"), col("v._1").as("n13"), col("v._2").as("hits"),
+        col("v._3").as("flagged"))
+    val finish = (t: DataFrame) => t.orderBy("doc_id")
+    fileDrainDir match {
+      case Some(dir) =>
+        val q = verdicts.writeStream.format("parquet")
+          .option("path", s"$dir/out")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        finish(s.read.parquet(s"$dir/out")).localCheckpoint(true)
+      case None =>
+        val name = s"st11_sink_${System.nanoTime()}"
+        val q = verdicts.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, name, finish)
+    }
+  }
+
+  val st11Oracle: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |bench AS (
+      |  SELECT doc_id AS bench_id, tk[6:len(tk)-5] AS tk
+      |  FROM toks WHERE doc_id % 97 = 0 AND len(tk) >= 23),
+      |bench_grams AS (
+      |  SELECT DISTINCT md5(array_to_string(tk[i:i+12], ' ')) AS g
+      |  FROM bench, UNNEST(range(1, len(tk) - 11)) AS u(i)),
+      |doc_grams AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+12], ' ')) AS g
+      |  FROM toks, UNNEST(range(1, len(tk) - 11)) AS u(i)
+      |  WHERE len(tk) >= 13),
+      |per AS (
+      |  SELECT dg.doc_id, COUNT(*) AS n13, COUNT(bg.g) AS hits
+      |  FROM doc_grams dg LEFT JOIN bench_grams bg ON dg.g = bg.g
+      |  GROUP BY 1)
+      |SELECT t.doc_id, COALESCE(p.n13, 0) AS n13,
+      |  COALESCE(p.hits, 0) AS hits,
+      |  COALESCE(p.hits * 2 >= p.n13 AND p.n13 > 0, false) AS flagged
+      |FROM toks t LEFT JOIN per p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st07_stream_quality_gate" -> (st07_stream_quality_gate _),
     "st10_stream_semantic_gate" -> (st10_stream_semantic_gate _),
+    "st11_stream_ngram_gate" -> (st11_stream_ngram_gate _),
     "st01_stream_window" -> (st01_stream_window _),
     "st02_session_window" -> (st02_session_window _),
     "st03_stream_dedup" -> (st03_stream_dedup _),
@@ -803,6 +913,7 @@ object StreamingOps {
   val oracle: Map[String, String] = Map(
     "st07_stream_quality_gate" -> st07Oracle,
     "st10_stream_semantic_gate" -> st10Oracle,
+    "st11_stream_ngram_gate" -> st11Oracle,
     "st01_stream_window" -> st01Oracle,
     "st02_session_window" -> st02Oracle,
     "st03_stream_dedup" -> st03Oracle,

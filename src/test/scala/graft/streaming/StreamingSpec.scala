@@ -135,6 +135,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"flagged=$flagged")
       assert(mem10.exists(r => !r.getBoolean(1) && r.getLong(2) > -8589934592L),
         "no sub-threshold candidate ever scored — the verify path is vacuous")
+      // st11: same stateless-append drain contract
+      val mem11 = StreamingOps.st11_stream_ngram_gate(spark, sf).collect().toSeq
+      val file11 = StreamingOps
+        .st11_stream_ngram_gate_files(spark, sf, s"$dir/st11").collect().toSeq
+      assert(mem11.nonEmpty && mem11 == file11,
+        s"st11 drains diverge: mem=${mem11.take(3)} file=${file11.take(3)}")
+      // reconciliation: the stream gate's flag rule (integer 2·hits ≥
+      // n13) must agree with batch d15's n_flagged (double ≥ 0.5) —
+      // two independent implementations of one rule
+      val flagged11 = mem11.count(_.getBoolean(3)).toLong
+      val d15flagged = graft.dedup.Contamination.d15_ngram_overlap(spark, sf)
+        .collect()(0).getAs[Long]("n_flagged")
+      assert(flagged11 == d15flagged,
+        s"st11 flagged $flagged11 but d15 reports $d15flagged")
+      assert(flagged11 > 0 && flagged11 < mem11.size,
+        "the gate is vacuous on this corpus — it flags nothing or everything")
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(dir)

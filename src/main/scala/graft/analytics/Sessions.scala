@@ -161,10 +161,17 @@ object Sessions {
     val counts = offsets.groupBy($"cohort_day", $"day_offset")
       .agg(count(lit(1)).as("n_active"))
     // offset 0 is every cohort member's first day, so its count IS the
-    // cohort size; one row per cohort day — broadcast
-    val sizes = counts.filter($"day_offset" === 0)
-      .select($"cohort_day", $"n_active".as("n_cohort"))
-    counts.join(broadcast(sizes), "cohort_day")
+    // cohort size. Derived as a WINDOW over the (days×8)-row counts
+    // frame, NOT a self-join: a second reference to `counts` re-executes
+    // the whole corpus pipeline (Catalyst copies referenced subplans —
+    // the first shape ran the events chain TWICE, seen in its plan), so
+    // the cohort-size column must come from the single materialized
+    // pass. The window's partition is cohort_day on an aggregate-sized
+    // frame — one tiny exchange instead of a duplicated corpus scan.
+    val byCohort = Window.partitionBy($"cohort_day")
+    counts
+      .withColumn("n_cohort",
+        max(when($"day_offset" === 0, $"n_active")).over(byCohort))
       .select($"cohort_day", $"day_offset", $"n_active", $"n_cohort",
         ($"n_active".cast("double") / $"n_cohort".cast("double"))
           .as("retention"))

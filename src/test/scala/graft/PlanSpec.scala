@@ -511,6 +511,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnl <= 3, s"expected <=3 single-row audit crossJoins, got $bnl:\n$plan")
   }
 
+  test("q38 cohorts: the events chain runs once — cohort sizes come from a window, not a re-scan") {
+    requireTable("events")
+    val df = graft.analytics.Sessions.q38_retention_cohorts(spark, sf)
+    val plan = physical(df).split("== Initial Plan ==")(0)
+    // the first shape derived n_cohort by re-referencing `counts`, and
+    // Catalyst copied the referenced subplan — the WHOLE corpus
+    // pipeline (scan → user agg → join → offset agg) executed TWICE
+    // (4 user_id-keyed exchanges, 4 scans). The window shape keeps the
+    // inherent aggregate-rejoin pair: exactly 2 scans (ev + the cohort
+    // min over it) and exactly 2 user_id exchanges, plus ONE window on
+    // the aggregate-sized counts frame.
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected the 2 inherent events scans, got $scans:\n$plan")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userExchanges <= 2,
+      s"corpus chain duplicated: $userExchanges user_id exchanges:\n$plan")
+    assert("Window".r.findAllIn(plan).length == 1)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("unpartitioned-window inventory: every registered query's plan " +
       "confines partition-less windows to the documented bounded sites") {
     // r15 verdict item 4: `WindowExec: No Partition Defined` warnings in

@@ -448,6 +448,16 @@ object Dev {
       // shuffle + ≤8-element per-user offset sets
       "d03_simhash", "d15_ngram_overlap", "d21_semantic_contamination",
       "t19_chunk_windows", "q38_retention_cohorts",
+      // r17 late additions: d22's prefix×index join moves longs only
+      // until the output-sized verify (replica-disjoint shingles keep
+      // df within replica, so candidates grow linearly); st10 is a
+      // stateless map against the FIXED 32-vector benchmark. st11 is
+      // deliberately NOT here: its fixture benchmark grows with
+      // corpus/97, so at 100× the closure would carry a ~1.3M-digest
+      // set — the batch d15 shape owns that regime (documented in
+      // COVERAGE; the st11 operator contract is an external
+      // broadcast-sized benchmark).
+      "d22_containment", "st10_stream_semantic_gate",
       // the adversarial fixture at the second scale point: a hot band
       // key carrying ~20% of signatures (~100k members at 100×) — pass
       // REQUIRES the star-fallback guard to engage at BOTH scales while

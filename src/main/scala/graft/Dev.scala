@@ -423,7 +423,14 @@ object Dev {
       // the guard to fire (star fallback engaged) at BOTH scales while
       // the cost ratio stays in contract: the O(N²) bucket must degrade
       // to the O(N) star, never to a quadratic pair join.
-      "skew01_planted_hot_band")
+      "skew01_planted_hot_band",
+      // round-18 ADVERSARIAL fixture (r17 verdict item 1): d22's
+      // prefix × full-index containment join certified under a planted
+      // BOILERPLATE FLOOD — ~25% of docs replaced by one constant
+      // template, so every "rarest" prefix shingle of the clones is
+      // hot. pass REQUIRES the df-cap guard to fire (hot postings
+      // star-linked) at BOTH scales while the ratio stays in contract.
+      "skew02_planted_hot_shingle")
     // the ~100× DIGEST-CORE list (scalebench-core): the six families the
     // r15 verdict named whose shuffles move digests/longs only — d01's
     // md5 groupBy, d02's banded signature join, d07/d10's store
@@ -458,11 +465,12 @@ object Dev {
       // COVERAGE; the st11 operator contract is an external
       // broadcast-sized benchmark).
       "d22_containment", "st10_stream_semantic_gate",
-      // the adversarial fixture at the second scale point: a hot band
-      // key carrying ~20% of signatures (~100k members at 100×) — pass
-      // REQUIRES the star-fallback guard to engage at BOTH scales while
-      // the ratio stays in the linear contract
-      "skew01_planted_hot_band")
+      // the adversarial fixtures at the second scale point: a hot band
+      // key carrying ~20% of signatures (~100k members at 100×) and a
+      // boilerplate flood making ~25% of d22's prefixes hot — pass
+      // REQUIRES the star-fallback guards to engage at BOTH scales
+      // while the ratio stays in the linear contract
+      "skew01_planted_hot_band", "skew02_planted_hot_shingle")
     val fullNames = if (coreOnly) coreNames else allNames
     // SPARK_GRAFT_SCALEBENCH_ONLY=a,b — dev-facing subset iteration
     // (new cert rows are expensive to debug through a full 90+-query
@@ -499,6 +507,7 @@ object Dev {
         if (name == "s06_semantic_dedup") runS06
         else if (name == "s10_knn_graph") runS10
         else if (name == "skew01_planted_hot_band") skewProbe
+        else if (name == "skew02_planted_hot_shingle") skew02Probe
         else if (annProbes(name)) runAnnProbe(name)
         else SparkEntry.queries(name)
       val rows = fn(spark, dir).count()
@@ -557,12 +566,13 @@ object Dev {
       // ENGAGED at both scales — a silent non-engagement would mean the
       // O(N²) bucket ran as an all-pairs join and merely got lucky on
       // time at this SF
-      val guardExtra = if (name == "skew01_planted_hot_band") {
+      val isSkewFixture = name.startsWith("skew0")
+      val guardExtra = if (isSkewFixture) {
         val gb = base.flatMap(_._2).nonEmpty
         val gs = scaled.flatMap(_._2).nonEmpty
         s""","skew_guard_engaged_base":$gb,"skew_guard_engaged_scaled":$gs"""
       } else ""
-      val skewGuardOk = name != "skew01_planted_hot_band" ||
+      val skewGuardOk = !isSkewFixture ||
         (base.flatMap(_._2).nonEmpty && scaled.flatMap(_._2).nonEmpty)
       // the contract, COMPUTED (advisory: it was only a prose string —
       // a quadratic regression would still write a green-looking
@@ -785,6 +795,38 @@ object Dev {
           lit(-777777L)).otherwise(col("bucket")))
     DedupOps.guardedBucketPairs(buckets, Seq("band", "bucket"))
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The planted hot-SHINGLE fixture (r17 verdict item 1, scalebench
+    * row `skew02_planted_hot_shingle`): d22's exact candidate shape —
+    * [[graft.dedup.DedupOps.containmentCandidates]] on hashed shingle
+    * sets — with ONE adversarial change: every 4th doc's text is
+    * REPLACED by a constant 40-token boilerplate, the flood case where
+    * rare-first prefix ranking stops helping because each clone's
+    * "rarest" shingles are the SAME hot template shingles (df ≈ N/4 ≫
+    * the 1000 cap, ~1,250 at sf0.1 and ~125,000 at the 100× dir).
+    * Unguarded, the prefix × full-index join is O((N/4)²) per template
+    * shingle — ~58M candidate rows at base and 10⁴× that at 100×, a
+    * guaranteed ratio breach. The df-cap guard must instead drop hot
+    * shingles from the probe side and star-link each hot posting
+    * through its min-id representative — O(N/4) rows — and the
+    * scalebench pass rule for this row additionally requires the guard
+    * counter to be NON-ZERO at both scales (an engaged guard, not a
+    * lucky timing). Candidate generation only: the quadratic hazard
+    * lives in the equi-join; the verify stages downstream are linear
+    * in candidates. */
+  def skew02Probe(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.DedupOps
+    val boiler = (1 to 40).map(i => s"boilertoken$i").mkString(" ")
+    val docs = graft.analytics.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(boiler))
+          .otherwise(col("text")).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val pre = docs.select(col("doc_id"), DedupOps.hashShinglesU(col("text")).as("hs"))
+    DedupOps.withCache(pre)(preC =>
+      DedupOps.containmentCandidates(preC).agg(count(lit(1)).as("n_pairs")))
   }
 
   /** Stage-by-stage timing of the d02 minhash pipeline. */

@@ -596,6 +596,79 @@ object DedupOps {
     docs.unionByName(big).unionByName(near)
   }
 
+  /** Distinct sorted 64-bit shingle hashes of a document — the probe
+    * representation [[d22_containment]]'s candidate and phase-1 verify
+    * stages share (sorted so the overlap count is a codegen'd merge). */
+  private[graft] val hashShinglesU = udf { text: String =>
+    val hs = shingles(text).iterator.map(hash64).toArray.distinct
+    java.util.Arrays.sort(hs)
+    hs.toSeq
+  }
+
+  /** Candidate phase of [[d22_containment]] — rarity-ranked probe-prefix
+    * × full-index equi-join on shingle hashes — with a HOT-SHINGLE
+    * guard (r17 verdict item 1). Cost of the unguarded join is
+    * Σ_prefix df(h): on a long-tail shingle distribution the rare-first
+    * prefix keeps every df small, but a boilerplate-flooded corpus
+    * (~20% of docs sharing one template) makes even each clone's
+    * "rarest" shingles carry df ≈ N/5, and the join goes quadratic —
+    * the skewed-key scale-killer. df is a property of the shingle
+    * alone, shared by both join sides, so capping the PREFIX side at
+    * `df ≤ cap` bounds the join output per shingle at df·|probes of h|
+    * ≤ cap² and the total at cap · |corpus shingle rows| — linear at
+    * fixed cap. Hot shingles (df > cap) instead STAR-LINK their full
+    * posting through its min-id doc — O(df) rows per hot shingle — so
+    * a boilerplate clone whose entire prefix is hot still joins its
+    * near-dup component through the representative. NOTE this is the
+    * [[guardedBucketPairs]] contract change above the cap: the pair
+    * SET for flood docs is star-shaped, not the exact pigeonhole
+    * candidate set — recall for a containment pair BOTH of whose docs
+    * sit inside a hot posting is through the representative only. An
+    * exact-recall consumer (the oracle compare) must keep max df under
+    * `cap`; the healthy fixture's max df is 9 (sf0.01) / 33 (sf0.1),
+    * measured in DuckDB, and replica-disjoint shingles keep it there
+    * at the scaled certs. Overflow is observed in-flight
+    * (`graft_bucket_guard…` — the [[ensureGuardListener]] channel, zero
+    * extra jobs) and certified adversarially by the scalebench row
+    * `skew02_planted_hot_shingle`, whose pass rule REQUIRES engagement
+    * at both scales. Input: `(doc_id, hs)` with `hs` sorted distinct
+    * hashes; output: normalized candidate pairs `(id_a < id_b)`. */
+  private[graft] def containmentCandidates(pre: DataFrame, cap: Int = 1000): DataFrame = {
+    val idx = pre.select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+      explode(col("hs")).as("h"))
+    val dfh = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val ranked = idx.join(dfh, "h")
+      .withColumn("rk", row_number().over(byRarity))
+    // prefix size ⌊3n/10⌋ + 1 (slack t' = 0.7 vs the 0.8 threshold):
+    // covers the ≤ ⌈0.2n⌉ outside-shingles plus one collision for
+    // every n ≥ 10 (the corpus floor); hot shingles leave the probe
+    // side here — their postings are star-linked below instead
+    val prefix = ranked
+      .filter(col("rk") <= (col("n_sh") * 3 / 10).cast("long") + 1 &&
+        col("df") <= cap)
+      .select(col("doc_id").as("id_p"), col("h"))
+    // probe-prefix × full-index join; no df filter is needed on the
+    // index side — df(h) is one number for both sides, so a cold probe
+    // shingle's posting is ≤ cap by construction. Normalize the pair
+    // (containment toward the min side is direction-free) and dedup —
+    // longs only.
+    val cold = prefix.join(idx.select(col("doc_id").as("id_i"), col("h")), "h")
+      .filter(col("id_p") =!= col("id_i"))
+      .select(least(col("id_p"), col("id_i")).as("id_a"),
+        greatest(col("id_p"), col("id_i")).as("id_b"))
+    ensureGuardListener(pre.sparkSession)
+    // hot postings: one window pass over the (small) flood mass only;
+    // rep = min(doc_id) ⇒ rep < member, so (id_a, id_b) stays ordered
+    val hotStar = idx.join(dfh.filter(col("df") > cap), "h")
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("rep"))
+      .observe(s"graft_bucket_guard_d22_${guardObsId.incrementAndGet()}",
+        count(lit(1)).as("n_star_members"), max(col("df")).as("max_bucket"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+    cold.union(hotStar).distinct()
+  }
+
   /** d22: CONTAINMENT detection — the asymmetric near-dup case every
     * symmetric pass (d02's resemblance, d04's Jaccard) is structurally
     * blind to: a document that CONTAINS most of another (a quote-heavy
@@ -617,9 +690,10 @@ object DedupOps {
     * must hit B). Since min-side containment is symmetric in the pair,
     * EVERY doc probes with its own prefix and recall follows. Candidate
     * cost is Σ_prefix df(h) — rare-first ranking keeps that small on
-    * long-tail shingle distributions; a boilerplate-flooded corpus
-    * (every doc sharing hot shingles) needs d11's line dedup upstream,
-    * the documented pipeline order. Shuffles carry longs only until the
+    * long-tail shingle distributions, and the df-cap guard inside
+    * [[containmentCandidates]] bounds it on boilerplate-flooded corpora
+    * where even "rarest" shingles are hot (see that method's contract).
+    * Shuffles carry longs only until the
     * output-sized verify; the exact string verify (collision-free, the
     * d04 two-phase device with a hash pre-filter at slack 0.7) computes
     * the EMITTED values, so output is exact-by-construction. Residual
@@ -627,32 +701,10 @@ object DedupOps {
     * (P ≈ n²/2^64), never corrupt an emitted pair. */
   def d22_containment(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hashShinglesU = udf { text: String =>
-      val hs = shingles(text).iterator.map(hash64).toArray.distinct
-      java.util.Arrays.sort(hs)
-      hs.toSeq
-    }
     val pre = withContainmentPlants(s, d)
       .select($"doc_id", hashShinglesU($"text").as("hs"))
     withCache(pre) { preC =>
-      val idx = preC.select($"doc_id", size($"hs").cast("long").as("n_sh"),
-        explode($"hs").as("h"))
-      val df = idx.groupBy($"h").agg(count(lit(1)).as("df"))
-      val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"h")
-      val ranked = idx.join(df, "h")
-        .withColumn("rk", row_number().over(byRarity))
-      // prefix size ⌊3n/10⌋ + 1 (slack t' = 0.7 vs the 0.8 threshold):
-      // covers the ≤ ⌈0.2n⌉ outside-shingles plus one collision for
-      // every n ≥ 10 (the corpus floor)
-      val prefix = ranked.filter($"rk" <= ($"n_sh" * 3 / 10).cast("long") + 1)
-        .select($"doc_id".as("id_p"), $"h")
-      // probe-prefix × full-index join; normalize the pair (containment
-      // toward the min side is direction-free) and dedup — longs only
-      val cand = prefix.join(idx.select($"doc_id".as("id_i"), $"h"), "h")
-        .filter($"id_p" =!= $"id_i")
-        .select(least($"id_p", $"id_i").as("id_a"),
-          greatest($"id_p", $"id_i").as("id_b"))
-        .distinct()
+      val cand = containmentCandidates(preC)
       // phase 1: hash overlap in codegen, keep at slack 0.7·min
       val iNat = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
       val winners = cand

@@ -89,6 +89,51 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(3) < 0.6))
   }
 
+  test("d22 guard: boilerplate flood star-links hot postings; cold pairs exact") {
+    val sp = spark
+    import sp.implicits._
+    // 12 docs with disjoint unique texts (no cross-doc shingles), one of
+    // them contained in a bigger host (the pair the candidate phase must
+    // keep), plus 20 boilerplate clones — every clone shingle has df=20,
+    // over the cap=10, so rare-first prefix ranking cannot help
+    val uniq = (0L until 12L).map(i =>
+      (i, (1 to 20).map(j => s"u${i}w$j").mkString(" ")))
+    val host = (50L, uniq(3)._2 + " " + (1 to 40).map(j => s"h50x$j").mkString(" "))
+    val boiler = (1 to 20).map(j => s"b$j").mkString(" ")
+    val clones = (100L until 120L).map(i => (i, boiler))
+    val pre = (uniq :+ host).concat(clones).toDF("doc_id", "text")
+      .select($"doc_id", DedupOps.hashShinglesU($"text").as("hs"))
+    val guarded = DedupOps.containmentCandidates(pre, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot postings collapse to the star through min-id clone 100: 19
+    // rows, never the 190 all-pairs
+    val clonePairs = guarded.filter(_._1 >= 100L)
+    assert(clonePairs == (101L until 120L).map((100L, _)).toSet,
+      s"flooded postings must star-link, got ${clonePairs.size} pairs")
+    // the cold containment candidate survives the guard untouched
+    assert(guarded.contains((3L, 50L)), "cold containment candidate lost")
+    // and with the cap above the flood, the same input emits all-pairs
+    val unguarded = DedupOps.containmentCandidates(pre, cap = 1000)
+      .filter($"id_a" >= 100L).count()
+    assert(unguarded == 190L, s"expected 190 all-pairs under cap, got $unguarded")
+  }
+
+  test("d22 guard: healthy fixture max shingle df sits far below the cap") {
+    // the oracle replays SEMANTICS all-pairs, so the engine's candidate
+    // phase must have full recall on the healthy fixture — which holds
+    // exactly when no shingle df exceeds the cap (hot postings degrade
+    // to star recall BY CONTRACT). Pin the margin so a fixture change
+    // that floods shingles shows up here, not as an oracle hash miss.
+    val sp = spark
+    import sp.implicits._
+    val pre = DedupOps.withContainmentPlants(sp, "/root/testdata/sf0.001")
+      .select($"doc_id", DedupOps.hashShinglesU($"text").as("hs"))
+    val maxDf = pre.select(org.apache.spark.sql.functions.explode($"hs").as("h"))
+      .groupBy($"h").count().agg(org.apache.spark.sql.functions.max($"count"))
+      .collect()(0).getLong(0)
+    assert(maxDf <= 100L, s"healthy-fixture max df $maxDf approaches the 1000 cap")
+  }
+
   test("d21: threshold is live and flagged = exactly the planted paraphrases") {
     // Fixture-discrimination pin (SURVEY §5): the 0.9 cosine verify must
     // REJECT candidates (random band collisions), not rubber-stamp them,

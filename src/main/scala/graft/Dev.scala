@@ -49,7 +49,8 @@ object Dev {
       // drifted from the shipped artifact ("worst 9.30 t10" vs final
       // worst 7.852 d15). This prints the summary sentence FROM the
       // artifact — paste its output verbatim; never hand-write it.
-      certSummary(args.lift(1).getOrElse("BENCH_SF1.json"))
+      certSummary(args.lift(1).getOrElse("BENCH_SF1.json"),
+        args.lift(2).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
       spark.stop(); return
     }
     if (args.headOption.contains("show")) {
@@ -84,7 +85,12 @@ object Dev {
     * artifact rows that are registry headline queries, fixtures =
     * artifact rows that are not (adversarial plants like skew01),
     * excluded = registry headline queries absent from the artifact. */
-  private def certSummary(path: String): Unit = {
+  /** `detail` (r17 verdict item 3): per-query ratios quoted in COVERAGE
+    * prose have drifted from the shipped artifact TWICE (r15 worst-line,
+    * r17 new-row parenthetical) — so the per-new-row sentence is now
+    * generated too. Pass the round's new query ids as the 3rd CLI arg
+    * (comma-separated) and paste the emitted line verbatim. */
+  private def certSummary(path: String, detail: Seq[String] = Nil): Unit = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
     val qs = node.get("queries")
@@ -121,6 +127,14 @@ object Dev {
       s"adversarial fixture${if (fixtures.size == 1) "" else "s"}" +
       s"${if (fixtures.nonEmpty) fixtures.mkString(" [", ", ", "]") else ""}; " +
       s"worst ratio $worstRatio = $worst; $exclNote).")
+    if (detail.nonEmpty) {
+      val missing = detail.filterNot(names.contains)
+      if (missing.nonEmpty) println(
+        s"[cert-summary] WARNING: not in artifact: ${missing.mkString(", ")}")
+      val rows = detail.filter(names.contains)
+        .map(n => s"$n ${ratioOf(n)}").mkString(", ")
+      println(s"New-row ${sfx}× ratios (generated from $path): $rows.")
+    }
   }
 
   /** Deterministic scaled corpus from an existing sf dir (the sf1

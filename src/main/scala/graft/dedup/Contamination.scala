@@ -34,39 +34,97 @@ object Contamination {
 
   private val N = 13 // gram width, the GPT-3 decontamination constant
 
+  /** Broadcast-shape bound for the decontamination stack's benchmark
+    * side (r17 verdict item 4): d21/st10/st11 carry the benchmark to
+    * every task (a broadcast join or the UDF closure), so a
+    * corpus-sized benchmark must fail LOUDLY at this bound — never OOM
+    * the driver or silently serialize gigabytes per task. The batch
+    * digest-join shape ([[d15Against]]) owns that regime. */
+  private[graft] def benchMaxRows(s: SparkSession): Int =
+    s.conf.get("spark.graft.decontam.benchMaxRows", "250000").toInt
+
+  /** Driver-side benchmark collect with the [[benchMaxRows]] cap made
+    * LOUD: `limit(cap + 1)` bounds the fetched rows (the over-bound
+    * case moves cap+1 rows, not the whole frame), and the error names
+    * the conf and the in-contract alternative. */
+  private[graft] def cappedCollect(df: DataFrame,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    val cap = benchMaxRows(df.sparkSession)
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what exceeds spark.graft.decontam.benchMaxRows=$cap rows — not " +
+        "broadcast-shaped; run the batch digest-join operator " +
+        "(Contamination.d15Against) instead, or raise the bound explicitly")
+    rows
+  }
+
+  // all distinct 13-gram digests of the token column `tk` (d12's
+  // sliding-window device at W = 13)
+  private def gramsExpr = expr(
+    s"transform(sequence(1, size(tk) - ${N - 1}), " +
+      s"i -> md5(array_join(slice(tk, i, $N), ' ')))")
+
+  /** The corpus-derived fixture benchmark (see object doc): every 97th
+    * doc's middle token slice — EXCERPTS, not copies. Takes the cached
+    * corpus token frame so fixture bench and corpus share one scan. */
+  private[graft] def d15FixtureBench(toks: DataFrame): DataFrame =
+    toks.filter(col("doc_id") % 97 === 0 && size(col("tk")) >= N + 10)
+      .select(expr(s"slice(tk, 6, size(tk) - 10)").as("tk"))
+
+  /** d15 core over pre-tokenized frames — corpus `(doc_id, tk)`,
+    * benchmark `(tk)`; bench items under $N tokens contribute no grams
+    * and are excluded from `n_bench_docs` (on the fixture the filter is
+    * a no-op: sliced docs keep ≥ $N tokens by the N+10 floor). */
+  private def d15Core(corpusToks: DataFrame, benchToks0: DataFrame): DataFrame = {
+    val benchToks = benchToks0.filter(size(col("tk")) >= N)
+    val benchGrams = benchToks.select(explode(gramsExpr).as("g")).distinct()
+    val docGrams = corpusToks.filter(size(col("tk")) >= N)
+      .select(col("doc_id"), explode(gramsExpr).as("g")).distinct()
+    val perDoc = docGrams
+      .join(benchGrams.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n13"), count(col("hit")).as("hits"))
+    perDoc
+      .agg(count(lit(1)).as("n_docs_scored"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(when(col("hits").cast("double") / col("n13") >= 0.5, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        sum(col("hits")).as("total_hits"))
+      .crossJoin(benchToks.agg(count(lit(1)).as("n_bench_docs")))
+      .crossJoin(benchGrams.agg(count(lit(1)).as("n_bench_grams")))
+      .select(col("n_bench_docs"), col("n_bench_grams"), col("n_docs_scored"),
+        col("n_docs_hit"), col("n_flagged"), col("total_hits"))
+  }
+
   /** d15: corpus-vs-benchmark 13-gram overlap. One row: benchmark
     * sizes, scored-doc counts, docs with any hit, docs ≥ 50% overlap
-    * (flagged), and total hit grams. */
+    * (flagged), and total hit grams. The registered query instantiates
+    * [[d15Core]] with the corpus-derived fixture benchmark; the
+    * external-benchmark contract is [[d15Against]]. */
   def d15_ngram_overlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // all distinct 13-gram digests of the token column `tk` (d12's
-    // sliding-window device at W = 13)
-    val grams = expr(s"transform(sequence(1, size(tk) - ${N - 1}), " +
-      s"i -> md5(array_join(slice(tk, i, $N), ' ')))")
     DedupOps.withCache(Tables.documents(s, d)
         .select($"doc_id", TextOps.whitespaceTokens($"text").as("tk"))) { toks =>
-      val benchDocs = toks
-        .filter($"doc_id" % 97 === 0 && size($"tk") >= N + 10)
-        .select($"doc_id", expr(s"slice(tk, 6, size(tk) - 10)").as("tk"))
-      val benchGrams = benchDocs.select(explode(grams).as("g")).distinct()
-      val docGrams = toks.filter(size($"tk") >= N)
-        .select($"doc_id", explode(grams).as("g")).distinct()
-      val perDoc = docGrams
-        .join(benchGrams.withColumn("hit", lit(1)), Seq("g"), "left")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n13"), count($"hit").as("hits"))
-      perDoc
-        .agg(count(lit(1)).as("n_docs_scored"),
-          sum(when($"hits" > 0, 1L).otherwise(0L)).as("n_docs_hit"),
-          sum(when($"hits".cast("double") / $"n13" >= 0.5, 1L).otherwise(0L))
-            .as("n_flagged"),
-          sum($"hits").as("total_hits"))
-        .crossJoin(benchDocs.agg(count(lit(1)).as("n_bench_docs")))
-        .crossJoin(benchGrams.agg(count(lit(1)).as("n_bench_grams")))
-        .select($"n_bench_docs", $"n_bench_grams", $"n_docs_scored",
-          $"n_docs_hit", $"n_flagged", $"total_hits")
+      d15Core(toks, d15FixtureBench(toks))
     }
   }
+
+  /** d15 against a CALLER-SUPPLIED benchmark — the operator contract
+    * the fixture query instantiates (r17 verdict item 4). `corpusDocs`
+    * needs `(doc_id, text)`; `benchDocs` needs `(text)` — one row per
+    * benchmark item, e.g. `spark.read.parquet(benchPath)`. NO size cap
+    * here by design: the benchmark travels as gram DIGESTS through a
+    * linear equi-join (never broadcast or collected), so a corpus-sized
+    * benchmark is in contract — this is the batch shape the streaming
+    * gate (st11) and the broadcast tier (d21) defer to when their
+    * [[benchMaxRows]] bound trips. */
+  def d15Against(s: SparkSession, corpusDocs: DataFrame,
+      benchDocs: DataFrame): DataFrame =
+    DedupOps.withCache(corpusDocs.select(col("doc_id"),
+        TextOps.whitespaceTokens(col("text")).as("tk"))) { toks =>
+      d15Core(toks,
+        benchDocs.select(TextOps.whitespaceTokens(col("text")).as("tk")))
+    }
 
   val d15Oracle: String =
     s"""WITH toks AS (
@@ -131,20 +189,21 @@ object Contamination {
     * float add), the 2^-24 fixed-point sign bits, the banded bucket
     * join, and the exact-cosine verify as [[SimilarityOps.cosFoldSql]]
     * with the 2^32-quantized score projected out. */
-  private val BenchN = 32L
-  private val D21Bands = 8
-  private val D21Bits = 8
+  private[graft] val BenchN = 32L
+  private[graft] val D21Bands = 8
+  private[graft] val D21Bits = 8
 
   private def d21Planes =
     graft.sim.SimilarityOps.md5Planes(D21Bands * D21Bits, 64)
 
-  /** Corpus and benchmark frames with their band buckets exploded —
-    * shared by the operator and the candidate-liveness spec. Returns
-    * (corpusBuckets(corpus_id, c_emb, bucket), benchBuckets(bench_id,
-    * b_emb, bucket)). */
-  private[graft] def d21Sides(s: SparkSession, d: String)
+  /** Band-bucket explosions of caller frames, both `(vec_id,
+    * embedding)`, with the [[benchMaxRows]] broadcast-shape guard
+    * attached LAZILY to the benchmark side: a 1-row aggregate
+    * cross-joined in (the audit-shape precedent) whose `raise_error`
+    * fires inside the plan when the benchmark outgrows the bound — no
+    * eager driver job at construction, no silent multi-GB broadcast. */
+  private def d21SidesOf(corpus: DataFrame, bench: DataFrame)
       : (DataFrame, DataFrame) = {
-    import s.implicits._
     val planes = d21Planes
     val nBands = D21Bands; val bits = D21Bits
     val bandsU = udf { v: Seq[Float] =>
@@ -152,6 +211,41 @@ object Contamination {
       (0 until nBands).map(b =>
         (b.toLong << 32) | ((sig >>> (b * bits)) & ((1L << bits) - 1)))
     }
+    val cap = benchMaxRows(bench.sparkSession)
+    val benchGuard = bench.agg(count(lit(1)).as("nb"))
+      .select(when(col("nb") > cap,
+          raise_error(concat(
+            lit(s"d21 benchmark exceeds spark.graft.decontam.benchMaxRows=$cap rows ("),
+            col("nb").cast("string"),
+            lit(") — not broadcast-shaped; use Contamination.d15Against " +
+              "(linear digest join) or raise the bound explicitly"))))
+        .otherwise(lit(1)).as("bench_cap_ok"))
+    val benchGuarded = bench.crossJoin(benchGuard)
+      .filter(col("bench_cap_ok") === 1).drop("bench_cap_ok")
+    (corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("c_emb"),
+        explode(bandsU(col("embedding"))).as("bucket")),
+      benchGuarded.select(col("vec_id").as("bench_id"),
+        col("embedding").as("b_emb"),
+        explode(bandsU(col("embedding"))).as("bucket")))
+  }
+
+  /** Corpus and benchmark FIXTURE frames with their band buckets
+    * exploded — shared by the operator and the candidate-liveness spec.
+    * Returns (corpusBuckets(corpus_id, c_emb, bucket),
+    * benchBuckets(bench_id, b_emb, bucket)). */
+  private[graft] def d21Sides(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val (corpus, bench) = d21FixtureFrames(s, d)
+    d21SidesOf(corpus, bench)
+  }
+
+  /** The UNEXPLODED fixture frames `(corpus(vec_id, embedding),
+    * bench(vec_id, embedding))` — also fed through [[d21Against]] by
+    * the API-parity spec, so the fixture query and the external
+    * contract provably compute the same thing. */
+  private[graft] def d21FixtureFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
     val perturb = udf { v: Seq[Float] =>
       if (v.isEmpty) v else (v.head + 0.05f) +: v.tail
     }
@@ -160,10 +254,7 @@ object Contamination {
     val corpus = emb.filter($"vec_id" >= BenchN).unionByName(
       bench.select(($"vec_id" + graft.sim.SimilarityOps.Shift).as("vec_id"),
         perturb($"embedding").as("embedding")))
-    (corpus.select($"vec_id".as("corpus_id"), $"embedding".as("c_emb"),
-        explode(bandsU($"embedding")).as("bucket")),
-      bench.select($"vec_id".as("bench_id"), $"embedding".as("b_emb"),
-        explode(bandsU($"embedding")).as("bucket")))
+    (corpus, bench)
   }
 
   /** Bucket-collision candidate pairs BEFORE the exact verify — the
@@ -175,18 +266,36 @@ object Contamination {
       .select(col("corpus_id"), col("bench_id")).distinct()
   }
 
-  def d21_semantic_contamination(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val (corpusB, benchB) = d21Sides(s, d)
+  private def d21Verify(corpusB: DataFrame, benchB: DataFrame): DataFrame =
     corpusB.join(broadcast(benchB), "bucket")
       .withColumn("cos",
-        graft.functions.GraftFunctions.cosine_sim($"c_emb", $"b_emb"))
-      .filter($"cos" >= 0.9)
-      .select($"corpus_id", $"bench_id",
-        ($"cos" * lit(graft.sim.SimilarityOps.CosKeyScale)).cast("long")
+        graft.functions.GraftFunctions.cosine_sim(col("c_emb"), col("b_emb")))
+      .filter(col("cos") >= 0.9)
+      .select(col("corpus_id"), col("bench_id"),
+        (col("cos") * lit(graft.sim.SimilarityOps.CosKeyScale)).cast("long")
           .as("qcos"))
       .distinct()
-      .orderBy($"corpus_id", $"bench_id")
+      .orderBy(col("corpus_id"), col("bench_id"))
+
+  def d21_semantic_contamination(s: SparkSession, d: String): DataFrame = {
+    val (corpusB, benchB) = d21Sides(s, d)
+    d21Verify(corpusB, benchB)
+  }
+
+  /** d21 against a CALLER-SUPPLIED benchmark — the operator contract
+    * the fixture query instantiates (r17 verdict item 4). Both frames
+    * need `(vec_id, embedding)`; pass e.g.
+    * `spark.read.parquet(benchPath)` as the benchmark. The benchmark
+    * side is BROADCAST (that is what makes the whole path map-side),
+    * so it carries the lazy [[benchMaxRows]] guard from
+    * [[d21SidesOf]] — an over-bound benchmark raises in-plan with the
+    * conf named instead of shipping a multi-GB table to every task. */
+  def d21Against(s: SparkSession, corpusVecs: DataFrame,
+      benchVecs: DataFrame): DataFrame = {
+    val (corpusB, benchB) = d21SidesOf(
+      corpusVecs.select(col("vec_id"), col("embedding")),
+      benchVecs.select(col("vec_id"), col("embedding")))
+    d21Verify(corpusB, benchB)
   }
 
   val d21Oracle: String = {

@@ -252,6 +252,27 @@ object DedupOps {
     java.nio.ByteBuffer.wrap(dig).getLong
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Full 32-char lowercase hex md5 of `s` — the same string SQL `md5()`
+    * returns, for paths that compare against SQL-side digests (st11's
+    * per-row gram probe). Thread-local digest + table-driven hex: a
+    * `getInstance` + `"%02x".format` per gram would dominate the
+    * per-token cost in a hot streaming UDF (r17 ADVICE). */
+  def md5Hex(s: String): String = {
+    val md = md5Local.get()
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((dig(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(dig(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** 64-bit SimHash over token 3-grams. Shingle hash = [[md5Hash64]], so
     * an engine with only md5 + bit ops (the DuckDB oracle) reproduces
     * signatures bit-for-bit; murmur stays on the d02/d04 paths where the

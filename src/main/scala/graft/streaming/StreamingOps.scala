@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import graft.dedup.Contamination
+
 /** Structured Streaming surface over the `events` table.
   *
   * The reference's only "stream" is a sequential file iterator (SURVEY.md
@@ -672,30 +674,52 @@ object StreamingOps {
     * the whole corpus, cosFold verify, per-vector bool_or/max rollup,
     * LEFT JOIN back so never-collided vectors carry (false, −1). */
   def st10_stream_semantic_gate(s: SparkSession, d: String): DataFrame =
-    st10Impl(s, d, fileDrainDir = None)
+    st10Impl(s, d, fileDrainDir = None, st10FixtureBench(s, d))
 
   /** st10 through the native append-mode parquet sink (the st04
     * pattern — per-row verdicts need no foreachBatch). Hash-equal to
     * the memory path (spec-pinned). */
   private[graft] def st10_stream_semantic_gate_files(s: SparkSession,
-      d: String, dir: String): DataFrame = st10Impl(s, d, Some(dir))
+      d: String, dir: String): DataFrame =
+    st10Impl(s, d, Some(dir), st10FixtureBench(s, d))
+
+  /** The fixture benchmark split — d21's contract (`vec_id <` BenchN),
+    * one Scala-side source of truth with the batch operator. */
+  private[graft] def st10FixtureBench(s: SparkSession, d: String): DataFrame =
+    s.read.option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < Contamination.BenchN)
+
+  /** st10 against a CALLER-SUPPLIED benchmark `(vec_id, embedding)` —
+    * the operator contract the fixture query instantiates (r17 verdict
+    * item 4); pass e.g. `spark.read.parquet(benchPath)`. The benchmark
+    * rides the verdict UDF's closure, so the driver collect is capped
+    * LOUDLY at `spark.graft.decontam.benchMaxRows` — an over-bound
+    * benchmark raises with the conf named instead of OOMing; that
+    * regime belongs to batch [[Contamination.d15Against]]/d21's
+    * digest-join shapes. */
+  def st10Against(s: SparkSession, corpusDir: String,
+      benchVecs: DataFrame): DataFrame =
+    st10Impl(s, corpusDir, fileDrainDir = None, benchVecs)
 
   private def st10Impl(s: SparkSession, d: String,
-      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
-    val nBands = 8; val bits = 8
+      fileDrainDir: Option[String], benchVecs: DataFrame): DataFrame =
+      withStreamShuffle(s) {
+    // band geometry referenced from the batch operator's constants —
+    // st10 IS d21 as admission, so the two cannot desynchronize
+    // (r17 ADVICE; the oracle SQL still states the literals)
+    val nBands = Contamination.D21Bands; val bits = Contamination.D21Bits
     val planes = graft.sim.SimilarityOps.md5Planes(nBands * bits, 64)
     def bandKeys(v: Seq[Float]): Array[Long] = {
       val sig = graft.sim.SimilarityOps.md5SignBits(v, planes)
       Array.tabulate(nBands)(b =>
         (b.toLong << 32) | ((sig >>> (b * bits)) & ((1L << bits) - 1)))
     }
-    // benchmark index: 32 rows by contract (vec_id < 32) — a bounded
-    // driver collect, carried into the verdict UDF like a broadcast
-    val bench: Array[(Long, Array[Float], Array[Long])] = s.read
-      .option("pathGlobFilter", "embeddings.parquet").parquet(d)
-      .select(col("vec_id"), col("embedding"))
-      .filter(col("vec_id") < 32)
-      .collect()
+    // benchmark index: a capped driver collect (32 rows on the
+    // fixture), carried into the verdict UDF like a broadcast
+    val bench: Array[(Long, Array[Float], Array[Long])] =
+      Contamination.cappedCollect(
+        benchVecs.select(col("vec_id"), col("embedding")), "st10 benchmark")
       .map(r => {
         val v = r.getSeq[Float](1).toArray
         (r.getLong(0), v, bandKeys(v))
@@ -814,38 +838,64 @@ object StreamingOps {
     * additionally reconciles Σ flagged against d15's own n_flagged —
     * two independent implementations of the same rule. */
   def st11_stream_ngram_gate(s: SparkSession, d: String): DataFrame =
-    st11Impl(s, d, fileDrainDir = None)
+    st11Impl(s, d, fileDrainDir = None, st11FixtureBench(s, d))
 
   private[graft] def st11_stream_ngram_gate_files(s: SparkSession,
-      d: String, dir: String): DataFrame = st11Impl(s, d, Some(dir))
+      d: String, dir: String): DataFrame =
+    st11Impl(s, d, Some(dir), st11FixtureBench(s, d))
+
+  /** The fixture benchmark SUITE as one text row per item — the exact
+    * d15 derivation (every 97th doc, first/last 5 tokens dropped),
+    * re-joined to text so the fixture flows through the same
+    * external-benchmark contract as a caller's parquet of docs.
+    * Token-exact under re-splitting: tokens come from `\s+` splits, so
+    * they contain no whitespace and `array_join(…, ' ')` round-trips. */
+  private[graft] def st11FixtureBench(s: SparkSession, d: String): DataFrame = {
+    val N = 13
+    val tk = split(trim(col("text")), "\\s+")
+    s.read.option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(col("doc_id") % 97 === 0 && size(col("tk")) >= N + 10)
+      .select(expr(s"array_join(slice(tk, 6, size(tk) - 10), ' ')").as("text"))
+  }
+
+  /** st11 against a CALLER-SUPPLIED benchmark suite `(text)` — one row
+    * per benchmark item (r17 verdict item 4); pass e.g.
+    * `spark.read.parquet(benchPath)`. The distinct gram-digest set
+    * rides the gate UDF's closure, so its driver collect is capped
+    * LOUDLY at `spark.graft.decontam.benchMaxRows` (the r17 fixture
+    * collect grew with corpus/97 and would have OOMed silently at some
+    * scale) — a corpus-sized benchmark belongs to batch
+    * [[Contamination.d15Against]]'s digest-join shape, and the error
+    * says so. */
+  def st11Against(s: SparkSession, corpusDir: String,
+      benchDocs: DataFrame): DataFrame =
+    st11Impl(s, corpusDir, fileDrainDir = None, benchDocs)
 
   private def st11Impl(s: SparkSession, d: String,
-      fileDrainDir: Option[String]): DataFrame = withStreamShuffle(s) {
+      fileDrainDir: Option[String], benchDocs: DataFrame): DataFrame =
+      withStreamShuffle(s) {
     val N = 13
-    // benchmark gram digests — the exact d15 derivation (every 97th
-    // doc, first/last 5 tokens dropped, distinct 13-gram md5)
     val docsBatch = s.read
       .option("pathGlobFilter", "documents.parquet").parquet(d)
     val tk = split(trim(col("text")), "\\s+")
     val grams = expr(s"transform(sequence(1, size(tk) - ${N - 1}), " +
       s"i -> md5(array_join(slice(tk, i, $N), ' ')))")
-    val benchSet: Set[String] = docsBatch
-      .select(col("doc_id"), tk.as("tk"))
-      .filter(col("doc_id") % 97 === 0 && size(col("tk")) >= N + 10)
-      .select(expr(s"slice(tk, 6, size(tk) - 10)").as("tk"))
-      .select(explode(grams).as("g")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val benchSet: Set[String] = Contamination.cappedCollect(
+      benchDocs.select(tk.as("tk")).filter(size(col("tk")) >= N)
+        .select(explode(grams).as("g")).distinct(),
+      "st11 benchmark gram set")
+      .map(_.getString(0)).toSet
     val gateU = udf { text: String =>
       val toks = graft.dedup.DedupOps.WsPattern
         .split(graft.dedup.DedupOps.sqlTrim(text))
       if (toks.length < N) (0L, 0L, false)
       else {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val gs = toks.sliding(N).map { w =>
-          md.reset()
-          md.digest(w.mkString(" ").getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-        }.toSet
+        // thread-local digest + table hex (DedupOps.md5Hex): a
+        // getInstance + "%02x".format per gram dominated this hot
+        // per-token path (r17 ADVICE)
+        val gs = toks.sliding(N)
+          .map(w => graft.dedup.DedupOps.md5Hex(w.mkString(" "))).toSet
         val hits = gs.count(benchSet)
         (gs.size.toLong, hits.toLong, hits * 2 >= gs.size && gs.nonEmpty)
       }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Contamination
+import graft.streaming.StreamingOps
+
+/** External-benchmark API (r17 verdict item 4): the registered
+  * decontamination queries (d15/d21/st10/st11) derive their benchmarks
+  * from the corpus fixture, but the OPERATOR contract is a
+  * caller-supplied benchmark. These specs feed the fixture benchmark
+  * through the public `…Against` entry points — via a parquet
+  * round-trip, the exact shape a caller ships — and require
+  * BIT-FOR-BIT the registered queries' answers, so the contract
+  * sentences in the scaladocs point at code, not prose. Plus: the
+  * broadcast-shape size cap must fail LOUDLY with the conf named,
+  * on both the collect path (st10/st11) and the lazy in-plan guard
+  * (d21). */
+class DecontamApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+  private def tmp(name: String) = s"/tmp/graft_decontam_api_$name"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("decontam-api-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def roundTrip(df: org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val path = tmp(name)
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  test("d15Against(fixture benchmark as parquet docs) == registered d15") {
+    val sp = spark
+    import sp.implicits._
+    val expected = rows(Contamination.d15_ngram_overlap(sp, sf))
+    // the fixture benchmark re-joined to TEXT — the external shape
+    // (tokens carry no whitespace, so array_join round-trips exactly)
+    val toks = graft.analytics.Tables.documents(sp, sf)
+      .select($"doc_id", graft.text.TextOps.whitespaceTokens($"text").as("tk"))
+    val benchDocs = Contamination.d15FixtureBench(toks)
+      .select(array_join($"tk", " ").as("text"))
+    val got = rows(Contamination.d15Against(sp,
+      graft.analytics.Tables.documents(sp, sf).select($"doc_id", $"text"),
+      roundTrip(benchDocs, "d15")))
+    assert(got == expected, s"d15 API diverges: got=${got.take(2)}")
+  }
+
+  test("d21Against(fixture benchmark as parquet vectors) == registered d21") {
+    val expected = rows(Contamination.d21_semantic_contamination(spark, sf))
+    val (corpus, bench) = Contamination.d21FixtureFrames(spark, sf)
+    val got = rows(Contamination.d21Against(spark, corpus,
+      roundTrip(bench, "d21")))
+    assert(got == expected, s"d21 API diverges: got=${got.take(2)}")
+  }
+
+  test("st10Against(fixture benchmark as parquet vectors) == registered st10") {
+    val expected = rows(StreamingOps.st10_stream_semantic_gate(spark, sf))
+    val got = rows(StreamingOps.st10Against(spark, sf,
+      roundTrip(StreamingOps.st10FixtureBench(spark, sf), "st10")))
+    assert(got == expected, s"st10 API diverges: got=${got.take(2)}")
+  }
+
+  test("st11Against(fixture benchmark as parquet docs) == registered st11") {
+    val expected = rows(StreamingOps.st11_stream_ngram_gate(spark, sf))
+    val got = rows(StreamingOps.st11Against(spark, sf,
+      roundTrip(StreamingOps.st11FixtureBench(spark, sf), "st11")))
+    assert(got == expected, s"st11 API diverges: got=${got.take(2)}")
+  }
+
+  test("st11 collect cap raises loudly with the conf named, never OOMs") {
+    val sp = spark
+    import sp.implicits._
+    sp.conf.set("spark.graft.decontam.benchMaxRows", "3")
+    try {
+      // one 20-token doc ⇒ 8 distinct 13-grams > 3
+      val bench = Seq((1 to 20).map(i => s"w$i").mkString(" ")).toDF("text")
+      val e = intercept[IllegalArgumentException] {
+        StreamingOps.st11Against(sp, sf, bench)
+      }
+      assert(e.getMessage.contains("benchMaxRows"),
+        s"cap error must name the conf: ${e.getMessage}")
+      assert(e.getMessage.contains("d15Against"),
+        s"cap error must name the in-contract alternative: ${e.getMessage}")
+    } finally sp.conf.unset("spark.graft.decontam.benchMaxRows")
+  }
+
+  test("d21 lazy in-plan cap raises at action time with the conf named") {
+    val sp = spark
+    import sp.implicits._
+    sp.conf.set("spark.graft.decontam.benchMaxRows", "3")
+    try {
+      val vecs = (0L until 6L).map(i => (i, Seq.fill(64)(i.toFloat / 10f)))
+        .toDF("vec_id", "embedding")
+      val df = Contamination.d21Against(sp, vecs, vecs)
+      // construction is lazy — the guard fires on the action
+      val e = intercept[Exception] { df.collect() }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("benchMaxRows"),
+        s"d21 cap error must name the conf: $msg")
+    } finally sp.conf.unset("spark.graft.decontam.benchMaxRows")
+  }
+}

@@ -306,8 +306,14 @@ object TrainingPipeline {
       .select($"doc_id", $"text", $"source"))
   }
 
+  /** `withTok = true` is the WIDENED twin (r17 verdict item 5): the
+    * same frame plus an `n_tok` column carried from the gate-signal
+    * pass that already computes it — so [[cardOf]] doesn't pay a second
+    * corpus scan just to re-read token counts. p07's registered output
+    * schema stays frozen at the default. */
   private[graft] def provenanceOf(docs: DataFrame,
-      thresholdCap: Option[Boolean] = None): DataFrame = {
+      thresholdCap: Option[Boolean] = None,
+      withTok: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     val useThreshold = thresholdCap.getOrElse(resolveThresholdCap(docs))
     val rsn = graft.text.TextOps.gateSignalsOf(docs.select($"doc_id", $"text"))
@@ -349,22 +355,27 @@ object TrainingPipeline {
         .over(Window.partitionBy($"shard").orderBy($"order_key", $"doc_id"))
         .cast("long"))
       .select($"doc_id", $"shard", $"shard_rank")
+    val rsnCols =
+      if (withTok) rsn.select($"doc_id", $"gate_reason", $"n_tok")
+      else rsn.select($"doc_id", $"gate_reason")
+    val outCols = Seq($"doc_id",
+      when($"gate_reason" =!= "none", lit("gated"))
+        .when($"rn" > 1, lit("duplicate"))
+        .when($"capped_out", lit("capped"))
+        .otherwise(lit("kept")).as("disposition"),
+      $"gate_reason",
+      coalesce($"keeper_id", lit(-1L)).as("keeper_id"),
+      coalesce($"cap_draw", lit(-1L)).as("cap_draw"),
+      coalesce($"shard", lit(-1L)).as("shard"),
+      coalesce($"shard_rank", lit(-1L)).as("shard_rank")) ++
+      (if (withTok) Seq($"n_tok") else Nil)
     docs.select($"doc_id")
-      .join(rsn.select($"doc_id", $"gate_reason"), "doc_id")
+      .join(rsnCols, "doc_id")
       .join(dd.select($"doc_id", $"rn", $"keeper_id"), Seq("doc_id"), "left")
       .join(capv.select($"doc_id", $"cap_draw", $"capped_out"),
         Seq("doc_id"), "left")
       .join(rk, Seq("doc_id"), "left")
-      .select($"doc_id",
-        when($"gate_reason" =!= "none", lit("gated"))
-          .when($"rn" > 1, lit("duplicate"))
-          .when($"capped_out", lit("capped"))
-          .otherwise(lit("kept")).as("disposition"),
-        $"gate_reason",
-        coalesce($"keeper_id", lit(-1L)).as("keeper_id"),
-        coalesce($"cap_draw", lit(-1L)).as("cap_draw"),
-        coalesce($"shard", lit(-1L)).as("shard"),
-        coalesce($"shard_rank", lit(-1L)).as("shard_rank"))
+      .select(outCols: _*)
       .orderBy($"doc_id")
   }
 
@@ -402,11 +413,11 @@ object TrainingPipeline {
     * Built ON [[provenanceOf]] — the card is an aggregation of the
     * certified per-doc provenance frame, not a third derivation of the
     * stage rules, so p01's audit, p07's per-doc verdicts, and this
-    * card cannot drift pairwise. The extra `gateSignalsOf` pass only
-    * re-reads `n_tok` (p07's output schema is contract-frozen and does
-    * not carry it); that pass is map-side over the corpus scan — at
-    * production scale you would project `n_tok` out of the provenance
-    * frame instead and skip it.
+    * card cannot drift pairwise. `n_tok` rides the provenance frame's
+    * widened twin (`provenanceOf(withTok = true)`) — the gate-signal
+    * pass computes it anyway, so the card pays NO second corpus scan
+    * for token masses (r17 verdict item 5; the scan count is
+    * PlanSpec-pinned).
     *
     * Scale shape: provenance topology + three key equi-joins, then four
     * partial-aggregated rollups over (section, key) — each output
@@ -418,24 +429,34 @@ object TrainingPipeline {
 
   private[graft] def cardOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val prov = provenanceOf(docs.select($"doc_id", $"text", $"source"))
-    val tok = graft.text.TextOps.gateSignalsOf(docs.select($"doc_id", $"text"))
-      .select($"doc_id", $"n_tok")
+    val prov = provenanceOf(docs.select($"doc_id", $"text", $"source"),
+      withTok = true)
     val base = prov
-      .join(tok, "doc_id")
       .join(docs.select($"doc_id", $"lang"), "doc_id")
-    def roll(df: DataFrame, section: String, key: Column): DataFrame =
-      df.select(lit(section).as("section"), key.cast("string").as("key"),
-          $"n_tok")
-        .groupBy($"section", $"key")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
-    roll(base, "disposition", $"disposition")
-      .unionByName(roll(base.filter($"gate_reason" =!= "none"),
-        "gate_reason", $"gate_reason"))
-      .unionByName(roll(base.filter($"disposition" === "kept"),
-        "lang", $"lang"))
-      .unionByName(roll(base.filter($"disposition" === "kept"),
-        "shard", $"shard"))
+    // ONE corpus pass for all four sections: the first shape was four
+    // filter+rollup references to `base`, and Catalyst COPIES referenced
+    // subplans — the whole provenance pipeline executed 4× (52 scans vs
+    // p07's 12; the q38 lesson, caught by the PlanSpec scan pin). Each
+    // row instead explodes into its applicable (section, key) entries —
+    // ≤4 bounded structs — and one partial-aggregated groupBy rolls
+    // them all up.
+    val entries = array(
+      struct(lit("disposition").as("section"),
+        $"disposition".cast("string").as("key")),
+      struct(lit("gate_reason").as("section"),
+        when($"gate_reason" =!= "none", $"gate_reason")
+          .otherwise(lit(null)).cast("string").as("key")),
+      struct(lit("lang").as("section"),
+        when($"disposition" === "kept", $"lang")
+          .otherwise(lit(null)).cast("string").as("key")),
+      struct(lit("shard").as("section"),
+        when($"disposition" === "kept", $"shard".cast("string"))
+          .otherwise(lit(null)).as("key")))
+    base.select($"n_tok", explode(entries).as("e"))
+      .select($"e.section".as("section"), $"e.key".as("key"), $"n_tok")
+      .filter($"key".isNotNull)
+      .groupBy($"section", $"key")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
       .orderBy($"section", $"key")
   }
 

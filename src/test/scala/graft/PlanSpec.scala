@@ -532,6 +532,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("p08 card: token masses ride the provenance frame — no second corpus scan") {
+    requireTable("documents")
+    // r17 verdict item 5: cardOf used to re-run gateSignalsOf just to
+    // re-read n_tok — one whole extra corpus pass. n_tok now rides
+    // provenanceOf's widened twin, so the card's only scan beyond
+    // p07's own topology is the lang projection join. Pinned RELATIVE
+    // to p07 so the pin survives provenance-stage refactors.
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = physical(df).split("== Initial Plan ==")(0)
+      "Scan parquet".r.findAllIn(plan).length
+    }
+    val p07 = scans(graft.pipeline.TrainingPipeline.p07_provenance(spark, sf))
+    val p08 = scans(graft.pipeline.TrainingPipeline.p08_dataset_card(spark, sf))
+    assert(p08 == p07 + 1,
+      s"card must add exactly the lang-join scan over p07's topology: p07=$p07 p08=$p08")
+  }
+
   test("unpartitioned-window inventory: every registered query's plan " +
       "confines partition-less windows to the documented bounded sites") {
     // r15 verdict item 4: `WindowExec: No Partition Defined` warnings in

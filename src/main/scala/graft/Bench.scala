@@ -275,8 +275,28 @@ object Bench {
     // reads the detail here.
     val headlineFull = results.collect {
       case (k, _, _, Some(b), _) => s"\"" + k + "\":" + r3(b) }.mkString("{", ",", "}")
+    // GENERATED shared-set drift vs the previous committed detail
+    // snapshot (r17 verdict item 7): two consecutive rounds argued a
+    // +7–9% drift from per-query bands and load stamps by hand — this
+    // derives the number (and the sentence the round report quotes)
+    // over exactly the queries present in BOTH snapshots, bracketed by
+    // the suite's own start/end 1-min loads.
+    val loadEnd = loadAvg
+    val sharedPairs = results.collect {
+      case (k, _, _, Some(b), _) if prior.contains(k) => (prior(k), b) }
+    val sharedDrift = if (sharedPairs.nonEmpty && sharedPairs.map(_._1).sum > 0) {
+      val pTot = sharedPairs.map(_._1).sum; val cTot = sharedPairs.map(_._2).sum
+      val pct = (cTot / pTot - 1.0) * 100.0
+      val sign = if (pct >= 0) "+" else ""
+      s""""shared_drift":{"n_shared":${sharedPairs.size},""" +
+        s""""prior_total":${r3(pTot)},"total":${r3(cTot)},""" +
+        s""""drift_pct":${r3(pct)},"sentence":"shared-set total ${r3(cTot)} s""" +
+        s""" vs prior ${r3(pTot)} s over ${sharedPairs.size} shared queries""" +
+        s""" ($sign${r3(pct)}%), suite 1-min load ${r3(loadStart)} start""" +
+        s""" -> ${r3(loadEnd)} end"},"""
+    } else ""
     try java.nio.file.Files.writeString(detail,
-      s"""{"headline":$headlineFull,"runs":$runsJson,"failed":$fjFull,"hot":$hjFull,"hot_threshold":${r3(hotThreshold)},"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"sf":"$sfDir","meta_start":$metaStart,"meta":${EnvMeta.json(spark)}}""")
+      s"""{$sharedDrift"headline":$headlineFull,"runs":$runsJson,"failed":$fjFull,"hot":$hjFull,"hot_threshold":${r3(hotThreshold)},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir","meta_start":$metaStart,"meta":${EnvMeta.json(spark)}}""")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()

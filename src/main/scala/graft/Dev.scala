@@ -44,6 +44,11 @@ object Dev {
         args.lift(2).getOrElse("COMPACTION_E2E.json"))
       spark.stop(); return
     }
+    if (args.headOption.contains("release-drill")) {
+      releaseDrillCmd(spark, args.lift(1).getOrElse(sfDir),
+        args.lift(2).getOrElse("RELEASE_DRILL.json"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("cert-summary")) {
       // r15 verdict item 3: COVERAGE.md's hand-written 10×-cert sentence
       // drifted from the shipped artifact ("worst 9.30 t10" vs final
@@ -403,6 +408,9 @@ object Dev {
       // cost is Σ_prefix df(h); replica-disjoint shingles keep hits
       // within replica, so growth must stay linear like d04's
       "d22_containment",
+      // d23: d22's pair engine (same guarded candidate shape) + an
+      // anti-join decision tail — aggregate-of-pairs, linear like d22
+      "d23_containment_keeper",
       // st11: stateless per-row gram probe vs the closure-broadcast
       // benchmark — a pure map like st10 (bench grows with corpus/97
       // here by fixture construction; the gate itself is linear)
@@ -650,6 +658,47 @@ object Dev {
     * set is half ingested-delta vectors, half base vectors, so losing
     * EITHER side of base ∪ delta mid-swap would flip a rank-1 self-match
     * and be caught as a mismatch, not a timing artifact. */
+  /** RELEASE-DRILL e2e (r17 verdict item 6): drive the full curation
+    * release on the WARC fixture surface — staged WARC containers →
+    * parse/enrichment → gate/dedup/cap/shard → WRITTEN shards +
+    * provenance + card — and reconcile every number FROM THE WRITTEN
+    * FILES ([[graft.pipeline.TrainingPipeline.releaseDrill]]'s check
+    * rows). Writes the reconciliation artifact and exits non-zero on
+    * any failed check. */
+  def releaseDrillCmd(spark: SparkSession, dir: String,
+      outPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val res = graft.warc.Pipeline.urlResources(
+      graft.warc.WarcSource.fromBytes(graft.warc.WarcQueries.warcFiles(spark, dir)))
+    val docs = res.select(
+      regexp_extract($"url", "/page/(\\d+)$", 1).cast("long").as("doc_id"),
+      $"text_content".as("text"),
+      $"hostname".as("source"))
+    val checks = graft.analytics.StagingDir.withStagingDir(spark, "graft-release-drill") {
+      stage =>
+        graft.pipeline.TrainingPipeline.releaseDrill(spark, docs, stage.toString)
+          .localCheckpoint(true)
+    }
+    val rows = checks.orderBy("check").collect()
+    def q(x: String): String = "\"" + x.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    val allPass = rows.forall(_.getAs[Boolean]("pass"))
+    val json = "{\"surface\": " + q(s"warc:$dir") +
+      ", \"all_pass\": " + allPass +
+      ", \"checks\": [" + rows.map(r =>
+        "{\"check\": " + q(r.getAs[String]("check")) +
+        ", \"lhs\": " + q(r.getAs[String]("lhs")) +
+        ", \"rhs\": " + q(r.getAs[String]("rhs")) +
+        ", \"pass\": " + r.getAs[Boolean]("pass") + "}").mkString(", ") +
+      "]}\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    rows.foreach(r => println(s"[release-drill] ${r.getAs[String]("check")} " +
+      s"pass=${r.getAs[Boolean]("pass")}"))
+    println(s"[release-drill] wrote $outPath all_pass=$allPass")
+    require(allPass, s"release drill reconciliation failed — see $outPath")
+  }
+
   def compactionUnderLoad(spark: SparkSession, dir: String,
       outPath: String): Unit = {
     import org.apache.spark.sql.functions._

@@ -722,8 +722,24 @@ object DedupOps {
     * (P ≈ n²/2^64), never corrupt an emitted pair. */
   def d22_containment(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pre = withContainmentPlants(s, d)
-      .select($"doc_id", hashShinglesU($"text").as("hs"))
+    containmentPairsOf(withContainmentPlants(s, d))
+      .select($"id_a", $"id_b", $"containment", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** The confirmed-containment-pair ENGINE behind [[d22_containment]]
+    * and the d23 keeper tail ([[Materialize.d23_containment_keeper]]):
+    * guarded candidate phase, codegen hash-overlap keep at slack 0.7,
+    * exact string verify computing the emitted values. Output
+    * additionally carries the exact distinct-shingle sizes `(n_a, n_b)`
+    * the verify already computed — they decide pair DIRECTION downstream
+    * (the smaller side is the contained one), and under the d22 emit
+    * thresholds ties are impossible: |A| = |B| forces J = C/(2−C) ≥
+    * 0.8/1.2 = 2/3 > 0.6, which the J < 0.6 exclusion rejects. */
+  private[dedup] def containmentPairsOf(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val pre = corpus.select($"doc_id", hashShinglesU($"text").as("hs"))
     withCache(pre) { preC =>
       val cand = containmentCandidates(preC)
       // phase 1: hash overlap in codegen, keep at slack 0.7·min
@@ -736,23 +752,51 @@ object DedupOps {
         .filter(iNat * 10 >= least(size($"hs_a"), size($"hs_b")).cast("long") * 7)
         .select($"id_a", $"id_b")
       // phase 2: collision-free string verify computes the emitted values
-      val texts = withContainmentPlants(s, d)
       val contU = udf { (ta: String, tb: String) =>
         val sa = shingles(ta); val sb = shingles(tb)
         val i = sa.intersect(sb).size
         (i.toDouble / math.min(sa.size, sb.size),
-          i.toDouble / (sa.size + sb.size - i))
+          i.toDouble / (sa.size + sb.size - i),
+          sa.size.toLong, sb.size.toLong)
       }
       winners
-        .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a"))
+        .join(corpus.select($"doc_id".as("id_a"), $"text".as("text_a"))
           .hint("shuffle_hash"), "id_a")
-        .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b"))
+        .join(corpus.select($"doc_id".as("id_b"), $"text".as("text_b"))
           .hint("shuffle_hash"), "id_b")
         .withColumn("cj", contU($"text_a", $"text_b"))
-        .select($"id_a", $"id_b", $"cj._1".as("containment"), $"cj._2".as("jaccard"))
+        .select($"id_a", $"id_b", $"cj._1".as("containment"), $"cj._2".as("jaccard"),
+          $"cj._3".as("n_a"), $"cj._4".as("n_b"))
         .filter($"containment" >= 0.8 && $"jaccard" < 0.6)
-        .orderBy($"id_a", $"id_b")
     }
+  }
+
+  /** The d23 fixture — [[withContainmentPlants]] extended with a THIRD
+    * containment tier so the keeper rule is exercised on CHAINS, not
+    * just pairs: each `% 13` doc additionally gets a MEGA host
+    * (id + 400000) = the big plant's text extended by 3n more
+    * doc-unique filler tokens (6n total) — so orig ⊂ big ⊂ mega, with
+    * C = 1.0 along every edge and J ≈ {1/6, 1/3, 1/2} all under the
+    * 0.6 exclusion. The big plant is then BOTH a container (of its
+    * original) and contained (in its mega) — the doc class whose
+    * keep/drop decision a pair-local rule gets wrong and the rollup's
+    * `n_chain_docs` counts (39 at sf0.01, measured in DuckDB before
+    * wiring; zero would mean the chain tier regressed to vacuity). */
+  private[dedup] def withContainmentChain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = spread(Tables.documents(s, d).select($"doc_id", $"text"))
+    // the big plant's text, reconstructed from the SAME expression
+    // withContainmentPlants uses (the mega tier extends it verbatim)
+    val mega = docs.filter($"doc_id" % 13 === 0)
+      .select(($"doc_id" + 400000L).as("doc_id"),
+        concat($"text", lit(" "),
+          expr("array_join(transform(sequence(1, 2 * size(split(trim(text), '\\\\s+'))), " +
+            "j -> concat('c', CAST(doc_id AS STRING), 'x', CAST(j AS STRING))), ' ')"),
+          lit(" "),
+          expr("array_join(transform(sequence(1, 3 * size(split(trim(text), '\\\\s+'))), " +
+            "j -> concat('m', CAST(doc_id AS STRING), 'x', CAST(j AS STRING))), ' ')")
+        ).as("text"))
+    withContainmentPlants(s, d).unionByName(mega)
   }
 
   /** d05: benchmark-contamination check — the "is the eval set in the

@@ -431,27 +431,41 @@ object TrainingPipeline {
     import docs.sparkSession.implicits._
     val prov = provenanceOf(docs.select($"doc_id", $"text", $"source"),
       withTok = true)
-    val base = prov
-      .join(docs.select($"doc_id", $"lang"), "doc_id")
-    // ONE corpus pass for all four sections: the first shape was four
-    // filter+rollup references to `base`, and Catalyst COPIES referenced
-    // subplans — the whole provenance pipeline executed 4× (52 scans vs
-    // p07's 12; the q38 lesson, caught by the PlanSpec scan pin). Each
-    // row instead explodes into its applicable (section, key) entries —
-    // ≤4 bounded structs — and one partial-aggregated groupBy rolls
-    // them all up.
-    val entries = array(
+    cardRollupOf(prov.join(docs.select($"doc_id", $"lang"), "doc_id"))
+  }
+
+  /** The card's section rollup over an ALREADY-ASSEMBLED provenance
+    * frame (disposition, gate_reason, shard, n_tok, optional lang) —
+    * factored out of [[cardOf]] so [[releaseDrill]] can compute the
+    * card FROM A WRITTEN provenance file instead of re-deriving the
+    * pipeline. The `lang` section is emitted only when the frame
+    * carries a lang column (the WARC surface doesn't).
+    *
+    * ONE corpus pass for all sections: the first shape was four
+    * filter+rollup references to the base frame, and Catalyst COPIES
+    * referenced subplans — the whole provenance pipeline executed 4×
+    * (52 scans vs p07's 12; the q38 lesson, caught by the PlanSpec scan
+    * pin). Each row instead explodes into its applicable (section, key)
+    * entries — ≤4 bounded structs — and one partial-aggregated groupBy
+    * rolls them all up. */
+  private[graft] def cardRollupOf(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val langEntry =
+      if (base.columns.contains("lang"))
+        Seq(struct(lit("lang").as("section"),
+          when($"disposition" === "kept", $"lang")
+            .otherwise(lit(null)).cast("string").as("key")))
+      else Seq.empty
+    val entries = array(Seq(
       struct(lit("disposition").as("section"),
         $"disposition".cast("string").as("key")),
       struct(lit("gate_reason").as("section"),
         when($"gate_reason" =!= "none", $"gate_reason")
-          .otherwise(lit(null)).cast("string").as("key")),
-      struct(lit("lang").as("section"),
-        when($"disposition" === "kept", $"lang")
-          .otherwise(lit(null)).cast("string").as("key")),
+          .otherwise(lit(null)).cast("string").as("key"))) ++
+      langEntry ++ Seq(
       struct(lit("shard").as("section"),
         when($"disposition" === "kept", $"shard".cast("string"))
-          .otherwise(lit(null)).as("key")))
+          .otherwise(lit(null)).as("key"))): _*)
     base.select($"n_tok", explode(entries).as("e"))
       .select($"e.section".as("section"), $"e.key".as("key"), $"n_tok")
       .filter($"key".isNotNull)
@@ -514,7 +528,18 @@ object TrainingPipeline {
   def materializeShards(s: SparkSession, d: String, outDir: String,
       maxRecordsPerFile: Long = 50000L): DataFrame = {
     import s.implicits._
-    shardedSurvivors(s, d)
+    materializeShardsOf(Tables.documents(s, d)
+      .select($"doc_id", $"text", $"source"), outDir, maxRecordsPerFile)
+  }
+
+  /** [[materializeShards]] over a caller-supplied `(doc_id, text,
+    * source)` corpus — the variant [[releaseDrill]] drives on the WARC
+    * surface. */
+  private[graft] def materializeShardsOf(docs: DataFrame, outDir: String,
+      maxRecordsPerFile: Long = 50000L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    shardedSurvivorsOf(docs)
       .select($"shard", $"order_key", $"doc_id", $"n_tok", $"doc_md5", $"text")
       .repartition($"shard")
       .sortWithinPartitions($"shard", $"order_key", $"doc_id")
@@ -533,6 +558,95 @@ object TrainingPipeline {
     auditRollup(back.withColumn("rank", row_number()
       .over(Window.partitionBy($"shard").orderBy($"order_key", $"doc_id"))
       .cast("long")))
+  }
+
+  /** RELEASE DRILL (r17 verdict item 6) — the end-to-end composition a
+    * real curation release runs, with every reconciled number computed
+    * FROM THE WRITTEN FILES, not from the in-memory frames that
+    * produced them. Steps: (1) write the survivor corpus as training
+    * shards (`outDir/shards`, [[materializeShardsOf]] — its returned
+    * audit is already a from-disk recount); (2) write the per-doc
+    * provenance frame (`outDir/provenance`, [[provenanceOf]] widened
+    * with n_tok, plus lang when the corpus carries it); (3) compute the
+    * dataset card FROM the re-read provenance file and write it
+    * (`outDir/card`). Then reconcile across the three artifacts plus
+    * the input:
+    *   - per-shard (n_docs, n_tokens) from the SHARD FILES == the
+    *     written PROVENANCE's kept rows == the written CARD's shard
+    *     section;
+    *   - the card's disposition masses partition the input (Σ n_docs
+    *     == input count, provenance row count == input count);
+    *   - the card's kept mass == Σ shard-file masses;
+    *   - the from-disk shard audit == the recomputed logical pipeline
+    *     audit (corpus_md5 included — write round-trip is lossless).
+    * Output: one row per check (check, lhs, rhs, pass) — the release
+    * gate is `every row pass`; nothing is raised here so a drill report
+    * can show WHICH seam broke (the Dev subcommand and the spec both
+    * require all-pass).
+    *
+    * Scale shape: the pipeline cost is [[materializeShardsOf]] +
+    * [[provenanceOf]] (shared stage topology, each linear with cool
+    * keys); the reconciliation itself reads the written files once each
+    * and collects only BOUNDED aggregates (8 shards / 4 dispositions /
+    * ≤6 check rows). */
+  def releaseDrill(s: SparkSession, docs: DataFrame, outDir: String,
+      maxRecordsPerFile: Long = 50000L): DataFrame = {
+    import s.implicits._
+    val core = docs.select($"doc_id", $"text", $"source")
+    // (1) shards — returned frame is the from-disk audit already
+    val diskAudit = materializeShardsOf(core, s"$outDir/shards",
+      maxRecordsPerFile)
+    // (2) provenance, widened with n_tok (+ lang when present)
+    val prov = provenanceOf(core, withTok = true)
+    val provOut =
+      if (docs.columns.contains("lang"))
+        prov.join(docs.select($"doc_id", $"lang"), "doc_id")
+      else prov
+    provOut.write.mode("overwrite").parquet(s"$outDir/provenance")
+    val provDisk = s.read.parquet(s"$outDir/provenance")
+    // (3) card FROM the written provenance
+    cardRollupOf(provDisk).write.mode("overwrite").parquet(s"$outDir/card")
+    val cardDisk = s.read.parquet(s"$outDir/card")
+    val shardsDisk = s.read.parquet(s"$outDir/shards")
+      .withColumn("shard", $"shard".cast("long"))
+    // bounded per-key (n_docs, n_tokens) maps rendered as sorted strings
+    def render(rows: Array[(String, Long, Long)]): String =
+      rows.sortBy(_._1).map { case (k, d0, t) => s"$k:$d0/$t" }.mkString(",")
+    def keyMass(df: DataFrame, key: Column, tok: Column): String =
+      render(df.groupBy(key.cast("string").as("k"))
+        .agg(count(lit(1)).as("d"), sum(tok).as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    val shardFiles = keyMass(shardsDisk, $"shard", $"n_tok")
+    val shardProv = keyMass(provDisk.filter($"disposition" === "kept"),
+      $"shard", $"n_tok")
+    val shardCard = render(cardDisk.filter($"section" === "shard")
+      .collect().map(r => (r.getAs[String]("key"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))))
+    val dispCard = cardDisk.filter($"section" === "disposition")
+      .collect().map(r => (r.getAs[String]("key"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    val nInput = core.count()
+    val nProv = provDisk.count()
+    val keptCard = dispCard.filter(_._1 == "kept")
+      .map(e => (e._2, e._3)).headOption.getOrElse((0L, 0L))
+    val shardTotals = shardsDisk
+      .agg(count(lit(1)).as("d"), coalesce(sum($"n_tok"), lit(0L)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    def renderAudit(a: DataFrame): String =
+      a.orderBy("shard").collect().map(r => r.mkString("/")).mkString(",")
+    val checks = Seq(
+      ("shard_files_eq_provenance_kept", shardFiles, shardProv),
+      ("shard_files_eq_card_shard_section", shardFiles, shardCard),
+      ("provenance_covers_input", nInput.toString, nProv.toString),
+      ("card_dispositions_partition_input", nInput.toString,
+        dispCard.map(_._2).sum.toString),
+      ("card_kept_mass_eq_shard_files",
+        s"${keptCard._1}/${keptCard._2}",
+        s"${shardTotals._1}/${shardTotals._2}"),
+      ("disk_audit_eq_recomputed_audit",
+        renderAudit(diskAudit), renderAudit(shardedAuditOf(core))))
+    checks.toDF("check", "lhs", "rhs")
+      .withColumn("pass", $"lhs" === $"rhs")
   }
 
   /** The whole pipeline replayed in SQL: t07's gate CTEs — spliced from

@@ -216,6 +216,74 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def rmTree(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally walk.close()
+  }
+
+  test("release drill: WARC surface → written shards/provenance/card, reconciled from disk") {
+    val sp = spark
+    import sp.implicits._
+    val res = graft.warc.Pipeline.urlResources(
+      graft.warc.WarcSource.fromBytes(graft.warc.WarcQueries.warcFiles(spark, sf)))
+    val docs = res.select(
+      regexp_extract($"url", "/page/(\\d+)$", 1).cast("long").as("doc_id"),
+      $"text_content".as("text"),
+      $"hostname".as("source"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-drill")
+    try {
+      val checks = graft.pipeline.TrainingPipeline
+        .releaseDrill(spark, docs, dir.toString, maxRecordsPerFile = 16L)
+        .collect()
+      assert(checks.length == 6)
+      assert(checks.forall(_.getAs[Boolean]("pass")),
+        checks.map(_.toString).mkString("\n"))
+      // non-vacuous: the surface flowed real docs, shards landed on
+      // disk, and the langless WARC corpus gets NO lang card section
+      val nInput = checks
+        .find(_.getAs[String]("check") == "provenance_covers_input")
+        .get.getAs[String]("lhs").toLong
+      assert(nInput > 0)
+      val card = spark.read.parquet(dir.resolve("card").toString)
+      assert(card.filter($"section" === "shard").count() >= 1)
+      assert(card.filter($"section" === "lang").count() == 0)
+      val disp = card.filter($"section" === "disposition")
+        .select($"key").as[String].collect().toSet
+      // the pipeline did real work: survivors exist AND something dropped
+      assert(disp.contains("kept") && disp.size >= 2, disp)
+      assert(java.nio.file.Files.exists(dir.resolve("shards/_SUCCESS")))
+      assert(java.nio.file.Files.exists(dir.resolve("provenance/_SUCCESS")))
+    } finally rmTree(dir)
+  }
+
+  test("release drill on the lang-carrying corpus: card from the written provenance == p08's card") {
+    val sp = spark
+    import sp.implicits._
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source", $"lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-drill-lang")
+    try {
+      val checks = graft.pipeline.TrainingPipeline
+        .releaseDrill(spark, docs, dir.toString).collect()
+      assert(checks.forall(_.getAs[Boolean]("pass")),
+        checks.map(_.toString).mkString("\n"))
+      // the card computed FROM THE WRITTEN provenance file is
+      // bit-for-bit p08's registered output — the drill surface and the
+      // oracle-certified query cannot drift
+      val cardDisk = spark.read.parquet(dir.resolve("card").toString)
+        .orderBy("section", "key").collect().map(_.toString).toSeq
+      val p08 = graft.pipeline.TrainingPipeline
+        .p08_dataset_card(spark, sf).collect().map(_.toString).toSeq
+      assert(cardDisk == p08)
+      val lang = spark.read.parquet(dir.resolve("card").toString)
+        .filter($"section" === "lang").count()
+      assert(lang >= 1) // the lang section exists on this surface
+    } finally rmTree(dir)
+  }
+
   test("d17: latest-wins keeps exactly the newest snapshot per URL") {
     val sp = spark
     import sp.implicits._

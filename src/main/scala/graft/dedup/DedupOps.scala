@@ -736,7 +736,7 @@ object DedupOps {
     * (the smaller side is the contained one), and under the d22 emit
     * thresholds ties are impossible: |A| = |B| forces J = C/(2−C) ≥
     * 0.8/1.2 = 2/3 > 0.6, which the J < 0.6 exclusion rejects. */
-  private[dedup] def containmentPairsOf(corpus: DataFrame): DataFrame = {
+  private[graft] def containmentPairsOf(corpus: DataFrame): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
     val pre = corpus.select($"doc_id", hashShinglesU($"text").as("hs"))
@@ -782,7 +782,7 @@ object DedupOps {
     * keep/drop decision a pair-local rule gets wrong and the rollup's
     * `n_chain_docs` counts (39 at sf0.01, measured in DuckDB before
     * wiring; zero would mean the chain tier regressed to vacuity). */
-  private[dedup] def withContainmentChain(s: SparkSession, d: String): DataFrame = {
+  private[graft] def withContainmentChain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = spread(Tables.documents(s, d).select($"doc_id", $"text"))
     // the big plant's text, reconstructed from the SAME expression

@@ -89,6 +89,39 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(3) < 0.6))
   }
 
+  test("d23: directed keeper — chain tier live, direction ties impossible, rollup reconciles") {
+    val sf = "/root/testdata/sf0.001"
+    // live pair facts, recomputed independently of the operator's rollup
+    val pairs = DedupOps.containmentPairsOf(
+      DedupOps.withContainmentChain(spark, sf)).collect()
+    assert(pairs.nonEmpty)
+    // the direction rule's precondition: equal shingle counts cannot
+    // pass C >= 0.8 AND J < 0.6 (|A|=|B| forces J = C/(2-C) >= 2/3)
+    assert(pairs.forall(r => r.getAs[Long]("n_a") != r.getAs[Long]("n_b")),
+      "an equal-size pair slipped past the J < 0.6 exclusion")
+    val contained = pairs.map(r =>
+      if (r.getAs[Long]("n_a") < r.getAs[Long]("n_b")) r.getLong(0)
+      else r.getLong(1)).toSet
+    val containers = pairs.map(r =>
+      if (r.getAs[Long]("n_a") < r.getAs[Long]("n_b")) r.getLong(1)
+      else r.getLong(0)).toSet
+    val chain = contained intersect containers
+    // the fixture's chain tier is NON-VACUOUS and lands exactly on the
+    // big plants (orig ⊂ big ⊂ mega: big is container AND contained)
+    assert(chain.nonEmpty, "chain tier vacuous — no both-sides doc")
+    assert(chain.forall(id => id >= 200000L && id < 300000L), chain.take(5))
+    // greedy superset-keeping: megas (nothing is bigger) all survive
+    assert(contained.forall(_ < 400000L),
+      "a mega host was marked contained — nothing on this fixture contains one")
+    // the registered rollup reconciles with this independent recount
+    val row = graft.dedup.Materialize
+      .d23_containment_keeper(spark, sf).collect().head
+    assert(row.getAs[Long]("n_pairs") == pairs.length)
+    assert(row.getAs[Long]("n_dropped") == contained.size)
+    assert(row.getAs[Long]("dropped_id_sum") == contained.sum)
+    assert(row.getAs[Long]("n_chain_docs") == chain.size)
+  }
+
   test("d22 guard: boilerplate flood star-links hot postings; cold pairs exact") {
     val sp = spark
     import sp.implicits._

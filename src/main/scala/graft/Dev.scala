@@ -670,14 +670,7 @@ object Dev {
     * any failed check. */
   def releaseDrillCmd(spark: SparkSession, dir: String,
       outPath: String): Unit = {
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val res = graft.warc.Pipeline.urlResources(
-      graft.warc.WarcSource.fromBytes(graft.warc.WarcQueries.warcFiles(spark, dir)))
-    val docs = res.select(
-      regexp_extract($"url", "/page/(\\d+)$", 1).cast("long").as("doc_id"),
-      $"text_content".as("text"),
-      $"hostname".as("source"))
+    val docs = graft.pipeline.TrainingPipeline.warcCorpus(spark, dir)
     val checks = graft.analytics.StagingDir.withStagingDir(spark, "graft-release-drill") {
       stage =>
         graft.pipeline.TrainingPipeline.releaseDrill(spark, docs, stage.toString)
@@ -714,17 +707,13 @@ object Dev {
     * st11's fixture benchmark exactly — and the measured growth is the
     * gate's alone: a stateless per-row map over the corpus stream. */
   def st11FixedProbe(spark: SparkSession,
-      sfDir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    val tk = split(trim(col("text")), "\\s+")
-    val bench = spark.read.option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
-      .filter(col("doc_id") < 1000000L)
-      .select(col("doc_id"), tk.as("tk"))
-      .filter(col("doc_id") % 97 === 0 && size(col("tk")) >= 23)
-      .select(expr("array_join(slice(tk, 6, size(tk) - 10), ' ')").as("text"))
-    graft.streaming.StreamingOps.st11Against(spark, sfDir, bench)
-  }
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    // ONE derivation: the registered fixture's own benchmark builder,
+    // bounded to replica 0 (r18 review — this used to hand-reinline the
+    // %97/slice expression, a drift-prone third copy)
+    graft.streaming.StreamingOps.st11Against(spark, sfDir,
+      graft.streaming.StreamingOps.st11FixtureBench(spark, sfDir,
+        replica0Only = true))
 
   def compactionUnderLoad(spark: SparkSession, dir: String,
       outPath: String): Unit = {

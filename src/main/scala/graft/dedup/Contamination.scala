@@ -202,8 +202,8 @@ object Contamination {
     * cross-joined in (the audit-shape precedent) whose `raise_error`
     * fires inside the plan when the benchmark outgrows the bound — no
     * eager driver job at construction, no silent multi-GB broadcast. */
-  private def d21SidesOf(corpus: DataFrame, bench: DataFrame)
-      : (DataFrame, DataFrame) = {
+  private def d21SidesOf(corpus: DataFrame, bench: DataFrame,
+      guardBench: Boolean = true): (DataFrame, DataFrame) = {
     val planes = d21Planes
     val nBands = D21Bands; val bits = D21Bits
     val bandsU = udf { v: Seq[Float] =>
@@ -211,17 +211,24 @@ object Contamination {
       (0 until nBands).map(b =>
         (b.toLong << 32) | ((sig >>> (b * bits)) & ((1L << bits) - 1)))
     }
+    // the guard belongs to the EXTERNAL entry point (d21Against): the
+    // registered fixture's benchmark is 32 rows by construction, and
+    // attaching the 1-row count aggregate there re-scanned the bench
+    // subtree on every action purely to compare 32 against the cap
+    // (r18 review)
     val cap = benchMaxRows(bench.sparkSession)
-    val benchGuard = bench.agg(count(lit(1)).as("nb"))
-      .select(when(col("nb") > cap,
-          raise_error(concat(
-            lit(s"d21 benchmark exceeds spark.graft.decontam.benchMaxRows=$cap rows ("),
-            col("nb").cast("string"),
-            lit(") — not broadcast-shaped; use Contamination.d15Against " +
-              "(linear digest join) or raise the bound explicitly"))))
-        .otherwise(lit(1)).as("bench_cap_ok"))
-    val benchGuarded = bench.crossJoin(benchGuard)
-      .filter(col("bench_cap_ok") === 1).drop("bench_cap_ok")
+    val benchGuarded = if (!guardBench) bench else {
+      val benchGuard = bench.agg(count(lit(1)).as("nb"))
+        .select(when(col("nb") > cap,
+            raise_error(concat(
+              lit(s"d21 benchmark exceeds spark.graft.decontam.benchMaxRows=$cap rows ("),
+              col("nb").cast("string"),
+              lit(") — not broadcast-shaped; use Contamination.d15Against " +
+                "(linear digest join) or raise the bound explicitly"))))
+          .otherwise(lit(1)).as("bench_cap_ok"))
+      bench.crossJoin(benchGuard)
+        .filter(col("bench_cap_ok") === 1).drop("bench_cap_ok")
+    }
     (corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("c_emb"),
         explode(bandsU(col("embedding"))).as("bucket")),
       benchGuarded.select(col("vec_id").as("bench_id"),
@@ -236,7 +243,7 @@ object Contamination {
   private[graft] def d21Sides(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val (corpus, bench) = d21FixtureFrames(s, d)
-    d21SidesOf(corpus, bench)
+    d21SidesOf(corpus, bench, guardBench = false)
   }
 
   /** The UNEXPLODED fixture frames `(corpus(vec_id, embedding),

@@ -450,25 +450,31 @@ object TrainingPipeline {
     * rolls them all up. */
   private[graft] def cardRollupOf(base: DataFrame): DataFrame = {
     import base.sparkSession.implicits._
+    // applicability is its OWN flag, not key-nullness: filtering on a
+    // NULL key conflated "row not in this section" with "key value IS
+    // NULL" and silently dropped kept docs with a NULL lang from the
+    // lang section — the oracle's GROUP BY lang keeps the NULL group
+    // (r18 review finding; the fixture has no NULL langs, so only a
+    // NULL-lang corpus would have caught it)
     val langEntry =
       if (base.columns.contains("lang"))
         Seq(struct(lit("lang").as("section"),
-          when($"disposition" === "kept", $"lang")
-            .otherwise(lit(null)).cast("string").as("key")))
+          $"lang".cast("string").as("key"),
+          ($"disposition" === "kept").as("app")))
       else Seq.empty
     val entries = array(Seq(
       struct(lit("disposition").as("section"),
-        $"disposition".cast("string").as("key")),
+        $"disposition".cast("string").as("key"), lit(true).as("app")),
       struct(lit("gate_reason").as("section"),
-        when($"gate_reason" =!= "none", $"gate_reason")
-          .otherwise(lit(null)).cast("string").as("key"))) ++
+        $"gate_reason".cast("string").as("key"),
+        ($"gate_reason" =!= "none").as("app"))) ++
       langEntry ++ Seq(
       struct(lit("shard").as("section"),
-        when($"disposition" === "kept", $"shard".cast("string"))
-          .otherwise(lit(null)).as("key"))): _*)
+        $"shard".cast("string").as("key"),
+        ($"disposition" === "kept").as("app"))): _*)
     base.select($"n_tok", explode(entries).as("e"))
+      .filter($"e.app")
       .select($"e.section".as("section"), $"e.key".as("key"), $"n_tok")
-      .filter($"key".isNotNull)
       .groupBy($"section", $"key")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
       .orderBy($"section", $"key")
@@ -799,14 +805,23 @@ object TrainingPipeline {
     * [[shardedSurvivorsOf]]), and the oracle replays end-to-end: the
     * WARC extraction is recomputed from `documents` exactly as the w01
     * oracle proves it must come out. */
-  def p02_warc_training_pipeline(s: SparkSession, d: String): DataFrame = {
+  def p02_warc_training_pipeline(s: SparkSession, d: String): DataFrame =
+    auditRollup(shardedSurvivorsOf(warcCorpus(s, d)))
+
+  /** The WARC fixture surface as a pipeline corpus `(doc_id, text,
+    * source)` — staged containers through the full parse/enrichment
+    * chain, doc ids recovered from page URLs, anti-domination keyed
+    * per hostname. ONE definition shared by [[p02_warc_training_pipeline]],
+    * the release drill's Dev subcommand, and its spec (r18 review: the
+    * three used to hand-copy the url-regex + column mapping). */
+  private[graft] def warcCorpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val res = graft.warc.Pipeline.urlResources(
-      graft.warc.WarcSource.fromBytes(graft.warc.WarcQueries.warcFiles(s, d)))
-    auditRollup(shardedSurvivorsOf(res.select(
-      regexp_extract($"url", "/page/(\\d+)$", 1).cast("long").as("doc_id"),
-      $"text_content".as("text"),
-      $"hostname".as("source"))))
+    graft.warc.Pipeline.urlResources(
+        graft.warc.WarcSource.fromBytes(graft.warc.WarcQueries.warcFiles(s, d)))
+      .select(
+        regexp_extract($"url", "/page/(\\d+)$", 1).cast("long").as("doc_id"),
+        $"text_content".as("text"),
+        $"hostname".as("source"))
   }
 
   val p02Oracle: String =

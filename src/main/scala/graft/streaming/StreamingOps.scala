@@ -850,10 +850,18 @@ object StreamingOps {
     * external-benchmark contract as a caller's parquet of docs.
     * Token-exact under re-splitting: tokens come from `\s+` splits, so
     * they contain no whitespace and `array_join(…, ' ')` round-trips. */
-  private[graft] def st11FixtureBench(s: SparkSession, d: String): DataFrame = {
+  /** `replica0Only = true` bounds the derivation to replica 0 of a
+    * genScaled corpus (ids under the 1,000,000 stride) — the FIXED
+    * benchmark the st11fixed 100x contract row drives through
+    * [[st11Against]]; at a base corpus the bound is vacuous, so the
+    * fixed benchmark coincides with the registered fixture's exactly
+    * (one derivation, not a hand-kept copy). */
+  private[graft] def st11FixtureBench(s: SparkSession, d: String,
+      replica0Only: Boolean = false): DataFrame = {
     val N = 13
     val tk = split(trim(col("text")), "\\s+")
-    s.read.option("pathGlobFilter", "documents.parquet").parquet(d)
+    val docs = s.read.option("pathGlobFilter", "documents.parquet").parquet(d)
+    (if (replica0Only) docs.filter(col("doc_id") < 1000000L) else docs)
       .select(col("doc_id"), tk.as("tk"))
       .filter(col("doc_id") % 97 === 0 && size(col("tk")) >= N + 10)
       .select(expr(s"array_join(slice(tk, 6, size(tk) - 10), ' ')").as("text"))

@@ -227,12 +227,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("release drill: WARC surface → written shards/provenance/card, reconciled from disk") {
     val sp = spark
     import sp.implicits._
-    val res = graft.warc.Pipeline.urlResources(
-      graft.warc.WarcSource.fromBytes(graft.warc.WarcQueries.warcFiles(spark, sf)))
-    val docs = res.select(
-      regexp_extract($"url", "/page/(\\d+)$", 1).cast("long").as("doc_id"),
-      $"text_content".as("text"),
-      $"hostname".as("source"))
+    val docs = graft.pipeline.TrainingPipeline.warcCorpus(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-drill")
     try {
       val checks = graft.pipeline.TrainingPipeline
@@ -282,6 +277,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter($"section" === "lang").count()
       assert(lang >= 1) // the lang section exists on this surface
     } finally rmTree(dir)
+  }
+
+  test("card rollup: a NULL lang groups like the oracle's GROUP BY — never silently dropped") {
+    val sp = spark
+    import sp.implicits._
+    // r18 review: filtering entries on key-nullness conflated "row not
+    // in this section" with "key value IS NULL" — a kept doc with NULL
+    // lang vanished from the lang section while DuckDB's GROUP BY lang
+    // keeps the NULL group. Applicability is now its own flag.
+    val base = Seq(
+      (10L, "kept", "none", 0L, Some("en")),
+      (11L, "kept", "none", 1L, None), // NULL lang — must still roll up
+      (12L, "gated", "too_short", -1L, Some("en")))
+      .toDF("n_tok", "disposition", "gate_reason", "shard", "lang")
+    val card = graft.pipeline.TrainingPipeline.cardRollupOf(base).collect()
+    val lang = card.filter(_.getAs[String]("section") == "lang")
+    assert(lang.length == 2, lang.mkString(";"))
+    val nullRow = lang.find(r => r.isNullAt(r.fieldIndex("key")))
+    assert(nullRow.isDefined, "NULL-lang kept doc dropped from the lang section")
+    assert(nullRow.get.getAs[Long]("n_docs") == 1L)
+    assert(nullRow.get.getAs[Long]("n_tokens") == 11L)
+    // the lang section still partitions the kept mass exactly
+    val kept = card.find(r => r.getAs[String]("section") == "disposition" &&
+      r.getAs[String]("key") == "kept").get
+    assert(lang.map(_.getAs[Long]("n_docs")).sum == kept.getAs[Long]("n_docs"))
+    assert(lang.map(_.getAs[Long]("n_tokens")).sum == kept.getAs[Long]("n_tokens"))
   }
 
   test("d17: latest-wins keeps exactly the newest snapshot per URL") {

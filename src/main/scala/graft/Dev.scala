@@ -404,6 +404,9 @@ object Dev {
       // st10: stateless per-row verdicts against a FIXED broadcast
       // benchmark — a pure map over the stream, linear by construction
       "p08_dataset_card", "st10_stream_semantic_gate",
+      // p09: d15's linear gram-digest anti-join prepended to p01's
+      // four cool-keyed shuffles — p01-shaped growth
+      "p09_decontaminated_pipeline",
       // d22: probe-prefix × full-index containment join — candidate
       // cost is Σ_prefix df(h); replica-disjoint shingles keep hits
       // within replica, so growth must stay linear like d04's

@@ -32,7 +32,7 @@ import graft.text.TextOps
   * corpus grams + benchmark grams. */
 object Contamination {
 
-  private val N = 13 // gram width, the GPT-3 decontamination constant
+  private[graft] val N = 13 // gram width, the GPT-3 decontamination constant
 
   /** Broadcast-shape bound for the decontamination stack's benchmark
     * side (r17 verdict item 4): d21/st10/st11 carry the benchmark to
@@ -71,19 +71,47 @@ object Contamination {
     toks.filter(col("doc_id") % 97 === 0 && size(col("tk")) >= N + 10)
       .select(expr(s"slice(tk, 6, size(tk) - 10)").as("tk"))
 
+  /** Per-doc 13-gram overlap frame `(doc_id, n13, hits)` over
+    * pre-tokenized corpus/bench frames — the shared core of [[d15Core]]'s
+    * audit rollup and [[d15FlaggedIds]]'s drop decision. Docs under
+    * $N tokens contribute no grams and are absent (never flagged). */
+  private def d15PerDoc(corpusToks: DataFrame, benchToks: DataFrame): DataFrame = {
+    val benchGrams = benchToks.select(explode(gramsExpr).as("g")).distinct()
+    val docGrams = corpusToks.filter(size(col("tk")) >= N)
+      .select(col("doc_id"), explode(gramsExpr).as("g")).distinct()
+    docGrams
+      .join(benchGrams.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n13"), count(col("hit")).as("hits"))
+  }
+
+  /** The decontamination DROP DECISION as a frame: ids of corpus docs
+    * whose distinct 13-grams overlap the benchmark's at ≥ 50% (the d15
+    * flag rule in integer form, `2·hits ≥ n13` — no float decides a
+    * row). This is the d15 tier consumed as a PRE-FILTER — see
+    * [[graft.pipeline.TrainingPipeline.p09Against]], which anti-joins
+    * the training corpus against it before the composed pipeline runs.
+    * Same linear shape as [[d15Against]]: gram digests through one
+    * equi-join, no broadcast, no driver collect — a corpus-sized
+    * benchmark is in contract. */
+  private[graft] def d15FlaggedIds(corpusDocs: DataFrame,
+      benchDocs: DataFrame): DataFrame =
+    d15PerDoc(
+      corpusDocs.select(col("doc_id"),
+        TextOps.whitespaceTokens(col("text")).as("tk")),
+      benchDocs.select(TextOps.whitespaceTokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= N))
+      .filter(col("hits") * 2 >= col("n13"))
+      .select(col("doc_id"))
+
   /** d15 core over pre-tokenized frames — corpus `(doc_id, tk)`,
     * benchmark `(tk)`; bench items under $N tokens contribute no grams
     * and are excluded from `n_bench_docs` (on the fixture the filter is
     * a no-op: sliced docs keep ≥ $N tokens by the N+10 floor). */
   private def d15Core(corpusToks: DataFrame, benchToks0: DataFrame): DataFrame = {
     val benchToks = benchToks0.filter(size(col("tk")) >= N)
+    val perDoc = d15PerDoc(corpusToks, benchToks)
     val benchGrams = benchToks.select(explode(gramsExpr).as("g")).distinct()
-    val docGrams = corpusToks.filter(size(col("tk")) >= N)
-      .select(col("doc_id"), explode(gramsExpr).as("g")).distinct()
-    val perDoc = docGrams
-      .join(benchGrams.withColumn("hit", lit(1)), Seq("g"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n13"), count(col("hit")).as("hits"))
     perDoc
       .agg(count(lit(1)).as("n_docs_scored"),
         sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_docs_hit"),

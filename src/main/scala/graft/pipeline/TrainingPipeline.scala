@@ -515,6 +515,74 @@ object TrainingPipeline {
       |SELECT section, key, n_docs, n_tokens FROM card
       |ORDER BY section, key""".stripMargin
 
+  /** p09: the DECONTAMINATED training pipeline — the composed p01
+    * stages run on a corpus that FIRST drops every doc the d15 13-gram
+    * rule flags against a benchmark suite (GPT-3-appendix discipline:
+    * remove contaminated documents from training, don't just report
+    * them). This is the decontamination stack CONSUMED BY the
+    * production composition through its external-benchmark API
+    * ([[p09Against]] takes any `(text)` benchmark frame; the registered
+    * query instantiates it with the same fixture benchmark st11
+    * derives — one derivation,
+    * [[graft.streaming.StreamingOps.st11FixtureBench]]), closing the
+    * loop the r17 verdict opened: the API exists, and the pipeline
+    * actually calls it.
+    *
+    * Scale shape (100 TB posture): d15's linear gram-digest equi-join
+    * (grams travel as md5 digests, benchmark never broadcast or
+    * collected — a corpus-sized benchmark is in contract), ONE anti-join
+    * of the corpus against the flagged ids (doc_id equi-join, flagged
+    * mass ≈ benchmark-contaminated docs, tiny), then p01's four
+    * cool-keyed shuffles. Oracle: the d15 per-doc CTE chain in integer
+    * form (2·hits ≥ n13 — no float decides a row), the anti-join as a
+    * NULL-rejecting left join, then the SHARED gate + tail SQL. */
+  def p09_decontaminated_pipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    p09Against(s,
+      Tables.documents(s, d).select($"doc_id", $"text", $"source"),
+      graft.streaming.StreamingOps.st11FixtureBench(s, d))
+  }
+
+  /** The composed pipeline over `docs` minus the docs
+    * [[graft.dedup.Contamination.d15FlaggedIds]] flags against
+    * `benchDocs` `(text)` — the external-benchmark entry point. */
+  def p09Against(s: SparkSession, docs: DataFrame,
+      benchDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    val flagged = graft.dedup.Contamination.d15FlaggedIds(
+      docs.select($"doc_id", $"text"), benchDocs)
+    auditRollup(shardedSurvivorsOf(
+      docs.join(flagged, Seq("doc_id"), "left_anti")))
+  }
+
+  val p09Oracle: String = {
+    val n = graft.dedup.Contamination.N
+    s"""WITH toks0 AS (
+      |  SELECT doc_id, ${graft.text.TextOps.oracleToks("text")} AS tk
+      |  FROM documents),
+      |bench AS (
+      |  SELECT tk[6:len(tk)-5] AS tk
+      |  FROM toks0 WHERE doc_id % 97 = 0 AND len(tk) >= ${n + 10}),
+      |bench_grams AS (
+      |  SELECT DISTINCT md5(array_to_string(tk[i:i+${n - 1}], ' ')) AS g
+      |  FROM bench, UNNEST(range(1, len(tk) - ${n - 2})) AS u(i)),
+      |doc_grams AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+${n - 1}], ' ')) AS g
+      |  FROM toks0, UNNEST(range(1, len(tk) - ${n - 2})) AS u(i)
+      |  WHERE len(tk) >= $n),
+      |per_doc AS (
+      |  SELECT dg.doc_id, COUNT(*) AS n13, COUNT(bg.g) AS hits
+      |  FROM doc_grams dg LEFT JOIN bench_grams bg ON dg.g = bg.g
+      |  GROUP BY 1),
+      |flagged AS (SELECT doc_id FROM per_doc WHERE 2 * hits >= n13),
+      |cdocs AS (
+      |  SELECT d.doc_id, d.text, d.source
+      |  FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+      |  WHERE f.doc_id IS NULL),
+      |${graft.text.TextOps.gateSignalsSqlCtesFrom("cdocs")},
+      |${pipelineTailSqlMode("cdocs", "auto")}""".stripMargin
+  }
+
   /** Materialize the pipeline's survivors as TRAINING SHARDS — the
     * artifact a trainer actually mounts, not just the audit rows. One
     * `shard=N/` directory per shard (Hive layout, so a reader can
@@ -1201,6 +1269,7 @@ object TrainingPipeline {
     "p06_decontaminated_split" -> (p06_decontaminated_split _),
     "p07_provenance" -> (p07_provenance _),
     "p08_dataset_card" -> (p08_dataset_card _),
+    "p09_decontaminated_pipeline" -> (p09_decontaminated_pipeline _),
     "io01_jsonl_roundtrip" -> (io01_jsonl_roundtrip _))
 
   val oracle: Map[String, String] = Map(
@@ -1212,5 +1281,6 @@ object TrainingPipeline {
     "p06_decontaminated_split" -> p06Oracle,
     "p07_provenance" -> p07Oracle,
     "p08_dataset_card" -> p08Oracle,
+    "p09_decontaminated_pipeline" -> p09Oracle,
     "io01_jsonl_roundtrip" -> io01Oracle)
 }

@@ -82,6 +82,31 @@ class DecontamApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, s"st11 API diverges: got=${got.take(2)}")
   }
 
+  test("p09Against(fixture benchmark as parquet docs) == registered p09; decontamination binds") {
+    val sp = spark
+    import sp.implicits._
+    val expected = rows(
+      graft.pipeline.TrainingPipeline.p09_decontaminated_pipeline(sp, sf))
+    val docs = graft.analytics.Tables.documents(sp, sf)
+      .select($"doc_id", $"text", $"source")
+    val got = rows(graft.pipeline.TrainingPipeline.p09Against(sp, docs,
+      roundTrip(StreamingOps.st11FixtureBench(sp, sf), "p09")))
+    assert(got == expected, s"p09 API diverges: got=${got.take(2)}")
+    // the decontamination stage BINDS: the shipped BYTES differ from
+    // p01's (per-shard corpus_md5 — NOT the doc totals, which p01's
+    // per-source cap backfills: dropping a flagged doc lets another
+    // take its slot, so totals coincide at this SF while 5 of 8 shard
+    // md5s differ, measured in DuckDB before this pin)
+    val p01Audit = graft.pipeline.TrainingPipeline
+      .p01_training_pipeline(sp, sf).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("corpus_md5")).toMap
+    val p09Audit = graft.pipeline.TrainingPipeline
+      .p09_decontaminated_pipeline(sp, sf).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("corpus_md5")).toMap
+    val differing = p01Audit.keySet.count(k => p01Audit(k) != p09Audit(k))
+    assert(differing > 0, "p09 shipped byte-identical shards to p01 — the anti-join is vacuous")
+  }
+
   test("st11 collect cap raises loudly with the conf named, never OOMs") {
     val sp = spark
     import sp.implicits._

@@ -33,7 +33,7 @@ object Bench {
       else {
         val out = Map.newBuilder[String, Double]
         runs.fields().forEachRemaining { e =>
-          val ts = Seq("cold", "warm", "extra1", "extra2")
+          val ts = Seq("cold", "warm", "extra1", "extra2", "calm")
             .flatMap(k => Option(e.getValue.get(k)))
             .filter(_.isNumber).map(_.asDouble)
           if (ts.nonEmpty) out += e.getKey -> ts.min
@@ -122,6 +122,9 @@ object Bench {
     // moments that bracket the suite
     val metaStart = EnvMeta.json(spark)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
+    // shared wall-clock budget for the all-contended calm retries (the
+    // settle-pass device applied per query — see measure)
+    var calmBudgetMs = 180000L
     // Each query family pays its own JIT/codegen bring-up on the first
     // run, and this box takes external load spikes that can inflate any
     // single run SEVERAL-fold (the r4 official artifact ran up to 9×
@@ -136,7 +139,7 @@ object Bench {
     // from load noise without re-running.
     def measure(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame, hot: Boolean)
-        : (String, Seq[(Option[Double], Double, Double)], Double, Option[Double], Boolean) = {
+        : (String, Seq[(String, (Option[Double], Double, Double))], Double, Option[Double], Boolean) = {
       val loadBefore = loadAvg
       // each RUN samples load at its own start AND end: the up-to-2
       // extra runs can execute minutes after cold/warm under different
@@ -154,8 +157,9 @@ object Bench {
       }
       val cold = once()
       val warm = once()
-      val runs = scala.collection.mutable.ArrayBuffer(cold, warm)
-      def best = runs.map(_._1).flatten.minOption
+      val runs = scala.collection.mutable.ArrayBuffer(
+        ("cold", cold), ("warm", warm))
+      def best = runs.map(_._2._1).flatten.minOption
       def disagree: Boolean = runsDisagree(cold._1, warm._1)
       def drifted: Boolean = runDrifted(best, prior.get(name))
       def suspect: Boolean =
@@ -173,7 +177,24 @@ object Bench {
         // load>4 fires on ~every query and a per-extra settle there
         // would add ~5 min of overhead while measuring nothing.
         if (disagree || drifted) { System.gc(); Thread.sleep(2000) }
-        runs += once(); extras += 1
+        runs += ((s"extra${extras + 1}", once())); extras += 1
+      }
+      // ALL-CONTENDED retry (r18 verdict item 5): r18 shipped d04/m05
+      // mins above their documented bands with EVERY run flagged
+      // contended — attributable to ambient load from the per-run
+      // samples, but not certifiable without an isolated re-measure.
+      // When every run so far was bracketed by hot load AND the best
+      // drifted above the prior snapshot's min, wait (bounded, shared
+      // across the suite so a permanently busy box still terminates)
+      // for the box to calm and take ONE more run under the calm
+      // condition it was waiting for.
+      if (runs.forall { case (_, (_, ld, le)) => isContended(ld, le) } &&
+          drifted && calmBudgetMs > 0) {
+        while (isHot(loadAvg) && calmBudgetMs > 0) {
+          Thread.sleep(5000); calmBudgetMs -= 5000
+        }
+        System.gc(); Thread.sleep(2000)
+        runs += (("calm", once()))
       }
       if (best.isEmpty) failed += name
       (name, runs.toSeq, loadBefore, best, hot)
@@ -243,8 +264,7 @@ object Bench {
     val qs = results.collect { case (k, _, _, Some(b), _) => s"\"" + shortKey(k) + "\":" + r3(b) }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, rs, lb, _, hot) =>
-      val names = Seq("cold", "warm", "extra1", "extra2")
-      val fields = rs.zip(names).flatMap { case ((t, ld, le), n) =>
+      val fields = rs.flatMap { case (n, (t, ld, le)) =>
         Seq(s"\"$n\":${num(t)}", s"\"${n}_load\":${r3(ld)}",
           s"\"${n}_load_end\":${r3(le)}",
           s"\"${n}_contended\":${isContended(ld, le)}") } :+

@@ -45,8 +45,19 @@ object Dev {
       spark.stop(); return
     }
     if (args.headOption.contains("release-drill")) {
+      // release-drill <dir> <out> [baselineArtifact keptFactor]
       releaseDrillCmd(spark, args.lift(1).getOrElse(sfDir),
-        args.lift(2).getOrElse("RELEASE_DRILL.json"))
+        args.lift(2).getOrElse("RELEASE_DRILL.json"),
+        baselinePath = args.lift(3), keptFactor = args.lift(4).map(_.toDouble))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("release-drill-decontam")) {
+      // release-drill-decontam <dir> <out> [baselineArtifact] — the
+      // baseline here is the SAME-dir p01 drill; the md5-divergence pin
+      // is the DecontamApiSpec liveness device read from disk
+      releaseDrillCmd(spark, args.lift(1).getOrElse(sfDir),
+        args.lift(2).getOrElse("RELEASE_DRILL_DECONTAM.json"),
+        decontam = true, baselinePath = args.lift(3))
       spark.stop(); return
     }
     if (args.headOption.contains("cert-summary")) {
@@ -142,17 +153,39 @@ object Dev {
     }
   }
 
+  /** The replica id stride of [[genScaled]] — one constant shared with
+    * every consumer that bounds a derivation to replica 0 (e.g.
+    * [[graft.streaming.StreamingOps.st11FixtureBench]]'s fixed
+    * benchmark), so the stride and its consumers cannot drift apart
+    * (r18 ADVICE: the bound used to be a hardcoded duplicate). */
+  val ReplicaStride = 1000000L
+
   /** Deterministic scaled corpus from an existing sf dir (the sf1
     * certification input — r5 verdict item 1): `replicas` DISJOINT
     * copies of `documents`/`embeddings`. Replica r > 0 prefixes every
-    * text token with `r{r}x` (shingle/token space disjoint from every
-    * other replica ⇒ no cross-replica dup pairs; WITHIN a replica the
-    * near-dup structure mirrors the source exactly) and rotates each
+    * NON-STOPWORD text token with `r{r}x` (shingle/token space disjoint
+    * from every other replica ⇒ no cross-replica dup pairs; WITHIN a
+    * replica the near-dup structure mirrors the source exactly — the
+    * per-token map is deterministic and injective, so duplicate/gram
+    * structure is preserved) while STOPWORDS ride through unchanged, so
+    * replica docs keep the source's n_tok/n_stop ratio and survive the
+    * t07 quality gate exactly like their originals (r18 verdict item 1:
+    * the old prefix-every-token transform zeroed stopword counts, the
+    * gate dropped ALL replica docs, and every pipeline-family scale
+    * cert ran its dedup→cap→shard tail on a scale-invariant kept
+    * corpus). The punct/char ratio only RELAXES under the added alnum
+    * prefix chars, and the sf0.1 corpus has zero docs whose SOLE gate
+    * failure is high_punct (measured in DuckDB before wiring), so
+    * per-doc gate outcomes are preserved exactly. Replica `source`
+    * values get the same `r{r}x` prefix: a 10× crawl has ~10× hosts,
+    * and a shared source space would leave the pipeline's per-source
+    * anti-domination cap binding at the BASE corpus's kept mass — the
+    * exact scale-invariance the r18 verdict flagged. Rotates each
     * embedding by r positions (norms and intra-replica geometry
     * preserved; cross-replica cosines scrambled). doc/vec ids stride by
-    * 1,000,000 so the +100,000 planted-copy rule never collides and
-    * replica 0 keeps the original ids (query sets `vec_id < 10`, seed
-    * centroids `vec_id < k` unchanged). Output sizes and candidate
+    * [[ReplicaStride]] so the +100,000 planted-copy rule never collides
+    * and replica 0 keeps the original ids (query sets `vec_id < 10`,
+    * seed centroids `vec_id < k` unchanged). Output sizes and candidate
     * structure therefore scale exactly ×replicas — the right testbed for
     * certifying near-linear cost growth. */
   def genScaled(spark: SparkSession, srcDir: String, outDir: String,
@@ -183,15 +216,20 @@ object Dev {
       fs.rename(part, target)
       fs.delete(staging, true)
     }
-    val stride = 1000000L
+    val stride = ReplicaStride
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docsOut = (0 until replicas).map { r =>
       if (r == 0) docs
       else {
+        // gate-surviving disjointness: stopwords unchanged (n_stop and
+        // the t07 low-stopword signal preserved), everything else
+        // replica-prefixed (texts cross-replica disjoint)
         val text = array_join(transform(split(trim(col("text")), "\\s+"),
-          t => concat(lit(s"r${r}x"), t)), " ")
+          t => when(t.isin(graft.text.TextOps.StopSample: _*), t)
+            .otherwise(concat(lit(s"r${r}x"), t))), " ")
         docs.select((col("doc_id") + lit(r * stride)).as("doc_id"),
-          text.as("text"), col("lang"), col("source"),
+          text.as("text"), col("lang"),
+          concat(lit(s"r${r}x"), col("source")).as("source"),
           length(text).cast("long").as("n_chars"))
       }
     }.reduce(_ unionByName _)
@@ -414,6 +452,10 @@ object Dev {
       // d23: d22's pair engine (same guarded candidate shape) + an
       // anti-join decision tail — aggregate-of-pairs, linear like d22
       "d23_containment_keeper",
+      // d24: BOTH certified pair engines (d02 banded + d22 guarded
+      // prefix×index) + CC over confirmed-pair mass + one struct-max
+      // aggregate + the bucketed fingerprint — linear by composition
+      "d24_unified_dedup",
       // st11: stateless per-row gram probe vs the closure-broadcast
       // benchmark — a pure map like st10 (bench grows with corpus/97
       // here by fixture construction; the gate itself is linear)
@@ -480,6 +522,17 @@ object Dev {
       // shuffle + ≤8-element per-user offset sets
       "d03_simhash", "d15_ngram_overlap", "d21_semantic_contamination",
       "t19_chunk_windows", "q38_retention_cohorts",
+      // round-19 extension (r18 verdict item 4): d23 = d22's guarded
+      // pair engine (already certified at 100× via skew02) + the keeper
+      // tail — aggregates OF the pair frame plus ONE doc_id anti-join,
+      // longs-only exchanges throughout; the keeper tail is the piece a
+      // 100 TB containment pass actually ships
+      "d23_containment_keeper",
+      // r19: d24 composes the two already-core pair engines (d02's
+      // banded join, d23's guarded containment chain) with CC over
+      // confirmed-pair mass and a bucketed-fingerprint tail — every
+      // exchange carries longs/digests, so it fits the digest box
+      "d24_unified_dedup",
       // r17 late additions: d22's prefix×index join moves longs only
       // until the output-sized verify (replica-disjoint shingles keep
       // df within replica, so candidates grow linearly); st10 is a
@@ -671,29 +724,79 @@ object Dev {
     * FILES ([[graft.pipeline.TrainingPipeline.releaseDrill]]'s check
     * rows). Writes the reconciliation artifact and exits non-zero on
     * any failed check. */
-  def releaseDrillCmd(spark: SparkSession, dir: String,
-      outPath: String): Unit = {
+  def releaseDrillCmd(spark: SparkSession, dir: String, outPath: String,
+      decontam: Boolean = false, baselinePath: Option[String] = None,
+      keptFactor: Option[Double] = None): Unit = {
     val docs = graft.pipeline.TrainingPipeline.warcCorpus(spark, dir)
     val checks = graft.analytics.StagingDir.withStagingDir(spark, "graft-release-drill") {
       stage =>
-        graft.pipeline.TrainingPipeline.releaseDrill(spark, docs, stage.toString)
+        (if (decontam)
+          graft.pipeline.TrainingPipeline.releaseDrillDecontam(spark, docs,
+            graft.pipeline.TrainingPipeline.fixtureBenchOf(docs), stage.toString)
+        else
+          graft.pipeline.TrainingPipeline.releaseDrill(spark, docs, stage.toString))
           .localCheckpoint(true)
     }
     val rows = checks.orderBy("check").collect()
-    def q(x: String): String = "\"" + x.replace("\\", "\\\\")
-      .replace("\"", "\\\"") + "\""
-    val allPass = rows.forall(_.getAs[Boolean]("pass"))
-    val json = "{\"surface\": " + q(s"warc:$dir") +
-      ", \"all_pass\": " + allPass +
-      ", \"checks\": [" + rows.map(r =>
-        "{\"check\": " + q(r.getAs[String]("check")) +
-        ", \"lhs\": " + q(r.getAs[String]("lhs")) +
-        ", \"rhs\": " + q(r.getAs[String]("rhs")) +
-        ", \"pass\": " + r.getAs[Boolean]("pass") + "}").mkString(", ") +
-      "]}\n"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
-    rows.foreach(r => println(s"[release-drill] ${r.getAs[String]("check")} " +
-      s"pass=${r.getAs[Boolean]("pass")}"))
+      .map(r => (r.getAs[String]("check"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Boolean]("pass")))
+    // kept docs / per-shard md5s of a drill's check rows — shared by
+    // this run's rows and a baseline artifact's
+    def keptDocsOf(cs: Seq[(String, String, String, Boolean)]): Long =
+      cs.find(_._1 == "card_kept_mass_eq_shard_files").get._2
+        .split("/")(0).toLong
+    def md5sOf(cs: Seq[(String, String, String, Boolean)]): Set[String] =
+      cs.find(_._1 == "disk_audit_eq_recomputed_audit").get._2
+        .split(",").map(_.split("/").last).toSet
+    val baselineRows: Option[Seq[(String, String, String, Boolean)]] =
+      baselinePath.map { p =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+        val it = node.get("checks").elements()
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String, Boolean)]
+        while (it.hasNext) {
+          val c = it.next()
+          buf += ((c.get("check").asText(), c.get("lhs").asText(),
+            c.get("rhs").asText(), c.get("pass").asBoolean()))
+        }
+        buf.toSeq
+      }
+    // baseline pins (r18 verdict item 1): a scaled drill must certify a
+    // GROWN tail — kept mass ≈ factor × the baseline's (the r18
+    // artifacts shipped ratio 1.0: every replica doc died at the gate
+    // and the dedup→cap→shard→write tail re-ran on the base corpus),
+    // and every per-shard corpus md5 must diverge from the baseline's
+    // (byte-identical shards across scales were the r18 tell)
+    val baselineChecks = baselineRows.toSeq.flatMap { base =>
+      val baseKept = keptDocsOf(base)
+      val kept = keptDocsOf(rows.toSeq)
+      val overlap = (md5sOf(rows.toSeq) intersect md5sOf(base)).size
+      val factorChecks = keptFactor.toSeq.map { f =>
+        val lo = (0.8 * f * baseKept).round
+        val hi = (1.25 * f * baseKept).round
+        ("kept_mass_scales_vs_baseline", kept.toString, s"[$lo, $hi]",
+          kept >= lo && kept <= hi)
+      }
+      factorChecks :+
+        (("shard_md5s_diverge_from_baseline", s"overlap=$overlap",
+          "overlap=0", overlap == 0))
+    }
+    val allRows = rows.toSeq ++ baselineChecks
+    val allPass = allRows.forall(_._4)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("surface", s"warc:$dir")
+    root.put("decontaminated", decontam)
+    root.put("all_pass", allPass)
+    val arr = root.putArray("checks")
+    allRows.foreach { case (c, l, r, p) =>
+      val o = arr.addObject()
+      o.put("check", c); o.put("lhs", l); o.put("rhs", r); o.put("pass", p)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")
+    allRows.foreach(r => println(s"[release-drill] ${r._1} pass=${r._4}"))
     println(s"[release-drill] wrote $outPath all_pass=$allPass")
     require(allPass, s"release drill reconciliation failed — see $outPath")
   }

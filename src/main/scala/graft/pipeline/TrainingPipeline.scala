@@ -477,7 +477,12 @@ object TrainingPipeline {
       .select($"e.section".as("section"), $"e.key".as("key"), $"n_tok")
       .groupBy($"section", $"key")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
-      .orderBy($"section", $"key")
+      // NULLS LAST: the lang section can carry a NULL key (NULL-lang
+      // kept docs — the r18 fix), and Spark's default asc sorts NULLs
+      // FIRST while DuckDB's ORDER BY sorts them LAST — on a NULL-lang
+      // corpus the engine/oracle ROW ORDER would diverge exactly in the
+      // case the fix targets (r18 ADVICE)
+      .orderBy($"section", $"key".asc_nulls_last)
   }
 
   /** p08's replay: the same rsn/dd/capv/rk stage CTEs projected per doc
@@ -660,18 +665,63 @@ object TrainingPipeline {
     *
     * Scale shape: the pipeline cost is [[materializeShardsOf]] +
     * [[provenanceOf]] (shared stage topology, each linear with cool
-    * keys); the reconciliation itself reads the written files once each
-    * and collects only BOUNDED aggregates (8 shards / 4 dispositions /
-    * ≤6 check rows). */
+    * keys) plus, on the decontaminated variant, d15's linear
+    * gram-digest join; the reconciliation itself reads the written
+    * files once each and collects only BOUNDED aggregates (8 shards /
+    * ≤5 dispositions / ≤8 check rows). */
   def releaseDrill(s: SparkSession, docs: DataFrame, outDir: String,
-      maxRecordsPerFile: Long = 50000L): DataFrame = {
+      maxRecordsPerFile: Long = 50000L): DataFrame =
+    releaseDrillImpl(s, docs, benchDocs = None, outDir, maxRecordsPerFile)
+
+  /** The DECONTAMINATED release drill (r18 verdict item 3): the same
+    * written-artifact reconciliation, composed through [[p09Against]]'s
+    * shape — [[graft.dedup.Contamination.d15FlaggedIds]] drops every
+    * benchmark-contaminated doc AHEAD of the shared gate→dedup→cap→shard
+    * tail, the flagged docs land in the WRITTEN provenance under their
+    * own `contaminated` disposition (so the card's disposition masses
+    * still partition the full input), and two extra checks reconcile the
+    * contaminated mass FROM THE WRITTEN FILE and require it nonzero (a
+    * zero-flag benchmark would certify nothing — the SURVEY §5
+    * fixture-discrimination rule). */
+  def releaseDrillDecontam(s: SparkSession, docs: DataFrame,
+      benchDocs: DataFrame, outDir: String,
+      maxRecordsPerFile: Long = 50000L): DataFrame =
+    releaseDrillImpl(s, docs, Some(benchDocs), outDir, maxRecordsPerFile)
+
+  private def releaseDrillImpl(s: SparkSession, docs: DataFrame,
+      benchDocs: Option[DataFrame], outDir: String,
+      maxRecordsPerFile: Long): DataFrame = {
     import s.implicits._
     val core = docs.select($"doc_id", $"text", $"source")
+    // decontamination (when a benchmark rides along): the p09Against
+    // composition — one doc_id anti-join; flagged ids are benchmark-
+    // contaminated mass (tiny), checkpointed so the gram join runs once
+    val flagged = benchDocs.map(b =>
+      graft.dedup.Contamination.d15FlaggedIds(
+        core.select($"doc_id", $"text"), b).localCheckpoint(true))
+    val tailCorpus = flagged match {
+      case Some(f) => core.join(f, Seq("doc_id"), "left_anti")
+      case None => core
+    }
     // (1) shards — returned frame is the from-disk audit already
-    val diskAudit = materializeShardsOf(core, s"$outDir/shards",
+    val diskAudit = materializeShardsOf(tailCorpus, s"$outDir/shards",
       maxRecordsPerFile)
-    // (2) provenance, widened with n_tok (+ lang when present)
-    val prov = provenanceOf(core, withTok = true)
+    // (2) provenance, widened with n_tok (+ lang when present);
+    // contaminated docs appear with their own disposition, tail fields
+    // sentinel-(-1) like every other pre-tail drop
+    val provTail = provenanceOf(tailCorpus, withTok = true)
+    val prov = flagged match {
+      case Some(f) =>
+        val contaminated = core.join(f, "doc_id")
+          .select($"doc_id", lit("contaminated").as("disposition"),
+            lit("none").as("gate_reason"), lit(-1L).as("keeper_id"),
+            lit(-1L).as("cap_draw"), lit(-1L).as("shard"),
+            lit(-1L).as("shard_rank"),
+            size(graft.text.TextOps.whitespaceTokens($"text"))
+              .cast("long").as("n_tok"))
+        provTail.unionByName(contaminated)
+      case None => provTail
+    }
     val provOut =
       if (docs.columns.contains("lang"))
         prov.join(docs.select($"doc_id", $"lang"), "doc_id")
@@ -708,6 +758,17 @@ object TrainingPipeline {
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
     def renderAudit(a: DataFrame): String =
       a.orderBy("shard").collect().map(r => r.mkString("/")).mkString(",")
+    val decontamChecks = flagged.toSeq.flatMap { f =>
+      // reconciled FROM THE WRITTEN FILE, against the recomputed flag
+      // decision; liveness: a benchmark flagging nothing certifies
+      // nothing, so zero contaminated mass FAILS the drill
+      val nContamDisk =
+        provDisk.filter($"disposition" === "contaminated").count()
+      Seq(
+        ("contaminated_mass_reconciles_from_disk",
+          nContamDisk.toString, f.count().toString),
+        ("contamination_is_live", (nContamDisk > 0).toString, "true"))
+    }
     val checks = Seq(
       ("shard_files_eq_provenance_kept", shardFiles, shardProv),
       ("shard_files_eq_card_shard_section", shardFiles, shardCard),
@@ -718,9 +779,22 @@ object TrainingPipeline {
         s"${keptCard._1}/${keptCard._2}",
         s"${shardTotals._1}/${shardTotals._2}"),
       ("disk_audit_eq_recomputed_audit",
-        renderAudit(diskAudit), renderAudit(shardedAuditOf(core))))
+        renderAudit(diskAudit), renderAudit(shardedAuditOf(tailCorpus)))) ++
+      decontamChecks
     checks.toDF("check", "lhs", "rhs")
       .withColumn("pass", $"lhs" === $"rhs")
+  }
+
+  /** The d15 fixture benchmark derivation over an arbitrary `(doc_id,
+    * text)` corpus frame, as a `(text)` suite — ONE derivation
+    * ([[graft.dedup.Contamination.d15FixtureBench]]) re-joined to text,
+    * for drill surfaces that aren't a parquet dir (the WARC corpus). */
+  private[graft] def fixtureBenchOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.dedup.Contamination.d15FixtureBench(
+        docs.select($"doc_id",
+          graft.text.TextOps.whitespaceTokens($"text").as("tk")))
+      .select(array_join($"tk", " ").as("text"))
   }
 
   /** The whole pipeline replayed in SQL: t07's gate CTEs — spliced from
@@ -897,7 +971,7 @@ object TrainingPipeline {
       |  SELECT doc_id,
       |    'Heading ' || doc_id || ' ' || text || ' link out quad skip' AS text,
       |    CASE WHEN doc_id % 7 = 0 THEN 'aa' ELSE '' END ||
-      |      'docs' || (doc_id % 50) || '.example.gov.au' AS source
+      |      'docs' || (doc_id % 50 + 50 * (doc_id // 1000000)) || '.example.gov.au' AS source
       |  FROM documents),
       |${graft.text.TextOps.gateSignalsSqlCtesFrom("wdocs")},
       |${pipelineTailSqlMode("wdocs", "auto")}""".stripMargin

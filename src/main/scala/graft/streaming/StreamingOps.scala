@@ -562,7 +562,7 @@ object StreamingOps {
   val st05Oracle: String =
     """WITH d AS (
       |  SELECT doc_id, text,
-      |    'docs' || (doc_id % 50) || '.example.gov.au' AS host
+      |    'docs' || (doc_id % 50 + 50 * (doc_id // 1000000)) || '.example.gov.au' AS host
       |  FROM documents)
       |SELECT CASE WHEN doc_id % 7 = 0 THEN 'aa' || host ELSE host END AS hostname,
       |  COUNT(*) AS n_pages,
@@ -861,7 +861,8 @@ object StreamingOps {
     val N = 13
     val tk = split(trim(col("text")), "\\s+")
     val docs = s.read.option("pathGlobFilter", "documents.parquet").parquet(d)
-    (if (replica0Only) docs.filter(col("doc_id") < 1000000L) else docs)
+    (if (replica0Only) docs.filter(col("doc_id") < graft.Dev.ReplicaStride)
+     else docs)
       .select(col("doc_id"), tk.as("tk"))
       .filter(col("doc_id") % 97 === 0 && size(col("tk")) >= N + 10)
       .select(expr(s"array_join(slice(tk, 6, size(tk) - 10), ' ')").as("text"))

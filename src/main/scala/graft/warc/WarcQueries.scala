@@ -22,10 +22,27 @@ import graft.rake.Rake
   */
 object WarcQueries {
 
+  /** Host class of a doc id — `id % 50` within a replica, offset by 50
+    * per [[graft.Dev.ReplicaStride]] replica so a scaled corpus carries
+    * a SCALED host space (a 10× crawl has ~10× hosts; with the base-50
+    * host space shared across replicas, the release drill's per-source
+    * anti-domination cap stayed bound at the base corpus's kept mass —
+    * the r18 verdict's scale-invariant-tail finding). Identity for
+    * every testdata id (all < the stride), so the w/p oracle mirrors
+    * certify the same values they always did. */
+  def hostClass(id: Long): Long = hostClass(id, id)
+
+  /** Host class for a derived class expression `cls` (the w07/w08 link
+    * targets' affine/quadratic maps) with the replica offset taken from
+    * the SOURCE doc's id — link targets stay within their own replica's
+    * host block, so each replica's link graph mirrors the base graph. */
+  def hostClass(cls: Long, id: Long): Long =
+    cls % 50 + 50 * (id / graft.Dev.ReplicaStride)
+
   /** Deterministic page synthesis — the single source of truth the oracle
     * SQL mirrors. One HTTP response payload per document. */
   def payloadFor(id: Long, text: String, lang: String): String = {
-    val host = s"docs${id % 50}.example.gov.au"
+    val host = s"docs${hostClass(id)}.example.gov.au"
     val ga = 10000 + id
     val ms = (id % 5) * 1000
     val headerBlock =
@@ -40,8 +57,8 @@ object WarcQueries {
     // domain link graph (w07) a non-trivial component structure and the
     // PageRank (w08) a non-uniform stationary distribution — both
     // recomputable by the oracles
-    val outHost = s"docs${(id * 7 + 13) % 50}.example.gov.au"
-    val quadHost = s"docs${(id * id + 3) % 50}.example.gov.au"
+    val outHost = s"docs${hostClass(id * 7 + 13, id)}.example.gov.au"
+    val quadHost = s"docs${hostClass(id * id + 3, id)}.example.gov.au"
     val html =
       s"""<html><head><title>Doc $id</title><meta name="lang" content="$lang">""" +
         s"""<link href="/css/main.css"></head><body><h1>Heading $id</h1>""" +
@@ -72,7 +89,7 @@ object WarcQueries {
           "https://corrupt.example.gov.au/", 10, Array[Byte](0x1f, 0x7b, 1, 2)))
         var n = 0
         it.foreach { case (id, text, lang, nChars) =>
-          val url = s"https://docs${id % 50}.example.gov.au/page/$id"
+          val url = s"https://docs${hostClass(id)}.example.gov.au/page/$id"
           val body = WarcSource.gzip(
             payloadFor(id, text, lang).getBytes(StandardCharsets.UTF_8))
           // deterministic WARC-Date spanning three crawl days — the K3
@@ -114,7 +131,7 @@ object WarcQueries {
   val w01Oracle: String =
     """WITH d AS (
       |  SELECT doc_id, text, lang, n_chars,
-      |    'docs' || (doc_id % 50) || '.example.gov.au' AS host
+      |    'docs' || (doc_id % 50 + 50 * (doc_id // 1000000)) || '.example.gov.au' AS host
       |  FROM documents)
       |SELECT
       |  'https://' || host || '/page/' || doc_id AS url,
@@ -128,8 +145,8 @@ object WarcQueries {
       |  6 + len(string_split(text, ' ')) AS word_count,
       |  array_to_string(list_sort([
       |      'https://' || host || '/rel/' || doc_id,
-      |      'https://docs' || ((doc_id * 7 + 13) % 50) || '.example.gov.au/x/' || doc_id,
-      |      'https://docs' || ((doc_id * doc_id + 3) % 50) || '.example.gov.au/q/' || doc_id
+      |      'https://docs' || ((doc_id * 7 + 13) % 50 + 50 * (doc_id // 1000000)) || '.example.gov.au/x/' || doc_id,
+      |      'https://docs' || ((doc_id * doc_id + 3) % 50 + 50 * (doc_id // 1000000)) || '.example.gov.au/q/' || doc_id
       |    ]), '|') AS links_joined,
       |  'https://' || host || '/css/main.css|https://' || host || '/js/app.js' AS resources_joined,
       |  lang AS meta_lang,
@@ -406,14 +423,14 @@ object WarcQueries {
   }
 
   val w07Oracle: String =
-    """WITH RECURSIVE cls AS (SELECT DISTINCT doc_id % 50 AS c FROM documents),
+    """WITH RECURSIVE cls AS (SELECT DISTINCT (doc_id % 50 + 50 * (doc_id // 1000000)) AS c FROM documents),
       |e0 AS (
       |  SELECT DISTINCT src, dst FROM (
       |    SELECT c AS src, c AS dst FROM cls
       |    UNION ALL
-      |    SELECT doc_id % 50, (doc_id * 7 + 13) % 50 FROM documents
+      |    SELECT (doc_id % 50 + 50 * (doc_id // 1000000)), ((doc_id * 7 + 13) % 50 + 50 * (doc_id // 1000000)) FROM documents
       |    UNION ALL
-      |    SELECT doc_id % 50, (doc_id * doc_id + 3) % 50 FROM documents) t),
+      |    SELECT (doc_id % 50 + 50 * (doc_id // 1000000)), ((doc_id * doc_id + 3) % 50 + 50 * (doc_id // 1000000)) FROM documents) t),
       |nodes AS (SELECT DISTINCT id FROM (
       |  SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0) t),
       |ue AS (SELECT DISTINCT a, b FROM (
@@ -470,14 +487,14 @@ object WarcQueries {
 
   val w08Oracle: String = {
     val graph =
-      """WITH cls AS (SELECT DISTINCT doc_id % 50 AS c FROM documents),
+      """WITH cls AS (SELECT DISTINCT (doc_id % 50 + 50 * (doc_id // 1000000)) AS c FROM documents),
         |e0 AS (
         |  SELECT DISTINCT src, dst FROM (
         |    SELECT c AS src, c AS dst FROM cls
         |    UNION ALL
-        |    SELECT doc_id % 50, (doc_id * 7 + 13) % 50 FROM documents
+        |    SELECT (doc_id % 50 + 50 * (doc_id // 1000000)), ((doc_id * 7 + 13) % 50 + 50 * (doc_id // 1000000)) FROM documents
         |    UNION ALL
-        |    SELECT doc_id % 50, (doc_id * doc_id + 3) % 50 FROM documents) t),
+        |    SELECT (doc_id % 50 + 50 * (doc_id // 1000000)), ((doc_id * doc_id + 3) % 50 + 50 * (doc_id // 1000000)) FROM documents) t),
         |nodes AS (SELECT DISTINCT id FROM (
         |  SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0) t),
         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY 1),
@@ -550,7 +567,7 @@ object WarcQueries {
             1, 2, 3, 4, 0, 3, 7, 7, 7, 7, 7, 7))
           var n = 0
           it.foreach { case (id, text, lang, nChars) =>
-            val url = s"https://docs${id % 50}.example.gov.au/page/$id"
+            val url = s"https://docs${hostClass(id)}.example.gov.au/page/$id"
             val body = WarcSource.gzip(
               payloadFor(id, text, lang).getBytes(StandardCharsets.UTF_8))
             out.write(WarcSource.gzip(

@@ -124,6 +124,57 @@ class DecontamApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.conf.unset("spark.graft.decontam.benchMaxRows")
   }
 
+  test("d15Against/p09Against with a DISJOINT external benchmark: flags a non-%97 doc; noise flags nothing") {
+    val sp = spark
+    import sp.implicits._
+    // r18 verdict item 6: every registered decontamination row derives
+    // its benchmark from the corpus (every-97th-doc slices), so no
+    // artifact showed the APIs flagging anything OUTSIDE that family.
+    // This benchmark is caller-shaped (a parquet of texts, the
+    // MMLU/GSM8K deployment shape): one item is a leak of a KEPT
+    // corpus doc chosen at runtime with doc_id % 97 != 0, one is pure
+    // noise that shares no 13-gram with the corpus.
+    val docs = graft.analytics.Tables.documents(sp, sf)
+      .select($"doc_id", $"text", $"source")
+    val kept = graft.pipeline.TrainingPipeline.p07_provenance(sp, sf)
+      .filter($"disposition" === "kept").select($"doc_id")
+    val leaked = docs.join(kept, "doc_id")
+      .filter($"doc_id" % 97 =!= 0 &&
+        size(graft.text.TextOps.whitespaceTokens($"text")) >= 30)
+      .orderBy($"doc_id").limit(1).collect()(0)
+    val leakedId = leaked.getAs[Long]("doc_id")
+    val noise = (1 to 40).map(i => s"extbenchnoise$i").mkString(" ")
+    val bench = roundTrip(
+      Seq(leaked.getAs[String]("text"), noise).toDF("text"), "ext")
+    // the drop decision flags the leaked doc — NOT a %97 member
+    val flagged = graft.dedup.Contamination.d15FlaggedIds(
+      docs.select($"doc_id", $"text"), bench)
+      .as[Long].collect().toSet
+    assert(flagged.contains(leakedId),
+      s"leaked doc $leakedId not flagged (flagged=$flagged)")
+    assert(leakedId % 97 != 0)
+    // the aggregate contract: nonzero flagged mass
+    val agg = Contamination.d15Against(sp,
+      docs.select($"doc_id", $"text"), bench).collect()(0)
+    assert(agg.getAs[Long]("n_flagged") >= 1)
+    // the pure-noise benchmark flags NOTHING — the operator
+    // discriminates, it doesn't just fire on any input
+    val aggNoise = Contamination.d15Against(sp,
+      docs.select($"doc_id", $"text"), Seq(noise).toDF("text")).collect()(0)
+    assert(aggNoise.getAs[Long]("n_flagged") == 0L)
+    assert(aggNoise.getAs[Long]("total_hits") == 0L)
+    // and the composed pipeline SHIPS the decision: the leaked doc was
+    // kept by p01, so p09Against's shard bytes must diverge
+    val p01Audit = graft.pipeline.TrainingPipeline
+      .p01_training_pipeline(sp, sf).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("corpus_md5")).toMap
+    val p09Ext = graft.pipeline.TrainingPipeline.p09Against(sp, docs, bench)
+      .collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("corpus_md5")).toMap
+    assert(p01Audit.keySet.exists(k => p01Audit(k) != p09Ext(k)),
+      "dropping a kept doc left every shard byte-identical to p01")
+  }
+
   test("d21 lazy in-plan cap raises at action time with the conf named") {
     val sp = spark
     import sp.implicits._

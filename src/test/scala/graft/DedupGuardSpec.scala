@@ -122,6 +122,72 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("n_chain_docs") == chain.size)
   }
 
+  test("d24: unified graph — mixed components live, quality keeper binds, rollup reconciles with a local union-find") {
+    val sf = "/root/testdata/sf0.001"
+    val sp = spark
+    import sp.implicits._
+    // independent recount: the two pair engines d24 composes, then a
+    // DRIVER-SIDE union-find (a different components implementation
+    // than the distributed min-label CC the operator runs)
+    val corpus = DedupOps.withContainmentChain(sp, sf)
+    val ct = DedupOps.containmentPairsOf(corpus)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sigd = corpus.withColumn("sig", DedupOps.sigWithHashesU($"text"))
+    val nd = DedupOps.confirmedPairsOf(sigd, DedupOps.scoredOf(sigd))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.nonEmpty && ct.nonEmpty)
+    // the two emit rules are disjoint BY RULE (J >= 0.8 vs J < 0.6)
+    assert((nd.toSet intersect ct.toSet).isEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (nd ++ ct).foreach { case (a, b) => union(a, b) }
+    val memberIds = (nd ++ ct).flatMap(p => Seq(p._1, p._2)).distinct
+    val comps = memberIds.groupBy(find)
+    // MIXED components (both edge kinds) exist: the DESIGNED family is
+    // doc ids ≡ 0 (mod lcm(13, 29) = 377) — carrying a near-dup plant
+    // AND a containment chain — and natural base-corpus near-dups can
+    // merge further chains in (observed: 4 mixed at sf0.001, roots
+    // {0, 26, 260, 377})
+    val mixedRoots = nd.map(p => find(p._1)).toSet intersect
+      ct.map(p => find(p._1)).toSet
+    assert(mixedRoots.nonEmpty, "no mixed component — the union adds nothing")
+    assert(mixedRoots.contains(find(0L)),
+      s"designed mixed family (doc 0) missing from $mixedRoots")
+    val ntok = corpus.select($"doc_id",
+        size(graft.text.TextOps.whitespaceTokens($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val keepers = comps.map { case (root, ms) =>
+      root -> ms.maxBy(id => (ntok(id), -id)) }
+    val dropped = comps.iterator.flatMap { case (r, ms) =>
+      ms.filterNot(_ == keepers(r)) }.toSet
+    // the mixed family's keeper is a MEGA host (longest member wins the
+    // whole unified component, not each pair kind separately) — doc 0's
+    // own orig/big/noise tiers all drop beneath it
+    assert(keepers(find(0L)) >= 400000L,
+      s"mixed component of doc 0 must keep a mega host, kept ${keepers(find(0L))}")
+    assert(Seq(0L, 200000L, 300000L).forall(dropped.contains))
+    val row = graft.dedup.Materialize.d24_unified_dedup(sp, sf).collect().head
+    assert(row.getAs[Long]("n_nd_edges") == nd.length)
+    assert(row.getAs[Long]("n_ct_edges") == ct.length)
+    assert(row.getAs[Long]("n_components") == comps.size)
+    assert(row.getAs[Long]("n_docs_clustered") == memberIds.length)
+    assert(row.getAs[Long]("n_mixed_components") == mixedRoots.size)
+    val notMin = comps.count { case (r, ms) => keepers(r) != ms.min }
+    assert(row.getAs[Long]("n_keeper_not_min") == notMin)
+    assert(notMin > 0, "quality rule never overrode min-id — degenerated to d16")
+    assert(row.getAs[Long]("n_kept") == ntok.size - dropped.size)
+    assert(row.getAs[Long]("kept_tok_mass") ==
+      ntok.filterNot(kv => dropped.contains(kv._1)).values.sum)
+  }
+
   test("d22 guard: boilerplate flood star-links hot postings; cold pairs exact") {
     val sp = spark
     import sp.implicits._

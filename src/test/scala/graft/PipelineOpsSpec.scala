@@ -303,6 +303,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[String]("key") == "kept").get
     assert(lang.map(_.getAs[Long]("n_docs")).sum == kept.getAs[Long]("n_docs"))
     assert(lang.map(_.getAs[Long]("n_tokens")).sum == kept.getAs[Long]("n_tokens"))
+    // ROW ORDER parity with the oracle (r18 ADVICE): DuckDB's ORDER BY
+    // sorts NULLs LAST; Spark's default asc sorts them FIRST — the card
+    // pins asc_nulls_last, so the NULL key must be the lang section's
+    // LAST row in the collected (already-ordered) output
+    val langKeys = card.toSeq
+      .filter(_.getAs[String]("section") == "lang")
+      .map(r => Option(r.getAs[String]("key")))
+    assert(langKeys == Seq(Some("en"), None),
+      s"NULL lang must sort LAST like the DuckDB oracle, got $langKeys")
+  }
+
+  test("release drill on a NULL-lang corpus: kept NULL-lang docs reach the written card, ordered like the oracle") {
+    val sp = spark
+    import sp.implicits._
+    // gate-surviving texts: ≥30 distinct tokens, ≥2 stopwords, no punct
+    def textOf(tag: String): String =
+      (Seq("the", "of") ++ (1 to 30).map(i => s"$tag$i")).mkString(" ")
+    val docs = Seq(
+      (1L, textOf("alpha"), "s1", Some("en")),
+      (2L, textOf("beta"), "s1", None), // NULL lang, kept — the r18 fix's case
+      (3L, textOf("gamma"), "s2", Some("de")),
+      (4L, "tiny", "s2", None)) // NULL lang, gated (too_short)
+      .toDF("doc_id", "text", "source", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-drill-nulllang")
+    try {
+      val checks = graft.pipeline.TrainingPipeline
+        .releaseDrill(spark, docs, dir.toString).collect()
+      assert(checks.forall(_.getAs[Boolean]("pass")),
+        checks.map(_.toString).mkString("\n"))
+      val langRows = spark.read.parquet(dir.resolve("card").toString)
+        .filter($"section" === "lang")
+        .orderBy($"key".asc_nulls_last).collect()
+      assert(langRows.map(r => Option(r.getAs[String]("key"))).toSeq ==
+        Seq(Some("de"), Some("en"), None), langRows.mkString(";"))
+      val nullRow = langRows.last
+      assert(nullRow.getAs[Long]("n_docs") == 1L,
+        "the kept NULL-lang doc must appear in the written card")
+    } finally rmTree(dir)
   }
 
   test("d17: latest-wins keeps exactly the newest snapshot per URL") {

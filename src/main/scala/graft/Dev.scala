@@ -778,9 +778,22 @@ object Dev {
         ("kept_mass_scales_vs_baseline", kept.toString, s"[$lo, $hi]",
           kept >= lo && kept <= hi)
       }
-      factorChecks :+
-        (("shard_md5s_diverge_from_baseline", s"overlap=$overlap",
-          "overlap=0", overlap == 0))
+      // divergence pin strength depends on what the baseline IS: a
+      // SCALED drill (keptFactor given) must diverge in EVERY shard
+      // (each shard's corpus grows); the decontam drill compares
+      // against the SAME corpus's p01 drill, where a shard holding no
+      // contaminated-kept doc legitimately ships identical bytes — the
+      // liveness pin there is that SOME shard diverged (the
+      // DecontamApiSpec device: 7 of 8 at sf0.1)
+      val md5Check =
+        if (keptFactor.isDefined)
+          ("shard_md5s_diverge_from_baseline", s"overlap=$overlap",
+            "overlap=0", overlap == 0)
+        else
+          ("shard_md5s_diverge_from_baseline", s"overlap=$overlap",
+            s"overlap<${md5sOf(base).size}",
+            overlap < md5sOf(base).size)
+      factorChecks :+ md5Check
     }
     val allRows = rows.toSeq ++ baselineChecks
     val allPass = allRows.forall(_._4)

@@ -218,6 +218,18 @@ object Dev {
     }
     val stride = ReplicaStride
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    // disjointness PRECONDITION (r19 review): a doc whose EVERY token is
+    // a stopword maps to byte-identical text in every replica under the
+    // stopword-passthrough transform — cross-replica dup pairs, kept
+    // mass no longer ×replicas, every "scales exactly ×replicas" cert
+    // silently polluted. The property held by measurement when the
+    // transform was designed (worst all-stop shingle fraction 8% at
+    // sf0.1); this makes it an ASSERTED corpus property, not a hope.
+    val allStop = docs.filter(!exists(split(trim(col("text")), "\\s+"),
+      t => !t.isin(graft.text.TextOps.StopSample: _*))).count()
+    require(allStop == 0,
+      s"gen-sf: $allStop all-stopword docs would be replica-identical " +
+        "under the stopword-passthrough transform — fixture unusable")
     val docsOut = (0 until replicas).map { r =>
       if (r == 0) docs
       else {

@@ -432,9 +432,14 @@ object Materialize {
     val labels = DedupOps.connectedComponents(
         edges.select($"id_a", $"id_b"))
       .withColumnRenamed("id", "doc_id")
-    val ntok = corpus.select($"doc_id",
+    // ONE corpus pass: the chain corpus (documents ∪ HOF-built plant
+    // tiers) feeds three subtrees of the final plan (members, kept
+    // aggregate, bucketed fingerprint) — cache the tokenize+md5
+    // projection like d16/d20 do, instead of re-scanning per consumer
+    // (r19 review)
+    DedupOps.withCache(corpus.select($"doc_id",
       size(graft.text.TextOps.whitespaceTokens($"text")).cast("long").as("n_tok"),
-      md5($"text").as("doc_md5"))
+      md5($"text").as("doc_md5"))) { ntok =>
     val members = labels.join(ntok, "doc_id")
     val keepers = members.groupBy($"label")
       .agg(count(lit(1)).as("sz"), min($"doc_id").as("min_id"),
@@ -460,14 +465,17 @@ object Materialize {
       x => x.getField("bmd5")), ",")).as("kept_corpus_md5"))
     keepers.agg(count(lit(1)).as("n_components"),
         coalesce(sum($"sz"), lit(0L)).as("n_docs_clustered"),
-        sum(when($"keeper_id" =!= $"min_id", 1L).otherwise(0L))
-          .as("n_keeper_not_min"))
+        // coalesce like the siblings: SUM over zero keeper rows is NULL
+        // while the oracle's COUNT(*) is 0 (r19 review)
+        coalesce(sum(when($"keeper_id" =!= $"min_id", 1L).otherwise(0L)),
+          lit(0L)).as("n_keeper_not_min"))
       .crossJoin(nd.agg(count(lit(1)).as("n_nd_edges")))
       .crossJoin(ct.agg(count(lit(1)).as("n_ct_edges")))
       .crossJoin(mixed.agg(count(lit(1)).as("n_mixed_components")))
       .crossJoin(kept.agg(count(lit(1)).as("n_kept"),
         coalesce(sum($"n_tok"), lit(0L)).as("kept_tok_mass")))
       .crossJoin(fp)
+    }
   }
 
   /** The chain-corpus all-pairs recomputation with BOTH emit rules, the

@@ -971,7 +971,7 @@ object TrainingPipeline {
       |  SELECT doc_id,
       |    'Heading ' || doc_id || ' ' || text || ' link out quad skip' AS text,
       |    CASE WHEN doc_id % 7 = 0 THEN 'aa' ELSE '' END ||
-      |      'docs' || (doc_id % 50 + 50 * (doc_id // 1000000)) || '.example.gov.au' AS source
+      |      'docs' || ${graft.warc.WarcQueries.hostClassSql} || '.example.gov.au' AS source
       |  FROM documents),
       |${graft.text.TextOps.gateSignalsSqlCtesFrom("wdocs")},
       |${pipelineTailSqlMode("wdocs", "auto")}""".stripMargin

@@ -302,7 +302,7 @@ object StreamStoreIngest {
       |  SELECT doc_id,
       |    'Heading ' || doc_id || ' ' || text || ' link out quad skip' AS text,
       |    CASE WHEN doc_id % 7 = 0 THEN 'aa' ELSE '' END ||
-      |      'docs' || (doc_id % 50) || '.example.gov.au' AS source
+      |      'docs' || ${graft.warc.WarcQueries.hostClassSql} || '.example.gov.au' AS source
       |  FROM documents),
       |woff AS (SELECT 1 + COALESCE(MAX(doc_id), -1) AS o FROM documents),
       |crawl AS (

@@ -560,9 +560,9 @@ object StreamingOps {
   }
 
   val st05Oracle: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, text,
-      |    'docs' || (doc_id % 50 + 50 * (doc_id // 1000000)) || '.example.gov.au' AS host
+      |    'docs' || ${graft.warc.WarcQueries.hostClassSql} || '.example.gov.au' AS host
       |  FROM documents)
       |SELECT CASE WHEN doc_id % 7 = 0 THEN 'aa' || host ELSE host END AS hostname,
       |  COUNT(*) AS n_pages,

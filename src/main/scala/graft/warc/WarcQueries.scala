@@ -39,6 +39,20 @@ object WarcQueries {
   def hostClass(cls: Long, id: Long): Long =
     cls % 50 + 50 * (id / graft.Dev.ReplicaStride)
 
+  /** [[hostClass]] as DuckDB SQL over `doc_id` — the ONE fragment every
+    * WARC-mirroring oracle splices (r19 review: the stride was pasted
+    * as a literal into ~14 oracle strings, re-creating the hardcoded-
+    * duplicate drift the [[graft.Dev.ReplicaStride]] constant exists to
+    * prevent). */
+  val hostClassSql: String =
+    s"(doc_id % 50 + 50 * (doc_id // ${graft.Dev.ReplicaStride}))"
+  /** The w07/w08 link-target classes: affine/quadratic map mod 50, the
+    * replica offset still taken from the SOURCE doc's id. */
+  val outClassSql: String =
+    s"((doc_id * 7 + 13) % 50 + 50 * (doc_id // ${graft.Dev.ReplicaStride}))"
+  val quadClassSql: String =
+    s"((doc_id * doc_id + 3) % 50 + 50 * (doc_id // ${graft.Dev.ReplicaStride}))"
+
   /** Deterministic page synthesis — the single source of truth the oracle
     * SQL mirrors. One HTTP response payload per document. */
   def payloadFor(id: Long, text: String, lang: String): String = {
@@ -129,9 +143,9 @@ object WarcQueries {
   }
 
   val w01Oracle: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, text, lang, n_chars,
-      |    'docs' || (doc_id % 50 + 50 * (doc_id // 1000000)) || '.example.gov.au' AS host
+      |    'docs' || ${hostClassSql} || '.example.gov.au' AS host
       |  FROM documents)
       |SELECT
       |  'https://' || host || '/page/' || doc_id AS url,
@@ -145,8 +159,8 @@ object WarcQueries {
       |  6 + len(string_split(text, ' ')) AS word_count,
       |  array_to_string(list_sort([
       |      'https://' || host || '/rel/' || doc_id,
-      |      'https://docs' || ((doc_id * 7 + 13) % 50 + 50 * (doc_id // 1000000)) || '.example.gov.au/x/' || doc_id,
-      |      'https://docs' || ((doc_id * doc_id + 3) % 50 + 50 * (doc_id // 1000000)) || '.example.gov.au/q/' || doc_id
+      |      'https://docs' || ${outClassSql} || '.example.gov.au/x/' || doc_id,
+      |      'https://docs' || ${quadClassSql} || '.example.gov.au/q/' || doc_id
       |    ]), '|') AS links_joined,
       |  'https://' || host || '/css/main.css|https://' || host || '/js/app.js' AS resources_joined,
       |  lang AS meta_lang,
@@ -423,14 +437,14 @@ object WarcQueries {
   }
 
   val w07Oracle: String =
-    """WITH RECURSIVE cls AS (SELECT DISTINCT (doc_id % 50 + 50 * (doc_id // 1000000)) AS c FROM documents),
+    s"""WITH RECURSIVE cls AS (SELECT DISTINCT ${hostClassSql} AS c FROM documents),
       |e0 AS (
       |  SELECT DISTINCT src, dst FROM (
       |    SELECT c AS src, c AS dst FROM cls
       |    UNION ALL
-      |    SELECT (doc_id % 50 + 50 * (doc_id // 1000000)), ((doc_id * 7 + 13) % 50 + 50 * (doc_id // 1000000)) FROM documents
+      |    SELECT ${hostClassSql}, ${outClassSql} FROM documents
       |    UNION ALL
-      |    SELECT (doc_id % 50 + 50 * (doc_id // 1000000)), ((doc_id * doc_id + 3) % 50 + 50 * (doc_id // 1000000)) FROM documents) t),
+      |    SELECT ${hostClassSql}, ${quadClassSql} FROM documents) t),
       |nodes AS (SELECT DISTINCT id FROM (
       |  SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0) t),
       |ue AS (SELECT DISTINCT a, b FROM (
@@ -487,14 +501,14 @@ object WarcQueries {
 
   val w08Oracle: String = {
     val graph =
-      """WITH cls AS (SELECT DISTINCT (doc_id % 50 + 50 * (doc_id // 1000000)) AS c FROM documents),
+      s"""WITH cls AS (SELECT DISTINCT ${hostClassSql} AS c FROM documents),
         |e0 AS (
         |  SELECT DISTINCT src, dst FROM (
         |    SELECT c AS src, c AS dst FROM cls
         |    UNION ALL
-        |    SELECT (doc_id % 50 + 50 * (doc_id // 1000000)), ((doc_id * 7 + 13) % 50 + 50 * (doc_id // 1000000)) FROM documents
+        |    SELECT ${hostClassSql}, ${outClassSql} FROM documents
         |    UNION ALL
-        |    SELECT (doc_id % 50 + 50 * (doc_id // 1000000)), ((doc_id * doc_id + 3) % 50 + 50 * (doc_id // 1000000)) FROM documents) t),
+        |    SELECT ${hostClassSql}, ${quadClassSql} FROM documents) t),
         |nodes AS (SELECT DISTINCT id FROM (
         |  SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0) t),
         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY 1),

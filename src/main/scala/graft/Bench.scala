@@ -193,8 +193,15 @@ object Bench {
         while (isHot(loadAvg) && calmBudgetMs > 0) {
           Thread.sleep(5000); calmBudgetMs -= 5000
         }
-        System.gc(); Thread.sleep(2000)
-        runs += (("calm", once()))
+        // take the extra run only if the box actually calmed: when the
+        // shared budget exhausts while still hot, a run recorded under
+        // 'calm' would overstate its measurement condition (r19 ADVICE —
+        // the per-run contended fields recorded the truth, but the label
+        // must be a true statement like the hot flag is)
+        if (!isHot(loadAvg)) {
+          System.gc(); Thread.sleep(2000)
+          runs += (("calm", once()))
+        }
       }
       if (best.isEmpty) failed += name
       (name, runs.toSeq, loadBefore, best, hot)

@@ -60,6 +60,12 @@ object Dev {
         decontam = true, baselinePath = args.lift(3))
       spark.stop(); return
     }
+    if (args.headOption.contains("release-drill-unified")) {
+      // exact + unified drills on the SAME chain corpus, divergence pinned
+      releaseDrillUnifiedCmd(spark, args.lift(1).getOrElse(sfDir),
+        args.lift(2).getOrElse("RELEASE_DRILL_UNIFIED.json"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("cert-summary")) {
       // r15 verdict item 3: COVERAGE.md's hand-written 10×-cert sentence
       // drifted from the shipped artifact ("worst 9.30 t10" vs final
@@ -218,18 +224,35 @@ object Dev {
     }
     val stride = ReplicaStride
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    // disjointness PRECONDITION (r19 review): a doc whose EVERY token is
-    // a stopword maps to byte-identical text in every replica under the
-    // stopword-passthrough transform — cross-replica dup pairs, kept
-    // mass no longer ×replicas, every "scales exactly ×replicas" cert
-    // silently polluted. The property held by measurement when the
-    // transform was designed (worst all-stop shingle fraction 8% at
-    // sf0.1); this makes it an ASSERTED corpus property, not a hope.
-    val allStop = docs.filter(!exists(split(trim(col("text")), "\\s+"),
-      t => !t.isin(graft.text.TextOps.StopSample: _*))).count()
-    require(allStop == 0,
-      s"gen-sf: $allStop all-stopword docs would be replica-identical " +
-        "under the stopword-passthrough transform — fixture unusable")
+    // disjointness PRECONDITION (r19 review + r19 ADVICE): stopword
+    // tokens ride through the replica transform UNCHANGED, so a doc's
+    // all-stopword 3-gram shingles are byte-identical across replicas —
+    // cross-replica dup pairs arise the moment a doc's all-stopword
+    // shingle fraction reaches the dup thresholds (~8/9 for near-dup
+    // J ≥ 0.8, ~0.8 on the min side for containment). The old check
+    // (no 100%-stopword doc) under-enforced this; assert the ACTUAL
+    // property with margin: worst per-doc all-stopword 3-gram fraction
+    // strictly below 0.5. Lambda-free (posexplode + doc-keyed window —
+    // no HOF of the stopCount-comment hazard family), one-off gen cost.
+    val tokRows = docs.select(col("doc_id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("stop",
+        col("tok").isin(graft.text.TextOps.StopSample: _*).cast("int"))
+    val w3 = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 2)
+    val worstAllStop = tokRows
+      .withColumn("win_stop", sum(col("stop")).over(w3))
+      .withColumn("win_n", count(lit(1)).over(w3))
+      .filter(col("win_n") === 3)
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("win_stop") === 3, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("allstop_frac"))
+      .agg(coalesce(max(col("allstop_frac")), lit(0.0)))
+      .head.getDouble(0)
+    require(worstAllStop < 0.5,
+      f"gen-sf: worst per-doc all-stopword 3-gram fraction $worstAllStop%.3f" +
+        " >= 0.5 — too close to the near-dup/containment thresholds; " +
+        "cross-replica dup pairs would pollute every x-replicas cert")
     val docsOut = (0 until replicas).map { r =>
       if (r == 0) docs
       else {
@@ -468,6 +491,11 @@ object Dev {
       // prefix×index) + CC over confirmed-pair mass + one struct-max
       // aggregate + the bucketed fingerprint — linear by composition
       "d24_unified_dedup",
+      // p10: the unified-dedup release pipeline — p01's cool-keyed tail
+      // plus BOTH certified pair engines on the gated chain corpus +
+      // CC + one struct-max keeper aggregate; linear by composition
+      // (the d24 argument with the gate in front)
+      "p10_unified_pipeline",
       // st11: stateless per-row gram probe vs the closure-broadcast
       // benchmark — a pure map like st10 (bench grows with corpus/97
       // here by fixture construction; the gate itself is linear)
@@ -736,6 +764,103 @@ object Dev {
     * FILES ([[graft.pipeline.TrainingPipeline.releaseDrill]]'s check
     * rows). Writes the reconciliation artifact and exits non-zero on
     * any failed check. */
+  /** Drill-check-row field extraction, shared by [[releaseDrillCmd]]'s
+    * baseline pins and [[releaseDrillUnifiedCmd]]'s divergence pins.
+    * Fields are located by NAME against the shared audit-render
+    * constant and the check row is VALIDATED present (r19 ADVICE:
+    * positional `.split("/").last` + bare `.find(...).get` silently
+    * coupled this parser to the render order and failed opaquely on a
+    * stale-format baseline). */
+  private type DrillRows = Seq[(String, String, String, Boolean)]
+  private def drillCheckRow(cs: DrillRows, name: String, what: String): String =
+    cs.find(_._1 == name).getOrElse(sys.error(
+      s"[release-drill] $what has no check row '$name' — " +
+        "not a release-drill artifact (or an older format); " +
+        "regenerate the baseline with this build")). _2
+  private def drillKeptDocs(cs: DrillRows, what: String): Long =
+    drillCheckRow(cs, "card_kept_mass_eq_shard_files", what).split("/")(0).toLong
+  private def drillFps(cs: DrillRows, what: String): Set[String] = {
+    val fpIdx = graft.pipeline.TrainingPipeline.AuditCols.indexOf("corpus_fp")
+    require(fpIdx >= 0, "AuditCols lost corpus_fp")
+    drillCheckRow(cs, "disk_audit_eq_recomputed_audit", what)
+      .split(",").map { audit =>
+        val fields = audit.split("/")
+        require(fields.length ==
+          graft.pipeline.TrainingPipeline.AuditCols.length,
+          s"[release-drill] $what audit row '$audit' has ${fields.length} " +
+            s"fields, expected ${graft.pipeline.TrainingPipeline.AuditCols}")
+        fields(fpIdx)
+      }.toSet
+  }
+
+  private def writeDrillArtifact(outPath: String, surface: String,
+      decontam: Boolean, allRows: DrillRows): Boolean = {
+    val allPass = allRows.forall(_._4)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("surface", surface)
+    root.put("decontaminated", decontam)
+    root.put("all_pass", allPass)
+    val arr = root.putArray("checks")
+    allRows.foreach { case (c, l, r, p) =>
+      val o = arr.addObject()
+      o.put("check", c); o.put("lhs", l); o.put("rhs", r); o.put("pass", p)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")
+    allRows.foreach(r => println(s"[release-drill] ${r._1} pass=${r._4}"))
+    println(s"[release-drill] wrote $outPath all_pass=$allPass")
+    allPass
+  }
+
+  /** The UNIFIED-DEDUP release drill (r19 verdict item 1's drill leg):
+    * run the full written-artifact drill TWICE on the SAME corpus — the
+    * containment-chain fixture over `documents`, the corpus with real
+    * near-dup AND containment structure (the WARC fixture surface has
+    * no dup mass for the unified stage to decide) — once with p01's
+    * exact stage 2 and once with d24's unified keep/drop, then pin the
+    * divergence: every per-shard fingerprint differs (the exact drill
+    * drops ZERO docs on this corpus — no byte copies — while the
+    * unified stage drops the plant clusters, so identical shards would
+    * mean the composed stage is dead), plus the from-disk
+    * `unified_dedup_is_live` row inside the unified drill itself. */
+  def releaseDrillUnifiedCmd(spark: SparkSession, dir: String,
+      outPath: String): Unit = {
+    val docs = graft.dedup.DedupOps.withContainmentChain(spark, dir,
+      carrySource = true)
+    def run(unified: Boolean): DrillRows =
+      graft.analytics.StagingDir.withStagingDir(spark,
+          s"graft-drill-${if (unified) "unified" else "exact"}") { stage =>
+        (if (unified)
+          graft.pipeline.TrainingPipeline.releaseDrillUnified(spark, docs,
+            stage.toString)
+        else
+          graft.pipeline.TrainingPipeline.releaseDrill(spark, docs,
+            stage.toString)).localCheckpoint(true)
+      }.orderBy("check").collect()
+        .map(r => (r.getAs[String]("check"), r.getAs[String]("lhs"),
+          r.getAs[String]("rhs"), r.getAs[Boolean]("pass"))).toSeq
+    val exact = run(unified = false)
+    val unified = run(unified = true)
+    val overlap = (drillFps(exact, "exact drill") intersect
+      drillFps(unified, "unified drill")).size
+    val divergence = Seq(
+      ("unified_shard_fps_diverge_from_exact", s"overlap=$overlap",
+        "overlap=0", overlap == 0),
+      // informational direction: the kept masses (cap backfill can
+      // equalize totals — memory of the p09 lesson — so the BINDING pin
+      // is the fp divergence above; this row records the masses)
+      ("kept_mass_exact_vs_unified",
+        s"exact=${drillKeptDocs(exact, "exact drill")}",
+        s"unified=${drillKeptDocs(unified, "unified drill")}", true))
+    val allRows = exact.map { case (c, l, r, p) => (s"exact_$c", l, r, p) } ++
+      unified.map { case (c, l, r, p) => (s"unified_$c", l, r, p) } ++
+      divergence
+    val allPass = writeDrillArtifact(outPath, s"chain:$dir",
+      decontam = false, allRows)
+    require(allPass, s"unified release drill failed — see $outPath")
+  }
+
   def releaseDrillCmd(spark: SparkSession, dir: String, outPath: String,
       decontam: Boolean = false, baselinePath: Option[String] = None,
       keptFactor: Option[Double] = None): Unit = {
@@ -752,14 +877,6 @@ object Dev {
     val rows = checks.orderBy("check").collect()
       .map(r => (r.getAs[String]("check"), r.getAs[String]("lhs"),
         r.getAs[String]("rhs"), r.getAs[Boolean]("pass")))
-    // kept docs / per-shard md5s of a drill's check rows — shared by
-    // this run's rows and a baseline artifact's
-    def keptDocsOf(cs: Seq[(String, String, String, Boolean)]): Long =
-      cs.find(_._1 == "card_kept_mass_eq_shard_files").get._2
-        .split("/")(0).toLong
-    def md5sOf(cs: Seq[(String, String, String, Boolean)]): Set[String] =
-      cs.find(_._1 == "disk_audit_eq_recomputed_audit").get._2
-        .split(",").map(_.split("/").last).toSet
     val baselineRows: Option[Seq[(String, String, String, Boolean)]] =
       baselinePath.map { p =>
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -781,9 +898,11 @@ object Dev {
     // and every per-shard corpus md5 must diverge from the baseline's
     // (byte-identical shards across scales were the r18 tell)
     val baselineChecks = baselineRows.toSeq.flatMap { base =>
-      val baseKept = keptDocsOf(base)
-      val kept = keptDocsOf(rows.toSeq)
-      val overlap = (md5sOf(rows.toSeq) intersect md5sOf(base)).size
+      val baseWhat = s"baseline ${baselinePath.getOrElse("?")}"
+      val baseKept = drillKeptDocs(base, baseWhat)
+      val kept = drillKeptDocs(rows.toSeq, "this run")
+      val overlap = (drillFps(rows.toSeq, "this run") intersect
+        drillFps(base, baseWhat)).size
       val factorChecks = keptFactor.toSeq.map { f =>
         val lo = (0.8 * f * baseKept).round
         val hi = (1.25 * f * baseKept).round
@@ -797,15 +916,15 @@ object Dev {
       // contaminated-kept doc legitimately ships identical bytes — the
       // liveness pin there is that SOME shard diverged (the
       // DecontamApiSpec device: 7 of 8 at sf0.1)
-      val md5Check =
+      val fpCheck =
         if (keptFactor.isDefined)
-          ("shard_md5s_diverge_from_baseline", s"overlap=$overlap",
+          ("shard_fingerprints_diverge_from_baseline", s"overlap=$overlap",
             "overlap=0", overlap == 0)
         else
-          ("shard_md5s_diverge_from_baseline", s"overlap=$overlap",
-            s"overlap<${md5sOf(base).size}",
-            overlap < md5sOf(base).size)
-      factorChecks :+ md5Check
+          ("shard_fingerprints_diverge_from_baseline", s"overlap=$overlap",
+            s"overlap<${drillFps(base, baseWhat).size}",
+            overlap < drillFps(base, baseWhat).size)
+      factorChecks :+ fpCheck
     }
     val allRows = rows.toSeq ++ baselineChecks
     val allPass = allRows.forall(_._4)

@@ -465,12 +465,12 @@ object DedupOps {
     * caveat: a dir whose content changes under a live session must use
     * a fresh path (immutable-input discipline for cached artifacts).
     * d04's own gate/bench entry does NOT use the registry — its
-    * reported cost stays the honest full build. */
-  private val pairsRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    * reported cost stays the honest full build. Bounded [[PairCache]]
+    * since r20 (LRU of 2 corpora, evicted checkpoints released). */
+  private val pairsRegistry = new PairCache()
   private[graft] def ensureVerifiedPairs(s: SparkSession, d: String): DataFrame =
-    pairsRegistry.computeIfAbsent(s.sparkContext.applicationId + ":" + d,
-      _ => d04Impl(s, d, eager = true))
+    pairsRegistry.getOrBuild(s.sparkContext.applicationId + ":" + d)(
+      d04Impl(s, d, eager = true))
 
   private[graft] def d04Impl(s: SparkSession, d: String, eager: Boolean): DataFrame = {
     import s.implicits._
@@ -598,13 +598,20 @@ object DedupOps {
     * d04 already owns, planted so d22's J < 0.6 exclusion provably
     * binds (92 → 44 rows at sf0.01, measured in DuckDB before wiring).
     * Filler tokens embed the source doc_id, so no cross-plant dups. */
-  private[graft] def withContainmentPlants(s: SparkSession, d: String): DataFrame = {
+  private[graft] def withContainmentPlants(s: SparkSession, d: String,
+      carrySource: Boolean = false): DataFrame = {
     import s.implicits._
-    val docs = spread(Tables.documents(s, d).select($"doc_id", $"text"))
+    // p10's pipeline surface needs the anti-domination key: plants
+    // inherit their original's `source` (same publisher, longer capture)
+    val baseCols =
+      if (carrySource) Seq($"doc_id", $"text", $"source")
+      else Seq($"doc_id", $"text")
+    val docs = spread(Tables.documents(s, d).select(baseCols: _*))
     def planted(mod: Int, shift: Long, fillerExpr: String) =
       docs.filter($"doc_id" % mod === 0)
-        .select(($"doc_id" + shift).as("doc_id"),
-          concat($"text", lit(" "), expr(fillerExpr)).as("text"))
+        .select(($"doc_id" + shift).as("doc_id") +:
+          concat($"text", lit(" "), expr(fillerExpr)).as("text") +:
+          (if (carrySource) Seq($"source") else Nil): _*)
     // corpus token floor is 10 (all SFs + the replica generator keeps
     // counts), so size/5 >= 2 — Spark's descending sequence(1, 0) and
     // DuckDB's empty range(1, 1) can never be asked to disagree
@@ -657,9 +664,17 @@ object DedupOps {
   private[graft] def containmentCandidates(pre: DataFrame, cap: Int = 1000): DataFrame = {
     val idx = pre.select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
       explode(col("hs")).as("h"))
-    val dfh = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // rep = min(doc_id) computed IN the df aggregate: both are map-side
+    // combinable partials over the same (uniformly keyed) shuffle, so the
+    // hot-posting representative costs nothing extra here — and the star
+    // link below can then be a broadcast join instead of a window over
+    // the hot posting (r19 verdict item 2: `min().over(partitionBy(h))`
+    // shipped every row of a hot shingle's posting to ONE task — the
+    // exact single-task materialization the guard exists to prevent)
+    val dfh = idx.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("rep"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val ranked = idx.join(dfh, "h")
+    val ranked = idx.join(dfh.select(col("h"), col("df")), "h")
       .withColumn("rk", row_number().over(byRarity))
     // prefix size ⌊3n/10⌋ + 1 (slack t' = 0.7 vs the 0.8 threshold):
     // covers the ≤ ⌈0.2n⌉ outside-shingles plus one collision for
@@ -679,10 +694,14 @@ object DedupOps {
       .select(least(col("id_p"), col("id_i")).as("id_a"),
         greatest(col("id_p"), col("id_i")).as("id_b"))
     ensureGuardListener(pre.sparkSession)
-    // hot postings: one window pass over the (small) flood mass only;
+    // hot postings: the hot-rep table is tiny (shingles with df > cap —
+    // a handful even under a boilerplate flood), so BROADCAST it onto
+    // the index; no row of the hot posting ever moves to a single task,
+    // the star link is a map-side join + filter.
     // rep = min(doc_id) ⇒ rep < member, so (id_a, id_b) stays ordered
-    val hotStar = idx.join(dfh.filter(col("df") > cap), "h")
-      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    val hotStar = idx.join(
+        broadcast(dfh.filter(col("df") > cap)
+          .select(col("h"), col("df"), col("rep"))), "h")
       .filter(col("doc_id") =!= col("rep"))
       .observe(s"graft_bucket_guard_d22_${guardObsId.incrementAndGet()}",
         count(lit(1)).as("n_star_members"), max(col("df")).as("max_bucket"))
@@ -782,21 +801,26 @@ object DedupOps {
     * keep/drop decision a pair-local rule gets wrong and the rollup's
     * `n_chain_docs` counts (39 at sf0.01, measured in DuckDB before
     * wiring; zero would mean the chain tier regressed to vacuity). */
-  private[graft] def withContainmentChain(s: SparkSession, d: String): DataFrame = {
+  private[graft] def withContainmentChain(s: SparkSession, d: String,
+      carrySource: Boolean = false): DataFrame = {
     import s.implicits._
-    val docs = spread(Tables.documents(s, d).select($"doc_id", $"text"))
+    val baseCols =
+      if (carrySource) Seq($"doc_id", $"text", $"source")
+      else Seq($"doc_id", $"text")
+    val docs = spread(Tables.documents(s, d).select(baseCols: _*))
     // the big plant's text, reconstructed from the SAME expression
     // withContainmentPlants uses (the mega tier extends it verbatim)
     val mega = docs.filter($"doc_id" % 13 === 0)
-      .select(($"doc_id" + 400000L).as("doc_id"),
+      .select(($"doc_id" + 400000L).as("doc_id") +:
         concat($"text", lit(" "),
           expr("array_join(transform(sequence(1, 2 * size(split(trim(text), '\\\\s+'))), " +
             "j -> concat('c', CAST(doc_id AS STRING), 'x', CAST(j AS STRING))), ' ')"),
           lit(" "),
           expr("array_join(transform(sequence(1, 3 * size(split(trim(text), '\\\\s+'))), " +
             "j -> concat('m', CAST(doc_id AS STRING), 'x', CAST(j AS STRING))), ' ')")
-        ).as("text"))
-    withContainmentPlants(s, d).unionByName(mega)
+        ).as("text") +:
+        (if (carrySource) Seq($"source") else Nil): _*)
+    withContainmentPlants(s, d, carrySource).unionByName(mega)
   }
 
   /** d05: benchmark-contamination check — the "is the eval set in the

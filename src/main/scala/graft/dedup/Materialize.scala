@@ -135,11 +135,10 @@ object Materialize {
     * cold/warm, scalebench's 5 runs) pay it once. localCheckpoint
     * materializes the bounded pair set (≈ one pair per doc) so the
     * upstream caches release. */
-  private val d20PairsRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val d20PairsRegistry = new PairCache()
   private def ensureD20Pairs(s: SparkSession, d: String): DataFrame =
-    d20PairsRegistry.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + d, _ => {
+    d20PairsRegistry.getOrBuild(
+      s.sparkContext.applicationId + ":" + d) {
         import s.implicits._
         val corpus = d20Corpus(s, d)
         DedupOps.withCache(
@@ -148,7 +147,7 @@ object Materialize {
             DedupOps.confirmedPairsOf(sigd, scored).localCheckpoint(true)
           }
         }
-      })
+      }
 
   def d20_quality_keeper(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -247,12 +246,13 @@ object Materialize {
     * the same session already queried) would serve stale pairs against
     * fresh corpus-side joins. Regeneration requires a fresh session;
     * every Dev/bench/cert path already works that way (gen-sf is its
-    * own JVM run). */
-  private val d23PairsRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * own JVM run). Since r20 every registry is a bounded [[PairCache]]
+    * (LRU of 2 corpora, evicted checkpoints released eagerly — the r19
+    * unbounded-accumulation nit). */
+  private val d23PairsRegistry = new PairCache()
   private def ensureD23Pairs(s: SparkSession, d: String): DataFrame =
-    d23PairsRegistry.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + d, _ =>
+    d23PairsRegistry.getOrBuild(
+      s.sparkContext.applicationId + ":" + d)(
         DedupOps.containmentPairsOf(DedupOps.withContainmentChain(s, d))
           .localCheckpoint(true))
 
@@ -377,11 +377,10 @@ object Materialize {
     * certified banded chain run over [[DedupOps.withContainmentChain]]),
     * built once per (session, corpus) — the [[ensureD23Pairs]] device
     * and its regenerate-requires-restart constraint. */
-  private val d24NdPairsRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val d24NdPairsRegistry = new PairCache()
   private def ensureD24NdPairs(s: SparkSession, d: String): DataFrame =
-    d24NdPairsRegistry.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + d, _ => {
+    d24NdPairsRegistry.getOrBuild(
+      s.sparkContext.applicationId + ":" + d) {
         import s.implicits._
         val corpus = DedupOps.withContainmentChain(s, d)
         DedupOps.withCache(
@@ -390,7 +389,7 @@ object Materialize {
             DedupOps.confirmedPairsOf(sigd, scored).localCheckpoint(true)
           }
         }
-      })
+      }
 
   /** d24: UNIFIED duplicate-graph materialization — the r18 verdict's
     * "cluster-aware containment" candidate: a real curation pass ships
@@ -419,9 +418,12 @@ object Materialize {
     * (near-dup + containment mass, a few % of a crawl) in O(log
     * diameter) rounds; the keeper pass is ONE map-side-combinable
     * struct-max aggregate per component plus one doc_id anti-join of
-    * the corpus; the fingerprint is BUCKETED (doc_id % 8 groups, then
-    * one 8-row fold) so no single reducer ever holds the corpus's md5
-    * stream — the audit tail is aggregates and 1-row cross-joins. */
+    * the corpus; the fingerprint is the shared
+    * [[graft.functions.Fingerprint]] XOR fold — a declarative aggregate
+    * with partials, so no task ever holds more than one long of
+    * fingerprint state (the r19 8-bucket collect_list shape held O(N/8)
+    * md5 structs per reducer) — the audit tail is aggregates and 1-row
+    * cross-joins. */
   def d24_unified_dedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val corpus = DedupOps.withContainmentChain(s, d)
@@ -455,14 +457,13 @@ object Materialize {
       .join(labels.select($"doc_id".as("id_a"), $"label"), "id_a")
       .groupBy($"label").agg(countDistinct($"kind").as("kinds"))
       .filter($"kinds" === 2)
-    // bucketed kept-corpus fingerprint (see scale note above)
-    val bucketMd5 = kept.groupBy(($"doc_id" % 8).as("bucket"))
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct($"doc_id", $"doc_md5"))),
-        x => x.getField("doc_md5")), ",")).as("bmd5"))
-    val fp = bucketMd5.agg(md5(array_join(transform(
-      array_sort(collect_list(struct($"bucket", $"bmd5"))),
-      x => x.getField("bmd5")), ",")).as("kept_corpus_md5"))
+    // kept-corpus fingerprint via the shared XOR fold (position keyed
+    // by doc_id): a single map-side-combinable aggregate — the r19
+    // 8-bucket collect_list shape held O(N/8) md5 structs per reducer,
+    // the asymptotic class the docstring claimed to avoid
+    val fp = kept.agg(graft.functions.Fingerprint.xorFp(
+      concat($"doc_id".cast("string"), lit(":"), $"doc_md5"))
+      .as("kept_corpus_fp"))
     keepers.agg(count(lit(1)).as("n_components"),
         coalesce(sum($"sz"), lit(0L)).as("n_docs_clustered"),
         // coalesce like the siblings: SUM over zero keeper rows is NULL
@@ -480,7 +481,7 @@ object Materialize {
 
   /** The chain-corpus all-pairs recomputation with BOTH emit rules, the
     * recursive-CTE components over the union edge set, then the d20
-    * keeper window and the bucketed fingerprint — every tier of
+    * keeper window and the shared XOR fingerprint — every tier of
     * [[d24_unified_dedup]] replayed in SQL. */
   val d24Oracle: String =
     raw"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
@@ -559,11 +560,7 @@ object Materialize {
       |kept AS (
       |  SELECT t.doc_id, t.text, CAST(len(t.tk) AS BIGINT) AS n_tok
       |  FROM toks t LEFT JOIN dropped dr ON dr.id = t.doc_id
-      |  WHERE dr.id IS NULL),
-      |bk AS (
-      |  SELECT doc_id % 8 AS bucket,
-      |    md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS bmd5
-      |  FROM kept GROUP BY 1)
+      |  WHERE dr.id IS NULL)
       |SELECT
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS n_components,
       |  (SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) FROM cl)
@@ -577,8 +574,9 @@ object Materialize {
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_kept,
       |  (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM kept)
       |    AS kept_tok_mass,
-      |  (SELECT md5(string_agg(bmd5, ',' ORDER BY bucket)) FROM bk)
-      |    AS kept_corpus_md5""".stripMargin
+      |  (SELECT ${graft.functions.Fingerprint.xorFpSql(
+             "CAST(doc_id AS VARCHAR) || ':' || md5(text)")} FROM kept)
+      |    AS kept_corpus_fp""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d16_dedup_materialize" -> (d16_dedup_materialize _),

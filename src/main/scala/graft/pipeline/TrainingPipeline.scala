@@ -54,8 +54,9 @@ object TrainingPipeline {
     * p01/p02 share, exposed for p03's streaming composition (the
     * stream ADMITS rows, then this tail runs batch-side on the
     * accumulated corpus — one implementation, no drift). */
-  private[graft] def shardedAuditOf(docs: DataFrame): DataFrame =
-    auditRollup(shardedSurvivorsOf(docs))
+  private[graft] def shardedAuditOf(docs: DataFrame,
+      unifiedDedup: Boolean = false): DataFrame =
+    auditRollup(shardedSurvivorsOf(docs, unifiedDedup = unifiedDedup))
 
   /** Stage-3 discipline resolution (r14 verdict item 6 — the hatch used
     * to require the CALLER to know their corpus was skewed; now the
@@ -145,8 +146,51 @@ object TrainingPipeline {
         lit("repetitive"))
       .otherwise(lit("none"))
 
+  /** Stage-2 UNIFIED keep/drop over a gated `(doc_id, text, n_tok, …)`
+    * frame — d24's certified decision composed INTO the pipeline (r19
+    * verdict item 1: the flagship release shipped near-dup clusters and
+    * containment chains because its dedup stage was d01 exact-only
+    * while the unified decision sat unused as an audit query). Both
+    * confirmed pair engines run on the GATED corpus (d02's banded
+    * near-dup chain at J ≥ 0.8 — which subsumes exact duplicates at
+    * J = 1 — and d22's guarded containment chain at C ≥ 0.8 ∧ J < 0.6),
+    * the distributed min-label CC runs over the union graph, and d20's
+    * quality rule keeps ONE member per component (most tokens, tiebreak
+    * min id). Returns `(doc_id, keeper_id)` for CLUSTERED docs only,
+    * eagerly checkpointed (bounded by duplicate mass — the
+    * [[graft.dedup.DedupOps.ensureVerifiedPairs]] discipline).
+    *
+    * Scale shape: both pair engines are the certified guarded chains
+    * (banded LSH buckets / df-capped prefix × index, longs-only
+    * shuffles), CC is O(log diameter) rounds over confirmed-pair mass,
+    * the keeper is one map-side-combinable struct-max aggregate, and
+    * the caller's keep/drop is one doc_id anti-join of the corpus. */
+  private[graft] def unifiedClusters(gated: DataFrame): DataFrame = {
+    val s = gated.sparkSession
+    import s.implicits._
+    import graft.dedup.DedupOps
+    val docs = gated.select($"doc_id", $"text")
+    val nd = DedupOps.withCache(
+        docs.withColumn("sig", DedupOps.sigWithHashesU($"text"))) { sigd =>
+      DedupOps.withCache(DedupOps.scoredOf(sigd)) { scored =>
+        DedupOps.confirmedPairsOf(sigd, scored)
+      }
+    }
+    val ct = DedupOps.containmentPairsOf(docs).select($"id_a", $"id_b")
+    val labels = DedupOps.connectedComponents(
+        nd.select($"id_a", $"id_b").unionByName(ct))
+      .withColumnRenamed("id", "doc_id")
+    val members = labels.join(gated.select($"doc_id", $"n_tok"), "doc_id")
+    val keepers = members.groupBy($"label")
+      .agg(max(struct($"n_tok", (-$"doc_id").as("neg_id"))).as("best"))
+      .select($"label", (-$"best.neg_id").as("keeper_id"))
+    members.join(keepers, "label").select($"doc_id", $"keeper_id")
+      .localCheckpoint(true)
+  }
+
   private def shardedSurvivorsOf(docs: DataFrame,
-      thresholdCap: Option[Boolean] = None): DataFrame = {
+      thresholdCap: Option[Boolean] = None,
+      unifiedDedup: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     val useThreshold = thresholdCap.getOrElse(resolveThresholdCap(docs))
     // Stage 1 — t07's gate, bit-for-bit (same signal frame the gate and
@@ -158,11 +202,19 @@ object TrainingPipeline {
     // carry the text through); co-partitioned equi-join, no skew
     val gated = kept.join(docs, "doc_id")
       .withColumn("doc_md5", md5($"text"))
-    // Stage 2 — exact dedup, d01's keeper rule: min doc_id per digest
-    val byDigest = Window.partitionBy($"doc_md5").orderBy($"doc_id")
-    val deduped = gated
-      .withColumn("rn", row_number().over(byDigest))
-      .filter($"rn" === 1).drop("rn")
+    // Stage 2 — keep/drop: exact dedup (d01's keeper rule: min doc_id
+    // per digest) or the UNIFIED decision ([[unifiedClusters]]) — one
+    // anti-join against the bounded drop set either way
+    val deduped = if (unifiedDedup) {
+      val dropIds = unifiedClusters(gated)
+        .filter($"doc_id" =!= $"keeper_id").select($"doc_id")
+      gated.join(dropIds, Seq("doc_id"), "left_anti")
+    } else {
+      val byDigest = Window.partitionBy($"doc_md5").orderBy($"doc_id")
+      gated
+        .withColumn("rn", row_number().over(byDigest))
+        .filter($"rn" === 1).drop("rn")
+    }
     // Stage 3 — per-domain cap, two selectable disciplines sharing the
     // same "p01cap:" salt family (selection: forced by the caller, or
     // capMode=auto's skew probe — see resolveThresholdCap):
@@ -208,25 +260,32 @@ object TrainingPipeline {
         .cast("long"))
   }
 
+  /** The audit frame's column order — ONE constant shared by the render
+    * in [[releaseDrillImpl]]/`Dev.releaseDrillCmd`'s baseline parsing
+    * (r19 ADVICE: positional `.split("/").last` was silently coupled to
+    * this order). */
+  private[graft] val AuditCols =
+    Seq("shard", "n_docs", "n_tokens", "order_checksum", "corpus_fp")
+
   /** The per-shard audit rollup BOTH p01 surfaces must share — the
     * written-files audit is only evidence because it is the SAME
     * aggregation as the logical pipeline's (spec compares them for
     * equality; a formula that drifted in one copy would misread as a
-    * serialization bug). corpus_md5 hashes the kept docs' md5s in READ
-    * ORDER — the bytes a trainer consumes, position-sensitive. */
+    * serialization bug). `corpus_fp` fingerprints the kept docs' md5s in
+    * READ ORDER — the bytes a trainer consumes, position-sensitive
+    * through the rank embedded in each hashed key — via the shared
+    * [[graft.functions.Fingerprint]] XOR fold: map-side combinable, so
+    * no task ever holds a shard's worth of digests (the r19 verdict's
+    * constant-fan `collect_list` held O(N/8) structs per reducer). */
   private def auditRollup(survivors: DataFrame): DataFrame = {
     import survivors.sparkSession.implicits._
     survivors.groupBy($"shard")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tok").as("n_tokens"),
         sum($"doc_id" * $"rank").as("order_checksum"),
-        // transform(x => getField) here is a lambda HOF, but ABOVE the
-        // aggregation Exchange and never filtered on — outside the r11
-        // hazard's trigger shape, and ACTIVELY pinned safe against a
-        // driver-side recomputation in LambdaHofReproSpec
-        md5(array_join(transform(
-          array_sort(collect_list(struct($"order_key", $"doc_id", $"doc_md5"))),
-          x => x.getField("doc_md5")), ",")).as("corpus_md5"))
+        graft.functions.Fingerprint.xorFp(
+          concat($"rank".cast("string"), lit(":"), $"doc_md5"))
+          .as("corpus_fp"))
       .orderBy($"shard")
   }
 
@@ -313,7 +372,8 @@ object TrainingPipeline {
     * schema stays frozen at the default. */
   private[graft] def provenanceOf(docs: DataFrame,
       thresholdCap: Option[Boolean] = None,
-      withTok: Boolean = false): DataFrame = {
+      withTok: Boolean = false,
+      unifiedDedup: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     val useThreshold = thresholdCap.getOrElse(resolveThresholdCap(docs))
     val rsn = graft.text.TextOps.gateSignalsOf(docs.select($"doc_id", $"text"))
@@ -322,11 +382,24 @@ object TrainingPipeline {
       .select($"doc_id", $"n_tok")
       .join(docs, "doc_id")
       .withColumn("doc_md5", md5($"text"))
-    val byMd5 = Window.partitionBy($"doc_md5").orderBy($"doc_id")
-    val dd = gated
-      .withColumn("rn", row_number().over(byMd5))
-      .withColumn("keeper_id",
-        min($"doc_id").over(Window.partitionBy($"doc_md5")))
+    // stage-2 verdict columns (rn, keeper_id) under either discipline:
+    // exact = d01's md5-window rule; unified = d24's component keeper
+    // ([[unifiedClusters]] — keeper_id is the component's quality
+    // keeper, rn = 2 marks the dropped members)
+    val dd = if (unifiedDedup) {
+      val clusters = unifiedClusters(gated)
+        .withColumnRenamed("keeper_id", "u_keeper")
+      gated.join(clusters, Seq("doc_id"), "left")
+        .withColumn("keeper_id", coalesce($"u_keeper", $"doc_id"))
+        .withColumn("rn", when($"doc_id" === $"keeper_id", 1).otherwise(2))
+        .drop("u_keeper")
+    } else {
+      val byMd5 = Window.partitionBy($"doc_md5").orderBy($"doc_id")
+      gated
+        .withColumn("rn", row_number().over(byMd5))
+        .withColumn("keeper_id",
+          min($"doc_id").over(Window.partitionBy($"doc_md5")))
+    }
     val deduped = dd.filter($"rn" === 1)
     val capv = if (useThreshold) {
       val counts = deduped.groupBy($"source").agg(count(lit(1)).as("n_src"))
@@ -615,10 +688,11 @@ object TrainingPipeline {
     * source)` corpus — the variant [[releaseDrill]] drives on the WARC
     * surface. */
   private[graft] def materializeShardsOf(docs: DataFrame, outDir: String,
-      maxRecordsPerFile: Long = 50000L): DataFrame = {
+      maxRecordsPerFile: Long = 50000L,
+      unifiedDedup: Boolean = false): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    shardedSurvivorsOf(docs)
+    shardedSurvivorsOf(docs, unifiedDedup = unifiedDedup)
       .select($"shard", $"order_key", $"doc_id", $"n_tok", $"doc_md5", $"text")
       .repartition($"shard")
       .sortWithinPartitions($"shard", $"order_key", $"doc_id")
@@ -673,6 +747,18 @@ object TrainingPipeline {
       maxRecordsPerFile: Long = 50000L): DataFrame =
     releaseDrillImpl(s, docs, benchDocs = None, outDir, maxRecordsPerFile)
 
+  /** The UNIFIED-DEDUP release drill (r19 verdict item 1's drill leg):
+    * the same written-artifact reconciliation with stage 2 switched to
+    * d24's keep/drop ([[unifiedClusters]]) — shards, provenance, and
+    * card all computed under the unified decision, every number still
+    * reconciled from the written files. Divergence vs the exact-dedup
+    * drill on the SAME corpus is pinned by `Dev release-drill-unified`
+    * (per-shard fingerprint rule, the DecontamApiSpec liveness device). */
+  def releaseDrillUnified(s: SparkSession, docs: DataFrame, outDir: String,
+      maxRecordsPerFile: Long = 50000L): DataFrame =
+    releaseDrillImpl(s, docs, benchDocs = None, outDir, maxRecordsPerFile,
+      unifiedDedup = true)
+
   /** The DECONTAMINATED release drill (r18 verdict item 3): the same
     * written-artifact reconciliation, composed through [[p09Against]]'s
     * shape — [[graft.dedup.Contamination.d15FlaggedIds]] drops every
@@ -690,7 +776,8 @@ object TrainingPipeline {
 
   private def releaseDrillImpl(s: SparkSession, docs: DataFrame,
       benchDocs: Option[DataFrame], outDir: String,
-      maxRecordsPerFile: Long): DataFrame = {
+      maxRecordsPerFile: Long,
+      unifiedDedup: Boolean = false): DataFrame = {
     import s.implicits._
     val core = docs.select($"doc_id", $"text", $"source")
     // decontamination (when a benchmark rides along): the p09Against
@@ -705,11 +792,12 @@ object TrainingPipeline {
     }
     // (1) shards — returned frame is the from-disk audit already
     val diskAudit = materializeShardsOf(tailCorpus, s"$outDir/shards",
-      maxRecordsPerFile)
+      maxRecordsPerFile, unifiedDedup = unifiedDedup)
     // (2) provenance, widened with n_tok (+ lang when present);
     // contaminated docs appear with their own disposition, tail fields
     // sentinel-(-1) like every other pre-tail drop
-    val provTail = provenanceOf(tailCorpus, withTok = true)
+    val provTail = provenanceOf(tailCorpus, withTok = true,
+      unifiedDedup = unifiedDedup)
     val prov = flagged match {
       case Some(f) =>
         val contaminated = core.join(f, "doc_id")
@@ -756,8 +844,12 @@ object TrainingPipeline {
     val shardTotals = shardsDisk
       .agg(count(lit(1)).as("d"), coalesce(sum($"n_tok"), lit(0L)).as("t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    // rendered in the [[AuditCols]] order EXPLICITLY — Dev's baseline
+    // parsing indexes these fields by that shared constant, so a column
+    // added to the audit frame cannot silently shift what gets parsed
     def renderAudit(a: DataFrame): String =
-      a.orderBy("shard").collect().map(r => r.mkString("/")).mkString(",")
+      a.orderBy("shard").select(AuditCols.map(col): _*)
+        .collect().map(r => r.mkString("/")).mkString(",")
     val decontamChecks = flagged.toSeq.flatMap { f =>
       // reconciled FROM THE WRITTEN FILE, against the recomputed flag
       // decision; liveness: a benchmark flagging nothing certifies
@@ -769,6 +861,17 @@ object TrainingPipeline {
           nContamDisk.toString, f.count().toString),
         ("contamination_is_live", (nContamDisk > 0).toString, "true"))
     }
+    // the unified drill's liveness pin, FROM THE WRITTEN provenance (the
+    // decontam drill's device): a unified stage that dropped nothing
+    // would reconcile vacuously — on the chain fixture the exact stage
+    // drops 0 (no byte copies), so nonzero here is exactly the unified
+    // decision firing
+    val unifiedChecks =
+      if (!unifiedDedup) Nil
+      else {
+        val nDup = provDisk.filter($"disposition" === "duplicate").count()
+        Seq(("unified_dedup_is_live", (nDup > 0).toString, "true"))
+      }
     val checks = Seq(
       ("shard_files_eq_provenance_kept", shardFiles, shardProv),
       ("shard_files_eq_card_shard_section", shardFiles, shardCard),
@@ -779,8 +882,9 @@ object TrainingPipeline {
         s"${keptCard._1}/${keptCard._2}",
         s"${shardTotals._1}/${shardTotals._2}"),
       ("disk_audit_eq_recomputed_audit",
-        renderAudit(diskAudit), renderAudit(shardedAuditOf(tailCorpus)))) ++
-      decontamChecks
+        renderAudit(diskAudit),
+        renderAudit(shardedAuditOf(tailCorpus, unifiedDedup)))) ++
+      decontamChecks ++ unifiedChecks
     checks.toDF("check", "lhs", "rhs")
       .withColumn("pass", $"lhs" === $"rhs")
   }
@@ -826,7 +930,19 @@ object TrainingPipeline {
     * `spark.graft.pipeline.skewBound`/`capMode` in the session conf are
     * outside the oracle channel by construction. */
   private[graft] def pipelineStagesSqlMode(src: String,
-      capMode: String): String = {
+      capMode: String): String =
+    pipelineStagesSqlMode(src, capMode, unifiedDedup = false)
+
+  /** `unifiedDedup = true` swaps the stage-2 CTEs: instead of d01's
+    * md5-window rule, the UNIFIED decision is replayed over the GATED
+    * corpus — 3-gram shingles, the exact all-pairs scored set, BOTH emit
+    * rules (near-dup J ≥ 0.8 ∪ containment C ≥ 0.8 ∧ J < 0.6), the
+    * recursive-CTE connected components over the union graph, and d20's
+    * quality keeper (most tokens, tiebreak min id) — the d24Oracle
+    * chain applied inside the pipeline SQL. NOTE the enclosing WITH
+    * must then be declared RECURSIVE ([[p10Oracle]] is). */
+  private[graft] def pipelineStagesSqlMode(src: String,
+      capMode: String, unifiedDedup: Boolean): String = {
     // VERDICT-CARRYING chain (r15 verdict item 2): every stage keeps its
     // per-doc decision columns (gate_reason, rn/keeper_id, cap_draw/
     // capped_out) and the survivor CTEs FILTER them — so the p01/p02
@@ -879,6 +995,61 @@ object TrainingPipeline {
       case other => throw new IllegalArgumentException(
         s"capMode must be auto|window|threshold, got $other")
     }
+    val dedupCtes =
+      if (unifiedDedup)
+        s"""gtoks AS (
+           |  SELECT g.doc_id, string_split_regex(trim(d.text), '\\s+') AS tk
+           |  FROM gated g JOIN $src d USING (doc_id)),
+           |gsh AS (
+           |  SELECT DISTINCT doc_id,
+           |    CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+           |         ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+           |  FROM gtoks, UNNEST(range(1, GREATEST(len(tk) - 1, 2))) AS u(i)),
+           |gsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM gsh GROUP BY 1),
+           |gpairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+           |  FROM gsh a JOIN gsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |gscored AS (
+           |  SELECT id_a, id_b,
+           |    CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS j,
+           |    CAST(common AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS cmin
+           |  FROM gpairs
+           |    JOIN gsz sa ON sa.doc_id = id_a
+           |    JOIN gsz sb ON sb.doc_id = id_b),
+           |uedges0 AS (
+           |  SELECT id_a, id_b FROM gscored WHERE j >= 0.8
+           |  UNION ALL
+           |  SELECT id_a, id_b FROM gscored WHERE cmin >= 0.8 AND j < 0.6),
+           |uedges AS (SELECT id_a AS a, id_b AS b FROM uedges0
+           |           UNION ALL SELECT id_b, id_a FROM uedges0),
+           |unodes AS (SELECT DISTINCT a AS id FROM uedges),
+           |ureach(id, r) AS (
+           |  SELECT id, id FROM unodes
+           |  UNION
+           |  SELECT e.a, r.r FROM uedges e JOIN ureach r ON e.b = r.id),
+           |ucomp AS (SELECT id, MIN(r) AS root FROM ureach GROUP BY 1),
+           |umem AS (
+           |  SELECT ucomp.root, ucomp.id, g.n_tok
+           |  FROM ucomp JOIN gated g ON g.doc_id = ucomp.id),
+           |ukeep AS (
+           |  SELECT root, id AS keeper_id,
+           |    ROW_NUMBER() OVER (PARTITION BY root ORDER BY n_tok DESC, id) AS rn
+           |  FROM umem),
+           |udrop AS (
+           |  SELECT umem.id FROM umem
+           |    JOIN ukeep ON ukeep.root = umem.root AND ukeep.rn = 1
+           |  WHERE umem.id <> ukeep.keeper_id),
+           |deduped AS (
+           |  SELECT g.doc_id, g.n_tok, g.source, g.doc_md5
+           |  FROM gated g LEFT JOIN udrop u ON u.id = g.doc_id
+           |  WHERE u.id IS NULL)""".stripMargin
+      else
+        s"""dd AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_md5 ORDER BY doc_id) AS rn,
+           |    MIN(doc_id) OVER (PARTITION BY doc_md5) AS keeper_id
+           |  FROM gated),
+           |deduped AS (SELECT doc_id, n_tok, source, doc_md5 FROM dd WHERE rn = 1)""".stripMargin
     s"""rsn AS (
       |  SELECT b.doc_id, b.n_tok,
       |    CASE WHEN b.n_tok < 30 THEN 'too_short'
@@ -891,11 +1062,7 @@ object TrainingPipeline {
       |gated AS (
       |  SELECT k.doc_id, k.n_tok, d.source, md5(d.text) AS doc_md5
       |  FROM kept k JOIN $src d USING (doc_id)),
-      |dd AS (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_md5 ORDER BY doc_id) AS rn,
-      |    MIN(doc_id) OVER (PARTITION BY doc_md5) AS keeper_id
-      |  FROM gated),
-      |deduped AS (SELECT doc_id, n_tok, source, doc_md5 FROM dd WHERE rn = 1),
+      |$dedupCtes,
       |$capCtes,
       |capped AS (SELECT doc_id, n_tok, doc_md5 FROM capv WHERE NOT capped_out),
       |sh AS (
@@ -914,12 +1081,13 @@ object TrainingPipeline {
     pipelineTailSqlMode(src, if (thresholdCap) "threshold" else "window")
 
   private[graft] def pipelineTailSqlMode(src: String,
-      capMode: String): String =
-    s"""${pipelineStagesSqlMode(src, capMode)}
+      capMode: String, unifiedDedup: Boolean = false): String =
+    s"""${pipelineStagesSqlMode(src, capMode, unifiedDedup)}
       |SELECT shard, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
       |  CAST(SUM(doc_id * rank) AS BIGINT) AS order_checksum,
-      |  md5(string_agg(doc_md5, ',' ORDER BY order_key, doc_id)) AS corpus_md5
+      |  ${graft.functions.Fingerprint.xorFpSql(
+             "CAST(rank AS VARCHAR) || ':' || doc_md5")} AS corpus_fp
       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
 
   // p01 runs capMode=auto (the engine default), so its oracle replays
@@ -1018,10 +1186,12 @@ object TrainingPipeline {
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_chars").as("sum_chars"),
           sum(length($"text")).cast("long").as("sum_text_len"),
-          // post-agg transform: same pinned-safe shape as auditRollup
-          md5(array_join(transform(
-            array_sort(collect_list(struct($"doc_id", md5($"text").as("m")))),
-            x => x.getField("m")), ",")).as("corpus_md5"))
+          // the shared XOR fingerprint (position keyed by doc_id — the
+          // read-order key this audit sorts by): map-side combinable,
+          // no per-lang reducer ever holds the language's digest stream
+          graft.functions.Fingerprint.xorFp(
+            concat($"doc_id".cast("string"), lit(":"), md5($"text")))
+            .as("corpus_fp"))
         .orderBy($"lang")
         // the audit is 5 rows; materialize BEFORE the temp dir vanishes
         .localCheckpoint(true)
@@ -1030,10 +1200,11 @@ object TrainingPipeline {
   /** The audit computed from the parquet truth — equality proves the
     * jsonl write→read cycle preserved every value byte-for-byte. */
   val io01Oracle: String =
-    """SELECT lang, COUNT(*) AS n_docs,
+    s"""SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
-      |  md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS corpus_md5
+      |  ${graft.functions.Fingerprint.xorFpSql(
+           "CAST(doc_id AS VARCHAR) || ':' || md5(text)")} AS corpus_fp
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Training-sequence length for [[p04_sequence_pack]] — small enough
@@ -1334,8 +1505,72 @@ object TrainingPipeline {
       |FROM sp LEFT JOIN leak l USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** p10: the UNIFIED-DEDUP release pipeline — the composed p01 stages
+    * with stage 2 switched from d01's exact rule to d24's certified
+    * keep/drop ([[unifiedClusters]]: near-dup ∪ containment confirmed
+    * pairs → CC → quality keeper), run on the containment-chain fixture
+    * corpus (the corpus with real near-dup AND containment structure —
+    * plants inherit their original's `source`, so the anti-domination
+    * cap sees the same key space a crawl would). This closes the r19
+    * verdict's top gap: the engine's flagship release pipeline now
+    * SHIPS the unified decision — near-dup clusters and containment
+    * chains no longer survive into the shards. Output: the same
+    * 8-shard audit as p01, every stage (gate → unified dedup → cap →
+    * shard → fingerprint) replayed end-to-end in the oracle.
+    *
+    * Fixture discrimination (SURVEY §5 rule, measured in DuckDB before
+    * wiring — see the p10 probe note in COVERAGE.md): the unified stage
+    * drops strictly more docs than exact dedup on the same gated corpus
+    * (plants are near-dups/containments, not byte copies), and the
+    * quality keeper overrides min-id (containers out-token their
+    * contained docs), so the audit could not be green vacuously.
+    *
+    * Scale shape (100 TB posture): p01's four cool-keyed shuffles plus
+    * the two certified pair engines (banded LSH + guarded prefix ×
+    * index, longs-only shuffles), CC over confirmed-pair mass, one
+    * struct-max keeper aggregate, one doc_id anti-join. */
+  def p10_unified_pipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    auditRollup(shardedSurvivorsOf(
+      graft.dedup.DedupOps.withContainmentChain(s, d, carrySource = true),
+      unifiedDedup = true))
+  }
+
+  /** [[p10_unified_pipeline]] replayed: the chain-corpus CTEs (the
+    * d24Oracle fixture with `source` carried), the shared gate CTEs,
+    * then the unified stage-2 + cap/shard tail via
+    * [[pipelineStagesSqlMode]]'s `unifiedDedup` branch. */
+  val p10Oracle: String =
+    raw"""WITH RECURSIVE chainbase AS (SELECT doc_id, text, source FROM documents),
+      |cbig AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n0,
+      |    text || ' ' || array_to_string(list_transform(
+      |      range(1, 2 * len(string_split_regex(trim(text), '\s+')) + 1),
+      |      j -> 'c' || doc_id || 'x' || j), ' ') AS btext
+      |  FROM chainbase WHERE doc_id % 13 = 0),
+      |chain_docs AS (
+      |  SELECT doc_id, text, source FROM chainbase
+      |  UNION ALL
+      |  SELECT doc_id + 200000, btext, source FROM cbig
+      |  UNION ALL
+      |  SELECT doc_id + 300000,
+      |    text || ' ' || array_to_string(list_transform(
+      |      range(1, len(string_split_regex(trim(text), '\s+')) // 5 + 1),
+      |      j -> 'n' || doc_id || 'x' || j), ' '), source
+      |  FROM chainbase WHERE doc_id % 29 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 400000,
+      |    btext || ' ' || array_to_string(list_transform(
+      |      range(1, 3 * n0 + 1),
+      |      j -> 'm' || doc_id || 'x' || j), ' '), source
+      |  FROM cbig),
+      |${graft.text.TextOps.gateSignalsSqlCtesFrom("chain_docs")},
+      |${pipelineTailSqlMode("chain_docs", "auto", unifiedDedup = true)}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_pipeline" -> (p01_training_pipeline _),
+    "p10_unified_pipeline" -> (p10_unified_pipeline _),
     "p01b_threshold_cap" -> (p01b_threshold_cap _),
     "p02_warc_training_pipeline" -> (p02_warc_training_pipeline _),
     "p04_sequence_pack" -> (p04_sequence_pack _),
@@ -1348,6 +1583,7 @@ object TrainingPipeline {
 
   val oracle: Map[String, String] = Map(
     "p01_training_pipeline" -> p01Oracle,
+    "p10_unified_pipeline" -> p10Oracle,
     "p01b_threshold_cap" -> p01bOracle,
     "p02_warc_training_pipeline" -> p02Oracle,
     "p04_sequence_pack" -> p04Oracle,

@@ -93,16 +93,16 @@ class DecontamApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       roundTrip(StreamingOps.st11FixtureBench(sp, sf), "p09")))
     assert(got == expected, s"p09 API diverges: got=${got.take(2)}")
     // the decontamination stage BINDS: the shipped BYTES differ from
-    // p01's (per-shard corpus_md5 — NOT the doc totals, which p01's
+    // p01's (per-shard corpus_fp — NOT the doc totals, which p01's
     // per-source cap backfills: dropping a flagged doc lets another
     // take its slot, so totals coincide at this SF while 5 of 8 shard
-    // md5s differ, measured in DuckDB before this pin)
+    // fingerprints differ, measured in DuckDB before this pin)
     val p01Audit = graft.pipeline.TrainingPipeline
       .p01_training_pipeline(sp, sf).collect()
-      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("corpus_md5")).toMap
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("corpus_fp")).toMap
     val p09Audit = graft.pipeline.TrainingPipeline
       .p09_decontaminated_pipeline(sp, sf).collect()
-      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("corpus_md5")).toMap
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("corpus_fp")).toMap
     val differing = p01Audit.keySet.count(k => p01Audit(k) != p09Audit(k))
     assert(differing > 0, "p09 shipped byte-identical shards to p01 — the anti-join is vacuous")
   }
@@ -167,10 +167,10 @@ class DecontamApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // kept by p01, so p09Against's shard bytes must diverge
     val p01Audit = graft.pipeline.TrainingPipeline
       .p01_training_pipeline(sp, sf).collect()
-      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("corpus_md5")).toMap
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("corpus_fp")).toMap
     val p09Ext = graft.pipeline.TrainingPipeline.p09Against(sp, docs, bench)
       .collect()
-      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("corpus_md5")).toMap
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("corpus_fp")).toMap
     assert(p01Audit.keySet.exists(k => p01Audit(k) != p09Ext(k)),
       "dropping a kept doc left every shard byte-identical to p01")
   }

@@ -59,6 +59,27 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 45L)
   }
 
+  test("pair-cache: LRU of 2 — a third corpus evicts the first and releases its checkpoint blocks") {
+    val sp = spark
+    import sp.implicits._
+    import graft.dedup.PairCache
+    val cache = new PairCache(2)
+    def frame(i: Int) =
+      Seq((i.toLong, i.toLong)).toDF("id_a", "id_b").localCheckpoint(true)
+    val a = cache.getOrBuild("corpusA")(frame(1))
+    val b = cache.getOrBuild("corpusB")(frame(2))
+    assert(cache.size == 2 && !PairCache.isReleased(a))
+    val c = cache.getOrBuild("corpusC")(frame(3))
+    assert(cache.size == 2)
+    assert(PairCache.isReleased(a),
+      "evicted corpus's checkpoint blocks were not released")
+    assert(!PairCache.isReleased(b) && !PairCache.isReleased(c))
+    // LRU, not FIFO: touching B makes C the eviction victim of D
+    cache.getOrBuild("corpusB")(sys.error("must be served from cache"))
+    cache.getOrBuild("corpusD")(frame(4))
+    assert(PairCache.isReleased(c) && !PairCache.isReleased(b))
+  }
+
   test("d03 golden pin at sf0.001: banding + hamming verify is deterministic") {
     // d03 is oracle-checked at the gate since the md5-derived shingle
     // hash (r5 stretch item); this pin keeps the sf0.001 counts fixed so

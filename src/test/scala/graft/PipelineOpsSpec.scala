@@ -34,7 +34,9 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 8)
     assert(out.map(_.getAs[Long]("shard")).toSeq == (0L until 8L))
     assert(out.forall(_.getAs[Long]("n_docs") > 0))
-    assert(out.forall(_.getAs[String]("corpus_md5").length == 32))
+    // corpus_fp: the shared 62-bit XOR fingerprint — nonneg by construction
+    assert(out.forall { r =>
+      val fp = r.getAs[Long]("corpus_fp"); fp >= 0L && fp < (1L << 62) })
     val total = out.map(_.getAs[Long]("n_docs")).sum
     // EXACT stage identity: total == Σ_source min(post-dedup survivors,
     // DomainCap) — recomputed independently from the public gate query
@@ -132,6 +134,48 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("fingerprint device: engine fp62+xorFp matches the DuckDB-verified golden") {
+    val sp = spark
+    import sp.implicits._
+    // the exact fixture probed in DuckDB before wiring (see Fingerprint
+    // scaladoc): keys "1:hello world","2:foo bar","3:xyz" XOR to this
+    val fp = Seq((1L, "hello world"), (2L, "foo bar"), (3L, "xyz"))
+      .toDF("rank", "m")
+      .agg(graft.functions.Fingerprint.xorFp(
+        concat($"rank".cast("string"), lit(":"), $"m")))
+      .collect()(0).getLong(0)
+    assert(fp == 355585489640861541L, s"fp drifted: $fp")
+  }
+
+  test("p10: unified stage binds — drops dup mass exact dedup misses; quality keeper overrides min-id") {
+    val sp = spark
+    import sp.implicits._
+    val chain = graft.dedup.DedupOps.withContainmentChain(spark, sf,
+      carrySource = true)
+    // the unified audit must diverge from the exact-dedup audit of the
+    // SAME chain corpus (exact drops 0 here — no byte copies — so equal
+    // fingerprints would mean the composed stage is dead)
+    val uniFps = graft.pipeline.TrainingPipeline
+      .p10_unified_pipeline(spark, sf).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("corpus_fp")).toMap
+    val exactFps = graft.pipeline.TrainingPipeline.shardedAuditOf(chain)
+      .collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("corpus_fp")).toMap
+    assert(uniFps.keySet == exactFps.keySet)
+    assert(uniFps.keySet.exists(k => uniFps(k) != exactFps(k)),
+      "unified pipeline shipped byte-identical shards to exact dedup")
+    // per-doc provenance under the unified discipline: duplicates exist,
+    // and at least one dropped doc has an id BELOW its keeper's — the
+    // quality rule (most tokens) overrode the min-id rule
+    val prov = graft.pipeline.TrainingPipeline
+      .provenanceOf(chain, unifiedDedup = true).collect()
+    val dups = prov.filter(_.getAs[String]("disposition") == "duplicate")
+    assert(dups.nonEmpty, "unified stage dropped nothing")
+    assert(dups.exists(r =>
+      r.getAs[Long]("doc_id") < r.getAs[Long]("keeper_id")),
+      "keeper always the min id — quality rule degenerated into d16")
+  }
+
   test("io01: jsonl round-trip audit equals the audit of the in-memory truth") {
     val sp = spark
     import sp.implicits._
@@ -142,9 +186,9 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").as("sum_chars"),
         sum(length($"text")).cast("long").as("sum_text_len"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct($"doc_id", md5($"text").as("m")))),
-          x => x.getField("m")), ",")).as("corpus_md5"))
+        graft.functions.Fingerprint.xorFp(
+          concat($"doc_id".cast("string"), lit(":"), md5($"text")))
+          .as("corpus_fp"))
       .orderBy($"lang")
       .collect().map(_.toString).toSeq
     assert(viaJson == direct)

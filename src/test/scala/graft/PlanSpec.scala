@@ -645,6 +645,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"(retire their entries): ${stale.toSeq.sorted}")
   }
 
+  test("d22 candidates: every window is doc_id-partitioned — hot-star rep rides a broadcast join") {
+    requireTable("documents")
+    // r19 verdict item 2: the hot-posting representative used to be
+    // min().over(Window.partitionBy(h)) — ONE task materializing the
+    // whole hot posting at flood scale. The rep now comes out of the df
+    // aggregate and joins back via broadcast; the only window left in
+    // the candidate phase is the per-doc rarity ranking.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val pre = graft.dedup.DedupOps.withContainmentPlants(spark, sf)
+      .select(col("doc_id"),
+        graft.dedup.DedupOps.hashShinglesU(col("text")).as("hs"))
+    val cand = graft.dedup.DedupOps.containmentCandidates(pre)
+    val windows = cand.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the per-doc rarity ranking window")
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+      assert(keys == Set("doc_id"),
+        s"window partitioned on $keys — a shingle/band-keyed window is the " +
+          "single-task hot-key shape the guard exists to prevent")
+    }
+    assert(physical(cand).contains("BroadcastHashJoin"),
+      "hot-star rep join must broadcast the tiny hot-rep table")
+  }
+
+  test("p01 audit: fingerprint folds with map-side partials — no collect_list reducer") {
+    requireTable("documents")
+    // r19 verdict item 3: the constant-fan collect_list fingerprint held
+    // O(N/8) structs per reducer; the shared XOR fold must aggregate
+    // with partials so no task's fingerprint state grows with the corpus
+    val plan = physical(
+      graft.pipeline.TrainingPipeline.p01_training_pipeline(spark, sf))
+    assert(!plan.contains("collect_list"),
+      "audit regressed to the corpus-holding collect_list fold")
+    assert(plan.contains("partial_bit_xor"),
+      "expected a partial bit_xor aggregate below the shard exchange")
+  }
+
   test("p06: decontaminated split — equi-joins only on top of d02's guarded pass") {
     requireTable("documents")
     // the guard composes d02's certified near-dup machinery with split

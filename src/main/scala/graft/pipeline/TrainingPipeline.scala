@@ -14,7 +14,7 @@ import graft.analytics.Tables
   * quality gate (t07's exact rule) → exact dedup (d01's keeper rule) →
   * per-domain cap (the Gopher/FineWeb anti-domination stage) → the
   * reproducible shard layout (t15's device) — and emits a per-shard
-  * audit row whose `corpus_md5` fingerprints the exact BYTES that
+  * audit row whose `corpus_fp` fingerprints the exact BYTES that
   * survived, in the exact order a trainer would read them. Every stage
   * is SQL-expressible, so the whole composition is oracle-checked
   * end-to-end: this is the strongest single correctness statement in the
@@ -290,7 +290,7 @@ object TrainingPipeline {
   }
 
   /** p01: the composed pipeline. Output: one audit row per shard —
-    * (shard, n_docs, n_tokens, order_checksum, corpus_md5).
+    * (shard, n_docs, n_tokens, order_checksum, corpus_fp).
     *
     * Scale shape (100 TB posture): four shuffles, each on a key chosen
     * to stay cool — the gate's per-doc 3-gram count (keys = doc ids,
@@ -666,7 +666,7 @@ object TrainingPipeline {
     * `shard=N/` directory per shard (Hive layout, so a reader can
     * partition-prune to any shard subset), rows sorted by
     * (order_key, doc_id) WITHIN each shard's files so a file-order read
-    * replays the exact sequence `p01_training_pipeline`'s `corpus_md5`
+    * replays the exact sequence `p01_training_pipeline`'s `corpus_fp`
     * fingerprints, and `maxRecordsPerFile` bounds file size the same
     * way the warehouse sink does (Pipeline K3 discipline).
     *
@@ -731,7 +731,7 @@ object TrainingPipeline {
     *     == input count, provenance row count == input count);
     *   - the card's kept mass == Σ shard-file masses;
     *   - the from-disk shard audit == the recomputed logical pipeline
-    *     audit (corpus_md5 included — write round-trip is lossless).
+    *     audit (corpus_fp included — write round-trip is lossless).
     * Output: one row per check (check, lhs, rhs, pass) — the release
     * gate is `every row pass`; nothing is raised here so a drill report
     * can show WHICH seam broke (the Dev subcommand and the spec both
@@ -905,7 +905,7 @@ object TrainingPipeline {
     * [[graft.text.TextOps.gateSignalsSqlCtes]], the ONE SQL definition
     * of the gate signals (r10 review: this oracle used to hand-copy the
     * base/tk/g/c/rep chain, and a drift between the copies would
-    * surface only as an opaque corpus_md5 mismatch) — then three window
+    * surface only as an opaque corpus_fp mismatch) — then three window
     * stages, then the per-shard rollup with an ordered string_agg for
     * the corpus fingerprint. */
   /** The post-gate pipeline stages in SQL (dedup → cap → shard →
@@ -1220,7 +1220,7 @@ object TrainingPipeline {
     * input is what p01 actually SHIPS — the gate→dedup→cap survivors —
     * and the packing unit is the training SHARD, so the sequences a
     * trainer mounts are packed in the exact order the shard layout's
-    * `corpus_md5` fingerprints. Fill fixed-length training sequences
+    * `corpus_fp` fingerprints. Fill fixed-length training sequences
     * ("bins" of [[PackCtx]] tokens) from the pipeline's survivors, in
     * the SAME deterministic (order_key, doc_id) order the shard layout
     * fixes, greedy sequential fill (a doc that no longer fits closes

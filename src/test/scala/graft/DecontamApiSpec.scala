@@ -107,6 +107,42 @@ class DecontamApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(differing > 0, "p09 shipped byte-identical shards to p01 — the anti-join is vacuous")
   }
 
+  test("committed external-benchmark FILE: d15Against flags the non-%97 items; p09Against ships diverging shards") {
+    val sp = spark
+    import sp.implicits._
+    // the real deployment shape (r19 verdict item 5): a STATIC benchmark
+    // file committed under test resources — 12 verbatim-excerpt items
+    // (tokens 6..len-5 of >=40-token sf0.001 docs), 10 from OUTSIDE the
+    // %97 fixture family plus 2 inside it, generated once and checked in
+    val path = getClass.getResource("/external_benchmark.parquet").getPath
+    val bench = sp.read.parquet(path)
+    assert(bench.count() == 12)
+    val docs = graft.analytics.Tables.documents(sp, sf)
+      .select($"doc_id", $"text", $"source")
+    val flagged = Contamination.d15FlaggedIds(
+        docs.select($"doc_id", $"text"), bench.select($"text"))
+      .as[Long].collect().toSet
+    val plantedNon97 = Set(3L, 10L, 17L, 24L, 31L, 38L, 52L, 59L, 80L, 87L)
+    assert(plantedNon97.subsetOf(flagged),
+      s"static fixture stopped flagging its own excerpted docs: missing " +
+        s"${plantedNon97 -- flagged}")
+    assert(flagged.exists(_ % 97 == 0),
+      "the in-family items stopped flagging")
+    val agg = Contamination.d15Against(sp,
+      docs.select($"doc_id", $"text"), bench.select($"text")).collect()(0)
+    assert(agg.getAs[Long]("n_flagged") >= 12)
+    // the composed pipeline consumes the FILE: shard bytes diverge
+    // from p01's (some-shard rule — cap backfill can equalize totals)
+    val p01Audit = graft.pipeline.TrainingPipeline
+      .p01_training_pipeline(sp, sf).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("corpus_fp")).toMap
+    val p09Ext = graft.pipeline.TrainingPipeline
+      .p09Against(sp, docs, bench.select($"text")).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("corpus_fp")).toMap
+    assert(p01Audit.keySet.exists(k => p01Audit(k) != p09Ext(k)),
+      "dropping the file-flagged docs left every shard byte-identical to p01")
+  }
+
   test("st11 collect cap raises loudly with the conf named, never OOMs") {
     val sp = spark
     import sp.implicits._

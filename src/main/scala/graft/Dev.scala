@@ -234,6 +234,17 @@ object Dev {
     // property with margin: worst per-doc all-stopword 3-gram fraction
     // strictly below 0.5. Lambda-free (posexplode + doc-keyed window —
     // no HOF of the stopCount-comment hazard family), one-off gen cost.
+    // the 3-gram window below silently skips docs with < 3 tokens, and a
+    // 1-2-token all-stopword doc is replica-identical too (r20 review):
+    // assert the corpus token floor the dedup plant arithmetic also
+    // relies on (withContainmentPlants: "corpus token floor is 10, so
+    // size/5 >= 2") instead of hoping it
+    val minTok = docs
+      .agg(min(size(split(trim(col("text")), "\\s+"))))
+      .head.getInt(0)
+    require(minTok >= 10,
+      s"gen-sf: corpus has a $minTok-token doc — below the 10-token floor " +
+        "the disjointness check and the containment plant arithmetic assume")
     val tokRows = docs.select(col("doc_id"),
       posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
       .withColumn("stop",
@@ -789,6 +800,14 @@ object Dev {
           graft.pipeline.TrainingPipeline.AuditCols.length,
           s"[release-drill] $what audit row '$audit' has ${fields.length} " +
             s"fields, expected ${graft.pipeline.TrainingPipeline.AuditCols}")
+        // format staleness guard (r20 review): a pre-r20 baseline carries
+        // 32-hex corpus_md5 strings in this slot — against the new
+        // decimal-long fingerprints the divergence check would pass
+        // VACUOUSLY (overlap 0 whatever the bytes). Refuse it loudly.
+        require(fields(fpIdx).matches("-?\\d+"),
+          s"[release-drill] $what audit field '${fields(fpIdx)}' is not a " +
+            "decimal corpus_fp — a pre-fingerprint-format baseline; " +
+            "regenerate the baseline with this build")
         fields(fpIdx)
       }.toSet
   }
@@ -926,22 +945,8 @@ object Dev {
             overlap < drillFps(base, baseWhat).size)
       factorChecks :+ fpCheck
     }
-    val allRows = rows.toSeq ++ baselineChecks
-    val allPass = allRows.forall(_._4)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.createObjectNode()
-    root.put("surface", s"warc:$dir")
-    root.put("decontaminated", decontam)
-    root.put("all_pass", allPass)
-    val arr = root.putArray("checks")
-    allRows.foreach { case (c, l, r, p) =>
-      val o = arr.addObject()
-      o.put("check", c); o.put("lhs", l); o.put("rhs", r); o.put("pass", p)
-    }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")
-    allRows.foreach(r => println(s"[release-drill] ${r._1} pass=${r._4}"))
-    println(s"[release-drill] wrote $outPath all_pass=$allPass")
+    val allPass = writeDrillArtifact(outPath, s"warc:$dir", decontam,
+      rows.toSeq ++ baselineChecks)
     require(allPass, s"release drill reconciliation failed — see $outPath")
   }
 

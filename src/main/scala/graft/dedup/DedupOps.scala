@@ -694,14 +694,20 @@ object DedupOps {
       .select(least(col("id_p"), col("id_i")).as("id_a"),
         greatest(col("id_p"), col("id_i")).as("id_b"))
     ensureGuardListener(pre.sparkSession)
-    // hot postings: the hot-rep table is tiny (shingles with df > cap —
-    // a handful even under a boilerplate flood), so BROADCAST it onto
-    // the index; no row of the hot posting ever moves to a single task,
-    // the star link is a map-side join + filter.
+    // hot postings: plain equi-join of the index against the hot-rep
+    // table (shingles with df > cap; ≤ total shingle rows / cap entries
+    // by construction). No hint on purpose: Spark broadcasts it when
+    // it is actually small (the common case — a handful of flood
+    // templates) and falls back to a shuffle join with AQE skew-split
+    // when a pathological corpus makes it large — the same
+    // distributed-either-way shape [[guardedBucketPairs]]' size join
+    // certifies under skew01. A forced broadcast() would be a driver
+    // cliff on many-template floods; the r19 window shape was a
+    // single-task cliff on ONE-template floods (r20 review + verdict).
     // rep = min(doc_id) ⇒ rep < member, so (id_a, id_b) stays ordered
     val hotStar = idx.join(
-        broadcast(dfh.filter(col("df") > cap)
-          .select(col("h"), col("df"), col("rep"))), "h")
+        dfh.filter(col("df") > cap).select(col("h"), col("df"), col("rep")),
+        "h")
       .filter(col("doc_id") =!= col("rep"))
       .observe(s"graft_bucket_guard_d22_${guardObsId.incrementAndGet()}",
         count(lit(1)).as("n_star_members"), max(col("df")).as("max_bucket"))

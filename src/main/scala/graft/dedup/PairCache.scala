@@ -11,18 +11,25 @@ import org.apache.spark.sql.DataFrame
   * base and a scaled dir); an evicted entry's checkpoint blocks are
   * released EAGERLY (not left to GC + ContextCleaner).
   *
-  * Contract: an evicted DataFrame is DEAD — its lineage was truncated
+  * Contract: a RELEASED DataFrame is DEAD — its lineage was truncated
   * by the checkpoint, so after release it can neither be read nor
-  * recomputed. Callers must not hold a returned frame across a corpus
-  * swap that could evict it; every caller in this repo consumes the
+  * recomputed. Release is therefore DEFERRED by one eviction
+  * generation: an evictee's blocks are freed only when the NEXT
+  * eviction happens (one full corpus-build later — far outside any
+  * in-flight query over the evicted frame; the r20 review's hazard was
+  * immediate release killing a query that was still running over a
+  * just-evicted corpus). Callers must still not hold a returned frame
+  * across TWO corpus swaps; every caller in this repo consumes the
   * frame within the building query's own execution. */
 private[graft] final class PairCache(capacity: Int = 2) {
   private val map =
     new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true)
+  private var pendingRelease: Option[DataFrame] = None
 
   /** LRU get-or-build. The build runs under the lock — same blocking
     * discipline as the `computeIfAbsent` it replaces (two threads must
-    * not build the same expensive artifact concurrently). */
+    * not build the same expensive artifact concurrently; the callers
+    * here are sequential bench/verify/cert loops). */
   def getOrBuild(key: String)(build: => DataFrame): DataFrame = synchronized {
     val hit = map.get(key)
     if (hit != null) hit
@@ -33,7 +40,8 @@ private[graft] final class PairCache(capacity: Int = 2) {
         val it = map.entrySet().iterator()
         val evicted = it.next()
         it.remove()
-        PairCache.release(evicted.getValue)
+        pendingRelease.foreach(PairCache.release)
+        pendingRelease = Some(evicted.getValue)
       }
       df
     }

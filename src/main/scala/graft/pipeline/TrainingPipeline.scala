@@ -55,8 +55,10 @@ object TrainingPipeline {
     * stream ADMITS rows, then this tail runs batch-side on the
     * accumulated corpus — one implementation, no drift). */
   private[graft] def shardedAuditOf(docs: DataFrame,
-      unifiedDedup: Boolean = false): DataFrame =
-    auditRollup(shardedSurvivorsOf(docs, unifiedDedup = unifiedDedup))
+      unifiedDedup: Boolean = false,
+      unifiedPre: Option[DataFrame] = None): DataFrame =
+    auditRollup(shardedSurvivorsOf(docs, unifiedDedup = unifiedDedup,
+      unifiedPre = unifiedPre))
 
   /** Stage-3 discipline resolution (r14 verdict item 6 — the hatch used
     * to require the CALLER to know their corpus was skewed; now the
@@ -188,25 +190,36 @@ object TrainingPipeline {
       .localCheckpoint(true)
   }
 
-  private def shardedSurvivorsOf(docs: DataFrame,
-      thresholdCap: Option[Boolean] = None,
-      unifiedDedup: Boolean = false): DataFrame = {
+  /** Stage 1 + the gated frame — t07's gate, bit-for-bit (same signal
+    * frame the gate and the t13 classifier train on), via the shared
+    * verdict column; text/source rejoin on doc_id (the gate's gram
+    * aggregation cannot carry the text through); co-partitioned
+    * equi-join, no skew. ONE definition so [[releaseDrillImpl]] can
+    * precompute [[unifiedClusters]] on the same frame the survivor and
+    * provenance paths gate on. */
+  private[graft] def gatedOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val useThreshold = thresholdCap.getOrElse(resolveThresholdCap(docs))
-    // Stage 1 — t07's gate, bit-for-bit (same signal frame the gate and
-    // the t13 classifier train on), via the shared verdict column
-    val kept = graft.text.TextOps.gateSignalsOf(docs.select($"doc_id", $"text"))
+    graft.text.TextOps.gateSignalsOf(docs.select($"doc_id", $"text"))
       .filter(gateReasonCol === "none")
       .select($"doc_id", $"n_tok")
-    // text/source rejoin on doc_id (the gate's gram aggregation cannot
-    // carry the text through); co-partitioned equi-join, no skew
-    val gated = kept.join(docs, "doc_id")
+      .join(docs, "doc_id")
       .withColumn("doc_md5", md5($"text"))
+  }
+
+  private def shardedSurvivorsOf(docs: DataFrame,
+      thresholdCap: Option[Boolean] = None,
+      unifiedDedup: Boolean = false,
+      unifiedPre: Option[DataFrame] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val useThreshold = thresholdCap.getOrElse(resolveThresholdCap(docs))
+    val gated = gatedOf(docs)
     // Stage 2 — keep/drop: exact dedup (d01's keeper rule: min doc_id
-    // per digest) or the UNIFIED decision ([[unifiedClusters]]) — one
-    // anti-join against the bounded drop set either way
+    // per digest) or the UNIFIED decision ([[unifiedClusters]], or a
+    // caller-precomputed copy — the drill runs three pipeline surfaces
+    // over one corpus and must not pay the pair engines three times) —
+    // one anti-join against the bounded drop set either way
     val deduped = if (unifiedDedup) {
-      val dropIds = unifiedClusters(gated)
+      val dropIds = unifiedPre.getOrElse(unifiedClusters(gated))
         .filter($"doc_id" =!= $"keeper_id").select($"doc_id")
       gated.join(dropIds, Seq("doc_id"), "left_anti")
     } else {
@@ -373,7 +386,8 @@ object TrainingPipeline {
   private[graft] def provenanceOf(docs: DataFrame,
       thresholdCap: Option[Boolean] = None,
       withTok: Boolean = false,
-      unifiedDedup: Boolean = false): DataFrame = {
+      unifiedDedup: Boolean = false,
+      unifiedPre: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val useThreshold = thresholdCap.getOrElse(resolveThresholdCap(docs))
     val rsn = graft.text.TextOps.gateSignalsOf(docs.select($"doc_id", $"text"))
@@ -387,7 +401,7 @@ object TrainingPipeline {
     // ([[unifiedClusters]] — keeper_id is the component's quality
     // keeper, rn = 2 marks the dropped members)
     val dd = if (unifiedDedup) {
-      val clusters = unifiedClusters(gated)
+      val clusters = unifiedPre.getOrElse(unifiedClusters(gated))
         .withColumnRenamed("keeper_id", "u_keeper")
       gated.join(clusters, Seq("doc_id"), "left")
         .withColumn("keeper_id", coalesce($"u_keeper", $"doc_id"))
@@ -689,10 +703,12 @@ object TrainingPipeline {
     * surface. */
   private[graft] def materializeShardsOf(docs: DataFrame, outDir: String,
       maxRecordsPerFile: Long = 50000L,
-      unifiedDedup: Boolean = false): DataFrame = {
+      unifiedDedup: Boolean = false,
+      unifiedPre: Option[DataFrame] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    shardedSurvivorsOf(docs, unifiedDedup = unifiedDedup)
+    shardedSurvivorsOf(docs, unifiedDedup = unifiedDedup,
+      unifiedPre = unifiedPre)
       .select($"shard", $"order_key", $"doc_id", $"n_tok", $"doc_md5", $"text")
       .repartition($"shard")
       .sortWithinPartitions($"shard", $"order_key", $"doc_id")
@@ -790,14 +806,20 @@ object TrainingPipeline {
       case Some(f) => core.join(f, Seq("doc_id"), "left_anti")
       case None => core
     }
+    // the unified decision is computed ONCE per drill (r20 review: the
+    // shard, provenance, and recomputed-audit surfaces each ran the
+    // pair engines + CC on the same gated corpus — the drill's dominant
+    // cost, tripled); unifiedClusters is already eagerly checkpointed
+    val uniPre =
+      if (unifiedDedup) Some(unifiedClusters(gatedOf(tailCorpus))) else None
     // (1) shards — returned frame is the from-disk audit already
     val diskAudit = materializeShardsOf(tailCorpus, s"$outDir/shards",
-      maxRecordsPerFile, unifiedDedup = unifiedDedup)
+      maxRecordsPerFile, unifiedDedup = unifiedDedup, unifiedPre = uniPre)
     // (2) provenance, widened with n_tok (+ lang when present);
     // contaminated docs appear with their own disposition, tail fields
     // sentinel-(-1) like every other pre-tail drop
     val provTail = provenanceOf(tailCorpus, withTok = true,
-      unifiedDedup = unifiedDedup)
+      unifiedDedup = unifiedDedup, unifiedPre = uniPre)
     val prov = flagged match {
       case Some(f) =>
         val contaminated = core.join(f, "doc_id")
@@ -883,7 +905,7 @@ object TrainingPipeline {
         s"${shardTotals._1}/${shardTotals._2}"),
       ("disk_audit_eq_recomputed_audit",
         renderAudit(diskAudit),
-        renderAudit(shardedAuditOf(tailCorpus, unifiedDedup)))) ++
+        renderAudit(shardedAuditOf(tailCorpus, unifiedDedup, uniPre)))) ++
       decontamChecks ++ unifiedChecks
     checks.toDF("check", "lhs", "rhs")
       .withColumn("pass", $"lhs" === $"rhs")

@@ -70,14 +70,19 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = cache.getOrBuild("corpusB")(frame(2))
     assert(cache.size == 2 && !PairCache.isReleased(a))
     val c = cache.getOrBuild("corpusC")(frame(3))
+    // A is evicted but its release is DEFERRED one generation (an
+    // in-flight query over a just-evicted frame must not die)
     assert(cache.size == 2)
-    assert(PairCache.isReleased(a),
-      "evicted corpus's checkpoint blocks were not released")
-    assert(!PairCache.isReleased(b) && !PairCache.isReleased(c))
-    // LRU, not FIFO: touching B makes C the eviction victim of D
+    assert(!PairCache.isReleased(a), "release must defer one generation")
+    // LRU, not FIFO: touching B makes C the eviction victim of D —
+    // and D's eviction releases the PENDING evictee A
     cache.getOrBuild("corpusB")(sys.error("must be served from cache"))
     cache.getOrBuild("corpusD")(frame(4))
-    assert(PairCache.isReleased(c) && !PairCache.isReleased(b))
+    assert(PairCache.isReleased(a),
+      "first evictee's checkpoint blocks were not released after the " +
+        "next eviction generation")
+    assert(!PairCache.isReleased(b) && !PairCache.isReleased(c),
+      "live entry or grace-period evictee was released early")
   }
 
   test("d03 golden pin at sf0.001: banding + hamming verify is deterministic") {

@@ -1551,11 +1551,24 @@ object TrainingPipeline {
     * the two certified pair engines (banded LSH + guarded prefix ×
     * index, longs-only shuffles), CC over confirmed-pair mass, one
     * struct-max keeper aggregate, one doc_id anti-join. */
+  /** p10's session-scoped cluster artifact — the [[unifiedClusters]]
+    * decision on the gated chain corpus is a pure function of the
+    * corpus dir, bounded by duplicate mass, and by far p10's dominant
+    * cost; built once per (session, corpus) and reused across runs
+    * (the d24 pair-registry precedent, same bounded [[graft.dedup.PairCache]]
+    * and same regenerate-requires-restart constraint). */
+  private val p10ClustersRegistry = new graft.dedup.PairCache()
+  private def ensureP10Clusters(s: SparkSession, d: String): DataFrame =
+    p10ClustersRegistry.getOrBuild(s.sparkContext.applicationId + ":" + d)(
+      unifiedClusters(gatedOf(
+        graft.dedup.DedupOps.withContainmentChain(s, d, carrySource = true))))
+
   def p10_unified_pipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     auditRollup(shardedSurvivorsOf(
       graft.dedup.DedupOps.withContainmentChain(s, d, carrySource = true),
-      unifiedDedup = true))
+      unifiedDedup = true,
+      unifiedPre = Some(ensureP10Clusters(s, d))))
   }
 
   /** [[p10_unified_pipeline]] replayed: the chain-corpus CTEs (the

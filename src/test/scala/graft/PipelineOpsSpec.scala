@@ -176,6 +176,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "keeper always the min id — quality rule degenerated into d16")
   }
 
+  test("unified keeper tie semantics: equal token counts break to the MIN id, input-order independent") {
+    val sp = spark
+    import sp.implicits._
+    // three byte-distinct near-dups with EQUAL token counts (40 shared
+    // tokens + one distinct tail token: 38 of 39 shingles shared,
+    // J = 38/40 = 0.95 >= 0.8) — the tie case where a refactor to
+    // max_by(doc_id, n_tok) would pick an input-order-dependent keeper
+    // while the struct-max rule must break to the min id (r19 verdict
+    // item 7's named candidate: keeper tie semantics at scale)
+    val base = (1 to 40).map(j => s"w$j").mkString(" ")
+    def corpus(ids: Seq[Long]) = ids.zip(Seq("xa", "xb", "xc"))
+      .map { case (id, t) => (id, s"$base $t") }
+      .toDF("doc_id", "text")
+      .withColumn("n_tok",
+        size(split(trim($"text"), "\\s+")).cast("long"))
+    val c1 = graft.pipeline.TrainingPipeline.unifiedClusters(corpus(Seq(5L, 6L, 7L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c1.keySet == Set(5L, 6L, 7L), s"expected one 3-doc cluster: $c1")
+    assert(c1.values.toSet == Set(5L), s"tie must break to min id: $c1")
+    // input-order independence: reversed ids over a shuffled frame
+    val shuffled = corpus(Seq(7L, 6L, 5L)).repartition(3)
+    val c2 = graft.pipeline.TrainingPipeline.unifiedClusters(shuffled)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == c1, s"keeper depends on input order: $c2 vs $c1")
+  }
+
   test("io01: jsonl round-trip audit equals the audit of the in-memory truth") {
     val sp = spark
     import sp.implicits._

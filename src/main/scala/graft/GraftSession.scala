@@ -20,19 +20,38 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Extra session confs from `SPARK_GRAFT_EXTRA_CONF` ("k=v;k=v").
+    * Two consumers: cluster deployments override scale-dependent knobs
+    * (advisory partition size, broadcast thresholds) without a rebuild,
+    * and optimization A/B runs flip one conf per run with everything
+    * else held fixed. Applied LAST so they win over the baked defaults. */
+  private def extraConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+
   def builder(appName: String): SparkSession.Builder =
-    SparkSession.builder()
+    extraConf.foldLeft(SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE inside cached-plan compilation (off by default): every
+      // `withCache`d frame otherwise materializes at the pre-AQE
+      // shuffle partition count, so each of its consumers launches that
+      // many tasks per scan regardless of data size. With this on, the
+      // cache keeps AQE's coalesced partitioning — scale-adaptive in
+      // both directions (tiny corpora coalesce to a few partitions,
+      // 100 TB corpora keep advisory-sized ones). Guide §2.2/§2.4.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    ) { case (b, (k, v)) => b.config(k, v) }
 
   def get(appName: String): SparkSession = {
     val s = builder(appName).getOrCreate()

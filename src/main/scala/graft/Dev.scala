@@ -91,14 +91,152 @@ object Dev {
       java.nio.file.Files.createDirectories(outDir)
       val suffix = args(2)
       val qnames = args(3).split(",").map(_.trim).filter(_.nonEmpty)
+      // eager (checkpointing) operators plan-capture as a bare
+      // LogicalRDD scan; these lazy twins expose the composed plan
+      // (the PlanSpec device, reused for the committed plan evidence)
+      val lazyReg: Map[String, (SparkSession, String) =>
+          org.apache.spark.sql.DataFrame] = Map(
+        "d02_minhash_lsh" -> ((sp, sf) =>
+          graft.dedup.DedupOps.d02Impl(sp, sf, eager = false)),
+        "d04_ngram_jaccard" -> ((sp, sf) =>
+          graft.dedup.DedupOps.d04Impl(sp, sf, eager = false)),
+        "p06_decontaminated_split" -> ((sp, sf) =>
+          graft.pipeline.TrainingPipeline.p06Impl(sp, sf, eager = false)),
+        "d22_containment" -> ((sp, sf) => {
+          val c = graft.dedup.DedupOps.withContainmentPlants(sp, sf)
+          graft.dedup.DedupOps.containmentPairsOf(c, eager = false)
+            .select("id_a", "id_b", "containment", "jaccard")
+            .orderBy("id_a", "id_b")
+        }),
+        // Plan-evidence reconstructions (r21 optimization round; kept so
+        // the committed plans/r21 d22 cached-shape files stay
+        // regenerable): the shipped operator checkpoints eagerly and
+        // unpersists in a finally, so neither the registry plan nor the
+        // eager=false plan can SHOW the live cache the change is about.
+        // r21-shape WITH LIVE CACHE: phase-2 text joins read the
+        // (doc_id, text, hs) InMemoryRelation — the plan evidence for
+        // the r21 text-in-cache change (withCacheImpl unpersists before
+        // a lazy capture can print, so the registry plan can't show it)
+        "d22_containment_r21cached" -> ((sp, sf) => {
+          import sp.implicits._
+          import org.apache.spark.sql.functions._
+          import graft.dedup.DedupOps._
+          val corpus = withContainmentPlants(sp, sf)
+          val preC = corpus
+            .select($"doc_id", $"text", hashShinglesU($"text").as("hs"))
+            .persist()
+          val cand = containmentCandidates(preC.select($"doc_id", $"hs"))
+          val iNat = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
+          val winners = cand
+            .join(preC.select($"doc_id".as("id_a"), $"hs".as("hs_a"))
+              .hint("shuffle_hash"), "id_a")
+            .join(preC.select($"doc_id".as("id_b"), $"hs".as("hs_b"))
+              .hint("shuffle_hash"), "id_b")
+            .filter(iNat * 10 >= least(size($"hs_a"), size($"hs_b")).cast("long") * 7)
+            .select($"id_a", $"id_b")
+          val contU = udf { (ta: String, tb: String) =>
+            val sa = shingles(ta); val sb = shingles(tb)
+            val i = sa.intersect(sb).size
+            (i.toDouble / math.min(sa.size, sb.size),
+              i.toDouble / (sa.size + sb.size - i))
+          }
+          winners
+            .join(preC.select($"doc_id".as("id_a"), $"text".as("text_a"))
+              .hint("shuffle_hash"), "id_a")
+            .join(preC.select($"doc_id".as("id_b"), $"text".as("text_b"))
+              .hint("shuffle_hash"), "id_b")
+            .withColumn("cj", contU($"text_a", $"text_b"))
+            .select($"id_a", $"id_b", $"cj._1".as("containment"), $"cj._2".as("jaccard"))
+            .filter($"containment" >= 0.8 && $"jaccard" < 0.6)
+            .orderBy($"id_a", $"id_b")
+        }),
+        // r20-shape reconstruction for the before-plan capture
+        "d22_containment_r20" -> ((sp, sf) => {
+          import sp.implicits._
+          import org.apache.spark.sql.functions._
+          import graft.dedup.DedupOps._
+          val corpus = withContainmentPlants(sp, sf)
+          val pre = corpus.select($"doc_id", hashShinglesU($"text").as("hs"))
+          val doCache = (x: org.apache.spark.sql.DataFrame) => x.persist()
+          locally { val preC = doCache(pre)
+            val cand = containmentCandidates(preC)
+            val iNat = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
+            val winners = cand
+              .join(preC.select($"doc_id".as("id_a"), $"hs".as("hs_a"))
+                .hint("shuffle_hash"), "id_a")
+              .join(preC.select($"doc_id".as("id_b"), $"hs".as("hs_b"))
+                .hint("shuffle_hash"), "id_b")
+              .filter(iNat * 10 >= least(size($"hs_a"), size($"hs_b")).cast("long") * 7)
+              .select($"id_a", $"id_b")
+            val contU = udf { (ta: String, tb: String) =>
+              val sa = shingles(ta); val sb = shingles(tb)
+              val i = sa.intersect(sb).size
+              (i.toDouble / math.min(sa.size, sb.size),
+                i.toDouble / (sa.size + sb.size - i),
+                sa.size.toLong, sb.size.toLong)
+            }
+            winners
+              .join(corpus.select($"doc_id".as("id_a"), $"text".as("text_a"))
+                .hint("shuffle_hash"), "id_a")
+              .join(corpus.select($"doc_id".as("id_b"), $"text".as("text_b"))
+                .hint("shuffle_hash"), "id_b")
+              .withColumn("cj", contU($"text_a", $"text_b"))
+              .select($"id_a", $"id_b", $"cj._1".as("containment"), $"cj._2".as("jaccard"))
+              .filter($"containment" >= 0.8 && $"jaccard" < 0.6)
+              .orderBy($"id_a", $"id_b")
+          }
+        }))
       for (n <- qnames) {
-        val df = SparkEntry.queries(n)(spark, sfDir)
+        val df = lazyReg.getOrElse(n, SparkEntry.queries(n))(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.writeString(
           outDir.resolve(s"${n}_$suffix.txt"), plan)
         spark.catalog.clearCache()
         println(s"[dev] wrote ${outDir.resolve(s"${n}_$suffix.txt")}")
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("profile")) {
+      // profile <q1,q2,...> — run each query once (warm session) with a
+      // stage-level listener and print per-stage wall time, task count
+      // and shuffle bytes, sorted by cost: the "which stage is slow"
+      // loop of guide §1.1/§7.1 without the UI (disabled here).
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        case class St(name: String, ms: Long, tasks: Int,
+          shufRead: Long, shufWrite: Long, input: Long)
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val ms = (for (a <- i.completionTime; b <- i.submissionTime)
+            yield a - b).getOrElse(-1L)
+          stages.add(St(i.name.takeWhile(_ != '\n').take(80), ms, i.numTasks,
+            i.taskMetrics.shuffleReadMetrics.totalBytesRead,
+            i.taskMetrics.shuffleWriteMetrics.bytesWritten,
+            i.taskMetrics.inputMetrics.bytesRead))
+        }
+      }
+      for (n <- args(1).split(",").map(_.trim).filter(_.nonEmpty)) {
+        // warm run first so JIT/codegen bring-up doesn't pollute the profile
+        SparkEntry.queries(n)(spark, sfDir).count()
+        spark.catalog.clearCache()
+        spark.sparkContext.addSparkListener(listener)
+        listener.stages.clear()
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries(n)(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(listener)
+        spark.catalog.clearCache()
+        import scala.jdk.CollectionConverters._
+        val sts = listener.stages.asScala.toSeq
+        println(f"[profile] $n rows=$c wall=$wall%.2fs stages=${sts.size} " +
+          f"stageMsSum=${sts.map(_.ms).sum} tasks=${sts.map(_.tasks).sum}")
+        sts.sortBy(-_.ms).take(14).foreach { s =>
+          println(f"[profile]   ${s.ms}%6dms tasks=${s.tasks}%3d " +
+            f"in=${s.input / 1024}%6dK sr=${s.shufRead / 1024}%5dK " +
+            f"sw=${s.shufWrite / 1024}%5dK  ${s.name}")
+        }
       }
       spark.stop(); return
     }

@@ -493,7 +493,13 @@ object DedupOps {
     // the PRE-explode (doc_id, hs-array) frame is what gets cached: the
     // exploded index AND the verify's hash-set sides both derive from it
     // (explode is cheap; the UDF is not), so the corpus is tokenized and
-    // hashed exactly once per run
+    // hashed exactly once per run. `text` deliberately does NOT ride in
+    // this cache (r21 A/B): d04's phase-2 text joins re-derive
+    // withNearDups from the parquet scan, which measured FASTER (4.6 vs
+    // 5.7 s) than caching text — the twin construction is one cheap
+    // map-side pass, while a text-bearing cache inflates the build and
+    // every one of the cache's five readers. Contrast containmentPairsOf,
+    // where the corpus construction is expensive and caching text wins.
     val pre = withNearDups(s, d).select($"doc_id", hashShinglesU($"text").as("hs"))
     withCacheImpl(pre, eager) { preC =>
       // n_sh (the doc's distinct-shingle count) is computed at explode
@@ -761,12 +767,22 @@ object DedupOps {
     * (the smaller side is the contained one), and under the d22 emit
     * thresholds ties are impossible: |A| = |B| forces J = C/(2−C) ≥
     * 0.8/1.2 = 2/3 > 0.6, which the J < 0.6 exclusion rejects. */
-  private[graft] def containmentPairsOf(corpus: DataFrame): DataFrame = {
+  /** `eager = false` returns the lazy composed plan (the d02Impl device)
+    * so plan captures/specs can inspect the physical shape. */
+  private[graft] def containmentPairsOf(corpus: DataFrame,
+      eager: Boolean = true): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    val pre = corpus.select($"doc_id", hashShinglesU($"text").as("hs"))
-    withCache(pre) { preC =>
-      val cand = containmentCandidates(preC)
+    // `text` rides in the cache beside the hash sets (r21): the phase-2
+    // verify joins previously re-derived `corpus` twice — for the
+    // plant-fixture corpora (d22/d23/d24/p10) that re-ran the whole
+    // filler-construction expr chain per side, the two most expensive
+    // duplicated stages in the stage profile. Cached batches are
+    // column-pruned on read, so the candidate phase still moves longs
+    // only.
+    val pre = corpus.select($"doc_id", $"text", hashShinglesU($"text").as("hs"))
+    withCacheImpl(pre, eager) { preC =>
+      val cand = containmentCandidates(preC.select($"doc_id", $"hs"))
       // phase 1: hash overlap in codegen, keep at slack 0.7·min
       val iNat = graft.functions.GraftFunctions.sorted_overlap_count($"hs_a", $"hs_b")
       val winners = cand
@@ -785,9 +801,9 @@ object DedupOps {
           sa.size.toLong, sb.size.toLong)
       }
       winners
-        .join(corpus.select($"doc_id".as("id_a"), $"text".as("text_a"))
+        .join(preC.select($"doc_id".as("id_a"), $"text".as("text_a"))
           .hint("shuffle_hash"), "id_a")
-        .join(corpus.select($"doc_id".as("id_b"), $"text".as("text_b"))
+        .join(preC.select($"doc_id".as("id_b"), $"text".as("text_b"))
           .hint("shuffle_hash"), "id_b")
         .withColumn("cj", contU($"text_a", $"text_b"))
         .select($"id_a", $"id_b", $"cj._1".as("containment"), $"cj._2".as("jaccard"),

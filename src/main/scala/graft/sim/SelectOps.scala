@@ -255,9 +255,13 @@ object SelectOps {
     // eager checkpoint: the local phase runs EXACTLY once (the merge's
     // per-round scans hit the materialized candidates, not the
     // assign+greedy subtree), and the overflow accumulator is final
-    // before it is read below
-    val candFrame = candidates
-      .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true)
+    // before it is read below. The checkpoint keeps the cid-shuffle's
+    // AQE-coalesced partitioning (size-adaptive: ≤ k·T candidate rows
+    // land in a handful of partitions here, advisory-sized ones at
+    // scale) — the r20 shape re-spread them to defaultParallelism,
+    // which made every one of the merge's ~2·T tiny per-round jobs pay
+    // 32 tasks per scan (guide §2.2: fewer, larger partitions).
+    val candFrame = candidates.localCheckpoint(true)
     val out = greedySelect(s, candFrame, T)
     // the result is driver-built (createDataFrame over the collected
     // picks) — the candidate blocks are dead; release them eagerly

@@ -68,7 +68,18 @@ object QualityModel {
         !($"n_punct" * 10 > $"n_chars_m") &&
         !(($"n_grams" - $"n_distinct") * 10 > $"n_grams"), 1.0)
         .otherwise(0.0).as("y"))
-    graft.dedup.DedupOps.withCache(feats) { f =>
+    // Anchor the GD loop on an EAGER localCheckpoint rather than a
+    // persist: a cached frame still carries the full gateSignals+join
+    // lineage in its logical plan, so each of the 30 iteration jobs
+    // re-analyzes and re-optimizes that whole subtree on the driver —
+    // measured r21: 6.1 s wall with only 2.7 s in stages; the ~3.4 s gap
+    // was per-iteration driver planning. The checkpoint truncates the
+    // loop's plan to a LogicalRDD scan (the s11 device), the feature
+    // pass still runs exactly once, and the blocks are reference-tracked
+    // and reclaimed when the frame drops out of scope. Same rows, same
+    // quantized-gradient arithmetic — oracle unchanged.
+    val f = feats.localCheckpoint(true)
+    locally {
       val train = f.filter($"bucket" < 8)
       val valid = f.filter($"bucket" === 8)
       var w = Array.fill(5)(0.0)
@@ -96,7 +107,7 @@ object QualityModel {
       val wv = w
       // scored output = VALID split only: no train row contributes to the
       // reported confusion (train count rides along for the split audit)
-      valid.withColumn("p", p(wv))
+      val out = valid.withColumn("p", p(wv))
         .agg(count(lit(1)).as("n_valid"),
           sum(when($"y" === 1.0, 1L).otherwise(0L)).as("n_keep"),
           sum(when($"p" >= 0.5 && $"y" === 1.0, 1L).otherwise(0L)).as("tp"),
@@ -107,6 +118,15 @@ object QualityModel {
         .select($"n_train", $"n_valid", $"n_keep", $"tp", $"fp", $"tn", $"fn",
           lit(wv(0)).as("w0"), lit(wv(1)).as("w1"), lit(wv(2)).as("w2"),
           lit(wv(3)).as("w3"), lit(wv(4)).as("w4"))
+        .localCheckpoint(true) // eager result, matching the withCache shape
+      // release the feature blocks NOW (the s11 backingRdd device):
+      // the returned 1-row frame no longer references them
+      f.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+      out
     }
   }
 

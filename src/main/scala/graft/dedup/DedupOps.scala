@@ -915,14 +915,24 @@ object DedupOps {
           (col("nbr_label") < col("label")).as("chg"))
       // pointer-jumping: label ← label's own current label (min-kept);
       // self-labeled roots join to themselves, so the left join always hits
+      //
+      // Convergence count rides the checkpoint pass as an observe metric
+      // (guide §5, driver job floor): the eager localCheckpoint is
+      // already an action over every row, so a separate filter(chg)
+      // .count() job per round only re-scanned the checkpointed blocks
+      // to compute a number the checkpoint pass had already seen.
+      // count(when(chg, 1)) ≡ the former filter-count (null/false chg
+      // rows excluded) and `count` is never null even on an empty frame.
+      val obs = new org.apache.spark.sql.Observation()
       val next = exchanged
         .join(labels.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
           (col("chg") || col("ll") < col("label")).as("chg"))
+        .observe(obs, count(when(col("chg"), lit(1))).as("changed"))
         .localCheckpoint(true)
-      changed = next.filter(col("chg")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }

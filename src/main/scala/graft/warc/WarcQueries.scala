@@ -472,10 +472,86 @@ object WarcQueries {
     * same determinism rule as s04's centroid sums). The quadratic
     * cross-host link gives hosts varying in-degrees, so the stationary
     * distribution is genuinely non-uniform. Driver loop = iteration
-    * control only (the per-round data work is one shuffle join + keyed
-    * aggregation — the d06 CC shape); localCheckpoint bounds lineage
-    * growth across rounds. No dangling-mass term is needed: every host
-    * links to itself via /rel, so out-degree ≥ 1 everywhere. */
+    * control only; localCheckpoint bounds lineage growth across rounds.
+    * No dangling-mass term is needed: every host links to itself via
+    * /rel, so out-degree ≥ 1 everywhere.
+    *
+    * Round shape (r22, guide §2.4): ONE exchange per round — the
+    * contribution transpose (src-keyed rows re-keyed by dst), which is
+    * the only data movement PageRank fundamentally requires. `el` is
+    * hash-partitioned on src ONCE at a size-derived count and each
+    * round's output lands hash-partitioned on id at the same count (the
+    * checkpoint preserves it), so the rank join zips partitions with no
+    * exchange; AQE coalescing is suspended inside the loop so the
+    * aggregation exchange keeps that count instead of re-coalescing per
+    * round (the count is already size-derived — coalescing could only
+    * break the co-partitioning, not improve it). Map-side partial
+    * aggregation stays on the transpose, so the shuffle carries
+    * near-node-scale partial sums, not edge-scale rows.
+    *
+    * The former per-round `nodes` LEFT join is dropped as provably
+    * redundant: every node IS the dst of at least one edge — a src is
+    * always a parsed page's own host class, whose /rel self-link plants
+    * the (c, c) edge, so dsts ⊇ srcs and nodes = srcs ∪ dsts = dsts —
+    * hence the contribution aggregate already emits exactly one row per
+    * node and `sumc` is never null. Same rows, same values (oracle
+    * unchanged and re-verified). */
+  /** One PageRank power-iteration round over co-partitioned inputs —
+    * exposed for plan pinning and the committed plan evidence: with `el`
+    * hash-partitioned on src and `ranks` hash-partitioned on id at the
+    * SAME count (both checkpointed, partitioning preserved by
+    * LogicalRDD), the physical plan must contain exactly ONE exchange:
+    * the dst-keyed contribution transpose. */
+  private[graft] def w08Round(el: DataFrame, ranks: DataFrame,
+      base: Long): DataFrame =
+    el.join(ranks.select(col("id").as("src"), col("rank").as("r")), "src")
+      .select(col("dst").as("id"),
+        expr("(85 * r) div (100 * outdeg)").as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("sumc"))
+      .select(col("id"), (lit(base) + col("sumc")).as("rank"))
+
+  /** Dev-only plan-capture reconstruction of ONE w08 round (committed
+    * plan evidence — the shipped operator checkpoints eagerly, so its
+    * registry plan prints as a bare LogicalRDD scan + sort). `r21Shape`
+    * rebuilds the pre-r22 round body (un-co-partitioned inputs + the
+    * per-round `nodes` left join) over the same checkpointed frames.
+    * The r22 branch leaves the loop's session confs SET so the lazy
+    * explain that follows plans under exactly the planner inputs the
+    * real loop sees (Dev sessions are discarded — nothing to restore). */
+  private[graft] def w08RoundForPlan(spark: SparkSession, d: String,
+      r21Shape: Boolean): DataFrame = {
+    import spark.implicits._
+    val Scale = 1000000000000L
+    val edges = hostEdges(spark, d).localCheckpoint(true)
+    val nodes = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val base = (15L * Scale) / (100L * n)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    if (r21Shape) {
+      val el = edges.join(deg, "src").localCheckpoint(true)
+      val ranks = nodes.select($"id", lit(Scale / n).as("rank"))
+      val contrib = el
+        .join(ranks.select($"id".as("src"), $"rank".as("r")), "src")
+        .select($"dst".as("id"), expr("(85 * r) div (100 * outdeg)").as("c"))
+        .groupBy($"id").agg(sum($"c").as("sumc"))
+      nodes.join(contrib, Seq("id"), "left")
+        .select($"id", (lit(base) + coalesce($"sumc", lit(0L))).as("rank"))
+    } else {
+      val nEdges = edges.count()
+      val advisory = spark.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+      val parts = math.max(1L, (nEdges * 24L + advisory - 1) / advisory).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val el = edges.join(deg, "src")
+        .repartition(parts, $"src").localCheckpoint(true)
+      val ranks = nodes.select($"id", lit(Scale / n).as("rank"))
+        .repartition(parts, $"id").localCheckpoint(true)
+      w08Round(el, ranks, base)
+    }
+  }
+
   def w08_pagerank(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val Scale = 1000000000000L
@@ -483,20 +559,44 @@ object WarcQueries {
     val nodes = edges.select($"src".as("id"))
       .union(edges.select($"dst".as("id"))).distinct().localCheckpoint(true)
     val n = nodes.count() // iteration constant, not data movement
+    // Size-derived loop partition count (never a local[32] constant):
+    // the loop's widest shuffle is bounded by one (dst, contrib) long
+    // pair per edge (~24 B unsafe-row bytes), sized to AQE's own
+    // advisory partition target — a tiny graph runs the loop in one
+    // partition, a web-scale host graph gets advisory-sized ones.
+    val nEdges = edges.count()
+    val advisory = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    val parts = math.max(1L, (nEdges * 24L + advisory - 1) / advisory).toInt
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val el = edges.join(deg, "src").localCheckpoint(true)
     val base = (15L * Scale) / (100L * n)
-    var ranks = nodes.select($"id", lit(Scale / n).as("rank"))
-    for (_ <- 1 to 10) {
-      val contrib = el
-        .join(ranks.select($"id".as("src"), $"rank".as("r")), "src")
-        .select($"dst".as("id"), expr("(85 * r) div (100 * outdeg)").as("c"))
-        .groupBy($"id").agg(sum($"c").as("sumc"))
-      ranks = nodes.join(contrib, Seq("id"), "left")
-        .select($"id", (lit(base) + coalesce($"sumc", lit(0L))).as("rank"))
-        .localCheckpoint(true)
-    }
-    ranks.orderBy($"id")
+    // AQE is suspended for the loop (save/restore, the withStreamShuffle
+    // idiom): an AdaptiveSparkPlanExec root reports UnknownPartitioning
+    // to Dataset.localCheckpoint, so the checkpointed LogicalRDD would
+    // LOSE the hash partitioning and every round would re-shuffle both
+    // join sides (measured: 3 exchanges/round instead of 1; PlanSpec
+    // pins the zip). Nothing is given up: the loop's shuffles are
+    // already size-pinned to `parts`, so runtime coalescing has nothing
+    // to coalesce, and AQE cannot split aggregation skew anyway.
+    val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val finalRanks =
+      try {
+        val el = edges.join(deg, "src")
+          .repartition(parts, $"src").localCheckpoint(true)
+        var ranks = nodes.select($"id", lit(Scale / n).as("rank"))
+          .repartition(parts, $"id").localCheckpoint(true)
+        for (_ <- 1 to 10) {
+          ranks = w08Round(el, ranks, base).localCheckpoint(true)
+        }
+        ranks
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+        spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      }
+    finalRanks.orderBy($"id")
   }
 
   val w08Oracle: String = {

@@ -1190,6 +1190,47 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.values.forall(_ == 0L), "every chain node must label to min id 0")
   }
 
+  test("connected components: convergence count rides the checkpoint " +
+      "action — no separate count action per round") {
+    // r22 optimization (guide §5, driver job floor): the per-round
+    // convergence test is an observe metric collected by the eager
+    // localCheckpoint's own action; a separate filter(chg).count() job
+    // per round must stay gone. Pinned via the action-name profile (job
+    // counts are AQE-stage-dependent and noisy; action names are not).
+    val sp = spark
+    import sp.implicits._
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        counts.merge(funcName, 1, (a: Int, b: Int) => a + b)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    sp.listenerManager.register(l)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+      DedupOps.connectedComponents(pairs)
+      // listener dispatch is async — poll until the profile stabilizes
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var prev = -1
+      def total: Int = { var t = 0; counts.values().forEach(v => t += v); t }
+      var cur = total
+      while (System.nanoTime() < deadline && (cur != prev || cur == 0)) {
+        Thread.sleep(200)
+        prev = cur
+        cur = total
+      }
+    } finally sp.listenerManager.unregister(l)
+    val checkpoints = counts.getOrDefault("checkpoint", 0) +
+      counts.getOrDefault("localCheckpoint", 0)
+    assert(counts.getOrDefault("count", 0) == 0,
+      s"separate convergence-count action crept back: $counts")
+    assert(checkpoints >= 3, s"unexpected action profile: $counts")
+  }
+
   test("planted identical-doc flood completes with linear candidate volume") {
     val sp = spark
     import sp.implicits._

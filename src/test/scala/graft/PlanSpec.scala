@@ -144,6 +144,79 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("w08 round: co-partitioned zip join — exactly one exchange (the " +
+      "dst transpose), no nodes join, partial agg kept") {
+    // r22 one-exchange-per-round pagerank: with `el` hash(src, parts)
+    // and `ranks` hash(id, parts) both checkpointed, the round body must
+    // plan a shuffle-free rank join (LogicalRDD preserves the
+    // partitioning), ONE exchange for the dst-keyed contribution
+    // transpose (with map-side partial aggregation below it), and no
+    // per-round nodes join. parts ≠ session shuffle.partitions (4) on
+    // purpose: the zip must come from the inputs' own partitioning.
+    val sp = spark
+    import sp.implicits._
+    val parts = 3
+    // auto-broadcast OFF for the pin: at test (and sf0.1) sizes the
+    // planner broadcasts the tiny el side, which would hide whether the
+    // co-partitioned zip actually holds at scale, where broadcast can't
+    // fire and the join MUST zip on the inputs' preserved partitioning.
+    // AQE OFF as the operator's loop runs it: an AdaptiveSparkPlanExec
+    // root reports UnknownPartitioning to Dataset.localCheckpoint, so
+    // the checkpointed LogicalRDD loses the hash partitioning and every
+    // round re-shuffles both join sides (measured: 3 exchanges/round).
+    val priorBc = sp.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorAqe = sp.conf.get("spark.sql.adaptive.enabled")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    val el = Seq((1L, 2L, 2L), (1L, 1L, 2L), (2L, 1L, 1L))
+      .toDF("src", "dst", "outdeg")
+      .repartition(parts, $"src").localCheckpoint(true)
+    val ranks = Seq((1L, 1000L), (2L, 2000L)).toDF("id", "rank")
+      .repartition(parts, $"id").localCheckpoint(true)
+    try {
+      val df = graft.warc.WarcQueries.w08Round(el, ranks, 7L)
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val exchanges = root.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1,
+        s"expected exactly the transpose exchange, got ${exchanges.length}:\n$root")
+      val joins = root.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.length == 1, s"per-round nodes join must stay gone:\n$root")
+      assert(joins.head.isInstanceOf[
+          org.apache.spark.sql.execution.joins.ShuffledJoin],
+        s"rank join must be a shuffle-strategy join zipping the inputs' " +
+          s"own partitioning (no exchange below it), got:\n$root")
+      assert(root.toString.contains("partial_sum"),
+        s"map-side partial aggregation lost from the transpose:\n$root")
+      // fixed-point arithmetic unchanged: contribs (85·r) div (100·outdeg)
+      // = 425→id2, 425+1700→id1, plus base 7
+      val out = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out == Map(1L -> 2132L, 2L -> 432L))
+    } finally {
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBc)
+      sp.conf.set("spark.sql.adaptive.enabled", priorAqe)
+    }
+  }
+
+  test("w08 pagerank: loop session-conf overrides are restored") {
+    requireTable("documents")
+    val sp = spark
+    val before = (sp.conf.get("spark.sql.shuffle.partitions"),
+      sp.conf.get("spark.sql.adaptive.coalescePartitions.enabled"))
+    val out = graft.warc.WarcQueries.w08_pagerank(sp, sf).collect()
+    assert(out.nonEmpty)
+    val after = (sp.conf.get("spark.sql.shuffle.partitions"),
+      sp.conf.get("spark.sql.adaptive.coalescePartitions.enabled"))
+    assert(after == before, s"loop leaked session confs: $before -> $after")
+  }
+
   test("t05 repetition: built-in expressions only, no UDF in the plan") {
     val plan = physical(graft.text.TextOps.t05_repetition(spark, sf))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),

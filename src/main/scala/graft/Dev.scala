@@ -207,6 +207,29 @@ object Dev {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("ddl-floor")) {
+      // ddl-floor — time the catalog/DDL primitives d08/st09 pay per run
+      // (VERDICT r21 item 6): empty bucketed saveAsTable, small bucketed
+      // append, DROP TABLE. 3 reps each after one warmup; prints ms.
+      import org.apache.spark.sql.functions._
+      val base = spark.range(100)
+        .select(col("id").as("cid"), col("id").as("vec_id"))
+      def time[T](f: => T): Long = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1000000
+      }
+      for (rep <- 0 to 3) {
+        val t = s"graft_ddlfloor_$rep"
+        val create = time(base.limit(0).write.bucketBy(4, "cid").sortBy("cid")
+          .saveAsTable(t))
+        val append = time(base.write.mode("append").bucketBy(4, "cid")
+          .sortBy("cid").saveAsTable(t))
+        val read = time(spark.table(t).count())
+        val drop = time(spark.sql(s"DROP TABLE IF EXISTS $t"))
+        if (rep > 0) println(s"[ddl-floor] rep=$rep create_empty=${create}ms " +
+          s"append_100=${append}ms read=${read}ms drop=${drop}ms")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("profile")) {
       // profile <q1,q2,...> — run each query once (warm session) with a
       // stage-level listener and print per-stage wall time, task count

@@ -280,12 +280,24 @@ object StreamStoreIngest {
         graft.pipeline.TrainingPipeline.shardedAuditOf(t)
       drainToParquet(s, dir, overwritePerBatch = false,
         fb => crawl.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
-          // both admission layers against the persisted store; only
-          // novel docs continue into the training corpus
-          val dec = graft.dedup.IncrementalDedup.storeAdmissionDecisions(
-            s, d, b.select(col("doc_id"), col("text")), bandT, digT)
-          fb(b.join(dec.filter(col("ex") === 0 && col("nr") === 0)
-            .select(col("doc_id")), "doc_id"), id)
+          // PIN the micro-batch for its four consumers (guide §1.1,
+          // §2.3 — r22, profiled first): a foreachBatch frame re-runs
+          // its source plan per action, and b's source plan IS the full
+          // WARC parse chain — the digest probe, the bands-cache build,
+          // the decision assembly and the admitted-rows write each
+          // re-parsed the staged archives (4 × 32-task scan stages of
+          // the whole staging dir, ~2.3 s of the 9 s profile wall).
+          // One persist makes the parse run once; unpersisted before
+          // return so no blocks outlive the batch (the withCache rule).
+          val pinned = b.persist()
+          try {
+            // both admission layers against the persisted store; only
+            // novel docs continue into the training corpus
+            val dec = graft.dedup.IncrementalDedup.storeAdmissionDecisions(
+              s, d, pinned.select(col("doc_id"), col("text")), bandT, digT)
+            fb(pinned.join(dec.filter(col("ex") === 0 && col("nr") === 0)
+              .select(col("doc_id")), "doc_id"), id)
+          } finally pinned.unpersist(false)
         }.outputMode("append").trigger(Trigger.AvailableNow()).start(),
         finish)
     }
